@@ -1,0 +1,103 @@
+"""DDL command layer: CREATE TABLE(path) / DROP TABLE / SHOW TABLES.
+
+The reference parses these three commands with regexes *before* trying
+the SQL parser (reference: dfsql/commands.py:32-128).  We keep the same
+thin regex front-door; everything that actually touches data goes
+through Spark.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .datasource import DataSource
+
+
+@dataclass
+class Command:
+    def execute(self, ds: "DataSource"):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+
+@dataclass
+class CreateTableCommand(Command):
+    """``CREATE TABLE name ('/path/to/file.csv')``
+
+    Reference semantics (dfsql/commands.py:32-63): register a
+    file-backed table under ``name``; the file is read lazily.
+    """
+
+    name: str
+    fpath: str
+
+    pattern = re.compile(
+        r"^\s*CREATE\s+TABLE\s+(?P<name>[A-Za-z_][\w]*)\s*"
+        r"\(\s*['\"](?P<fpath>[^'\"]+)['\"]\s*\)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+
+    @classmethod
+    def from_string(cls, sql: str) -> "CreateTableCommand | None":
+        m = cls.pattern.match(sql)
+        if m:
+            return cls(name=m.group("name"), fpath=m.group("fpath"))
+        return None
+
+    def execute(self, ds: "DataSource"):
+        ds.add_table_from_file(self.name, self.fpath)
+        return "OK"
+
+
+@dataclass
+class DropTableCommand(Command):
+    """``DROP TABLE name`` (reference: dfsql/commands.py:66-90)."""
+
+    name: str
+
+    pattern = re.compile(
+        r"^\s*DROP\s+TABLE\s+(?P<name>[A-Za-z_][\w]*)\s*;?\s*$", re.IGNORECASE
+    )
+
+    @classmethod
+    def from_string(cls, sql: str) -> "DropTableCommand | None":
+        m = cls.pattern.match(sql)
+        if m:
+            return cls(name=m.group("name"))
+        return None
+
+    def execute(self, ds: "DataSource"):
+        ds.drop_table(self.name)
+        return "OK"
+
+
+@dataclass
+class ShowTablesCommand(Command):
+    """``SHOW TABLES`` → DataFrame of (name, fpath)
+    (reference: dfsql/commands.py:93-117)."""
+
+    pattern = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
+
+    @classmethod
+    def from_string(cls, sql: str) -> "ShowTablesCommand | None":
+        if cls.pattern.match(sql):
+            return cls()
+        return None
+
+    def execute(self, ds: "DataSource"):
+        return ds.tables_dataframe()
+
+
+COMMANDS = (CreateTableCommand, DropTableCommand, ShowTablesCommand)
+
+
+def try_parse_command(sql: str) -> Command | None:
+    """Try each command regex; None → treat input as SQL
+    (reference: dfsql/commands.py:120-128)."""
+    for cmd_cls in COMMANDS:
+        cmd = cmd_cls.from_string(sql)
+        if cmd is not None:
+            return cmd
+    return None

@@ -1,0 +1,212 @@
+"""DataSource: the engine's catalog + query entry point.
+
+Reference model (dfsql/data_sources/base_data_source.py:36-162): a
+``DataSource`` maps table names to lazily-fetched DataFrames, persists
+that mapping as JSON, and executes SQL with a tree-walking pandas
+interpreter.  Here the interpreter is replaced wholesale by Spark SQL:
+``query()`` = command-regex layer → dialect rewrite → ``spark.sql`` →
+Catalyst (analyze/optimize/AQE) → executors.  Our code never evaluates
+an expression itself, so predicate pushdown, column pruning, join
+selection, and whole-stage codegen all come from Catalyst for free
+(SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from .commands import try_parse_command
+from .dialect import rewrite
+from .functions.registry import FunctionRegistry
+from .session import get_spark
+from .sources.tables import TableInfo, read_file
+
+METADATA_FILE = "datasource_tables.json"
+
+
+class QueryExecutionException(Exception):
+    """Raised for engine-level errors (unknown table, bad command, ...)."""
+
+
+class DataSource:
+    """Named-table catalog with a SQL entry point.
+
+    Parameters
+    ----------
+    spark : optional existing SparkSession (one is built if omitted)
+    metadata_dir : optional directory for JSON catalog persistence
+        (reference: base_data_source.py:118-146)
+    case_sensitive : column/table lookup case sensitivity
+        (reference: base_data_source.py:48-59; Spark's analyzer is
+        case-insensitive by default, so ``False`` is the native mode)
+    cache : when True, registered file tables are eligible for
+        ``spark.catalog.cacheTable`` via :meth:`cache_table`
+        (reference MemoryCache: dfsql/cache.py:16-26)
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        metadata_dir: str | None = None,
+        case_sensitive: bool = True,
+        cache: bool = True,
+    ):
+        self.spark = spark or get_spark()
+        self.metadata_dir = metadata_dir
+        self.cache_enabled = cache
+        self.tables: dict[str, TableInfo] = {}
+        self.function_registry = FunctionRegistry(self.spark)
+        self.spark.conf.set("spark.sql.caseSensitive", str(case_sensitive).lower())
+        if metadata_dir and os.path.exists(os.path.join(metadata_dir, METADATA_FILE)):
+            self.load_metadata()
+
+    # ------------------------------------------------------------------
+    # catalog
+    # ------------------------------------------------------------------
+    def add_table_from_file(
+        self, name: str, fpath: str, fmt: str | None = None, **options
+    ) -> None:
+        """Register a file-backed table (reference: FileTable,
+        dfsql/table.py:51-72).  The scan itself stays lazy."""
+        df = read_file(self.spark, fpath, fmt, **options)
+        df.createOrReplaceTempView(name)
+        self.tables[name] = TableInfo(name=name, fpath=fpath, format=fmt, options=options)
+        self.save_metadata()
+
+    def add_table(self, name: str, df: "DataFrame | pd.DataFrame") -> None:
+        """Register an in-memory table.  pandas input goes through
+        Arrow (``spark.createDataFrame``) — never a CSV round-trip
+        (the reference's CSV round-trip in dfsql/__init__.py:26-27 is
+        an implementation artifact we deliberately do not reproduce)."""
+        if isinstance(df, pd.DataFrame):
+            df = self.spark.createDataFrame(df)
+        df.createOrReplaceTempView(name)
+        self.tables[name] = TableInfo(name=name)
+
+    def drop_table(self, name: str) -> None:
+        if name not in self.tables and not self.spark.catalog.tableExists(name):
+            raise QueryExecutionException(f"Table {name} not found")
+        self.spark.catalog.dropTempView(name)
+        self.tables.pop(name, None)
+        self.save_metadata()
+
+    @classmethod
+    def from_dir(cls, dir_path: str, spark: SparkSession | None = None, **kwargs) -> "DataSource":
+        """Register every supported data file in a directory
+        (reference: base_data_source.py:103-116)."""
+        ds = cls(spark=spark, **kwargs)
+        for fname in sorted(os.listdir(dir_path)):
+            stem, ext = os.path.splitext(fname)
+            if ext.lower() in (".csv", ".tsv", ".parquet", ".json", ".jsonl"):
+                ds.add_table_from_file(stem, os.path.join(dir_path, fname))
+        return ds
+
+    def tables_dataframe(self) -> pd.DataFrame:
+        """SHOW TABLES result (reference: dfsql/commands.py:93-117)."""
+        rows = [(t.name, t.fpath) for t in self.tables.values()]
+        return pd.DataFrame(rows, columns=["table_name", "fpath"])
+
+    # ------------------------------------------------------------------
+    # metadata persistence (reference: base_data_source.py:118-146)
+    # ------------------------------------------------------------------
+    def save_metadata(self) -> None:
+        if not self.metadata_dir:
+            return
+        os.makedirs(self.metadata_dir, exist_ok=True)
+        meta = {
+            name: t.to_metadata() for name, t in self.tables.items() if t.fpath
+        }
+        with open(os.path.join(self.metadata_dir, METADATA_FILE), "w") as f:
+            json.dump(meta, f, indent=2)
+
+    def load_metadata(self) -> None:
+        path = os.path.join(self.metadata_dir, METADATA_FILE)
+        with open(path) as f:
+            meta = json.load(f)
+        for name, rec in meta.items():
+            if rec.get("fpath"):
+                self.add_table_from_file(name, rec["fpath"], rec.get("format"))
+
+    def clear_metadata(self) -> None:
+        if self.metadata_dir:
+            path = os.path.join(self.metadata_dir, METADATA_FILE)
+            if os.path.exists(path):
+                os.remove(path)
+
+    # ------------------------------------------------------------------
+    # caching (reference MemoryCache: dfsql/cache.py:16-26)
+    # ------------------------------------------------------------------
+    def cache_table(self, name: str) -> None:
+        if self.cache_enabled:
+            self.spark.catalog.cacheTable(name)
+
+    def uncache_table(self, name: str) -> None:
+        if self.spark.catalog.isCached(name):
+            self.spark.catalog.uncacheTable(name)
+
+    # ------------------------------------------------------------------
+    # functions (reference: base_data_source.py:151-152)
+    # ------------------------------------------------------------------
+    def register_function(
+        self, name: str, func: Callable, return_type: str = "double", **kw
+    ):
+        return self.function_registry.register(name, func, return_type, **kw)
+
+    # ------------------------------------------------------------------
+    # query execution
+    # ------------------------------------------------------------------
+    def query_df(self, sql: str) -> DataFrame:
+        """Run SQL, returning the **lazy** Spark DataFrame.
+
+        This is the scale-path API: no action is triggered, so the
+        result can feed further transformations, a write, or a stream
+        without materializing on the driver.
+        """
+        cmd = try_parse_command(sql)
+        if cmd is not None:
+            result = cmd.execute(self)
+            if isinstance(result, pd.DataFrame):
+                return self.spark.createDataFrame(result)
+            return self.spark.createDataFrame([(str(result),)], ["status"])
+        return self.spark.sql(rewrite(sql))
+
+    def query(self, sql: str, reduce_output: bool = True):
+        """Reference-compatible entry point: materializes the result as
+        a pandas object, collapsing 1×1 → scalar and single-column →
+        Series when ``reduce_output`` (reference:
+        base_data_source.py:455-460).
+
+        This is the *API boundary only* — all computation has already
+        happened distributed; only the final (small) result crosses to
+        the driver.  For large results use :meth:`query_df`.
+        """
+        cmd = try_parse_command(sql)
+        if cmd is not None:
+            return cmd.execute(self)
+        result = self.spark.sql(rewrite(sql))
+        pdf = result.toPandas()
+        pdf.columns = [_clean_name(c) for c in pdf.columns]
+        if reduce_output:
+            return _reduce_output(pdf)
+        return pdf
+
+
+def _clean_name(name: str) -> str:
+    """Strip surrounding backticks unless the name is dotted
+    (reference: base_data_source.py:446-453)."""
+    if name.startswith("`") and name.endswith("`") and "." not in name:
+        return name[1:-1]
+    return name
+
+
+def _reduce_output(pdf: pd.DataFrame):
+    if pdf.shape == (1, 1):
+        return pdf.iloc[0, 0]
+    if pdf.shape[1] == 1:
+        return pdf.iloc[:, 0]
+    return pdf

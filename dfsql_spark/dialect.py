@@ -1,0 +1,254 @@
+"""dfsql dialect → Spark SQL rewriter.
+
+The reference engine's SQL dialect has three observable quirks that
+Spark's parser does not share (SURVEY.md §2.8); everything else in the
+dialect (double-quoted string literals, backtick identifiers, clause
+set) is already native to Spark with ANSI mode off.
+
+1. ``LIKE`` is an **anchored Python regex**, not SQL ``%/_`` wildcards
+   (reference: dfsql/functions.py:278-288 uses ``re.match``).  We
+   rewrite ``x LIKE '<pat>'`` → ``x RLIKE '^(?:<pat>)'`` — ``re.match``
+   anchors at the start only, so a leading anchor reproduces it
+   exactly.  ``NOT LIKE`` → ``NOT RLIKE``.
+2. ``^`` is **power**, not XOR (reference: dfsql/functions.py:244-248).
+   We rewrite ``a ^ b`` → ``POWER(a, b)`` with proper operand
+   extraction (identifiers, numbers, function calls, parenthesized
+   groups, unary minus).
+3. ``CAST(x AS <pandas-dtype>)`` uses pandas dtype names
+   (reference: dfsql/base_data_source.py:30-33): ``str``/``int``/
+   ``float``/``bool`` → Spark ``STRING``/``BIGINT``/``DOUBLE``/
+   ``BOOLEAN`` (pandas ``int``/``float`` are 64-bit).
+
+The rewriter is a token-level transform: we never need a full parse
+because each quirk is locally recognizable.  This file is the entire
+"custom dialect" layer — planning/optimization stays 100% in Catalyst.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+__all__ = ["rewrite", "tokenize", "Token", "CAST_TYPE_MAP"]
+
+CAST_TYPE_MAP = {
+    "str": "STRING",
+    "string": "STRING",
+    "object": "STRING",
+    "int": "BIGINT",
+    "int64": "BIGINT",
+    "int32": "INT",
+    "integer": "BIGINT",
+    "float": "DOUBLE",
+    "float64": "DOUBLE",
+    "float32": "FLOAT",
+    "bool": "BOOLEAN",
+    "boolean": "BOOLEAN",
+    "datetime64[ns]": "TIMESTAMP",
+}
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<comment>--[^\n]*|/\*.*?\*/)
+  | (?P<squote>'(?:[^']|'')*')
+  | (?P<dquote>"(?:[^"]|"")*")
+  | (?P<bquote>`(?:[^`]|``)*`)
+  | (?P<num>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
+  | (?P<word>[A-Za-z_][A-Za-z_0-9$.]*)
+  | (?P<op><>|!=|>=|<=|\|\||::|[-+*/%^=<>(),.;\[\]{}])
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+
+@dataclass
+class Token:
+    kind: str  # ws | comment | squote | dquote | bquote | num | word | op
+    text: str
+
+    @property
+    def upper(self) -> str:
+        return self.text.upper()
+
+
+def tokenize(sql: str) -> list[Token]:
+    tokens: list[Token] = []
+    pos = 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if not m:
+            # unknown char: pass through verbatim as an op token
+            tokens.append(Token("op", sql[pos]))
+            pos += 1
+            continue
+        tokens.append(Token(m.lastgroup, m.group()))
+        pos = m.end()
+    return tokens
+
+
+def _significant(tokens: list[Token], i: int, step: int) -> int:
+    """Index of next/prev non-ws, non-comment token, or -1."""
+    i += step
+    while 0 <= i < len(tokens):
+        if tokens[i].kind not in ("ws", "comment"):
+            return i
+        i += step
+    return -1
+
+
+def _rewrite_like(tokens: list[Token]) -> list[Token]:
+    out: list[Token] = []
+    for i, tok in enumerate(tokens):
+        if tok.kind == "word" and tok.upper == "LIKE":
+            nxt = _significant(tokens, i, +1)
+            out.append(Token("word", "RLIKE"))
+            if nxt != -1 and tokens[nxt].kind == "squote":
+                pat = tokens[nxt].text[1:-1]
+                tokens[nxt] = Token("squote", "'^(?:" + pat + ")'")
+            elif nxt != -1 and tokens[nxt].kind == "dquote":
+                pat = tokens[nxt].text[1:-1]
+                tokens[nxt] = Token("squote", "'^(?:" + pat.replace("'", "''") + ")'")
+            # non-literal pattern: plain RLIKE (unanchored) — documented
+            # divergence; the reference only ever sees literal patterns.
+            continue
+        out.append(tok)
+    return out
+
+
+_ATOM_KINDS = ("squote", "dquote", "bquote", "num", "word")
+
+# words that can directly precede '(' without being a function name
+_NON_FUNCTION_KEYWORDS = frozenset(
+    """select where and or not from on in between case when then else end
+    having group by order limit offset join inner left right full outer
+    cross union all distinct as is null like rlike exists any some values
+    insert update delete set""".split()
+)
+
+
+def _left_operand_start(tokens: list[Token], i: int) -> int:
+    """Start index of the operand ending just before token ``i`` (the
+    ``^`` operator).  Walks back over a primary expression: balanced
+    parens/brackets, then an optional preceding function name."""
+    j = _significant(tokens, i, -1)
+    if j == -1:
+        return i
+    if tokens[j].text in (")", "]"):
+        depth = 0
+        while j >= 0:
+            if tokens[j].text in (")", "]"):
+                depth += 1
+            elif tokens[j].text in ("(", "["):
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        # function call: name immediately before '(' (but not a keyword)
+        k = _significant(tokens, j, -1)
+        if (
+            k != -1
+            and tokens[k].kind == "word"
+            and tokens[k].text.lower() not in _NON_FUNCTION_KEYWORDS
+        ):
+            j = k
+        return j
+    if tokens[j].kind in _ATOM_KINDS:
+        return j
+    return j + 1
+
+
+def _right_operand_end(tokens: list[Token], i: int) -> int:
+    """End index (inclusive) of the operand starting just after ``i``."""
+    j = _significant(tokens, i, +1)
+    if j == -1:
+        return i
+    # unary +/- prefix
+    if tokens[j].kind == "op" and tokens[j].text in ("-", "+"):
+        j = _significant(tokens, j, +1)
+        if j == -1:
+            return len(tokens) - 1
+    if tokens[j].kind == "word":
+        nxt = _significant(tokens, j, +1)
+        if nxt != -1 and tokens[nxt].text == "(":
+            j = nxt  # function call — consume the arg list below
+        else:
+            return j
+    if tokens[j].text in ("(", "["):
+        depth = 0
+        while j < len(tokens):
+            if tokens[j].text in ("(", "["):
+                depth += 1
+            elif tokens[j].text in (")", "]"):
+                depth -= 1
+                if depth == 0:
+                    return j
+            j += 1
+        return len(tokens) - 1
+    return j
+
+
+def _rewrite_power(tokens: list[Token]) -> list[Token]:
+    # right-to-left so chained a^b^c becomes POWER(a, POWER(b, c))
+    # (right-associative, matching Python's ** which backs the reference)
+    while True:
+        idx = -1
+        for i, tok in enumerate(tokens):
+            if tok.kind == "op" and tok.text == "^":
+                idx = i  # keep last (rightmost) — rewrite that first
+        if idx == -1:
+            return tokens
+        lo = _left_operand_start(tokens, idx)
+        hi = _right_operand_end(tokens, idx)
+        left = tokens[lo:idx]
+        right = tokens[idx + 1 : hi + 1]
+        replacement = (
+            [Token("word", "POWER"), Token("op", "(")]
+            + left
+            + [Token("op", ","), Token("ws", " ")]
+            + right
+            + [Token("op", ")")]
+        )
+        tokens = tokens[:lo] + replacement + tokens[hi + 1 :]
+
+
+def _rewrite_cast_types(tokens: list[Token]) -> list[Token]:
+    # CAST ( expr AS <name> )  — map pandas dtype names to Spark types.
+    for i, tok in enumerate(tokens):
+        if tok.kind == "word" and tok.upper == "AS":
+            nxt = _significant(tokens, i, +1)
+            if nxt == -1:
+                continue
+            after = _significant(tokens, nxt, +1)
+            if after == -1 or tokens[after].text != ")":
+                continue
+            name_tok = tokens[nxt]
+            raw = name_tok.text.strip("`'\"")
+            mapped = CAST_TYPE_MAP.get(raw.lower())
+            if mapped and _in_cast(tokens, i):
+                tokens[nxt] = Token("word", mapped)
+    return tokens
+
+
+def _in_cast(tokens: list[Token], as_idx: int) -> bool:
+    """True if the AS at ``as_idx`` is inside a CAST(...) call."""
+    depth = 0
+    for j in range(as_idx - 1, -1, -1):
+        t = tokens[j]
+        if t.text == ")":
+            depth += 1
+        elif t.text == "(":
+            if depth == 0:
+                k = _significant(tokens, j, -1)
+                return k != -1 and tokens[k].kind == "word" and tokens[k].upper in ("CAST", "TRY_CAST")
+            depth -= 1
+    return False
+
+
+def rewrite(sql: str) -> str:
+    """Rewrite a dfsql-dialect SQL string into Spark SQL."""
+    tokens = tokenize(sql)
+    tokens = _rewrite_like(tokens)
+    tokens = _rewrite_power(tokens)
+    tokens = _rewrite_cast_types(tokens)
+    return "".join(t.text for t in tokens)

@@ -1,0 +1,149 @@
+"""User function registry: scalar UDFs and aggregate UDAFs.
+
+Reference surface (dfsql/base_data_source.py:151-152, functions.py:293-303):
+``register_function(name, callable)`` — the callable receives the
+evaluated argument as a pandas Series (vectorized) or a scalar, and for
+aggregates receives the group's Series and returns a scalar.
+
+The Spark-native equivalents keep that exact contract while staying on
+the Arrow fast path:
+
+* scalar → ``pandas_udf`` (Series → Series), batch-vectorized; falls
+  back to a row UDF if the callable can't handle Series input.
+* aggregate → ``pandas_udf`` with a Series → scalar callable, which is
+  Spark's grouped-aggregate pandas UDF — the identical contract to the
+  reference's ``AggregateFunction.execute``.
+
+Registered names are usable both from the DataFrame API and inside
+``spark.sql`` strings (``spark.udf.register``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf, udf
+from pyspark.sql.types import DataType, _parse_datatype_string
+
+
+def _as_datatype(t: "DataType | str") -> DataType:
+    if isinstance(t, DataType):
+        return t
+    return _parse_datatype_string(t)
+
+
+_ARITY_WRAPPERS = {
+    1: lambda f: (lambda a: f(a)),
+    2: lambda f: (lambda a, b: f(a, b)),
+    3: lambda f: (lambda a, b, c: f(a, b, c)),
+    4: lambda f: (lambda a, b, c, d: f(a, b, c, d)),
+    5: lambda f: (lambda a, b, c, d, e: f(a, b, c, d, e)),
+    6: lambda f: (lambda a, b, c, d, e, g: f(a, b, c, d, e, g)),
+}
+
+
+def _hinted_series_wrapper(name: str, func: Callable) -> Callable:
+    """Wrap a user callable with Series→Series type hints so Spark 4's
+    pandas_udf type-hint inference selects the scalar (batched) eval
+    type, regardless of how the user annotated their function."""
+    import inspect
+
+    try:
+        n = len(
+            [
+                p
+                for p in inspect.signature(func).parameters.values()
+                if p.kind
+                in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+            ]
+        ) or 1
+    except (TypeError, ValueError):
+        n = 1
+    wrapper = _ARITY_WRAPPERS.get(n, _ARITY_WRAPPERS[1])(func)
+    wrapper.__name__ = name
+    wrapper.__annotations__ = {
+        k: pd.Series for k in "abcdeg"[:n]
+    } | {"return": pd.Series}
+    return wrapper
+
+
+@dataclass
+class RegisteredFunction:
+    name: str
+    func: Callable
+    return_type: str
+    is_aggregate: bool
+    vectorized: bool
+
+
+class FunctionRegistry:
+    """Per-DataSource registry; functions are also visible to SQL."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.functions: dict[str, RegisteredFunction] = {}
+
+    def register_scalar(
+        self,
+        name: str,
+        func: Callable,
+        return_type: str = "double",
+        vectorized: bool = True,
+    ):
+        """Register a scalar function.
+
+        ``vectorized=True`` (default) wraps ``func`` as a pandas UDF:
+        it receives ``pd.Series`` batches — the same whole-column
+        contract the reference uses.  ``vectorized=False`` registers a
+        row-at-a-time UDF for callables that only handle scalars.
+        """
+        dt = _as_datatype(return_type)
+        if vectorized:
+            wrapped = pandas_udf(dt)(_hinted_series_wrapper(name, func))
+        else:
+            wrapped = udf(func, dt)
+        self.spark.udf.register(name, wrapped)
+        self.functions[name.lower()] = RegisteredFunction(
+            name, func, str(return_type), is_aggregate=False, vectorized=vectorized
+        )
+        return wrapped
+
+    def register_aggregate(self, name: str, func: Callable, return_type: str = "double"):
+        """Register an aggregate: ``func(pd.Series) -> scalar``.
+
+        Matches the reference's custom-aggregate contract
+        (dfsql/functions.py:293-303) via Spark's grouped-agg pandas UDF.
+        """
+        dt = _as_datatype(return_type)
+
+        def _agg(s):
+            return func(s)
+
+        _agg.__name__ = name
+        # Spark 4 infers the UDF kind from type hints: Series → scalar
+        # is a grouped-aggregate pandas UDF.  The declared DataType
+        # (``dt``) governs the actual SQL type; the ``float`` hint only
+        # selects the eval type.
+        _agg.__annotations__ = {"s": pd.Series, "return": float}
+        wrapped = pandas_udf(dt)(_agg)
+        self.spark.udf.register(name, wrapped)
+        self.functions[name.lower()] = RegisteredFunction(
+            name, func, str(return_type), is_aggregate=True, vectorized=True
+        )
+        return wrapped
+
+    def register(self, name: str, func: Callable, return_type: str = "double", **kw):
+        """Reference-compatible entry point: auto-detects aggregates.
+
+        Mirrors ``DataSource.register_function``
+        (dfsql/base_data_source.py:151-152): objects exposing
+        ``is_aggregate = True`` (like the reference's
+        ``AggregateFunction`` subclasses) register as aggregates;
+        plain callables register as scalar functions.
+        """
+        if getattr(func, "is_aggregate", False) or kw.pop("is_aggregate", False):
+            return self.register_aggregate(name, func, return_type)
+        return self.register_scalar(name, func, return_type, **kw)

@@ -1,0 +1,70 @@
+"""Table registration: file-backed and in-memory tables.
+
+Reference model (dfsql/table.py:13-72): a ``Table`` is a named, lazily
+fetched DataFrame; ``FileTable`` reads a CSV on demand.  In Spark the
+laziness is native — ``spark.read`` only touches the file for schema
+inference, and the scan happens at action time — so a "table" here is
+just a catalog record plus a registered temp view.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+_FORMAT_BY_EXT = {
+    ".csv": "csv",
+    ".tsv": "csv",
+    ".parquet": "parquet",
+    ".pq": "parquet",
+    ".json": "json",
+    ".jsonl": "json",
+    ".ndjson": "json",
+}
+
+
+def infer_format(fpath: str) -> str:
+    ext = os.path.splitext(fpath)[1].lower()
+    return _FORMAT_BY_EXT.get(ext, "csv")
+
+
+@dataclass
+class TableInfo:
+    """Catalog record for one registered table."""
+
+    name: str
+    fpath: str | None = None  # None → in-memory (DataFrame-backed)
+    format: str | None = None
+    options: dict = field(default_factory=dict)
+
+    def to_metadata(self) -> dict:
+        return {
+            "type": "file" if self.fpath else "memory",
+            "name": self.name,
+            "fpath": self.fpath,
+            "format": self.format,
+        }
+
+
+def read_file(spark: SparkSession, fpath: str, fmt: str | None = None, **options) -> DataFrame:
+    """Read a data file with schema inference, mirroring the reference's
+    ``pd.read_csv`` + ``convert_dtypes`` behavior (dfsql/table.py:7-10,56-57).
+
+    At scale: parquet/ORC are self-describing (no inference pass); CSV
+    inference samples the file once.  Column pruning and predicate
+    pushdown then happen in the scan via Catalyst.
+    """
+    fmt = fmt or infer_format(fpath)
+    reader = spark.read
+    if fmt == "csv":
+        opts = {"header": "true", "inferSchema": "true", "nullValue": ""}
+        opts.update(options)
+        return reader.options(**opts).csv(fpath)
+    if fmt == "parquet":
+        return reader.options(**options).parquet(fpath)
+    if fmt == "json":
+        return reader.options(**options).json(fpath)
+    return reader.format(fmt).options(**options).load(fpath)
