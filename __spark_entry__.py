@@ -1,10 +1,21 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 to a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` supplies the
+DuckDB-equivalent SQL the driver hash-compares against at sf=0.01.
+
+Implementation notes
+--------------------
+* Spark sides are written with the DataFrame API (Catalyst plans them;
+  dimension tables get explicit ``broadcast()`` hints — at 100 TB the
+  fact tables shuffle on join keys, dims never should).
+* Queries that exercise the dfsql *dialect* layer (regex-LIKE, ``^`` as
+  power — SURVEY.md §2.8) go through ``dfsql_spark.dialect.rewrite`` +
+  ``spark.sql`` so the custom code path is what's being graded.
+* Every computed column is aliased identically on both sides; float
+  aggregates are rounded on both sides so the value-hash is stable.
+* Timestamps are formatted to strings on both sides (Spark NTZ vs
+  DuckDB naive timestamps stringify differently otherwise).
 """
 
 from __future__ import annotations
@@ -12,27 +23,615 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
 
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        _t(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def _dialect_sql(spark: SparkSession, sf_dir: str, tables: list[str], sql: str) -> DataFrame:
+    """Run SQL through the engine's dfsql-dialect rewriter."""
+    from dfsql_spark.dialect import rewrite
+
+    _register(spark, sf_dir, *tables)
+    return spark.sql(rewrite(sql))
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projection / filter / expressions
+# ---------------------------------------------------------------------------
+
+def q01_projection(spark, sf):
+    """P1/P2/P5: projection with expressions + aliases (SURVEY §2.2;
+    reference base_data_source.py:250-288)."""
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+        F.upper("l_returnflag").alias("rf"),
+    )
+
+
+def q02_filter(spark, sf):
+    """P4: WHERE with AND/comparison predicates (pushed to the scan)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.filter((F.col("o_totalprice") > 100000) & (F.col("o_orderstatus") == "O"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").alias("price"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+        )
+    )
+
+
+def q03_cast(spark, sf):
+    """P7: CAST with pandas dtype-name mapping (reference
+    base_data_source.py:30-33) — int64/string casts."""
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("qty_int"),
+        F.col("l_orderkey").cast("string").alias("okey_str"),
+    )
+
+
+def q19_like_regex(spark, sf):
+    """F19: dfsql LIKE = anchored Python regex, via the dialect layer
+    (reference functions.py:278-288)."""
+    return _dialect_sql(
+        spark, sf, ["part"],
+        "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '.*widget.*'",
+    )
+
+
+def q20_string_funcs(spark, sf):
+    """F16-F18: lower/upper/|| concat (reference functions.py:253-275)."""
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.lower("p_brand").alias("lbrand"),
+        F.concat(F.col("p_brand"), F.lit("-"), F.col("p_type")).alias("tag"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+def q21_power(spark, sf):
+    """F15: ``^`` is power, not XOR, via the dialect layer (reference
+    functions.py:244-248)."""
+    return _dialect_sql(
+        spark, sf, ["lineitem"],
+        "SELECT l_orderkey, l_linenumber, ROUND(l_discount ^ 2, 4) AS disc_sq, "
+        "ROUND(2 ^ 0.5, 6) AS root2 FROM lineitem",
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 sort / limit / distinct / set ops
+# ---------------------------------------------------------------------------
+
+def q04_distinct(spark, sf):
+    """O4: SELECT DISTINCT (reference base_data_source.py:430-431)."""
+    li = _t(spark, sf, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+def q05_orderby_limit_offset(spark, sf):
+    """O1-O3: multi-key ORDER BY + LIMIT + OFFSET, standard clause
+    order (divergence from reference OFFSET quirk documented in
+    SURVEY §2.8.2).  Unique tie-break key keeps the row set
+    deterministic."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", F.col("o_totalprice").alias("price"))
+        .offset(5)
+        .limit(20)
+    )
+
+
+def q24_union(spark, sf):
+    """Set-op uplift (reference lacks UNION — SURVEY §2.5): distinct
+    union of customer and supplier nation keys."""
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.union(s).distinct()
+
+
+def q25_except_intersect(spark, sf):
+    """Set-op uplift: nations with customers but no suppliers."""
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.exceptAll(s).distinct()
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregation
+# ---------------------------------------------------------------------------
+
+def q06_groupby_agg(spark, sf):
+    """A1/A4-A8: hash aggregate with the full builtin aggregate set
+    (TPC-H Q1 shape; reference functions.py:306-333).  Partial (map-
+    side) aggregation + 2-phase exchange come from Catalyst."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q07_groupby_expr(spark, sf):
+    """A2: GROUP BY expression (reference base_data_source.py:532-536)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000).alias("price_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("bucket_total"),
+        )
+    )
+
+
+def q08_implicit_agg(spark, sf):
+    """A3: implicit global aggregation — no GROUP BY, all targets are
+    aggregates (reference base_data_source.py:402-415)."""
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        (F.round(F.sum("l_discount"), 2) / F.count(F.lit(1))).alias("avg_disc"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
+    )
+
+
+def q09_count_distinct(spark, sf):
+    """A7: COUNT(DISTINCT col) (reference functions.py:321-323)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count("l_orderkey").alias("n_items"),
+    )
+
+
+def q10_having_alias(spark, sf):
+    """A9: HAVING filters the projected aggregate output, so it sees
+    select aliases (reference base_data_source.py:424-428, preserved
+    quirk SURVEY §2.8.3)."""
+    c = _t(spark, sf, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            (F.round(F.sum("c_acctbal"), 2) / F.count(F.lit(1))).alias("avg_bal"),
+        )
+        .filter(F.col("n_cust") > 20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+def q11_join_inner(spark, sf):
+    """J1: inner equi-join (reference base_data_source.py:463-507).
+    customer is the small side → broadcast (no shuffle of orders)."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "c_name", F.col("o_totalprice").alias("price"))
+    )
+
+
+def q12_join_left(spark, sf):
+    """J1: LEFT join keeping customers with zero orders."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def q13_join_right(spark, sf):
+    """J1: RIGHT join — every nation appears even with no customers."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey, "right")
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("c_custkey").alias("n_cust"))
+    )
+
+
+def q14_join_full(spark, sf):
+    """J1: FULL OUTER join of per-customer order aggregates vs the
+    customer dimension."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    agg = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("spend"),
+    )
+    return (
+        agg.join(c, agg.o_custkey == c.c_custkey, "full")
+        .select(
+            F.coalesce(c.c_custkey, agg.o_custkey).alias("custkey"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+    )
+
+
+def q15_self_join(spark, sf):
+    """J3: self-join via aliases (reference test
+    test_file_data_source.py:514-525) — same-nation customer pairs."""
+    c = _t(spark, sf, "customer")
+    c1 = c.alias("c1")
+    c2 = c.alias("c2")
+    return (
+        c1.join(
+            c2,
+            (F.col("c1.c_nationkey") == F.col("c2.c_nationkey"))
+            & (F.col("c1.c_custkey") < F.col("c2.c_custkey")),
+        )
+        .groupBy(F.col("c1.c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# subqueries (§2.2 P5 / §2.6 F9)
+# ---------------------------------------------------------------------------
+
+def q16_in_subquery(spark, sf):
+    """F9: IN (subquery) → left-semi join, the distributed-native plan
+    (reference functions.py:147-157; tests :631-642)."""
+    o = _t(spark, sf, "orders")
+    rich = _t(spark, sf, "customer").filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return (
+        o.join(broadcast(rich), o.o_custkey == rich.c_custkey, "left_semi")
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+def q17_scalar_subquery(spark, sf):
+    """Scalar subquery: orders above the global average price.  The
+    1-row aggregate is broadcast — no driver-side collect."""
+    o = _t(spark, sf, "orders")
+    avg_df = o.agg(F.avg("o_totalprice").alias("avg_price"))
+    return (
+        o.crossJoin(broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", F.col("o_totalprice").alias("price"))
+    )
+
+
+def q18_from_subquery(spark, sf):
+    """FROM (subquery): derived table of per-customer order counts."""
+    o = _t(spark, sf, "orders")
+    sub = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.sum("o_totalprice"), 2) / F.count(F.lit(1))).alias("avg_price"),
+    )
+    return sub.filter(F.col("n") >= 3)
+
+
+def q26_anti_join(spark, sf):
+    """Capability uplift (reference lacks NOT IN/anti — SURVEY §2.3):
+    customers with no orders, as a left-anti join."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# uplift: CASE / window functions (SURVEY §2.6 "NOT implemented" set)
+# ---------------------------------------------------------------------------
+
+def q23_case_when(spark, sf):
+    """CASE WHEN bucketing (uplift beyond reference scalar surface)."""
+    o = _t(spark, sf, "orders")
+    label = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.select(label.alias("size_class"))
+        .groupBy("size_class")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q27_window_topk(spark, sf):
+    """Window-function uplift: top-3 customers per nation by balance
+    (deterministic tie-break on custkey)."""
+    c = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_nationkey", "c_custkey", F.col("c_acctbal").alias("acctbal"), "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+def q22_flagship_revenue(spark, sf):
+    """Flagship: revenue by nation (reference testdrive.ipynb cell 19
+    pattern recast on testdata).  lineitem⨝orders shuffles on orderkey;
+    customer/nation are broadcast — the plan that survives 100 TB."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q22_flagship_revenue(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_projection": q01_projection,
+        "q02_filter": q02_filter,
+        "q03_cast": q03_cast,
+        "q04_distinct": q04_distinct,
+        "q05_orderby_limit_offset": q05_orderby_limit_offset,
+        "q06_groupby_agg": q06_groupby_agg,
+        "q07_groupby_expr": q07_groupby_expr,
+        "q08_implicit_agg": q08_implicit_agg,
+        "q09_count_distinct": q09_count_distinct,
+        "q10_having_alias": q10_having_alias,
+        "q11_join_inner": q11_join_inner,
+        "q12_join_left": q12_join_left,
+        "q13_join_right": q13_join_right,
+        "q14_join_full": q14_join_full,
+        "q15_self_join": q15_self_join,
+        "q16_in_subquery": q16_in_subquery,
+        "q17_scalar_subquery": q17_scalar_subquery,
+        "q18_from_subquery": q18_from_subquery,
+        "q19_like_regex": q19_like_regex,
+        "q20_string_funcs": q20_string_funcs,
+        "q21_power": q21_power,
+        "q22_flagship_revenue": q22_flagship_revenue,
+        "q23_case_when": q23_case_when,
+        "q24_union": q24_union,
+        "q25_except_intersect": q25_except_intersect,
+        "q26_anti_join": q26_anti_join,
+        "q27_window_topk": q27_window_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_projection": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1 - l_discount) AS disc_price,
+                   UPPER(l_returnflag) AS rf
+            FROM lineitem
+        """,
+        "q02_filter": """
+            SELECT o_orderkey, o_custkey, o_totalprice AS price,
+                   strftime(o_orderdate, '%Y-%m-%d') AS odate
+            FROM orders
+            WHERE o_totalprice > 100000 AND o_orderstatus = 'O'
+        """,
+        "q03_cast": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(FLOOR(l_quantity) AS BIGINT) AS qty_int,
+                   CAST(l_orderkey AS VARCHAR) AS okey_str
+            FROM lineitem
+        """,
+        "q04_distinct": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        """,
+        "q05_orderby_limit_offset": """
+            SELECT o_orderkey, o_totalprice AS price
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 20 OFFSET 5
+        """,
+        "q06_groupby_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(l_quantity) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   SUM(l_quantity) / COUNT(*) AS avg_qty,
+                   MIN(l_quantity) AS min_qty,
+                   MAX(l_quantity) AS max_qty,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q07_groupby_expr": """
+            SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS price_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS bucket_total
+            FROM orders
+            GROUP BY 1
+        """,
+        "q08_implicit_agg": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   ROUND(SUM(l_extendedprice), 2) AS total_price,
+                   ROUND(SUM(l_discount), 2) / COUNT(*) AS avg_disc,
+                   strftime(MIN(l_shipdate), '%Y-%m-%d') AS first_ship,
+                   strftime(MAX(l_shipdate), '%Y-%m-%d') AS last_ship
+            FROM lineitem
+        """,
+        "q09_count_distinct": """
+            SELECT l_returnflag,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+                   CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part,
+                   CAST(COUNT(l_orderkey) AS BIGINT) AS n_items
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+        "q10_having_alias": """
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_cust,
+                   ROUND(SUM(c_acctbal), 2) / COUNT(*) AS avg_bal
+            FROM customer
+            GROUP BY c_mktsegment
+            HAVING COUNT(*) > 20
+        """,
+        "q11_join_inner": """
+            SELECT o_orderkey, c_name, o_totalprice AS price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "q12_join_left": """
+            SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        """,
+        "q13_join_right": """
+            SELECT n_nationkey, n_name, CAST(COUNT(c_custkey) AS BIGINT) AS n_cust
+            FROM customer RIGHT JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_nationkey, n_name
+        """,
+        "q14_join_full": """
+            WITH agg AS (
+                SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                       ROUND(SUM(o_totalprice), 2) AS spend
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+                   COALESCE(n_orders, 0) AS n_orders,
+                   c_acctbal AS acctbal
+            FROM agg FULL OUTER JOIN customer ON o_custkey = c_custkey
+        """,
+        "q15_self_join": """
+            SELECT c1.c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM customer c1 JOIN customer c2
+              ON c1.c_nationkey = c2.c_nationkey AND c1.c_custkey < c2.c_custkey
+            GROUP BY c1.c_nationkey
+        """,
+        "q16_in_subquery": """
+            SELECT o_orderkey, o_custkey
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        """,
+        "q17_scalar_subquery": """
+            SELECT o_orderkey, o_totalprice AS price
+            FROM orders
+            WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        """,
+        "q18_from_subquery": """
+            SELECT * FROM (
+                SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+                       ROUND(SUM(o_totalprice), 2) / COUNT(*) AS avg_price
+                FROM orders GROUP BY o_custkey
+            ) sub WHERE n >= 3
+        """,
+        "q19_like_regex": """
+            SELECT p_partkey, p_name FROM part
+            WHERE regexp_matches(p_name, '^(?:.*widget.*)')
+        """,
+        "q20_string_funcs": """
+            SELECT p_partkey, UPPER(p_name) AS uname, LOWER(p_brand) AS lbrand,
+                   p_brand || '-' || p_type AS tag,
+                   CAST(LENGTH(p_name) AS INT) AS name_len
+            FROM part
+        """,
+        "q21_power": """
+            SELECT l_orderkey, l_linenumber,
+                   ROUND(POWER(l_discount, 2), 4) AS disc_sq,
+                   ROUND(POWER(2, 0.5), 6) AS root2
+            FROM lineitem
+        """,
+        "q22_flagship_revenue": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name ASC
+            LIMIT 10
+        """,
+        "q23_case_when": """
+            SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                        WHEN o_totalprice < 200000 THEN 'medium'
+                        ELSE 'large' END AS size_class,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1
+        """,
+        "q24_union": """
+            SELECT c_nationkey AS nk FROM customer
+            UNION
+            SELECT s_nationkey AS nk FROM supplier
+        """,
+        "q25_except_intersect": """
+            SELECT DISTINCT nk FROM (
+                SELECT c_nationkey AS nk FROM customer
+                EXCEPT ALL
+                SELECT s_nationkey AS nk FROM supplier
+            ) t
+        """,
+        "q26_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "q27_window_topk": """
+            SELECT c_nationkey, c_custkey, c_acctbal AS acctbal, rk
+            FROM (
+                SELECT c_nationkey, c_custkey, c_acctbal,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY c_nationkey
+                           ORDER BY c_acctbal DESC, c_custkey ASC
+                       ) AS INT) AS rk
+                FROM customer
+            ) t WHERE rk <= 3
+        """,
+    }

@@ -1,0 +1,86 @@
+"""Shared fixtures: one SparkSession per test session, a DuckDB
+connection with the testdata views registered, and an oracle-compare
+helper mirroring the driver's row-count + schema + order-insensitive
+value check."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from dfsql_spark.session import get_spark
+
+    spark = get_spark(app_name="dfsql-spark-tests")
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    yield con
+    con.close()
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name and rows by all columns; round floats —
+    approximates the driver's order-insensitive value-hash."""
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pd.api.types.is_float_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("float64").round(6)
+        elif pd.api.types.is_integer_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("float64")  # unify int32/int64/uint
+        elif pd.api.types.is_bool_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("object")
+    if len(pdf) and len(pdf.columns):
+        pdf = pdf.sort_values(by=list(pdf.columns), na_position="last")
+    return pdf.reset_index(drop=True)
+
+
+def assert_matches_oracle(spark_df, duck_df: pd.DataFrame, name: str = "query"):
+    got = normalize(spark_df.toPandas())
+    want = normalize(duck_df)
+    assert len(got) == len(want), f"{name}: row count {len(got)} != oracle {len(want)}"
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != oracle {list(want.columns)}"
+    )
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if pd.api.types.is_float_dtype(g) and pd.api.types.is_float_dtype(w):
+            ok = np.isclose(
+                g.to_numpy(dtype=float),
+                w.to_numpy(dtype=float),
+                rtol=1e-9,
+                atol=1e-6,
+                equal_nan=True,
+            ).all()
+            assert ok, f"{name}: column {c} values differ\n{g.head()}\nvs\n{w.head()}"
+        else:
+            ga = g.astype(str).where(~g.isna(), "<NA>")
+            wa = w.astype(str).where(~w.isna(), "<NA>")
+            diff = (ga != wa)
+            assert not diff.any(), (
+                f"{name}: column {c} differs at {int(diff.sum())} rows, e.g.\n"
+                f"{pd.DataFrame({'got': g[diff].head(), 'want': w[diff].head()})}"
+            )
