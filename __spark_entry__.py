@@ -413,6 +413,136 @@ def q22_flagship_revenue(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline operators (north star; SURVEY §7 phase E)
+# ---------------------------------------------------------------------------
+
+def d01_dedup_exact(spark, sf):
+    """Exact dedup: min-id survivor per normalized text + copy count
+    (hash_key=False keeps it SQL-expressible for the oracle; the
+    hash-key variant is the 100 TB default — see operators/dedup.py)."""
+    from dfsql_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf, "documents")
+    return exact_dedup(docs, hash_key=False)
+
+
+def d02_dedup_ngram_jaccard(spark, sf):
+    """Exact 5-gram Jaccard near-dup pairs ≥ 0.6 via shingle
+    inverted-index self-join.  Jaccard = int/int division → bit-exact
+    across engines."""
+    from dfsql_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf, "documents")
+    return ngram_jaccard_pairs(docs, k=5, threshold=0.6)
+
+
+def d03_dedup_minhash_lsh(spark, sf):
+    """MinHash(64) + 16-band LSH candidate pairs (est_jaccard ≥ 0.5).
+    Hash permutations aren't portable SQL → rows-only check; the
+    d02 exact-Jaccard oracle pins the same planted duplicates."""
+    from dfsql_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf, "documents")
+    return minhash_lsh_pairs(docs, verify_threshold=0.5)
+
+
+def d04_dedup_simhash(spark, sf):
+    """SimHash fingerprints + 16-bit-chunk blocking, hamming ≤ 3
+    (rows-only: xxhash64 not portable to the oracle)."""
+    from dfsql_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf, "documents")
+    return simhash_pairs(docs, max_hamming=3)
+
+
+def d05_embedding_neardup(spark, sf):
+    """Embedding near-dup pairs: cosine ≥ 0.3, exact O(n²) baseline
+    (LSH variant available via use_lsh=True).  Output is ids only —
+    pair membership is ulp-robust, raw cosine isn't."""
+    from dfsql_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.3).select("id_a", "id_b")
+
+
+def s01_sim_topk(spark, sf):
+    """Brute-force cosine top-5 for the first 5 vectors as queries
+    (rank output only; scores differ in the last ulp across engines)."""
+    from dfsql_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, qs, k=5).select("query_id", "neighbor_id", "rank")
+
+
+def s02_sim_topk_lsh(spark, sf):
+    """Random-hyperplane LSH approximate top-5 (rows-only: candidate
+    sets are hash-dependent; recall vs s01 is asserted in tests)."""
+    from dfsql_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, qs, k=5).select("query_id", "neighbor_id", "rank")
+
+
+def t01_text_stats(spark, sf):
+    """Structural text statistics (all int-derived → bit-exact)."""
+    from dfsql_spark.operators.text import text_stats
+
+    docs = _t(spark, sf, "documents")
+    return text_stats(docs)
+
+
+def t02_quality_score(spark, sf):
+    """Heuristic quality score (Gopher/C4-style structural filter)."""
+    from dfsql_spark.operators.text import quality_score
+
+    docs = _t(spark, sf, "documents")
+    return quality_score(docs)
+
+
+def t03_lang_id(spark, sf):
+    """Stopword-vote language heuristic with deterministic tie-break."""
+    from dfsql_spark.operators.text import lang_id
+
+    docs = _t(spark, sf, "documents")
+    return lang_id(docs)
+
+
+def t04_fingerprint(spark, sf):
+    """31-bit polynomial rolling hash over normalized text (portable
+    integer arithmetic → exact oracle)."""
+    from dfsql_spark.operators.text import fingerprint
+
+    docs = _t(spark, sf, "documents")
+    return fingerprint(docs)
+
+
+def m01_media_stats(spark, sf):
+    """Multimodal metadata aggregate over the binary payload table —
+    payload column never scanned (column pruning)."""
+    from dfsql_spark.operators.multimodal import attach_fake_media, media_stats
+
+    docs = _t(spark, sf, "documents")
+    return media_stats(attach_fake_media(docs))
+
+
+def m02_media_decode(spark, sf):
+    """Arrow-batched mapInPandas decode/feature plumbing (stub decoder;
+    rows-only — the Spark-side schema/batch shape is what's tested)."""
+    from dfsql_spark.operators.multimodal import attach_fake_media, decode_and_featurize
+
+    docs = _t(spark, sf, "documents")
+    return decode_and_featurize(attach_fake_media(docs)).select(
+        "doc_id", "mime", "n_bytes", "width", "height"
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -450,6 +580,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_except_intersect": q25_except_intersect,
         "q26_anti_join": q26_anti_join,
         "q27_window_topk": q27_window_topk,
+        "d01_dedup_exact": d01_dedup_exact,
+        "d02_dedup_ngram_jaccard": d02_dedup_ngram_jaccard,
+        "d03_dedup_minhash_lsh": d03_dedup_minhash_lsh,
+        "d04_dedup_simhash": d04_dedup_simhash,
+        "d05_embedding_neardup": d05_embedding_neardup,
+        "s01_sim_topk": s01_sim_topk,
+        "s02_sim_topk_lsh": s02_sim_topk_lsh,
+        "t01_text_stats": t01_text_stats,
+        "t02_quality_score": t02_quality_score,
+        "t03_lang_id": t03_lang_id,
+        "t04_fingerprint": t04_fingerprint,
+        "m01_media_stats": m01_media_stats,
+        "m02_media_decode": m02_media_decode,
     }
 
 
@@ -633,5 +776,153 @@ def oracle_sql() -> dict[str, str]:
                        ) AS INT) AS rk
                 FROM customer
             ) t WHERE rk <= 3
+        """,
+        "d01_dedup_exact": """
+            SELECT MIN(doc_id) AS survivor_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+                FROM documents
+            ) t
+            GROUP BY norm
+        """,
+        "d02_dedup_ngram_jaccard": """
+            WITH n AS (
+                SELECT doc_id AS id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT id,
+                       UNNEST(list_distinct(list_transform(
+                           range(1, greatest(length(nt), 5) - 3),
+                           i -> substring(nt, i, 5)))) AS sh
+                FROM n
+            ),
+            sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+            common AS (
+                SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS nc
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+                GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b, nc / (sa.sz + sb.sz - nc) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE nc / (sa.sz + sb.sz - nc) >= 0.6
+        """,
+        "d05_embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
+            ) >= 0.3
+        """,
+        "s01_sim_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(e.embedding AS DOUBLE[]),
+                               CAST(q.embedding AS DOUBLE[])
+                           ) DESC, e.vec_id ASC
+                       ) AS INT) AS rank
+                FROM embeddings e CROSS JOIN q
+            ) t WHERE rank <= 5
+        """,
+        "t01_text_stats": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(length(text) AS INT) AS n_chars,
+                   CAST(len(toks) AS INT) AS n_tokens,
+                   list_sum(list_transform(toks, x -> length(x))) / len(toks) AS avg_token_len,
+                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) AS alpha_ratio,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text) AS digit_ratio,
+                   (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / length(text) AS punct_ratio,
+                   CAST(len(list_distinct(toks)) AS INT) AS n_unique_tokens,
+                   len(list_distinct(toks)) / len(toks) AS ttr
+            FROM t
+        """,
+        "t02_quality_score": """
+            WITH s AS (
+                SELECT doc_id,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) AS alpha_ratio,
+                       len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+                           / len(regexp_split_to_array(trim(text), '\\s+')) AS ttr,
+                       (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                           / length(text) AS punct_ratio
+                FROM documents
+            )
+            SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+                   0.35 * alpha_ratio + 0.25 * ttr
+                   + 0.25 * least(n_tokens / 64.0, 1.0)
+                   + 0.15 * (1.0 - least(punct_ratio * 4, 1.0)) AS quality
+            FROM s
+        """,
+        "t03_lang_id": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                      x -> lower(x)) AS low
+                FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(low, x -> list_contains(
+                           ['der','die','das','und','ist','nicht','ein','mit','für','auf'], x))) AS INT) AS hits_de,
+                       CAST(len(list_filter(low, x -> list_contains(
+                           ['the','a','of','and','to','in','is','that','it','for'], x))) AS INT) AS hits_en,
+                       CAST(len(list_filter(low, x -> list_contains(
+                           ['el','la','los','y','es','no','un','una','por','para'], x))) AS INT) AS hits_es,
+                       CAST(len(list_filter(low, x -> list_contains(
+                           ['le','la','les','et','est','pas','un','une','pour','dans'], x))) AS INT) AS hits_fr
+                FROM t
+            )
+            SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+                   CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+                        WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+                        WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+                        WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM h
+        """,
+        "t04_fingerprint": """
+            WITH n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+                FROM documents
+            )
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(1, length(nt) + 1),
+                               i -> CAST(ascii(substring(nt, i, 1)) AS BIGINT))),
+                       (acc, c) -> (acc * 31 + c) % 2147483647
+                   ) AS fingerprint
+            FROM n
+        """,
+        "m01_media_stats": """
+            WITH m AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                            ELSE 'video/mp4' END AS mime,
+                       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+                FROM documents
+            )
+            SELECT split_part(mime, '/', 1) AS media_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_files,
+                   CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+                   MIN(n_bytes) AS min_bytes,
+                   MAX(n_bytes) AS max_bytes
+            FROM m GROUP BY 1
         """,
     }

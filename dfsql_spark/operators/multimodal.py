@@ -1,0 +1,183 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+North-star capability (BASELINE.json): treat media as opaque ``binary``
+columns plus typed metadata, with decode / feature-extraction / resize /
+frame-sampling as Arrow-batched ``mapInPandas`` stages.
+
+The decode step itself is **stubbed** in this container (no
+PIL/ffmpeg/torchaudio available — see :data:`HAVE_PIL`): by default a
+clearly-marked deterministic fake decoder runs, or pass
+``strict=True`` to get ``NotImplementedError`` at the decode site.
+Everything around the stub — schemas, Arrow batch shapes, partition
+behavior, UDF signatures — is real and tested, so swapping in a real
+decoder is a one-function change.
+
+Scale notes: media bytes dominate row size, so the iterator-of-batches
+``mapInPandas`` contract matters — batches stream through the Python
+worker without materializing a partition; metadata-only operations
+(:func:`media_stats`) never touch the payload column thanks to column
+pruning (select before the UDF).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # gate real decoders behind import-try (container has none)
+    import PIL.Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", LongType()),
+        StructField("frame_bytes", BinaryType()),
+    ]
+)
+
+
+def attach_fake_media(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Derive a deterministic binary payload column from text — stands
+    in for real media bytes so the binary-column plumbing is exercised
+    end-to-end.  Payload = UTF-8 bytes; mime rotates by id."""
+    mime = (
+        F.when(F.col(id_col) % 3 == 0, "image/png")
+        .when(F.col(id_col) % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+    )
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(mime, "/")[0].alias("media_type"),
+        payload.alias("payload"),
+        mime.alias("mime"),
+        F.length(payload).cast("bigint").alias("n_bytes"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """STUB decoder — deterministic fake.  Replace with PIL/ffmpeg in a
+    real deployment.  Produces (width, height, 8-dim feature vector)
+    from a SHA-256 of the bytes so results are stable across runs,
+    partitionings, and engines."""
+    h = hashlib.sha256(payload or b"").digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    feats = [round(b / 255.0, 6) for b in h[2:10]]
+    return width, height, feats
+
+
+def decode_and_featurize(
+    media: DataFrame, batch_hint: int | None = None, strict: bool = False
+) -> DataFrame:
+    """Decode payloads and extract features via Arrow-batched
+    ``mapInPandas``.
+
+    ``strict=True`` raises ``NotImplementedError`` at the decode site
+    when no real decoder library is present (the honest production
+    behavior); default uses the deterministic stub so the pipeline is
+    testable here.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict and not HAVE_PIL:
+                raise NotImplementedError(
+                    "media decode requires an image/audio library not present "
+                    "in this environment; install PIL/ffmpeg or use the stub"
+                )
+            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": pdf["n_bytes"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "features": [d[2] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(decode_batches, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 8
+) -> DataFrame:
+    """Frame-sample video payloads (stub): emits ≤ ``max_frames`` rows
+    per video at ``every_ms`` spacing.  Real implementation would call
+    ffmpeg per batch; the row-explosion shape (1 → N rows inside
+    mapInPandas) is the part that matters for the Spark plan."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "ts_ms": [], "frame_bytes": []}
+            for _, row in pdf.iterrows():
+                n = min(max_frames, 1 + (row["n_bytes"] % max_frames))
+                for i in range(int(n)):
+                    out["doc_id"].append(row["doc_id"])
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * every_ms)
+                    # stub: slice of payload stands in for the frame
+                    out["frame_bytes"].append(bytes(row["payload"][:16]))
+            yield pd.DataFrame(out)
+
+    videos = media.filter(F.col("media_type") == "video")
+    return videos.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only aggregate — never reads the payload column (column
+    pruning keeps media bytes out of the scan entirely)."""
+    return (
+        media.select("media_type", "n_bytes")
+        .groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min("n_bytes").alias("min_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+        )
+    )

@@ -1,0 +1,142 @@
+"""Text analysis operators for training-data pipelines.
+
+North-star capability (BASELINE.json): language ID, quality scoring,
+token counting, and document fingerprinting over the ``documents``
+table.  Everything here is built-in Spark SQL expressions (split /
+regexp / higher-order array functions) running in whole-stage codegen —
+no Python UDFs, so the same plan scans 100 TB without serialization
+walls.
+
+Determinism: ratios are quotients of integer counts and fingerprints
+are integer polynomial hashes, so results are bit-identical across
+engines (see __spark_entry__ determinism policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Compact per-language stopword marker sets for the n-gram/stopword
+# language heuristic.  Deliberately small and public-knowledge; at
+# production scale you'd swap in a real lang-id model via mapInPandas.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "un", "une", "pour", "dans"],
+    "es": ["el", "la", "los", "y", "es", "no", "un", "una", "por", "para"],
+}
+
+_PUNCT_RE = r"[^a-zA-Z0-9\s]"
+_ALPHA_RE = r"[^a-zA-Z]"
+_DIGIT_RE = r"[^0-9]"
+
+FINGERPRINT_MOD = 2147483647  # 2^31 - 1: (acc*31 + c) stays in int64
+
+
+def tokens(text_col: str = "text") -> Column:
+    """Whitespace tokens of the trimmed text (array<string>)."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def token_count(text_col: str = "text") -> Column:
+    return F.size(tokens(text_col))
+
+
+def text_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document structural statistics: lengths, token counts,
+    character-class ratios.  All integer-derived (exact)."""
+    n_chars = F.length(F.col(text_col))
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), _ALPHA_RE, ""))
+    digit_chars = F.length(F.regexp_replace(F.col(text_col), _DIGIT_RE, ""))
+    punct_chars = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), _PUNCT_RE, "")
+    )
+    token_len_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (token_len_sum / n_tokens).alias("avg_token_len"),
+        (alpha_chars / n_chars).alias("alpha_ratio"),
+        (digit_chars / n_chars).alias("digit_ratio"),
+        (punct_chars / n_chars).alias("punct_ratio"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        (F.size(F.array_distinct(toks)) / n_tokens).alias("ttr"),  # type-token ratio
+    )
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic quality score in [0,1]: favors alphabetic, lexically
+    diverse, mid-length documents; penalizes punctuation/digit noise.
+    (Gopher/C4-style structural filters, re-expressed as one select.)"""
+    stats = text_stats(df, text_col, id_col)
+    length_term = F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0))
+    score = (
+        F.lit(0.35) * F.col("alpha_ratio")
+        + F.lit(0.25) * F.col("ttr")
+        + F.lit(0.25) * length_term
+        + F.lit(0.15) * (F.lit(1.0) - F.least(F.col("punct_ratio") * 4, F.lit(1.0)))
+    )
+    return stats.select(id_col, "n_tokens", score.alias("quality"))
+
+
+def lang_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-vote language heuristic: count token hits against each
+    language's marker set; argmax with deterministic (alphabetical)
+    tie-break; 'und' (undetermined) when no hits.
+
+    At scale this is a pure map over token arrays — no shuffle at all.
+    """
+    toks = tokens(text_col)
+    low = F.transform(toks, F.lower)
+    hit_cols = []
+    for lang in sorted(STOPWORDS):
+        marker = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hits = F.size(F.filter(low, lambda t: F.array_contains(marker, t)))
+        hit_cols.append(hits.alias(f"hits_{lang}"))
+    out = df.select(F.col(id_col), F.col(text_col), *hit_cols)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # reversed: earlier alphabetical language wins ties
+    for lang in reversed(langs):
+        pred = F.when(
+            (F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return out.select(
+        id_col, *[f"hits_{lang}" for lang in langs], pred.alias("lang_pred")
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic 31-bit polynomial rolling hash of the normalized
+    text: acc = (acc*31 + ascii(char)) mod (2^31-1).
+
+    Engine-portable (plain int64 arithmetic) and order-sensitive, so it
+    distinguishes permuted documents — unlike bag-of-shingles sketches.
+    """
+    codes = F.expr(
+        "transform(sequence(1, length(trim(regexp_replace(lower({t}), '\\\\s+', ' ')))),"
+        " i -> ascii(substring(trim(regexp_replace(lower({t}), '\\\\s+', ' ')), i, 1)))".format(
+            t=text_col
+        )
+    )
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * 31 + c.cast("bigint")) % F.lit(FINGERPRINT_MOD),
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

@@ -1,0 +1,156 @@
+"""Behavioral tests for the training-data operators: the sketch-based
+methods (MinHash, SimHash, LSH) have no SQL oracle, so we pin their
+quality against the exact methods on the same data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_hash_and_text_keys_agree(docs):
+    from dfsql_spark.operators.dedup import exact_dedup
+
+    by_hash = exact_dedup(docs, hash_key=True)
+    by_text = exact_dedup(docs, hash_key=False)
+    assert by_hash.count() == by_text.count()
+    assert sorted(r.survivor_id for r in by_hash.collect()) == sorted(
+        r.survivor_id for r in by_text.collect()
+    )
+
+
+def test_minhash_recall_vs_exact_jaccard(docs):
+    """MinHash-LSH candidates must recover (almost) all exact-Jaccard
+    pairs at a threshold above the banding threshold (~0.5)."""
+    from dfsql_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {
+        (r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, verify_threshold=0.5).collect()
+    }
+    assert exact, "test data should contain planted near-dups"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall} too low ({len(exact)} truth pairs)"
+
+
+def test_minhash_dedup_removes_planted_dups(docs):
+    from dfsql_spark.operators.dedup import minhash_dedup
+
+    survivors = minhash_dedup(docs, verify_threshold=0.5)
+    assert survivors.count() < docs.count()
+
+
+def test_simhash_pairs_overlap_jaccard(docs):
+    from dfsql_spark.operators.dedup import ngram_jaccard_pairs, simhash_pairs
+
+    exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()}
+    sim = {(r.id_a, r.id_b) for r in simhash_pairs(docs, max_hamming=3).collect()}
+    if exact:
+        recall = len(exact & sim) / len(exact)
+        assert recall >= 0.5, f"simhash recall {recall}"
+
+
+def test_lsh_topk_recall_vs_bruteforce(emb):
+    from dfsql_spark.operators.similarity import cosine_topk, lsh_topk
+
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = cosine_topk(emb, qs, k=5).collect()
+    # random-ish corpus: true neighbors sit near cos 0.3 (~72°), so use
+    # short codes (4 planes) + 8 tables; sim(θ)=1-θ/π → p_table≈0.13,
+    # union recall ≈ 1-(1-p)^8 ≈ 0.67
+    approx = lsh_topk(emb, qs, k=5, num_planes=4, num_tables=8).collect()
+    bs = {(r.query_id, r.neighbor_id) for r in brute}
+    as_ = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(bs & as_) / len(bs)
+    # rank-1 self matches must always survive LSH (identical vectors share buckets)
+    self_hits = {(r.query_id, r.neighbor_id) for r in approx if r.rank == 1}
+    assert all(q == n for q, n in self_hits)
+    assert recall >= 0.4, f"lsh recall {recall} (tune num_tables/planes)"
+
+
+def test_lsh_topk_candidates_are_subset_quality(emb):
+    """Approx scores can't exceed brute-force scores for the same query."""
+    from dfsql_spark.operators.similarity import cosine_topk, lsh_topk
+
+    qs = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute_top = cosine_topk(emb, qs, k=1).collect()[0]
+    approx_top = lsh_topk(emb, qs, k=1).collect()[0]
+    assert approx_top.cos_sim <= brute_top.cos_sim + 1e-12
+
+
+def test_unit_vector_normalization(emb):
+    from dfsql_spark.operators.similarity import dot, with_unit_vector
+
+    u = with_unit_vector(emb.limit(10))
+    norms = u.select(dot("unit", "unit").alias("n")).collect()
+    assert all(abs(r.n - 1.0) < 1e-9 for r in norms)
+
+
+def test_multimodal_plumbing(docs):
+    from dfsql_spark.operators.multimodal import (
+        IMAGE_FEATURES_SCHEMA,
+        attach_fake_media,
+        decode_and_featurize,
+        sample_frames,
+    )
+
+    media = attach_fake_media(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    decoded = decode_and_featurize(media)
+    assert decoded.schema == IMAGE_FEATURES_SCHEMA
+    rows = decoded.limit(5).collect()
+    assert all(64 <= r.width < 256 and len(r.features) == 8 for r in rows)
+    # deterministic across runs
+    a = decoded.filter("doc_id = 0").collect()[0]
+    b = decode_and_featurize(attach_fake_media(docs)).filter("doc_id = 0").collect()[0]
+    assert a == b
+    frames = sample_frames(media)
+    assert frames.columns == ["doc_id", "frame_idx", "ts_ms", "frame_bytes"]
+    per_doc = frames.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
+    assert per_doc <= 8
+
+
+def test_multimodal_strict_raises(docs):
+    from dfsql_spark.operators.multimodal import (
+        HAVE_PIL,
+        attach_fake_media,
+        decode_and_featurize,
+    )
+
+    if HAVE_PIL:
+        pytest.skip("real decoder present")
+    media = attach_fake_media(docs).limit(2)
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        decode_and_featurize(media, strict=True).collect()
+
+
+def test_fingerprint_order_sensitive(spark):
+    """Permuted documents must fingerprint differently (unlike
+    bag-of-shingle sketches)."""
+    import pandas as pd
+
+    from dfsql_spark.operators.text import fingerprint
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["alpha beta gamma", "gamma beta alpha"]})
+    )
+    fps = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
+    assert fps[1] != fps[2]
