@@ -543,6 +543,87 @@ def m02_media_decode(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# events / streaming (SURVEY §7 phase E; reference has none — §2.7)
+# ---------------------------------------------------------------------------
+
+def e01_windowed_counts(spark, sf):
+    """Tumbling 1-hour window counts + value sums per event_type
+    (batch twin of the streaming aggregation)."""
+    from dfsql_spark.streaming.events import read_events_batch, windowed_counts
+
+    return windowed_counts(read_events_batch(spark, sf))
+
+
+def e02_sessionize(spark, sf):
+    """Gap-based sessionization (30 min), gaps-and-islands form —
+    SQL-expressible twin of session_window (tests assert they agree)."""
+    from dfsql_spark.streaming.events import read_events_batch, sessionize_batch
+
+    return sessionize_batch(read_events_batch(spark, sf))
+
+
+def e03_json_props(spark, sf):
+    """JSON property extraction from the props column + aggregate
+    (uplift: reference has no JSON functions — SURVEY §2.6)."""
+    from dfsql_spark.streaming.events import read_events_batch
+
+    ev = read_events_batch(spark, sf)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_high"),
+            F.sum("k").alias("k_sum"),
+        )
+    )
+
+
+def e04_stream_windowed_counts(spark, sf):
+    """The REAL Structured Streaming path: file-source readStream →
+    watermark → tumbling window → availableNow to memory sink.  Shares
+    e01's oracle — streaming output on finite input must equal batch."""
+    import uuid
+
+    from dfsql_spark.streaming.events import read_events_stream, run_to_memory, windowed_counts
+
+    name = f"wc_{uuid.uuid4().hex[:8]}"
+    return run_to_memory(
+        windowed_counts(read_events_stream(spark, sf)), spark, name
+    )
+
+
+def e05_stream_stateful(spark, sf):
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running totals.  Update-mode output on finite input = final totals
+    per user → SQL-expressible oracle."""
+    import uuid
+
+    from dfsql_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        running_totals_stateful,
+    )
+
+    name = f"rt_{uuid.uuid4().hex[:8]}"
+    out = run_to_memory(
+        running_totals_stateful(read_events_stream(spark, sf)),
+        spark,
+        name,
+        output_mode="update",
+    )
+    # update-mode emits one row per user per micro-batch; the final
+    # state per user is the max-n row (running totals are monotone)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -593,6 +674,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t04_fingerprint": t04_fingerprint,
         "m01_media_stats": m01_media_stats,
         "m02_media_decode": m02_media_decode,
+        "e01_windowed_counts": e01_windowed_counts,
+        "e02_sessionize": e02_sessionize,
+        "e03_json_props": e03_json_props,
+        "e04_stream_windowed_counts": e04_stream_windowed_counts,
+        "e05_stream_stateful": e05_stream_stateful,
     }
 
 
@@ -908,6 +994,53 @@ def oracle_sql() -> dict[str, str]:
                        (acc, c) -> (acc * 31 + c) % 2147483647
                    ) AS fingerprint
             FROM n
+        """,
+        "e01_windowed_counts": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "e02_sessionize": """
+            WITH flags AS (
+                SELECT user_id, event_id, value, ts,
+                       CASE WHEN ts - LAG(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+                FROM events
+            ), sess AS (
+                SELECT *, CAST(SUM(ns) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING
+                ) AS BIGINT) AS session_id
+                FROM flags
+            )
+            SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                   ROUND(SUM(value), 2) AS session_value
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "e03_json_props": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_high,
+                   CAST(SUM(k) AS BIGINT) AS k_sum
+            FROM (
+                SELECT event_type,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                FROM events
+            ) t
+            WHERE k > 50 GROUP BY event_type
+        """,
+        "e04_stream_windowed_counts": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "e05_stream_stateful": """
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 2) AS total_value
+            FROM events GROUP BY user_id
         """,
         "m01_media_stats": """
             WITH m AS (

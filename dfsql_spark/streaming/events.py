@@ -1,0 +1,267 @@
+"""Structured Streaming over the events table.
+
+The reference is batch-only (SURVEY §2.7); this module adds the
+streaming-shaped capability the north star asks for, expressed with
+Spark Structured Streaming primitives:
+
+* :func:`read_events_stream` — file-source ``readStream`` over the
+  events parquet (schema pinned; ns timestamps normalized).
+* :func:`windowed_counts` — tumbling/sliding window aggregation with a
+  watermark for late data.
+* :func:`session_agg` — ``session_window`` (gap-based) aggregation.
+* :func:`dedupe_stream` — ``dropDuplicatesWithinWatermark`` on the
+  event id (at-least-once source → effectively-once downstream).
+* :func:`running_totals_stateful` — ``applyInPandasWithState``: a
+  custom stateful operator (per-user running count/sum) matching the
+  shape you'd use for sessionization or CDC-style accumulators.
+* :func:`run_to_memory` — executes any of the above with an
+  ``availableNow`` trigger into a memory sink: batch-finite semantics
+  for tests/CI while exercising the real streaming engine.
+
+Each streaming aggregation has a batch twin (same expressions over
+``spark.read``) used by the driver's DuckDB oracle; tests assert the
+streaming and batch results agree on the finite input — the invariant
+Structured Streaming's incremental model guarantees.
+
+Scale notes: watermarks bound state; window/session aggs shuffle on
+(key, window) — at 100 TB the state store sizes are governed by key
+cardinality × watermark horizon, not input volume.  The ns→µs
+timestamp normalization uses integer ``div`` (a double division loses
+microseconds at 1e18 ns magnitudes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos (read via nanosAsLong)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _enable_nanos(spark: SparkSession) -> None:
+    # the testdata writes TIMESTAMP(NANOS) parquet, which Spark only
+    # reads as long with this conf; we rebuild a µs timestamp below.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _with_event_time(df: DataFrame) -> DataFrame:
+    # integer div: double division of ~1.7e18 ns exceeds double's 2^53
+    # mantissa and can round across a microsecond boundary.
+    return df.withColumn("event_time", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def read_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _enable_nanos(spark)
+    return _with_event_time(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet — in production this
+    would be Kafka/Kinesis; the transformation pipeline is identical."""
+    _enable_nanos(spark)
+    # file-source streams take a directory; pathGlobFilter narrows the
+    # listing to the events file among the other tables.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return _with_event_time(raw)
+
+
+# ---------------------------------------------------------------------------
+# windowed aggregation
+# ---------------------------------------------------------------------------
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` differs) window counts and
+    value sums per event_type, tolerating ``watermark`` of lateness."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark("event_time", watermark)
+    win = F.window("event_time", window, slide) if slide else F.window("event_time", window)
+    return (
+        src.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based session aggregation per user via ``session_window`` —
+    Spark merges events closer than ``gap`` into one session."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark("event_time", watermark)
+    return (
+        src.groupBy(F.session_window("event_time", gap).alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("s.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("s.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch gaps-and-islands sessionization (lag + cumulative sum) —
+    the SQL-expressible twin of :func:`session_agg`, used as the DuckDB
+    oracle.  Session end here is the last *event* time (session_window
+    reports last event + gap; tests reconcile the two)."""
+    from pyspark.sql.window import Window
+
+    w_user = Window.partitionBy("user_id").orderBy("event_time", "event_id")
+    # µs-precision gap compare (cast-to-long truncates to seconds and
+    # would disagree with an exact-interval oracle at sub-second gaps)
+    micros = F.unix_micros(F.col("event_time"))
+    gap_flag = (
+        F.when(
+            micros - F.lag(micros).over(w_user) > gap_minutes * 60 * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+    )
+    with_session = events.withColumn("new_session", gap_flag).withColumn(
+        "session_id", F.sum("new_session").over(w_user)
+    )
+    return (
+        with_session.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("event_time"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("event_time"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup + custom stateful operator
+# ---------------------------------------------------------------------------
+
+def dedupe_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Drop duplicate event_ids arriving within the watermark horizon —
+    state is bounded by (ids seen in the last ``watermark``)."""
+    return events.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+RUNNING_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+RUNNING_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def running_totals_stateful(events: DataFrame, timeout_ms: int | None = None) -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum) via
+    ``applyInPandasWithState`` — the escape hatch for semantics the
+    built-in operators can't express (reference has nothing comparable;
+    SURVEY §2.7)."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 2)))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_SCHEMA,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# execution harness
+# ---------------------------------------------------------------------------
+
+def run_to_memory(
+    streaming_df: DataFrame,
+    spark: SparkSession,
+    name: str,
+    output_mode: str = "complete",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Run a streaming DataFrame to exhaustion (availableNow trigger)
+    into a memory sink and return the result table — real streaming
+    execution with batch-finite semantics."""
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+    return spark.table(name)

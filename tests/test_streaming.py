@@ -1,0 +1,103 @@
+"""Streaming semantics tests: on finite input, every streaming
+aggregation must agree with its batch twin — the invariant Structured
+Streaming's incremental execution guarantees."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    from dfsql_spark.streaming.events import read_events_batch
+
+    return read_events_batch(spark, SF_DIR).cache()
+
+
+def _stream(spark):
+    from dfsql_spark.streaming.events import read_events_stream
+
+    return read_events_stream(spark, SF_DIR)
+
+
+def test_stream_windowed_equals_batch(spark, batch_events):
+    from dfsql_spark.streaming.events import run_to_memory, windowed_counts
+
+    batch = {tuple(r) for r in windowed_counts(batch_events).collect()}
+    stream_df = run_to_memory(
+        windowed_counts(_stream(spark)), spark, f"t_{uuid.uuid4().hex[:8]}"
+    )
+    stream = {tuple(r) for r in stream_df.collect()}
+    assert batch == stream
+
+
+def test_sliding_window_counts(batch_events):
+    from dfsql_spark.streaming.events import windowed_counts
+
+    tumbling = windowed_counts(batch_events, window="1 hour")
+    sliding = windowed_counts(batch_events, window="1 hour", slide="30 minutes")
+    # each event lands in exactly 2 sliding windows
+    t = tumbling.agg(F.sum("n_events")).collect()[0][0]
+    s = sliding.agg(F.sum("n_events")).collect()[0][0]
+    assert s == 2 * t
+
+
+def test_session_window_equals_gaps_islands(spark, batch_events):
+    """session_window and the SQL gaps-and-islands formulation must
+    find identical sessions (start, count, value) per user."""
+    from dfsql_spark.streaming.events import session_agg, sessionize_batch
+
+    sw = {
+        (r.user_id, r.session_start, r.n_events, r.session_value)
+        for r in session_agg(batch_events).collect()
+    }
+    gi = {
+        (r.user_id, r.session_start, r.n_events, r.session_value)
+        for r in sessionize_batch(batch_events).collect()
+    }
+    assert sw == gi
+
+
+def test_stream_dedupe_noop_on_unique_ids(spark, batch_events):
+    from dfsql_spark.streaming.events import dedupe_stream, run_to_memory
+
+    out = run_to_memory(
+        dedupe_stream(_stream(spark)),
+        spark,
+        f"t_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    assert out.count() == batch_events.count()
+
+
+def test_stateful_running_totals_equal_batch_agg(spark, batch_events):
+    from dfsql_spark.streaming.events import run_to_memory, running_totals_stateful
+
+    out = run_to_memory(
+        running_totals_stateful(_stream(spark)),
+        spark,
+        f"t_{uuid.uuid4().hex[:8]}",
+        output_mode="update",
+    )
+    # final state per user (max n_events row)
+    final = {
+        (r.user_id, r.n_events, r.total_value)
+        for r in out.orderBy(F.col("n_events").desc())
+        .dropDuplicates(["user_id"])
+        .collect()
+    }
+    batch = {
+        (r.user_id, r.n, r.tv)
+        for r in batch_events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("tv"),
+        )
+        .collect()
+    }
+    assert final == batch
