@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit": "sec", "queries", "sf"}.
+
+Each query is forced to full materialization with the noop sink (no
+collect-to-driver cost, no count()-induced projection pruning), after a
+small warmup to absorb JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# the representative mix: scan-heavy agg, multi-join, window, dedup
+# (exact + sketch), similarity, text, sessionization, streaming-batch
+HEADLINE = [
+    "q06_groupby_agg",
+    "q22_flagship_revenue",
+    "q12_join_left",
+    "q27_window_topk",
+    "d01_dedup_exact",
+    "d02_dedup_ngram_jaccard",
+    "d03_dedup_minhash_lsh",
+    "s01_sim_topk",
+    "t01_text_stats",
+    "t04_fingerprint",
+    "e01_windowed_counts",
+    "e02_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    import __spark_entry__ as em
+    from dfsql_spark.session import get_spark
+
+    spark = get_spark(app_name="dfsql-spark-bench")
+    qs = em.queries()
+
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    # warmup: small query to absorb session/codegen startup
+    run(em.q22_flagship_revenue(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        run(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -67,6 +67,12 @@ def get_spark(app_name: str = "dfsql-spark", master: str | None = None) -> Spark
     builder = builder.config("spark.sql.shuffle.partitions", _shuffle_partitions())
     builder = builder.config("spark.ui.showConsoleProgress", "false")
     builder = builder.config("spark.ui.enabled", "false")
+    # local mode = one JVM for driver+executors; default 1g OOMs on
+    # shuffle-heavy operators. Sized for the 128 GiB test box; a real
+    # cluster overrides via spark-submit.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    )
     for key, value in DEFAULT_CONFS.items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
