@@ -28,6 +28,7 @@ __all__ = [
     "DataSource",
     "QueryExecutionException",
     "get_spark",
+    "maybe_add_from_to_query",
     "__version__",
 ]
 
@@ -76,3 +77,9 @@ def sql_query(
     finally:
         for name in registered:
             spark.catalog.dropTempView(name)
+
+
+# importing the package registers the pandas ``.sql`` accessor
+# (reference behavior: dfsql/extensions.py:10 registers on import)
+from .extensions import maybe_add_from_to_query  # noqa: E402
+from . import extensions as extensions  # noqa: E402, F401
