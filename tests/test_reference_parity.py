@@ -1,0 +1,277 @@
+"""Golden-behavior parity with the reference engine.
+
+Each test pins an observable behavior of mindsdb/dfsql documented in
+SURVEY.md §2.6/§2.8, modeled on the reference's own suite
+(tests/test_data_sources/test_file_data_source.py:20-893).  Fixture
+mirrors the shape of the reference's titanic fixture (9 rows, NaNs,
+strings) without copying its data.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dfsql_spark import DataSource, QueryExecutionException
+from dfsql_spark.datasource import QueryExecutionException as DSException  # noqa: F401
+
+
+@pytest.fixture(scope="module")
+def ds(spark):
+    ds = DataSource(spark=spark)
+    crew = pd.DataFrame(
+        {
+            "crew_id": [1, 2, 3, 4, 5, 6, 7, 8, 9],
+            "name": [
+                "Alice Owen", "Bob Stone", "Carol Owen", "Dan Reed",
+                "Eve Park", "Frank Hill", "Grace Lane", "Hank Ford", "Ivy Bell",
+            ],
+            "age": [22.0, np.nan, 26.0, 35.0, 35.0, np.nan, 54.0, 2.0, 27.0],
+            "fare": [7.25, 71.28, 7.92, 53.1, 8.05, 8.46, 51.86, 21.07, 11.13],
+            "survived": [0, 1, 1, 1, 0, 0, 1, 0, 1],
+            "pclass": [3, 1, 3, 1, 3, 3, 1, 3, 2],
+        }
+    )
+    ds.add_table("crew", crew)
+    ds.add_table("crew2", crew.copy())
+    return ds
+
+
+# ---------------------------------------------------------------- basics
+def test_select_constant_no_from(ds):
+    assert ds.query("SELECT 1") == 1
+
+
+def test_select_star_shape(ds):
+    out = ds.query("SELECT * FROM crew", reduce_output=False)
+    assert out.shape == (9, 6)
+
+
+def test_double_quoted_string_is_literal(ds):
+    # reference: '"' quotes string literals, not identifiers (§2.8.5)
+    out = ds.query('SELECT crew_id FROM crew WHERE name = "Bob Stone"')
+    assert out == 2
+
+
+def test_projection_expression_and_alias(ds):
+    out = ds.query(
+        "SELECT fare * 2 AS double_fare FROM crew WHERE crew_id = 1"
+    )
+    assert out == pytest.approx(14.5)
+
+
+def test_scalar_broadcast_to_all_rows(ds):
+    out = ds.query("SELECT name, 1 AS one FROM crew", reduce_output=False)
+    assert list(out["one"]) == [1] * 9
+
+
+# ---------------------------------------------------------- predicates
+def test_is_null(ds):
+    out = ds.query("SELECT crew_id FROM crew WHERE age IS NULL", reduce_output=False)
+    assert sorted(out["crew_id"]) == [2, 6]
+
+
+def test_is_not_null_count(ds):
+    assert ds.query("SELECT COUNT(age) AS n FROM crew WHERE age IS NOT NULL") == 7
+
+
+def test_is_true_is_false(ds):
+    # reference maps IS TRUE/FALSE to equality (dfsql/functions.py:75-91)
+    t = ds.query(
+        "SELECT COUNT(crew_id) AS n FROM crew WHERE (survived = 1) IS TRUE"
+    )
+    f = ds.query(
+        "SELECT COUNT(crew_id) AS n FROM crew WHERE (survived = 1) IS FALSE"
+    )
+    assert (t, f) == (5, 4)
+
+
+def test_in_list_and_not_in(ds):
+    got = ds.query(
+        "SELECT name FROM crew WHERE pclass IN (1, 2) ORDER BY crew_id",
+        reduce_output=False,
+    )
+    assert len(got) == 4
+    not_in = ds.query(
+        "SELECT COUNT(crew_id) AS n FROM crew WHERE pclass NOT IN (1, 2)"
+    )
+    assert not_in == 5
+
+
+def test_like_is_anchored_regex(ds):
+    # reference: LIKE '.*Owen.*' regex-matches (dfsql/functions.py:278-288)
+    out = ds.query("SELECT name FROM crew WHERE name LIKE '.*Owen.*'", reduce_output=False)
+    assert sorted(out["name"]) == ["Alice Owen", "Carol Owen"]
+    # anchored at start: a mid-string pattern without wildcards matches nothing
+    none = ds.query("SELECT name FROM crew WHERE name LIKE 'Owen'", reduce_output=False)
+    assert len(none) == 0
+
+
+def test_between_and_arithmetic(ds):
+    out = ds.query(
+        "SELECT crew_id FROM crew WHERE fare % 2 > 1 AND fare BETWEEN 7 AND 9",
+        reduce_output=False,
+    )
+    assert sorted(out["crew_id"]) == [1, 3]
+
+
+def test_concat_operator(ds):
+    out = ds.query(
+        "SELECT name || '!' AS loud FROM crew WHERE crew_id = 1"
+    )
+    assert out == "Alice Owen!"
+
+
+def test_power_is_caret(ds):
+    assert ds.query("SELECT 3 ^ 2 AS p FROM crew WHERE crew_id = 1") == 9
+
+
+def test_unary_minus_and_division(ds):
+    out = ds.query("SELECT -fare / 2 AS half FROM crew WHERE crew_id = 1")
+    assert out == pytest.approx(-3.625)
+
+
+# ---------------------------------------------------------------- cast
+def test_cast_pandas_dtype_names(ds):
+    assert ds.query("SELECT CAST(fare AS int) AS f FROM crew WHERE crew_id = 2") == 71
+    assert ds.query("SELECT CAST(crew_id AS str) AS s FROM crew WHERE crew_id = 2") == "2"
+    assert ds.query("SELECT CAST('2.5' AS float) AS v FROM crew WHERE crew_id = 1") == 2.5
+
+
+# --------------------------------------------------------- aggregation
+def test_implicit_global_agg(ds):
+    assert ds.query("SELECT SUM(survived) AS s FROM crew") == 5
+
+
+def test_group_by_with_having_on_alias(ds):
+    # HAVING filters the projected aggregate output, so select aliases
+    # are visible (reference: base_data_source.py:424-428)
+    out = ds.query(
+        "SELECT pclass, COUNT(crew_id) AS n FROM crew "
+        "GROUP BY pclass HAVING n > 1 ORDER BY pclass",
+        reduce_output=False,
+    )
+    assert list(out["pclass"]) == [1, 3]
+    assert list(out["n"]) == [3, 5]
+
+
+def test_group_by_expression(ds):
+    out = ds.query(
+        "SELECT pclass + 1 AS pc, COUNT(crew_id) AS n FROM crew "
+        "GROUP BY pclass + 1 ORDER BY pc",
+        reduce_output=False,
+    )
+    assert list(out["pc"]) == [2, 3, 4]
+
+
+def test_count_distinct(ds):
+    assert ds.query("SELECT COUNT(DISTINCT pclass) AS n FROM crew") == 3
+
+
+def test_avg_skips_nulls(ds):
+    # pandas mean and Spark avg both ignore nulls
+    expected = (22 + 26 + 35 + 35 + 54 + 2 + 27) / 7
+    assert ds.query("SELECT AVG(age) AS a FROM crew") == pytest.approx(expected)
+
+
+def test_min_max(ds):
+    out = ds.query("SELECT MIN(fare) AS lo, MAX(fare) AS hi FROM crew", reduce_output=False)
+    assert out.iloc[0]["lo"] == pytest.approx(7.25)
+    assert out.iloc[0]["hi"] == pytest.approx(71.28)
+
+
+# ------------------------------------------------- sort/limit/distinct
+def test_order_by_multi_key_directions(ds):
+    out = ds.query(
+        "SELECT pclass, fare FROM crew ORDER BY pclass ASC, fare DESC LIMIT 3",
+        reduce_output=False,
+    )
+    assert list(out["pclass"]) == [1, 1, 1]
+    assert list(out["fare"]) == sorted(out["fare"], reverse=True)
+
+
+def test_limit_offset(ds):
+    out = ds.query(
+        "SELECT crew_id FROM crew ORDER BY crew_id LIMIT 3 OFFSET 2",
+        reduce_output=False,
+    )
+    assert list(out["crew_id"]) == [3, 4, 5]
+
+
+def test_select_distinct(ds):
+    out = ds.query("SELECT DISTINCT pclass FROM crew ORDER BY pclass", reduce_output=False)
+    assert list(out["pclass"]) == [1, 2, 3]
+
+
+# ------------------------------------------------------------- joins
+def test_self_join_with_aliases(ds):
+    out = ds.query(
+        "SELECT a.name AS left_name, b.name AS right_name "
+        "FROM crew AS a JOIN crew2 AS b ON a.crew_id = b.crew_id "
+        "ORDER BY a.crew_id LIMIT 2",
+        reduce_output=False,
+    )
+    assert list(out["left_name"]) == list(out["right_name"]) == [
+        "Alice Owen", "Bob Stone",
+    ]
+
+
+def test_in_subquery(ds):
+    out = ds.query(
+        "SELECT COUNT(crew_id) AS n FROM crew WHERE pclass IN "
+        "(SELECT pclass FROM crew2 WHERE fare > 50)"
+    )
+    assert out == 3  # fares > 50 are all pclass 1, which has 3 members
+
+
+def test_scalar_subquery(ds):
+    out = ds.query(
+        "SELECT name FROM crew WHERE fare = (SELECT MAX(fare) FROM crew2)"
+    )
+    assert out == "Bob Stone"
+
+
+# ------------------------------------------------------------ output
+def test_reduce_output_scalar_series_frame(ds):
+    assert np.isscalar(ds.query("SELECT COUNT(crew_id) AS n FROM crew"))
+    s = ds.query("SELECT name FROM crew")
+    assert isinstance(s, pd.Series) and len(s) == 9
+    f = ds.query("SELECT name, age FROM crew", reduce_output=True)
+    assert isinstance(f, pd.DataFrame)
+
+
+# --------------------------------------------------- case sensitivity
+def test_case_insensitive_column_lookup(spark):
+    ds2 = DataSource(spark=spark, case_sensitive=False)
+    ds2.add_table("caps_tbl", pd.DataFrame({"NaMe": ["x"], "VALUE": [7]}))
+    try:
+        assert ds2.query("SELECT value FROM caps_tbl") == 7
+        assert ds2.query("SELECT name FROM CAPS_TBL") == "x"
+    finally:
+        spark.conf.set("spark.sql.caseSensitive", "true")
+        spark.catalog.dropTempView("caps_tbl")
+
+
+def test_backtick_identifier_multiword(spark):
+    ds2 = DataSource(spark=spark)
+    ds2.add_table("mw", pd.DataFrame({"two words": [5], "plain": [1]}))
+    try:
+        out = ds2.query("SELECT `two words` FROM mw")
+        assert out == 5
+    finally:
+        spark.catalog.dropTempView("mw")
+
+
+# -------------------------------------------------------- error paths
+def test_unknown_table_raises(ds):
+    with pytest.raises(Exception):
+        ds.query("SELECT * FROM no_such_table")
+
+
+def test_unknown_column_raises(ds):
+    with pytest.raises(Exception):
+        ds.query("SELECT no_such_col FROM crew")
+
+
+def test_drop_missing_table_raises(ds):
+    with pytest.raises(QueryExecutionException):
+        ds.drop_table("ghost")
