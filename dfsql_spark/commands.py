@@ -90,7 +90,56 @@ class ShowTablesCommand(Command):
         return ds.tables_dataframe()
 
 
-COMMANDS = (CreateTableCommand, DropTableCommand, ShowTablesCommand)
+@dataclass
+class CopyToCommand(Command):
+    """``COPY <table | (SELECT ...)> TO '<path>' [FORMAT fmt]
+    [PARTITION BY (col, ...)]``
+
+    Spark-era extension (the reference has no sinks): distributed
+    write of a table or query result, never materializing on the
+    driver.  See sources/writers.py for the scale knobs.
+    """
+
+    source: str
+    path: str
+    fmt: str
+    partition_by: list[str] | None
+
+    pattern = re.compile(
+        r"^\s*COPY\s+(?P<src>\(.*\)|[A-Za-z_][\w]*)\s+TO\s+"
+        r"['\"](?P<path>[^'\"]+)['\"]"
+        r"(?:\s+FORMAT\s+(?P<fmt>\w+))?"
+        r"(?:\s+PARTITION\s+BY\s+\(\s*(?P<parts>[^)]*?)\s*\))?"
+        r"\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    @classmethod
+    def from_string(cls, sql: str) -> "CopyToCommand | None":
+        m = cls.pattern.match(sql)
+        if not m:
+            return None
+        parts = m.group("parts")
+        return cls(
+            source=m.group("src"),
+            path=m.group("path"),
+            fmt=(m.group("fmt") or "parquet").lower(),
+            partition_by=[p.strip() for p in parts.split(",")] if parts else None,
+        )
+
+    def execute(self, ds: "DataSource"):
+        from .sources.writers import write_table
+
+        src = self.source.strip()
+        if src.startswith("("):
+            df = ds.query_df(src[1:-1])
+        else:
+            df = ds.spark.table(src)
+        write_table(df, self.path, fmt=self.fmt, partition_by=self.partition_by)
+        return "OK"
+
+
+COMMANDS = (CreateTableCommand, DropTableCommand, ShowTablesCommand, CopyToCommand)
 
 
 def try_parse_command(sql: str) -> Command | None:
