@@ -522,6 +522,30 @@ def t04_fingerprint(spark, sf):
     return fingerprint(docs)
 
 
+def t05_token_count(spark, sf):
+    """Whitespace + BPE-ish-regex token counting (LLM budget proxy)."""
+    from dfsql_spark.operators.text import token_counts
+
+    docs = _t(spark, sf, "documents")
+    return token_counts(docs)
+
+
+def s03_sim_ivf(spark, sf):
+    """IVF-Flat approximate top-5: KMeans coarse quantizer, n_probe
+    nearest cells per query, exact cosine rerank (rows-only: cell
+    assignments are iteration-order dependent; recall vs s01 is
+    asserted in tests)."""
+    from dfsql_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, qs, k=5, n_cells=16, n_probe=8).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def m01_media_stats(spark, sf):
     """Multimodal metadata aggregate over the binary payload table —
     payload column never scanned (column pruning)."""
@@ -668,10 +692,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d05_embedding_neardup": d05_embedding_neardup,
         "s01_sim_topk": s01_sim_topk,
         "s02_sim_topk_lsh": s02_sim_topk_lsh,
+        "s03_sim_ivf": s03_sim_ivf,
         "t01_text_stats": t01_text_stats,
         "t02_quality_score": t02_quality_score,
         "t03_lang_id": t03_lang_id,
         "t04_fingerprint": t04_fingerprint,
+        "t05_token_count": t05_token_count,
         "m01_media_stats": m01_media_stats,
         "m02_media_decode": m02_media_decode,
         "e01_windowed_counts": e01_windowed_counts,
@@ -979,6 +1005,13 @@ def oracle_sql() -> dict[str, str]:
                         WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
                         ELSE 'fr' END AS lang_pred
             FROM h
+        """,
+        "t05_token_count": """
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '''[a-z]+|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+', 0)) AS INT) AS bpe_pieces,
+                   length(text) * 1.0 / greatest(len(regexp_extract_all(text, '''[a-z]+|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+', 0)), 1) AS chars_per_piece
+            FROM documents
         """,
         "t04_fingerprint": """
             WITH n AS (

@@ -24,6 +24,8 @@ sequential over the array (deterministic across partitionings).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -212,4 +214,81 @@ def embedding_neardup_pairs(
     return (
         pairs.select("id_a", "id_b", cosine("va", "vb").alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_cells: int = 64,
+    n_probe: int = 8,
+    seed: int = 42,
+    train_fraction: float | None = None,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Approximate top-k via IVF-Flat: k-means coarse quantizer, probe
+    the ``n_probe`` nearest cells per query, exact cosine rerank inside
+    the probed cells.
+
+    Build: Spark ML KMeans (optionally on a ``train_fraction`` sample —
+    at 100 TB you train the quantizer on ~10^6 vectors, not the corpus)
+    → every corpus row gets its cell id with one distributed
+    ``model.transform`` pass.  Search: each query scores the (tiny,
+    broadcast) centroid matrix in an Arrow-batched UDF, explodes to its
+    ``n_probe`` cells, and meets corpus rows in a cell equi-join — the
+    scan per query is ``n_probe / n_cells`` of the corpus instead of
+    all of it.  Recall rises with ``n_probe`` (= exact when
+    ``n_probe == n_cells``).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        feat.alias("features"),
+    )
+    train = c.sample(train_fraction, seed=seed) if train_fraction else c
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(
+        train.select("features")
+    )
+    c_cells = model.transform(c).select(
+        "neighbor_id", "c_vec", F.col("prediction").alias("cell")
+    )
+
+    centers = np.asarray([np.asarray(ctr) for ctr in model.clusterCenters()])
+    spark = corpus.sparkSession
+    b_centers = spark.sparkContext.broadcast(centers)
+    probe = min(n_probe, n_cells)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        ctrs = b_centers.value  # (n_cells, dim)
+        out = []
+        for v in vecs:
+            q = np.asarray(v, dtype=np.float64)
+            d2 = ((ctrs - q) ** 2).sum(axis=1)
+            out.append(np.argsort(d2, kind="stable")[:probe].astype("int32").tolist())
+        return pd.Series(out)
+
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("q_vec"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    cand = c_cells.join(broadcast(q), "cell").select(
+        query_id_col, "neighbor_id", cosine("c_vec", "q_vec").alias("cos_sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "cos_sim")
     )

@@ -154,3 +154,38 @@ def fingerprint(
         return pd.Series(out, dtype="int64")
 
     return df.select(F.col(id_col), _fp(F.col(text_col)).alias("fingerprint"))
+
+
+# GPT-2-style pre-tokenizer pieces: contractions, letter runs, digit
+# runs, punctuation runs, whitespace runs.  Java regex (used by Spark)
+# and PCRE (DuckDB) agree on this subset, so oracles can replicate it.
+BPE_PIECE_RE = r"'[a-z]+|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token counts per document under two tokenizers:
+
+    * ``ws_tokens`` — whitespace split (the cheap LLM-budget estimate)
+    * ``bpe_pieces`` — count of GPT-2-style pre-tokenization pieces
+      (letter runs / digit runs / punctuation runs / contractions), the
+      standard upper-bound proxy for BPE token count without a vocab.
+
+    Both are ``regexp_count``-style native expressions — a pure map
+    over the scan, no shuffle, codegen'd.
+    """
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    # pattern as a Column literal: embedding it in an expr() string
+    # would put it through SQL string-literal escaping, mangling \s
+    pieces = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_PIECE_RE), F.lit(0))
+    )
+    return df.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        pieces.alias("bpe_pieces"),
+        (F.length(F.col(text_col)) / F.greatest(pieces, F.lit(1))).alias(
+            "chars_per_piece"
+        ),
+    )

@@ -154,3 +154,27 @@ def test_fingerprint_order_sensitive(spark):
     )
     fps = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
     assert fps[1] != fps[2]
+
+
+def test_ivf_topk_recall_vs_bruteforce(emb):
+    from dfsql_spark.operators.similarity import cosine_topk, ivf_topk
+
+    qs = emb.filter("vec_id < 5").selectExpr("vec_id AS query_id", "embedding")
+    exact = cosine_topk(emb, qs, k=5).toPandas()
+    approx = ivf_topk(emb, qs, k=5, n_cells=8, n_probe=4).toPandas()
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    a = set(zip(approx.query_id, approx.neighbor_id))
+    # probing half the cells must recover most of the true neighbors
+    assert len(e & a) / len(e) >= 0.6
+    # rank-1 self-match: each query is its own nearest neighbor
+    self_hits = approx[(approx["rank"] == 1)]
+    assert (self_hits.query_id == self_hits.neighbor_id).all()
+
+
+def test_token_counts_shapes(docs):
+    from dfsql_spark.operators.text import token_counts
+
+    out = token_counts(docs).toPandas()
+    assert (out.ws_tokens > 0).all()
+    assert (out.bpe_pieces >= out.ws_tokens).all()  # pieces refine tokens
+    assert (out.chars_per_piece > 0).all()
