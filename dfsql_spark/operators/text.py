@@ -59,9 +59,9 @@ def text_stats(
     punct_chars = F.length(F.col(text_col)) - F.length(
         F.regexp_replace(F.col(text_col), _PUNCT_RE, "")
     )
-    token_len_sum = F.aggregate(
-        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
-    )
+    # sum of token lengths == count of non-whitespace chars: one native
+    # regexp instead of an interpreted per-token lambda aggregate
+    token_len_sum = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
     return df.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
