@@ -426,6 +426,64 @@ def d01_dedup_exact(spark, sf):
     return exact_dedup(docs, hash_key=False)
 
 
+def q28_rollup(spark, sf):
+    """ROLLUP subtotals over (returnflag, linestatus) — beyond the
+    reference's flat GROUP BY (SURVEY §2.4 'NOT implemented'); free in
+    Spark via DataFrame.rollup, one hash-agg pass."""
+    li = _t(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def a01_asof_join(spark, sf):
+    """Backward as-of join (union + last-non-null window: ONE shuffle,
+    no range blowup): each click gets its user's most recent prior
+    view.  Oracle is DuckDB's native ASOF LEFT JOIN."""
+    from dfsql_spark.operators.joins import asof_join
+    from dfsql_spark.streaming.events import read_events_batch
+
+    ev = read_events_batch(spark, sf)
+    clicks = ev.filter("event_type = 'click'").select(
+        "event_id", "user_id", F.col("event_time").alias("ts")
+    )
+    views = ev.filter("event_type = 'view'").select(
+        "user_id", F.col("event_time").alias("ts"), "value"
+    )
+    return asof_join(clicks, views, on="user_id", right_cols=["value"]).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("click_us"),
+        F.unix_micros("ts_right").alias("view_us"),
+        F.col("value_right").alias("view_value"),
+    )
+
+
+def a02_range_join(spark, sf):
+    """Interval range join via coarse time-bin equi-join + exact
+    filter (no broadcast-nested-loop): same-user event pairs within a
+    5-minute window."""
+    from dfsql_spark.operators.joins import range_join
+    from dfsql_spark.streaming.events import read_events_batch
+
+    ev = read_events_batch(spark, sf)
+    pts = ev.select(
+        "user_id", F.col("event_id").alias("eid_a"), F.col("event_time").alias("pts")
+    )
+    iv = ev.select(
+        F.col("user_id").alias("u2"),
+        F.col("event_id").alias("eid_b"),
+        F.col("event_time").alias("start_ts"),
+        (F.col("event_time") + F.expr("INTERVAL 5 MINUTES")).alias("end_ts"),
+    )
+    return range_join(
+        pts, iv, "pts", "start_ts", "end_ts", bin_seconds=300,
+        extra_cond=(F.col("user_id") == F.col("u2")) & (F.col("eid_a") != F.col("eid_b")),
+    ).select("eid_a", "eid_b")
+
+
 def d02_dedup_ngram_jaccard(spark, sf):
     """Exact 5-gram Jaccard near-dup pairs ≥ 0.6 via shingle
     inverted-index self-join.  Jaccard = int/int division → bit-exact
@@ -685,6 +743,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_except_intersect": q25_except_intersect,
         "q26_anti_join": q26_anti_join,
         "q27_window_topk": q27_window_topk,
+        "q28_rollup": q28_rollup,
+        "a01_asof_join": a01_asof_join,
+        "a02_range_join": a02_range_join,
         "d01_dedup_exact": d01_dedup_exact,
         "d02_dedup_ngram_jaccard": d02_dedup_ngram_jaccard,
         "d03_dedup_minhash_lsh": d03_dedup_minhash_lsh,
@@ -877,6 +938,29 @@ def oracle_sql() -> dict[str, str]:
         "q26_anti_join": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "q28_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(l_quantity) AS sum_qty,
+                   SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "a01_asof_join": """
+            SELECT l.event_id, l.user_id, epoch_us(l.ts) AS click_us,
+                   epoch_us(r.rts) AS view_us, r.value AS view_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT user_id AS ruid, ts AS rts, value
+                            FROM events WHERE event_type = 'view') r
+              ON l.user_id = r.ruid AND l.ts >= r.rts
+        """,
+        "a02_range_join": """
+            SELECT a.event_id AS eid_a, b.event_id AS eid_b
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id AND a.event_id != b.event_id
+             AND a.ts >= b.ts AND a.ts <= b.ts + INTERVAL 5 MINUTE
         """,
         "q27_window_topk": """
             SELECT c_nationkey, c_custkey, c_acctbal AS acctbal, rk

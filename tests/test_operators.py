@@ -178,3 +178,40 @@ def test_token_counts_shapes(docs):
     assert (out.ws_tokens > 0).all()
     assert (out.bpe_pieces >= out.ws_tokens).all()  # pieces refine tokens
     assert (out.chars_per_piece > 0).all()
+
+
+def test_asof_join_semantics(spark):
+    from dfsql_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c")], "k int, ts int, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 18, 200.0), (3, 1, 999.0)], "k int, ts int, v double"
+    )
+    out = {
+        r["tag"]: (r["ts_right"], r["v_right"])
+        for r in asof_join(left, right, on="k", right_cols=["v"]).collect()
+    }
+    assert out["a"] == (10, 100.0)       # equal ts matches (allow_equal)
+    assert out["b"] == (18, 200.0)       # most recent prior
+    assert out["c"] == (None, None)      # no right rows for key 2
+
+    strict = {
+        r["tag"]: r["v_right"]
+        for r in asof_join(
+            left, right, on="k", right_cols=["v"], allow_equal=False
+        ).collect()
+    }
+    assert strict["a"] is None           # equal ts excluded
+
+
+def test_range_join_inclusive_bounds(spark):
+    from dfsql_spark.operators.joins import range_join
+
+    pts = spark.createDataFrame([(0,), (5,), (10,), (11,)], "p int")
+    iv = spark.createDataFrame([(0, 10)], "s int, e int")
+    got = sorted(
+        r["p"] for r in range_join(pts, iv, "p", "s", "e", bin_seconds=4).collect()
+    )
+    assert got == [0, 5, 10]
