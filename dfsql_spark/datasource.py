@@ -54,11 +54,18 @@ class DataSource:
         spark: SparkSession | None = None,
         metadata_dir: str | None = None,
         case_sensitive: bool = True,
-        cache: bool = True,
+        cache: "bool | object" = True,
     ):
+        from .cache import DoNothingCache, MemoryCache
+
         self.spark = spark or get_spark()
         self.metadata_dir = metadata_dir
-        self.cache_enabled = cache
+        if cache is True:
+            self.cache = MemoryCache()
+        elif cache is False or cache is None:
+            self.cache = DoNothingCache()
+        else:
+            self.cache = cache
         self.tables: dict[str, TableInfo] = {}
         self.function_registry = FunctionRegistry(self.spark)
         self.spark.conf.set("spark.sql.caseSensitive", str(case_sensitive).lower())
@@ -91,6 +98,7 @@ class DataSource:
     def drop_table(self, name: str) -> None:
         if name not in self.tables and not self.spark.catalog.tableExists(name):
             raise QueryExecutionException(f"Table {name} not found")
+        self.cache.evict(self.spark, name)
         self.spark.catalog.dropTempView(name)
         self.tables.pop(name, None)
         self.save_metadata()
@@ -139,15 +147,20 @@ class DataSource:
                 os.remove(path)
 
     # ------------------------------------------------------------------
-    # caching (reference MemoryCache: dfsql/cache.py:16-26)
+    # caching (reference MemoryCache: dfsql/cache.py:16-26, set_cache
+    # swap pattern from the reference README/testdrive)
     # ------------------------------------------------------------------
     def cache_table(self, name: str) -> None:
-        if self.cache_enabled:
-            self.spark.catalog.cacheTable(name)
+        self.cache.touch(self.spark, name)
 
     def uncache_table(self, name: str) -> None:
-        if self.spark.catalog.isCached(name):
-            self.spark.catalog.uncacheTable(name)
+        self.cache.evict(self.spark, name)
+
+    def set_cache(self, cache) -> None:
+        """Swap the cache policy; previously pinned tables are
+        released (reference semantics: new cache starts cold)."""
+        self.cache.clear(self.spark)
+        self.cache = cache
 
     # ------------------------------------------------------------------
     # functions (reference: base_data_source.py:151-152)

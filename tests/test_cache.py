@@ -1,0 +1,75 @@
+"""Cache-policy parity tests (reference: tests/test_cache.py:5-61 —
+lru hit/miss/currsize accounting, maxsize eviction, DoNothingCache)."""
+
+import pandas as pd
+import pytest
+
+from dfsql_spark import DataSource
+from dfsql_spark.cache import DoNothingCache, MemoryCache
+
+
+@pytest.fixture()
+def ds(spark):
+    ds = DataSource(spark=spark, cache=MemoryCache(maxsize=2))
+    # distinct data per table: Spark's cache manager dedups entries by
+    # logical-plan equality, so identical LocalRelations would share
+    # one cache entry and uncaching one would drop them all
+    for i, name in enumerate(("ca", "cb", "cc")):
+        ds.add_table(name, pd.DataFrame({"x": [i, i + 1, i + 2]}))
+    yield ds
+    ds.cache.clear(spark)
+    for name in ("ca", "cb", "cc"):
+        spark.catalog.dropTempView(name)
+
+
+def test_hit_miss_currsize(ds, spark):
+    c = ds.cache
+    ds.cache_table("ca")
+    assert (c.hits, c.misses, c.currsize) == (0, 1, 1)
+    ds.cache_table("ca")
+    assert (c.hits, c.misses, c.currsize) == (1, 1, 1)
+    assert spark.catalog.isCached("ca")
+
+
+def test_lru_eviction_at_maxsize(ds, spark):
+    ds.cache_table("ca")
+    ds.cache_table("cb")
+    ds.cache_table("cc")  # evicts ca (least recently used)
+    assert ds.cache.currsize == 2
+    assert not spark.catalog.isCached("ca")
+    assert spark.catalog.isCached("cb") and spark.catalog.isCached("cc")
+
+
+def test_touch_refreshes_recency(ds, spark):
+    ds.cache_table("ca")
+    ds.cache_table("cb")
+    ds.cache_table("ca")  # ca now most recent
+    ds.cache_table("cc")  # evicts cb
+    assert spark.catalog.isCached("ca")
+    assert not spark.catalog.isCached("cb")
+
+
+def test_do_nothing_cache(spark):
+    ds = DataSource(spark=spark, cache=False)
+    assert isinstance(ds.cache, DoNothingCache)
+    ds.add_table("cnone", pd.DataFrame({"x": [1]}))
+    ds.cache_table("cnone")
+    assert not spark.catalog.isCached("cnone")
+    assert ds.cache.currsize == 0
+    spark.catalog.dropTempView("cnone")
+
+
+def test_set_cache_swaps_and_clears(ds, spark):
+    ds.cache_table("ca")
+    assert spark.catalog.isCached("ca")
+    ds.set_cache(DoNothingCache())
+    assert not spark.catalog.isCached("ca")
+    ds.cache_table("cb")
+    assert not spark.catalog.isCached("cb")
+
+
+def test_drop_table_evicts(ds, spark):
+    ds.cache_table("ca")
+    ds.drop_table("ca")
+    assert ds.cache.currsize == 0
+    assert "ca" not in [t.name for t in ds.tables.values()]
