@@ -68,3 +68,37 @@ def write_table(
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_by: "list[str] | str",
+    n_buckets: int = 32,
+    sort_by: "list[str] | str | None" = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed catalog table (``saveAsTable``).
+
+    Bucketing pre-shuffles the data ONCE at write time: every
+    subsequent equi-join or aggregation on ``bucket_by`` reads
+    co-located buckets and skips its Exchange entirely — the
+    difference between an O(data) shuffle per query and none, which
+    at 100 TB is the dominant cost of repeated fact-fact joins.
+    Requires a catalog table (bucket metadata lives in the metastore),
+    hence ``saveAsTable`` rather than a path write; pair tables must
+    use the same ``n_buckets`` and keys.
+    """
+    if isinstance(bucket_by, str):
+        bucket_by = [bucket_by]
+    writer = (
+        df.write.mode(mode)
+        .format(fmt)
+        .bucketBy(n_buckets, *bucket_by)
+    )
+    if sort_by:
+        if isinstance(sort_by, str):
+            sort_by = [sort_by]
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(name)

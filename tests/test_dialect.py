@@ -1,0 +1,88 @@
+"""Dialect rewriter tests: unit cases for each quirk plus a
+hypothesis property — random arithmetic with ``^`` must equal Python's
+right-associative ``**`` evaluation (the reference's backing op)."""
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from dfsql_spark.dialect import rewrite
+
+
+def rw(sql: str) -> str:
+    """rewrite() preserves original whitespace tokens; collapse for
+    layout-insensitive assertions."""
+    return " ".join(rewrite(sql).split())
+
+
+class TestRewriteUnits:
+    def test_like_anchored(self):
+        assert rw("SELECT a FROM t WHERE a LIKE '.*x'") == (
+            "SELECT a FROM t WHERE a RLIKE '^(?:.*x)'"
+        )
+
+    def test_not_like(self):
+        out = rw("SELECT a FROM t WHERE a NOT LIKE 'x.*'")
+        assert "NOT RLIKE '^(?:x.*)'" in out
+
+    def test_like_in_string_untouched(self):
+        # the word LIKE inside a string literal is not an operator
+        out = rw("SELECT 'I LIKE cake' AS s FROM t")
+        assert out == "SELECT 'I LIKE cake' AS s FROM t"
+
+    def test_power_simple(self):
+        assert rw("SELECT 2 ^ 3") == "SELECT POWER(2 , 3)"
+
+    def test_power_right_assoc(self):
+        assert rw("SELECT 2 ^ 3 ^ 2") == "SELECT POWER(2 , POWER(3 , 2))"
+
+    def test_power_function_operand(self):
+        out = rw("SELECT abs(x) ^ 2 FROM t")
+        assert "POWER(abs(x) , 2)" in out
+
+    def test_power_paren_operand_keeps_keyword(self):
+        # regression: the operand walker must not swallow keywords
+        # before '(' (SELECT (age-28) ^ 2 once became POWER(SELECT ...))
+        out = rw("SELECT (x-1) ^ 2 FROM t")
+        assert "SELECT POWER((x-1) , 2) FROM t" == out
+
+    def test_cast_dtype_names(self):
+        assert "CAST(x AS STRING)" in rw("SELECT CAST(x AS str) FROM t")
+        assert "CAST(x AS BIGINT)" in rw("SELECT CAST(x AS int) FROM t")
+        assert "CAST(x AS DOUBLE)" in rw("SELECT CAST(x AS float) FROM t")
+
+    def test_cast_inside_expression_only(self):
+        # a bare alias `AS str` outside CAST is untouched
+        out = rw("SELECT x AS str FROM t")
+        assert out == "SELECT x AS str FROM t"
+
+
+@st.composite
+def arith_expr(draw, depth=0):
+    if depth >= 3 or draw(st.booleans()):
+        return str(draw(st.integers(min_value=1, max_value=4)))
+    op = draw(st.sampled_from(["+", "*", "^"]))
+    left = draw(arith_expr(depth=depth + 1))
+    if op == "^":
+        # small literal exponents keep values inside double range
+        right = str(draw(st.integers(min_value=1, max_value=2)))
+    else:
+        right = draw(arith_expr(depth=depth + 1))
+    expr = f"{left} {op} {right}"
+    return f"({expr})" if draw(st.booleans()) else expr
+
+
+class TestPowerProperty:
+    @settings(max_examples=60, deadline=None)
+    @given(arith_expr())
+    def test_rewrite_matches_python_pow(self, expr):
+        """dfsql ``^`` == Python ``**`` (right-assoc, precedence above
+        ``*``): rewritten SQL evaluated by Spark must equal Python."""
+        sql = rewrite(f"SELECT {expr} AS v")
+        expected = eval(expr.replace("^", "**"))
+        # collected lazily once per test session via module fixture
+        got = TestPowerProperty._spark.sql(sql).collect()[0]["v"]
+        assert float(got) == pytest.approx(float(expected))
+
+    @pytest.fixture(autouse=True)
+    def _attach_spark(self, spark):
+        TestPowerProperty._spark = spark

@@ -68,3 +68,29 @@ def test_copy_query_command_with_partition(ds, tmp_path):
     assert status == "OK"
     back = ds.spark.read.parquet(out).toPandas().sort_values("k")
     assert list(back["total"]) == [3, 7, 5]
+
+
+def test_bucketed_join_has_no_shuffle(ds, tmp_path):
+    import pandas as pd
+    from dfsql_spark.sources.writers import write_bucketed_table
+
+    spark = ds.spark
+    facts = spark.createDataFrame(
+        pd.DataFrame({"k": list(range(100)) * 2, "v": range(200)})
+    )
+    dims = spark.createDataFrame(
+        pd.DataFrame({"k": range(100), "w": range(100)})
+    )
+    write_bucketed_table(facts, "b_facts", bucket_by="k", n_buckets=8)
+    write_bucketed_table(dims, "b_dims", bucket_by="k", n_buckets=8)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_facts").join(spark.table("b_dims"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # both sides bucketed on the join key: no Exchange in the plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 200
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_facts")
+        spark.sql("DROP TABLE IF EXISTS b_dims")
