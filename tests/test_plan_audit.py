@@ -1,0 +1,46 @@
+"""Plan-shape tests: pin that flagship plans push filters, prune
+columns, broadcast dims, and stay in codegen — the properties that
+decide 100 TB behavior, asserted at test scale."""
+
+import pytest
+
+import __spark_entry__ as em
+from dfsql_spark.plans.audit import (
+    assert_broadcast_join,
+    assert_filter_pushed,
+    assert_max_read_columns,
+    plan_summary,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_flagship_broadcasts_dims_and_prunes(spark):
+    df = em.queries()["q22_flagship_revenue"](spark, SF)
+    assert_broadcast_join(df)
+    # lineitem has 16 columns; the query needs 3
+    assert_max_read_columns(df, 4)
+    s = plan_summary(df, execute=True)  # audit AQE's FINAL plan
+    assert s.wholestage_codegen
+
+
+def test_filter_reaches_parquet_scan(spark):
+    df = em.queries()["q02_filter"](spark, SF)
+    assert_filter_pushed(df, "o_totalprice")
+
+
+def test_projection_reads_only_needed_columns(spark):
+    df = em.queries()["q01_projection"](spark, SF)
+    assert_max_read_columns(df, 5)
+
+
+def test_exact_dedup_single_exchange(spark):
+    # one groupBy == one shuffle; anything more is waste
+    df = em.queries()["d01_dedup_exact"](spark, SF)
+    assert plan_summary(df).n_exchanges <= 1
+
+
+def test_window_topk_plan_shape(spark):
+    df = em.queries()["q27_window_topk"](spark, SF)
+    s = plan_summary(df, execute=True)
+    assert s.wholestage_codegen
