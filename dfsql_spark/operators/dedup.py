@@ -427,6 +427,17 @@ def minhash_lsh_pairs(
     """
     r = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, k, num_perm, seed)
+    # the band self-join references the signature subplan on BOTH
+    # sides; persisting collapses two full corpus scans + sketch
+    # computations into one.  Signatures are ~8*num_perm bytes/doc
+    # (0.5 KB at num_perm=64) -- negligible next to the corpus, and
+    # exactly what a production near-dup pipeline materializes anyway.
+    from pyspark import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    # materialize before the join: the two join sides otherwise race
+    # and BOTH compute the sketch before the cache fills
+    sigs.count()
     banded = sigs.select(
         "id",
         "sig",
