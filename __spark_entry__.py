@@ -438,6 +438,43 @@ def q28_rollup(spark, sf):
     )
 
 
+def q29_exists_correlated(spark, sf):
+    """Correlated EXISTS subquery — unsupported in the reference
+    (only uncorrelated subqueries, SURVEY §2.3); Catalyst decorrelates
+    it into a left-semi join."""
+    _register(spark, sf, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+        )
+        """
+    )
+
+
+def sk01_salted_agg(spark, sf):
+    """Salted two-phase aggregation (skew mitigation) — result is
+    bit-identical to the plain groupBy the oracle runs; only the
+    shuffle shape differs (hot keys spread over 16 salt buckets)."""
+    from dfsql_spark.operators.skew import salted_groupby_agg
+
+    li = _t(spark, sf, "lineitem")
+    return salted_groupby_agg(
+        li,
+        "l_returnflag",
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "n_rows": ("*", "count"),
+            "avg_price": ("l_extendedprice", "avg"),
+            "max_disc": ("l_discount", "max"),
+        },
+        num_salts=16,
+    )
+
+
 def a01_asof_join(spark, sf):
     """Backward as-of join (union + last-non-null window: ONE shuffle,
     no range blowup): each click gets its user's most recent prior
@@ -744,6 +781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_anti_join": q26_anti_join,
         "q27_window_topk": q27_window_topk,
         "q28_rollup": q28_rollup,
+        "q29_exists_correlated": q29_exists_correlated,
+        "sk01_salted_agg": sk01_salted_agg,
         "a01_asof_join": a01_asof_join,
         "a02_range_join": a02_range_join,
         "d01_dedup_exact": d01_dedup_exact,
@@ -946,6 +985,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "q29_exists_correlated": """
+            SELECT c_custkey, c_name
+            FROM customer c
+            WHERE EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+            )
+        """,
+        "sk01_salted_agg": """
+            SELECT l_returnflag,
+                   SUM(l_quantity) AS sum_qty,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   AVG(l_extendedprice) AS avg_price,
+                   MAX(l_discount) AS max_disc
+            FROM lineitem
+            GROUP BY l_returnflag
         """,
         "a01_asof_join": """
             SELECT l.event_id, l.user_id, epoch_us(l.ts) AS click_us,

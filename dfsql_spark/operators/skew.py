@@ -1,0 +1,76 @@
+"""Skew-mitigation helpers: salted two-phase aggregation.
+
+AQE splits skewed *join* partitions automatically, but a skewed
+``groupBy`` still funnels every row of a hot key through one reduce
+task.  The standard fix is salting: aggregate on (key, salt) first —
+spreading a hot key over ``num_salts`` tasks — then re-aggregate the
+partials on the key alone.  The second shuffle moves only
+``keys × num_salts`` partial rows, so the hot key's row volume never
+lands on a single task.
+
+Decomposable aggregates only: sum/count/min/max re-aggregate as
+themselves; avg is carried as (sum, count) and finalized at the end.
+(Non-decomposable aggregates — exact median, collect_list — need
+different machinery and are out of scope.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_PARTIAL = {
+    "sum": F.sum,
+    "count": lambda c: F.count(F.lit(1)) if c == "*" else F.count(c),
+    "min": F.min,
+    "max": F.max,
+}
+_MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+def salted_groupby_agg(
+    df: DataFrame,
+    keys: "list[str] | str",
+    aggs: dict[str, tuple[str, str]],
+    num_salts: int = 16,
+) -> DataFrame:
+    """``df.groupBy(keys).agg(...)`` with salting for skewed keys.
+
+    ``aggs`` maps output column name → (source column, fn) where fn is
+    one of sum/count/min/max/avg (count of "*" counts rows).  Result
+    is identical to the plain groupBy — only the physical shuffle
+    shape differs.
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    salt = (F.xxhash64(*[F.col(k) for k in keys], F.spark_partition_id(), F.monotonically_increasing_id()) % num_salts).alias("_salt")
+
+    partial_exprs = []
+    merge_exprs = []
+    final_cols = []
+    for out, (col, fn) in aggs.items():
+        if fn == "avg":
+            partial_exprs += [
+                F.sum(col).alias(f"_{out}_s"),
+                F.count(col).alias(f"_{out}_c"),
+            ]
+            merge_exprs += [
+                F.sum(f"_{out}_s").alias(f"_{out}_s"),
+                F.sum(f"_{out}_c").alias(f"_{out}_c"),
+            ]
+            final_cols.append(
+                (F.col(f"_{out}_s") / F.col(f"_{out}_c")).alias(out)
+            )
+        elif fn in _PARTIAL:
+            partial_exprs.append(_PARTIAL[fn](col).alias(f"_{out}_p"))
+            merge_exprs.append(_MERGE[fn](f"_{out}_p").alias(f"_{out}_p"))
+            final_cols.append(F.col(f"_{out}_p").alias(out))
+        else:
+            raise ValueError(
+                f"{fn!r} is not a decomposable aggregate "
+                f"(supported: sum, count, min, max, avg)"
+            )
+
+    partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partial_exprs)
+    merged = partial.groupBy(*keys).agg(*merge_exprs)
+    return merged.select(*keys, *final_cols)

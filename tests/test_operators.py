@@ -215,3 +215,45 @@ def test_range_join_inclusive_bounds(spark):
         r["p"] for r in range_join(pts, iv, "p", "s", "e", bin_seconds=4).collect()
     )
     assert got == [0, 5, 10]
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from dfsql_spark.operators.skew import salted_groupby_agg
+
+    # skewed: one hot key with 10x the rows
+    pdf = pd.DataFrame(
+        {"k": ["hot"] * 1000 + ["a"] * 100 + ["b"] * 10,
+         "v": list(range(1110))}
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        salted_groupby_agg(
+            df, "k",
+            {"s": ("v", "sum"), "n": ("*", "count"),
+             "m": ("v", "avg"), "hi": ("v", "max")},
+            num_salts=8,
+        )
+        .toPandas().set_index("k").sort_index()
+    )
+    want = (
+        df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"),
+             F.avg("v").alias("m"), F.max("v").alias("hi"))
+        .toPandas().set_index("k").sort_index()
+    )
+    assert (got["s"] == want["s"]).all()
+    assert (got["n"] == want["n"]).all()
+    assert (abs(got["m"] - want["m"]) < 1e-9).all()
+    assert (got["hi"] == want["hi"]).all()
+
+
+def test_salted_agg_rejects_non_decomposable(spark):
+    import pandas as pd
+    from dfsql_spark.operators.skew import salted_groupby_agg
+
+    df = spark.createDataFrame(pd.DataFrame({"k": ["a"], "v": [1]}))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        salted_groupby_agg(df, "k", {"x": ("v", "median")})
