@@ -186,7 +186,20 @@ class DataSource:
             if isinstance(result, pd.DataFrame):
                 return self.spark.createDataFrame(result)
             return self.spark.createDataFrame([(str(result),)], ["status"])
-        return self.spark.sql(rewrite(sql))
+        return self._sql(sql)
+
+    def _sql(self, sql: str) -> DataFrame:
+        """``spark.sql`` with engine-level errors normalized to
+        :class:`QueryExecutionException` (the reference's single error
+        type for bad tables/columns/SQL — e.g. commands.py:47-49,
+        base_data_source.py:164-168), keeping the Spark exception as
+        ``__cause__`` for debugging."""
+        from pyspark.errors import AnalysisException, ParseException
+
+        try:
+            return self.spark.sql(rewrite(sql))
+        except (AnalysisException, ParseException) as e:
+            raise QueryExecutionException(str(e).split("\n")[0]) from e
 
     def query(self, sql: str, reduce_output: bool = True):
         """Reference-compatible entry point: materializes the result as
@@ -201,7 +214,7 @@ class DataSource:
         cmd = try_parse_command(sql)
         if cmd is not None:
             return cmd.execute(self)
-        result = self.spark.sql(rewrite(sql))
+        result = self._sql(sql)
         pdf = result.toPandas()
         pdf.columns = [_clean_name(c) for c in pdf.columns]
         if reduce_output:

@@ -109,3 +109,15 @@ class SQLAccessor:
             custom_functions=custom_functions,
             **{from_table: self._df},
         )
+
+
+# mirror the accessor onto modin DataFrames when modin is present
+# (reference: dfsql/extensions.py:70-96 registers for both engines)
+try:  # pragma: no cover - modin not installed in this environment
+    import modin.pandas as mpd
+
+    @mpd.api.extensions.register_dataframe_accessor("sql")
+    class ModinSQLAccessor(SQLAccessor):
+        pass
+except ImportError:
+    pass

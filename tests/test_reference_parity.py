@@ -263,13 +263,18 @@ def test_backtick_identifier_multiword(spark):
 
 # -------------------------------------------------------- error paths
 def test_unknown_table_raises(ds):
-    with pytest.raises(Exception):
+    with pytest.raises(QueryExecutionException):
         ds.query("SELECT * FROM no_such_table")
 
 
 def test_unknown_column_raises(ds):
-    with pytest.raises(Exception):
+    with pytest.raises(QueryExecutionException):
         ds.query("SELECT no_such_col FROM crew")
+
+
+def test_malformed_sql_raises(ds):
+    with pytest.raises(QueryExecutionException):
+        ds.query("SELECT FROM WHERE")
 
 
 def test_drop_missing_table_raises(ds):
