@@ -50,8 +50,20 @@ def main() -> None:
     def run(df):
         df.write.format("noop").mode("overwrite").save()
 
-    # warmup: small query to absorb session/codegen startup
-    run(em.q22_flagship_revenue(spark, sf_dir))
+    # Warm each query once at the smoke scale factor so the timed runs
+    # measure steady-state execution, not first-use JIT: whole-stage
+    # codegen compiles each operator pipeline on first execution
+    # (~3-4 s for wide projections) and Python UDF workers fork
+    # lazily — both one-time session costs that a long-lived cluster
+    # amortizes away.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        try:
+            run(qs[name](spark, warm_dir))
+        except Exception:
+            pass  # timed run below will surface real failures
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1,5 +1,5 @@
 """Training-data pipeline operators: dedup, similarity search, text
-analysis, multimodal plumbing (north-star capabilities beyond the
-reference's SQL surface)."""
+analysis, temporal joins, skew mitigation, multimodal plumbing
+(north-star capabilities beyond the reference's SQL surface)."""
 
-from . import dedup, multimodal, similarity, text  # noqa: F401
+from . import dedup, joins, multimodal, similarity, skew, text  # noqa: F401

@@ -282,6 +282,12 @@ def _ngram_jaccard_dense(
     import numpy as np
 
     spark = sets.sparkSession
+    # the vocab scan and the bitmap-packing pass both read the shingle
+    # sets; persisting avoids re-running the shingling UDF per pass.
+    # Safe here: the dense gate guarantees <= dense_max_docs rows.
+    from pyspark import StorageLevel
+
+    sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
 
     ex = sets.select("id", F.explode("shs").alias("sh"))
     vocab_df = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df_freq"))

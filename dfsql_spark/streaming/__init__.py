@@ -1,0 +1,3 @@
+"""Structured Streaming operators over the events table."""
+
+from . import events  # noqa: F401
