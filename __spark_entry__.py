@@ -438,6 +438,39 @@ def q28_rollup(spark, sf):
     )
 
 
+def e06_stream_dedupe(spark, sf):
+    """Streaming dedup via dropDuplicatesWithinWatermark on event_id —
+    state bounded by the watermark horizon.  Oracle: batch DISTINCT on
+    id (the synthetic events have unique ids, so output == input and
+    the check is that dedup drops nothing it shouldn't)."""
+    import uuid
+
+    from dfsql_spark.streaming.events import dedupe_stream, read_events_stream, run_to_memory
+
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    out = run_to_memory(
+        dedupe_stream(read_events_stream(spark, sf)), spark, name,
+        output_mode="append",
+    )
+    return out.select("event_id", "user_id", "event_type")
+
+
+def q30_grouping_sets(spark, sf):
+    """GROUPING SETS — the generalized form of cube/rollup the
+    reference cannot express; one pass, Catalyst expands the sets."""
+    _register(spark, sf, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
 def q29_exists_correlated(spark, sf):
     """Correlated EXISTS subquery — unsupported in the reference
     (only uncorrelated subqueries, SURVEY §2.3); Catalyst decorrelates
@@ -781,6 +814,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_anti_join": q26_anti_join,
         "q27_window_topk": q27_window_topk,
         "q28_rollup": q28_rollup,
+        "q30_grouping_sets": q30_grouping_sets,
+        "e06_stream_dedupe": e06_stream_dedupe,
         "q29_exists_correlated": q29_exists_correlated,
         "sk01_salted_agg": sk01_salted_agg,
         "a01_asof_join": a01_asof_join,
@@ -985,6 +1020,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "q30_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                    (o_orderstatus, o_orderpriority))
+        """,
+        "e06_stream_dedupe": """
+            SELECT DISTINCT event_id, user_id, event_type FROM events
         """,
         "q29_exists_correlated": """
             SELECT c_custkey, c_name
