@@ -698,6 +698,19 @@ def m02_media_decode(spark, sf):
 # events / streaming (SURVEY §7 phase E; reference has none — §2.7)
 # ---------------------------------------------------------------------------
 
+def d06_dedup_connected(spark, sf):
+    """Duplicate-cluster resolution: connected components over the
+    exact-Jaccard pair graph (iterative min-label propagation with
+    lineage truncation per round).  Greedy pair-drops over-delete on
+    chains a~b~c; components keep exactly one survivor per cluster.
+    Oracle: DuckDB recursive-CTE transitive closure."""
+    from dfsql_spark.operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=5, threshold=0.6)
+    return connected_components(pairs)
+
+
 def e01_windowed_counts(spark, sf):
     """Tumbling 1-hour window counts + value sums per event_type
     (batch twin of the streaming aggregation)."""
@@ -825,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d03_dedup_minhash_lsh": d03_dedup_minhash_lsh,
         "d04_dedup_simhash": d04_dedup_simhash,
         "d05_embedding_neardup": d05_embedding_neardup,
+        "d06_dedup_connected": d06_dedup_connected,
         "s01_sim_topk": s01_sim_topk,
         "s02_sim_topk_lsh": s02_sim_topk_lsh,
         "s03_sim_ivf": s03_sim_ivf,
@@ -1191,6 +1205,34 @@ def oracle_sql() -> dict[str, str]:
                         WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
                         ELSE 'fr' END AS lang_pred
             FROM h
+        """,
+        "d06_dedup_connected": """
+            WITH sh AS (SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id,
+                       unnest([substr(t, i, 5)
+                               for i in range(1, greatest(length(t),5)-3)]) AS s
+                FROM (SELECT doc_id,
+                             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                      FROM documents))),
+            sz AS (SELECT doc_id, count(*) c FROM sh GROUP BY doc_id),
+            p0 AS (SELECT a.doc_id ia, b.doc_id ib, count(*) n
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+            pairs AS (SELECT ia id_a, ib id_b
+                      FROM p0 JOIN sz za ON za.doc_id = ia
+                              JOIN sz zb ON zb.doc_id = ib
+                      WHERE n * 1.0 / (za.c + zb.c - n) >= 0.6),
+            edges AS (SELECT id_a s, id_b d FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+                WITH RECURSIVE r(s, d) AS (
+                    SELECT s, d FROM edges
+                    UNION
+                    SELECT r.s, e.d FROM r JOIN edges e ON r.d = e.s
+                ) SELECT * FROM r
+            )
+            SELECT s AS id, least(s, min(d)) AS component
+            FROM reach GROUP BY s
         """,
         "t05_token_count": """
             SELECT doc_id,

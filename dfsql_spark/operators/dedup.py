@@ -592,3 +592,86 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# connected components (duplicate-cluster resolution)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every node in ``pairs``, where component =
+    the minimum id reachable through the pair graph.
+
+    Near-dup pairs form chains (a~b, b~c but not a~c); greedy "drop
+    the larger id of each pair" over-deletes on chains, so proper
+    dedup resolves *clusters* first.  This is min-label propagation
+    (HashToMin family): each round every node takes the smallest label
+    among itself and its neighbors; rounds needed = graph diameter
+    (near-dup clusters are small, so a handful).
+
+    Iterative-join mechanics at scale: each round is ONE shuffle
+    (join + groupBy on node); ``localCheckpoint`` truncates the
+    lineage every round so the plan doesn't grow with iterations (the
+    classic unbounded-plan failure of iterative Spark); convergence
+    is detected by an exact count of changed labels.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("nd"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.nd, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("id"), F.col("label").alias("component"))
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    **cc_kwargs,
+) -> DataFrame:
+    """Keep exactly one row (the min id) per duplicate cluster.
+
+    Unlike the greedy pair-based drop (``minhash_dedup``), chains are
+    handled correctly: a~b~c keeps only a, and disjoint clusters each
+    keep their own survivor.
+    """
+    comp = connected_components(pairs, **cc_kwargs)
+    losers = comp.filter(F.col("id") != F.col("component")).select("id")
+    return df.join(losers, df[id_col] == losers.id, "left_anti")

@@ -257,3 +257,25 @@ def test_salted_agg_rejects_non_decomposable(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         salted_groupby_agg(df, "k", {"x": ("v", "median")})
+
+
+def test_connected_components_chain_semantics(spark):
+    from dfsql_spark.operators.dedup import connected_components, dedup_by_components
+    import pandas as pd
+
+    # chain 1~2~3, pair 10~11, singleton 20 untouched (not in pairs)
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]})
+    )
+    comp = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 10, 11, 20], "text": ["x"] * 6})
+    )
+    survivors = sorted(
+        r["doc_id"] for r in dedup_by_components(docs, pairs).collect()
+    )
+    assert survivors == [1, 10, 20]  # one per cluster + untouched row
