@@ -438,6 +438,29 @@ def q28_rollup(spark, sf):
     )
 
 
+def e07_interval_join(spark, sf):
+    """Batch twin of the watermarked stream-stream interval join:
+    clicks x same-user views within a 10-minute lookback."""
+    from dfsql_spark.streaming.events import interval_join_batch, read_events_batch
+
+    return interval_join_batch(read_events_batch(spark, sf))
+
+
+def e08_stream_interval_join(spark, sf):
+    """The REAL stream-stream join: both sides watermarked, event-time
+    bounded condition so state expires.  Shares e07's oracle — append
+    output on finite input equals the batch join."""
+    import uuid
+
+    from dfsql_spark.streaming.events import read_events_stream, run_to_memory, stream_interval_join
+
+    name = f"ij_{uuid.uuid4().hex[:8]}"
+    return run_to_memory(
+        stream_interval_join(read_events_stream(spark, sf)), spark, name,
+        output_mode="append",
+    )
+
+
 def e06_stream_dedupe(spark, sf):
     """Streaming dedup via dropDuplicatesWithinWatermark on event_id —
     state bounded by the watermark horizon.  Oracle: batch DISTINCT on
@@ -829,6 +852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_rollup": q28_rollup,
         "q30_grouping_sets": q30_grouping_sets,
         "e06_stream_dedupe": e06_stream_dedupe,
+        "e07_interval_join": e07_interval_join,
+        "e08_stream_interval_join": e08_stream_interval_join,
         "q29_exists_correlated": q29_exists_correlated,
         "sk01_salted_agg": sk01_salted_agg,
         "a01_asof_join": a01_asof_join,
@@ -1042,6 +1067,28 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                     (o_orderstatus, o_orderpriority))
+        """,
+        "e07_interval_join": """
+            SELECT c.event_id AS click_id, c.user_id,
+                   v.event_id AS view_id,
+                   epoch_us(c.ts) AS click_us, epoch_us(v.ts) AS view_us,
+                   v.value AS view_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id
+             AND v.ts >= c.ts - INTERVAL 10 MINUTE
+             AND v.ts <= c.ts
+        """,
+        "e08_stream_interval_join": """
+            SELECT c.event_id AS click_id, c.user_id,
+                   v.event_id AS view_id,
+                   epoch_us(c.ts) AS click_us, epoch_us(v.ts) AS view_us,
+                   v.value AS view_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id
+             AND v.ts >= c.ts - INTERVAL 10 MINUTE
+             AND v.ts <= c.ts
         """,
         "e06_stream_dedupe": """
             SELECT DISTINCT event_id, user_id, event_type FROM events

@@ -265,3 +265,67 @@ def run_to_memory(
     if q.isActive:
         q.stop()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# stream-stream join
+# ---------------------------------------------------------------------------
+
+def stream_interval_join(
+    events: DataFrame,
+    lookback: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each click joins the
+    same user's view events from the preceding ``lookback`` window.
+
+    The two sides carry their own watermarks and the join condition
+    bounds event-time distance, so Spark can expire state: a view is
+    held only until ``lookback + watermark`` past its event time —
+    state size tracks rate x horizon, not stream length.  (An
+    unbounded-condition stream-stream join would keep all history and
+    is rejected in append mode.)  Batch twin for the oracle:
+    :func:`interval_join_batch` — identical expressions over
+    ``spark.read``.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("event_time").alias("click_time"),
+        )
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("view_user"),
+            F.col("event_time").alias("view_time"),
+            F.col("value").alias("view_value"),
+        )
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_time", watermark)
+        views = views.withWatermark("view_time", watermark)
+    cond = (
+        (F.col("click_user") == F.col("view_user"))
+        & (F.col("view_time") >= F.col("click_time") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("view_time") <= F.col("click_time"))
+    )
+    return (
+        clicks.join(views, cond)
+        .select(
+            "click_id",
+            F.col("click_user").alias("user_id"),
+            "view_id",
+            F.unix_micros("click_time").alias("click_us"),
+            F.unix_micros("view_time").alias("view_us"),
+            "view_value",
+        )
+    )
+
+
+def interval_join_batch(events: DataFrame, lookback: str = "10 minutes") -> DataFrame:
+    """Batch twin of :func:`stream_interval_join` (same expressions)."""
+    return stream_interval_join(events, lookback=lookback)

@@ -101,3 +101,24 @@ def test_stateful_running_totals_equal_batch_agg(spark, batch_events):
         .collect()
     }
     assert final == batch
+
+
+def test_stream_interval_join_equals_batch(spark, batch_events):
+    from dfsql_spark.streaming.events import (
+        interval_join_batch,
+        read_events_stream,
+        run_to_memory,
+        stream_interval_join,
+    )
+
+    batch = interval_join_batch(batch_events).toPandas()
+    import uuid
+    streamed = run_to_memory(
+        stream_interval_join(read_events_stream(spark, SF_DIR)),
+        spark, f"tij_{uuid.uuid4().hex[:8]}", output_mode="append",
+    ).toPandas()
+    key = ["click_id", "view_id"]
+    b = batch.sort_values(key).reset_index(drop=True)
+    s = streamed.sort_values(key).reset_index(drop=True)
+    assert len(b) == len(s) and len(b) > 0
+    assert (b[key].values == s[key].values).all()
