@@ -68,7 +68,10 @@ class DataSource:
             self.cache = cache
         self.tables: dict[str, TableInfo] = {}
         self.function_registry = FunctionRegistry(self.spark)
-        self.spark.conf.set("spark.sql.caseSensitive", str(case_sensitive).lower())
+        # Per-DataSource, applied per-query (see _sql): two DataSources
+        # with different settings can share one SparkSession without
+        # silently changing each other's name resolution.
+        self.case_sensitive = case_sensitive
         if metadata_dir and os.path.exists(os.path.join(metadata_dir, METADATA_FILE)):
             self.load_metadata()
 
@@ -196,10 +199,19 @@ class DataSource:
         ``__cause__`` for debugging."""
         from pyspark.errors import AnalysisException, ParseException
 
+        # Scope case sensitivity to this query: spark.sql analyzes
+        # eagerly, so name resolution happens inside the set/restore
+        # window and the session-global conf is left untouched.
+        prev = self.spark.conf.get("spark.sql.caseSensitive")
+        self.spark.conf.set(
+            "spark.sql.caseSensitive", str(self.case_sensitive).lower()
+        )
         try:
             return self.spark.sql(rewrite(sql))
         except (AnalysisException, ParseException) as e:
             raise QueryExecutionException(str(e).split("\n")[0]) from e
+        finally:
+            self.spark.conf.set("spark.sql.caseSensitive", prev)
 
     def query(self, sql: str, reduce_output: bool = True):
         """Reference-compatible entry point: materializes the result as

@@ -98,22 +98,47 @@ def _significant(tokens: list[Token], i: int, step: int) -> int:
 
 
 def _rewrite_like(tokens: list[Token]) -> list[Token]:
-    out: list[Token] = []
-    for i, tok in enumerate(tokens):
+    i = 0
+    while i < len(tokens):
+        tok = tokens[i]
         if tok.kind == "word" and tok.upper == "LIKE":
+            tokens[i] = Token("word", "RLIKE")
             nxt = _significant(tokens, i, +1)
-            out.append(Token("word", "RLIKE"))
-            if nxt != -1 and tokens[nxt].kind == "squote":
+            if nxt == -1:
+                break
+            if tokens[nxt].kind == "squote":
                 pat = tokens[nxt].text[1:-1]
                 tokens[nxt] = Token("squote", "'^(?:" + pat + ")'")
-            elif nxt != -1 and tokens[nxt].kind == "dquote":
-                pat = tokens[nxt].text[1:-1]
+            elif tokens[nxt].kind == "dquote":
+                # collapse the dquote escape ("" -> ") before converting
+                # to a single-quoted literal, then re-escape for squote
+                pat = tokens[nxt].text[1:-1].replace('""', '"')
                 tokens[nxt] = Token("squote", "'^(?:" + pat.replace("'", "''") + ")'")
-            # non-literal pattern: plain RLIKE (unanchored) — documented
-            # divergence; the reference only ever sees literal patterns.
-            continue
-        out.append(tok)
-    return out
+            else:
+                # non-literal pattern (column / expression): anchor at
+                # runtime so re.match semantics hold for every pattern
+                # source — RLIKE CONCAT('^(?:', <expr>, ')')
+                end = _right_operand_end(tokens, i)
+                operand = tokens[nxt : end + 1]
+                repl = (
+                    [
+                        Token("word", "CONCAT"),
+                        Token("op", "("),
+                        Token("squote", "'^(?:'"),
+                        Token("op", ","),
+                        Token("ws", " "),
+                    ]
+                    + operand
+                    + [
+                        Token("op", ","),
+                        Token("ws", " "),
+                        Token("squote", "')'"),
+                        Token("op", ")"),
+                    ]
+                )
+                tokens = tokens[:nxt] + repl + tokens[end + 1 :]
+        i += 1
+    return tokens
 
 
 _ATOM_KINDS = ("squote", "dquote", "bquote", "num", "word")

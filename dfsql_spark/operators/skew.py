@@ -43,7 +43,13 @@ def salted_groupby_agg(
     """
     if isinstance(keys, str):
         keys = [keys]
-    salt = (F.xxhash64(*[F.col(k) for k in keys], F.spark_partition_id(), F.monotonically_increasing_id()) % num_salts).alias("_salt")
+    # pmod keeps salts in [0, num_salts): plain % follows the dividend's
+    # sign in Spark, which would silently spread hot keys over up to
+    # 2*num_salts-1 buckets and diverge from the documented fan-out.
+    salt = F.pmod(
+        F.xxhash64(*[F.col(k) for k in keys], F.spark_partition_id(), F.monotonically_increasing_id()),
+        F.lit(num_salts),
+    ).alias("_salt")
 
     partial_exprs = []
     merge_exprs = []

@@ -29,6 +29,22 @@ class TestRewriteUnits:
         out = rw("SELECT 'I LIKE cake' AS s FROM t")
         assert out == "SELECT 'I LIKE cake' AS s FROM t"
 
+    def test_like_dquote_unescapes_doubled_quote(self):
+        # "a""b" means the 3-char pattern a"b — the doubled-quote escape
+        # must collapse before the regex is built
+        out = rw('SELECT a FROM t WHERE a LIKE "x""y"')
+        assert "RLIKE '^(?:x\"y)'" in out
+
+    def test_like_non_literal_pattern_anchored_at_runtime(self):
+        # column / expression patterns anchor via CONCAT so re.match
+        # semantics hold for every pattern source
+        out = rw("SELECT a FROM t WHERE a LIKE b")
+        assert out.endswith("WHERE a RLIKE CONCAT('^(?:', b, ')')")
+
+    def test_like_non_literal_function_pattern(self):
+        out = rw("SELECT a FROM t WHERE a LIKE concat(p, '.*')")
+        assert "RLIKE CONCAT('^(?:', concat(p, '.*'), ')')" in out
+
     def test_power_simple(self):
         assert rw("SELECT 2 ^ 3") == "SELECT POWER(2 , 3)"
 

@@ -251,6 +251,24 @@ def test_case_insensitive_column_lookup(spark):
         spark.catalog.dropTempView("caps_tbl")
 
 
+def test_case_sensitivity_scoped_per_datasource(spark):
+    """Two DataSources with different case_sensitive settings share one
+    SparkSession without clobbering each other: the conf is set/restored
+    around each query, never left mutated on the session."""
+    prev = spark.conf.get("spark.sql.caseSensitive")
+    ds_cs = DataSource(spark=spark, case_sensitive=True)
+    ds_ci = DataSource(spark=spark, case_sensitive=False)
+    ds_cs.add_table("scope_tbl", pd.DataFrame({"NaMe": ["x"]}))
+    try:
+        assert ds_ci.query("SELECT name FROM scope_tbl") == "x"
+        with pytest.raises(QueryExecutionException):
+            ds_cs.query("SELECT name FROM scope_tbl")
+        # the interleaved queries above must leave the session conf as-is
+        assert spark.conf.get("spark.sql.caseSensitive") == prev
+    finally:
+        spark.catalog.dropTempView("scope_tbl")
+
+
 def test_backtick_identifier_multiword(spark):
     ds2 = DataSource(spark=spark)
     ds2.add_table("mw", pd.DataFrame({"two words": [5], "plain": [1]}))
