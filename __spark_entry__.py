@@ -607,9 +607,11 @@ def d04_dedup_simhash(spark, sf):
 
 
 def d05_embedding_neardup(spark, sf):
-    """Embedding near-dup pairs: cosine ≥ 0.3, exact O(n²) baseline
-    (LSH variant available via use_lsh=True).  Output is ids only —
-    pair membership is ulp-robust, raw cosine isn't."""
+    """Embedding near-dup pairs: cosine ≥ 0.3 with the auto strategy
+    gate — exact O(n²) below ``lsh_min_docs`` (the oracle-checkable
+    regime; sf0.01 lands here), LSH-bucketed equi-join above it (the
+    100 TB shape; plan asserted in tests/test_plan_audit.py).  Output
+    is ids only — pair membership is ulp-robust, raw cosine isn't."""
     from dfsql_spark.operators.similarity import embedding_neardup_pairs
 
     emb = _t(spark, sf, "embeddings")

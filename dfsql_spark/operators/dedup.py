@@ -157,6 +157,7 @@ def ngram_jaccard_pairs(
     strategy: str = "auto",
     dense_max_vocab: int = 1 << 16,
     dense_max_docs: int = 500_000,
+    dense_max_bytes: int = 256 << 20,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
     Exact result, computed with AllPairs/PPJoin-style prefix filtering
@@ -186,22 +187,41 @@ def ngram_jaccard_pairs(
     sets = df.select(
         F.col(id_col).alias("id"), _shingles_expr(text_col, k).alias("shs")
     )
+    materialized = False
     if strategy == "auto":
-        # one profiling pass decides the physical strategy
-        prof = (
-            sets.select("id", F.explode("shs").alias("sh"))
-            .agg(
-                F.approx_count_distinct("sh").alias("vocab"),
-                F.approx_count_distinct("id").alias("docs"),
+        # Gate 1 — doc count only, no shingling UDF, no explode: a
+        # zero-column parquet count reads row-group metadata, so 100 TB
+        # corpora route to prefix filtering without a profiling pass
+        # over the text.  (Callers with catalog stats can skip even
+        # this by passing strategy= explicitly.)
+        docs = df.count()
+        if docs > dense_max_docs:
+            strategy = "prefix"
+        else:
+            # Bounded corpus (≤ dense_max_docs rows): materialize the
+            # shingle sets once — localCheckpoint blocks are released
+            # on GC — and profile the vocabulary on them; the same
+            # materialization feeds whichever physical path wins, so
+            # the shingling UDF runs exactly once.
+            sets = sets.localCheckpoint(eager=True)
+            materialized = True
+            vocab = (
+                sets.select(F.explode("shs").alias("sh"))
+                .agg(F.approx_count_distinct("sh").alias("v"))
+                .collect()[0]["v"]
             )
-            .collect()[0]
-        )
-        strategy = (
-            "dense"
-            if prof["vocab"] <= dense_max_vocab and prof["docs"] <= dense_max_docs
-            else "prefix"
-        )
+            # Gate 2 — the driver bitmap is docs × ceil(vocab/8) bytes:
+            # gate on the PRODUCT, not the caps independently (500k
+            # docs × 64k vocab would be a 4 GB driver collect).
+            strategy = (
+                "dense"
+                if vocab <= dense_max_vocab
+                and docs * ((vocab + 7) // 8) <= dense_max_bytes
+                else "prefix"
+            )
     if strategy == "dense":
+        if not materialized:
+            sets = sets.localCheckpoint(eager=True)
         return _ngram_jaccard_dense(sets, threshold, max_shingle_freq)
 
     ex = sets.select("id", F.explode("shs").alias("sh"))
@@ -282,12 +302,10 @@ def _ngram_jaccard_dense(
     import numpy as np
 
     spark = sets.sparkSession
-    # the vocab scan and the bitmap-packing pass both read the shingle
-    # sets; persisting avoids re-running the shingling UDF per pass.
-    # Safe here: the dense gate guarantees <= dense_max_docs rows.
-    from pyspark import StorageLevel
-
-    sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    # ``sets`` arrives materialized (localCheckpoint in the caller), so
+    # the vocab scan and the bitmap-packing pass below both read the
+    # stored blocks instead of re-running the shingling UDF; the blocks
+    # are released by the ContextCleaner once the DataFrame is GC'd.
 
     ex = sets.select("id", F.explode("shs").alias("sh"))
     vocab_df = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df_freq"))
@@ -434,16 +452,17 @@ def minhash_lsh_pairs(
     r = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, k, num_perm, seed)
     # the band self-join references the signature subplan on BOTH
-    # sides; persisting collapses two full corpus scans + sketch
+    # sides; materializing collapses two full corpus scans + sketch
     # computations into one.  Signatures are ~8*num_perm bytes/doc
     # (0.5 KB at num_perm=64) -- negligible next to the corpus, and
     # exactly what a production near-dup pipeline materializes anyway.
-    from pyspark import StorageLevel
-
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-    # materialize before the join: the two join sides otherwise race
-    # and BOTH compute the sketch before the cache fills
-    sigs.count()
+    # localCheckpoint (not persist): blocks are released by the
+    # ContextCleaner when the DataFrame is garbage-collected, so
+    # repeated calls in a long session don't accumulate cache entries
+    # the way CacheManager-registered persist() plans do; eager=True
+    # also removes the need for a separate count() to beat the
+    # two-sided-join race.
+    sigs = sigs.localCheckpoint(eager=True)
     banded = sigs.select(
         "id",
         "sig",
@@ -498,12 +517,26 @@ def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    resolve: str = "components",
     **lsh_kwargs,
 ) -> DataFrame:
-    """Greedy survivor set: drop any doc that is the larger id of a
-    near-dup pair (single-pass approximation of connected components —
-    a chain a~b~c keeps only a)."""
+    """Survivor set after MinHash-LSH near-dup detection.
+
+    ``resolve="components"`` (default) resolves duplicate *clusters*
+    via connected components and keeps the min-id doc per cluster —
+    correct on chains (a~b, b~c, a≁c keeps a AND nothing else from the
+    cluster is over-deleted relative to cluster semantics).
+
+    ``resolve="greedy"`` is the cheaper single-pass variant (drop the
+    larger id of every pair, no component resolution).  Footgun: on
+    chains it drops b and c even when a~c is false — only use it when
+    pairs are already transitive (very high thresholds).
+    """
     pairs = minhash_lsh_pairs(df, text_col, id_col, **lsh_kwargs)
+    if resolve == "components":
+        return dedup_by_components(df, pairs, id_col=id_col)
+    if resolve != "greedy":
+        raise ValueError(f"resolve must be 'components' or 'greedy', got {resolve!r}")
     losers = pairs.select(F.col("id_b").alias("loser")).distinct()
     return df.join(
         losers, df[id_col] == losers.loser, "left_anti"

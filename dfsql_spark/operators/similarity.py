@@ -186,6 +186,7 @@ def lsh_topk(
     num_planes: int = 8,
     num_tables: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH with ``num_tables``
     independent tables (union of candidates ≈ multi-probe recall).
@@ -194,9 +195,10 @@ def lsh_topk(
     (table, bucket) equi-join — candidate set per query is the union of
     its buckets, typically a small fraction of the corpus.  Exact
     cosine then ranks candidates.  Recall improves with more tables;
-    cost scales with candidate volume, not corpus size.
+    cost scales with candidate volume, not corpus size.  Pass ``dim``
+    (vector width) to skip the one-row lookup job.
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    dim = dim or len(corpus.select(vec_col).first()[0])
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("q_vec"))
 
@@ -236,25 +238,40 @@ def embedding_neardup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    use_lsh: bool = False,
+    use_lsh: "bool | str" = "auto",
+    lsh_min_docs: int = 50_000,
     num_planes: int = 8,
     num_tables: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine ≥ threshold.
 
-    ``use_lsh=False`` does the exact O(n²) bucket-free join — correct
-    baseline, fine up to ~10^5 vectors.  ``use_lsh=True`` restricts the
-    join to LSH buckets (near-dups at high thresholds collide with high
-    probability), making the candidate set near-linear; at 100 TB this
-    is the only viable shape, at the price of bounded recall loss.
+    ``use_lsh="auto"`` (default) picks the physical strategy by corpus
+    size — the same gate pattern as ``ngram_jaccard_pairs``:
+
+    * below ``lsh_min_docs`` rows: the exact O(n²) pair join.  Correct
+      baseline, and genuinely the fastest plan when n² is small.
+    * at or above it: LSH-bucketed join — corpus rows meet only inside
+      (table, bucket) partitions, so the candidate set is near-linear
+      instead of quadratic.  At 100 TB this is the only viable shape,
+      at the price of bounded recall loss (tunable via
+      ``num_planes``/``num_tables``; near-dups at high thresholds
+      collide with high probability).
+
+    ``use_lsh=True``/``False`` force a strategy (exact stays available
+    as the explicit opt-in baseline).  ``dim`` (vector width) avoids
+    the one-row lookup job when the caller already knows it.
     """
+    if use_lsh == "auto":
+        # zero-column count: parquet answers from row-group metadata
+        use_lsh = df.count() >= lsh_min_docs
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if not use_lsh:
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
-        dim = len(df.select(vec_col).first()[0])
+        dim = dim or len(df.select(vec_col).first()[0])
         ab = None
         bb = None
         for t in range(num_tables):

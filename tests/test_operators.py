@@ -54,6 +54,42 @@ def test_minhash_dedup_removes_planted_dups(docs):
     assert survivors.count() < docs.count()
 
 
+def test_minhash_dedup_resolves_chains_via_components(spark):
+    """Default resolution is connected components: a bridge doc with
+    the LARGEST id links two mutually-dissimilar docs into one cluster,
+    so components keep only the cluster min — greedy (drop the larger
+    id of each pair) would wrongly keep both endpoints."""
+    import pandas as pd
+
+    from dfsql_spark.operators.dedup import minhash_dedup
+
+    t1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    t3 = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 3, 5, 7],
+                # doc 5 = t1 + t3 → J(1,5) ≈ J(3,5) ≈ 0.5, J(1,3) = 0
+                "text": [t1, t3, t1 + " " + t3, "completely unrelated words here"],
+            }
+        )
+    )
+    # bands=32 (r=2): band-collision prob at J=0.5 is ~1-(0.75)^32 ≈ 1;
+    # fixed seed → fully deterministic
+    kw = dict(num_perm=64, bands=32, verify_threshold=0.3)
+    by_components = sorted(
+        r.doc_id for r in minhash_dedup(docs, **kw).collect()
+    )
+    assert by_components == [1, 7]
+    by_greedy = sorted(
+        r.doc_id for r in minhash_dedup(docs, resolve="greedy", **kw).collect()
+    )
+    assert by_greedy == [1, 3, 7]  # the documented greedy footgun
+
+    with pytest.raises(ValueError):
+        minhash_dedup(docs, resolve="nope")
+
+
 def test_simhash_pairs_overlap_jaccard(docs):
     from dfsql_spark.operators.dedup import ngram_jaccard_pairs, simhash_pairs
 

@@ -44,3 +44,30 @@ def test_window_topk_plan_shape(spark):
     df = em.queries()["q27_window_topk"](spark, SF)
     s = plan_summary(df, execute=True)
     assert s.wholestage_codegen
+
+
+def test_embedding_neardup_scale_path_is_bucketed_equijoin(spark):
+    """d05's 100 TB shape: above the auto gate the pair join must be a
+    (table, bucket) equi-join — never a cartesian / nested-loop O(n²)
+    pair join."""
+    from dfsql_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # lsh_min_docs=1 forces the auto gate onto the scale path at test size
+    df = embedding_neardup_pairs(emb, threshold=0.3, lsh_min_docs=1)
+    s = plan_summary(df)
+    assert "BroadcastNestedLoopJoin" not in s.text, s.text
+    assert "CartesianProduct" not in s.text, s.text
+
+
+def test_embedding_neardup_small_path_stays_exact(spark):
+    """Below the gate the auto default must still be the exact O(n²)
+    baseline (what the driver's d05 oracle hash-checks at sf0.01)."""
+    from dfsql_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    auto = embedding_neardup_pairs(emb, threshold=0.3)
+    exact = embedding_neardup_pairs(emb, threshold=0.3, use_lsh=False)
+    assert sorted((r.id_a, r.id_b) for r in auto.collect()) == sorted(
+        (r.id_a, r.id_b) for r in exact.collect()
+    )
