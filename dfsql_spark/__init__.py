@@ -18,7 +18,9 @@ import re
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from .config import Configuration
 from .datasource import DataSource, QueryExecutionException
+from .functions import AggregateFunction, CustomFunction
 from .session import get_spark
 
 __version__ = "0.1.0"
@@ -27,6 +29,9 @@ __all__ = [
     "sql_query",
     "DataSource",
     "QueryExecutionException",
+    "Configuration",
+    "CustomFunction",
+    "AggregateFunction",
     "get_spark",
     "maybe_add_from_to_query",
     "__version__",

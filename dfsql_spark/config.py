@@ -1,0 +1,138 @@
+"""Runtime configuration object, mirroring the reference's public
+``dfsql.config.Configuration`` surface (reference: dfsql/config.py:1-17,
+README.md:31-47).
+
+The reference exposes one engine knob — ``USE_MODIN``, an
+environment-variable-backed field on a ``Configuration`` class that can
+also be overridden by assigning to the class attribute (its test suite
+does exactly that), and inspected with ``Configuration.as_dict()``.
+
+The Spark engine's equivalent knobs are the session/scale settings
+``get_spark()`` reads.  Resolution order per field, matching the
+reference's env-config behavior:
+
+1. a plain value assigned onto the class (``Configuration.FIELD = x``,
+   or a subclass attribute) wins;
+2. else the field's environment variable, read at access time;
+3. else the field default.
+
+Environment variable names are unchanged from the ``session`` module so
+existing deployments keep working.
+"""
+
+from __future__ import annotations
+
+import os
+
+__all__ = [
+    "Configuration",
+    "ConfigField",
+    "BooleanConfig",
+    "IntConfig",
+    "StringConfig",
+    "ConfigError",
+]
+
+_TRUE = frozenset(("1", "true", "yes", "on", "y", "t"))
+_FALSE = frozenset(("0", "false", "no", "off", "n", "f", ""))
+
+
+class ConfigError(ValueError):
+    """Raised for unparseable configuration values."""
+
+
+class ConfigField:
+    """One environment-backed setting (reference: confi.ConfigField
+    usage in dfsql/config.py:16-17)."""
+
+    def __init__(self, env_var: str, default=None):
+        self.env_var = env_var
+        self.default = default
+
+    def cast(self, raw: str):
+        return raw
+
+    def resolve(self):
+        raw = os.environ.get(self.env_var)
+        if raw is None:
+            default = self.default
+            return default() if callable(default) else default
+        return self.cast(raw)
+
+
+class StringConfig(ConfigField):
+    pass
+
+
+class IntConfig(ConfigField):
+    def cast(self, raw: str) -> int:
+        try:
+            return int(raw)
+        except ValueError as e:
+            raise ConfigError(f"{self.env_var}={raw!r} is not an integer") from e
+
+
+class BooleanConfig(ConfigField):
+    def cast(self, raw: str) -> bool:
+        low = raw.strip().lower()
+        if low in _TRUE:
+            return True
+        if low in _FALSE:
+            return False
+        raise ConfigError(f"{self.env_var}={raw!r} is not a boolean")
+
+
+class _ConfigMeta(type):
+    """Resolves ``ConfigField`` class attributes on access, so
+    ``Configuration.SHUFFLE_PARTITIONS`` yields the value, not the
+    field object — while a plain assignment (``Configuration.X = 5`` or
+    a subclass override, as the reference's tests do) short-circuits
+    resolution entirely."""
+
+    def __getattribute__(cls, name):
+        value = super().__getattribute__(name)
+        if isinstance(value, ConfigField):
+            return value.resolve()
+        return value
+
+    def _fields(cls) -> dict[str, ConfigField]:
+        out: dict[str, ConfigField] = {}
+        for klass in reversed(cls.__mro__):
+            for k, v in vars(klass).items():
+                if isinstance(v, ConfigField):
+                    out[k] = v
+                elif k in out and not k.startswith("_"):
+                    out[k] = v  # plain override shadows the field
+        return out
+
+
+class Configuration(metaclass=_ConfigMeta):
+    """Engine configuration (Spark analogue of the reference's
+    Modin/pandas engine switch).
+
+    Fields resolve at access time; ``get_spark()`` and ``DataSource``
+    read them, so ``class MyConfig(Configuration): CASE_SENSITIVE =
+    False`` followed by module-level patching (the reference-test
+    pattern) or a plain ``Configuration.CASE_SENSITIVE = False`` both
+    take effect for sessions/datasources built afterwards.
+    """
+
+    #: Spark master URL; unset → local[$SPARK_GRAFT_CPUS]
+    MASTER = StringConfig("SPARK_MASTER", default=None)
+    #: core count for the default local master
+    CPUS = StringConfig("SPARK_GRAFT_CPUS", default="*")
+    #: shuffle parallelism (a real cluster overrides via spark-submit)
+    SHUFFLE_PARTITIONS = IntConfig("SPARK_GRAFT_SHUFFLE_PARTITIONS", default=32)
+    #: driver heap for single-JVM local mode
+    DRIVER_MEMORY = StringConfig("SPARK_GRAFT_DRIVER_MEM", default="48g")
+    #: default DataSource name-resolution mode (reference default: True)
+    CASE_SENSITIVE = BooleanConfig("DFSQL_CASE_SENSITIVE", default=True)
+    #: adaptive query execution (runtime re-planning; the scale posture)
+    ADAPTIVE_ENABLED = BooleanConfig("DFSQL_ADAPTIVE_ENABLED", default=True)
+    #: Arrow for pandas interchange (sql_query / .sql accessor path)
+    ARROW_ENABLED = BooleanConfig("DFSQL_ARROW_ENABLED", default=True)
+
+    @classmethod
+    def as_dict(cls) -> dict:
+        """Resolved view of every field (reference: README.md:45-46)."""
+        return {name: getattr(cls, name) for name in cls._fields()}

@@ -53,10 +53,11 @@ class DataSource:
         self,
         spark: SparkSession | None = None,
         metadata_dir: str | None = None,
-        case_sensitive: bool = True,
+        case_sensitive: "bool | None" = None,
         cache: "bool | object" = True,
     ):
         from .cache import DoNothingCache, MemoryCache
+        from .config import Configuration
 
         self.spark = spark or get_spark()
         self.metadata_dir = metadata_dir
@@ -70,8 +71,11 @@ class DataSource:
         self.function_registry = FunctionRegistry(self.spark)
         # Per-DataSource, applied per-query (see _sql): two DataSources
         # with different settings can share one SparkSession without
-        # silently changing each other's name resolution.
-        self.case_sensitive = case_sensitive
+        # silently changing each other's name resolution.  Default comes
+        # from Configuration (env-overridable), reference default True.
+        self.case_sensitive = (
+            Configuration.CASE_SENSITIVE if case_sensitive is None else case_sensitive
+        )
         if metadata_dir and os.path.exists(os.path.join(metadata_dir, METADATA_FILE)):
             self.load_metadata()
 
@@ -166,10 +170,16 @@ class DataSource:
         self.cache = cache
 
     # ------------------------------------------------------------------
-    # functions (reference: base_data_source.py:151-152)
+    # functions (reference: base_data_source.py:151-152 for the
+    # (name, callable) form; functions.py:10-30,293-303 for the
+    # CustomFunction / AggregateFunction class form)
     # ------------------------------------------------------------------
     def register_function(
-        self, name: str, func: Callable, return_type: str = "double", **kw
+        self,
+        name: "str | Callable",
+        func: "Callable | None" = None,
+        return_type: "str | None" = None,
+        **kw,
     ):
         return self.function_registry.register(name, func, return_type, **kw)
 

@@ -1,0 +1,3 @@
+from .registry import AggregateFunction, CustomFunction, FunctionRegistry
+
+__all__ = ["AggregateFunction", "CustomFunction", "FunctionRegistry"]

@@ -35,6 +35,46 @@ def _as_datatype(t: "DataType | str") -> DataType:
     return _parse_datatype_string(t)
 
 
+class CustomFunction:
+    """Class-based scalar function, mirroring the reference's
+    ``BaseFunction`` surface (dfsql/functions.py:10-30): subclass, set
+    ``name``, implement ``get_output(args)``.  Instances are callable
+    and carry their registration metadata, so
+    ``ds.register_function(MyFn())`` needs no extra arguments.
+
+    ``get_output`` receives the evaluated arguments as a tuple — each a
+    ``pd.Series`` batch (the same whole-column contract the reference's
+    vectorized path uses).  Set ``arity`` for multi-argument functions
+    and ``return_type`` (Spark SQL type string) for non-double results.
+    """
+
+    name: "str | None" = None
+    is_aggregate = False
+    return_type: str = "double"
+    arity: int = 1
+
+    # Modin-internals parity shim kept for API compatibility
+    # (reference: dfsql/functions.py:13-16)
+    @property
+    def __name__(self) -> str:  # noqa: A003
+        return self.name or type(self).__name__.lower()
+
+    def get_output(self, args):
+        raise NotImplementedError
+
+    def __call__(self, *args):
+        return self.get_output(args)
+
+
+class AggregateFunction(CustomFunction):
+    """Class-based aggregate (reference: dfsql/functions.py:293-303):
+    ``get_output`` receives a 1-tuple holding the group's ``pd.Series``
+    and returns a scalar — identical to the reference contract, backed
+    here by Spark's Arrow grouped-aggregate pandas UDF."""
+
+    is_aggregate = True
+
+
 _ARITY_WRAPPERS = {
     1: lambda f: (lambda a: f(a)),
     2: lambda f: (lambda a, b: f(a, b)),
@@ -51,17 +91,19 @@ def _hinted_series_wrapper(name: str, func: Callable) -> Callable:
     type, regardless of how the user annotated their function."""
     import inspect
 
-    try:
-        n = len(
-            [
-                p
-                for p in inspect.signature(func).parameters.values()
-                if p.kind
-                in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
-            ]
-        ) or 1
-    except (TypeError, ValueError):
-        n = 1
+    n = getattr(func, "arity", None)  # CustomFunction subclasses declare it
+    if not n:
+        try:
+            n = len(
+                [
+                    p
+                    for p in inspect.signature(func).parameters.values()
+                    if p.kind
+                    in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                ]
+            ) or 1
+        except (TypeError, ValueError):
+            n = 1
     wrapper = _ARITY_WRAPPERS.get(n, _ARITY_WRAPPERS[1])(func)
     wrapper.__name__ = name
     wrapper.__annotations__ = {
@@ -135,15 +177,39 @@ class FunctionRegistry:
         )
         return wrapped
 
-    def register(self, name: str, func: Callable, return_type: str = "double", **kw):
+    def register(
+        self,
+        name: "str | Callable | None",
+        func: "Callable | None" = None,
+        return_type: "str | None" = None,
+        **kw,
+    ):
         """Reference-compatible entry point: auto-detects aggregates.
 
         Mirrors ``DataSource.register_function``
-        (dfsql/base_data_source.py:151-152): objects exposing
-        ``is_aggregate = True`` (like the reference's
-        ``AggregateFunction`` subclasses) register as aggregates;
-        plain callables register as scalar functions.
+        (dfsql/base_data_source.py:151-152) and additionally accepts
+        the class API (dfsql/functions.py:10-30,293-303):
+
+        * ``register("mode", callable)`` — plain callables register as
+          scalar functions; pass ``is_aggregate=True`` for aggregates.
+        * ``register("mode", ModeFunc())`` / ``register(ModeFunc())`` —
+          :class:`CustomFunction` / :class:`AggregateFunction`
+          instances (or classes, instantiated here) supply their own
+          ``name`` / ``return_type`` / ``is_aggregate`` metadata; an
+          explicit ``name`` or ``return_type`` argument overrides.
         """
+        if func is None and not isinstance(name, str):
+            name, func = None, name
+        if isinstance(func, type) and issubclass(func, CustomFunction):
+            func = func()
+        if isinstance(func, CustomFunction):
+            name = name or func.name
+            return_type = return_type or func.return_type
+        if not name:
+            raise ValueError(
+                "function name required (pass it explicitly or set the "
+                "'name' attribute on the CustomFunction subclass)"
+            )
         if getattr(func, "is_aggregate", False) or kw.pop("is_aggregate", False):
-            return self.register_aggregate(name, func, return_type)
-        return self.register_scalar(name, func, return_type, **kw)
+            return self.register_aggregate(name, func, return_type or "double")
+        return self.register_scalar(name, func, return_type or "double", **kw)

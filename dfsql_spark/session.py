@@ -22,8 +22,6 @@ Scale knobs are environment-driven so the identical code runs on
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import SparkSession
 
 __all__ = ["get_spark", "configure", "DEFAULT_CONFS"]
@@ -46,35 +44,42 @@ DEFAULT_CONFS: dict[str, str] = {
 }
 
 
-def _shuffle_partitions() -> str:
-    # local test default: match core count; on a real cluster the
-    # submitter overrides this (or AQE coalesces it down).
-    return os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
-
-
 def get_spark(app_name: str = "dfsql-spark", master: str | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's dialect confs.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when no cluster
     is configured; on a real deployment spark-submit supplies it.
+    Scale knobs resolve through :class:`dfsql_spark.config.Configuration`
+    (environment-backed, class-attribute overridable — the Spark
+    analogue of the reference's ``dfsql.config.Configuration``).
     """
+    from .config import Configuration
+
     builder = SparkSession.builder.appName(app_name)
-    if master is None and "SPARK_MASTER" not in os.environ:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-        master = f"local[{cpus}]"
+    if master is None:
+        master = Configuration.MASTER
+    if master is None:
+        master = f"local[{Configuration.CPUS}]"
     if master:
         builder = builder.master(master)
-    builder = builder.config("spark.sql.shuffle.partitions", _shuffle_partitions())
+    builder = builder.config(
+        "spark.sql.shuffle.partitions", str(Configuration.SHUFFLE_PARTITIONS)
+    )
     builder = builder.config("spark.ui.showConsoleProgress", "false")
     builder = builder.config("spark.ui.enabled", "false")
     # local mode = one JVM for driver+executors; default 1g OOMs on
     # shuffle-heavy operators. Sized for the 128 GiB test box; a real
     # cluster overrides via spark-submit.
-    builder = builder.config(
-        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
-    )
+    builder = builder.config("spark.driver.memory", Configuration.DRIVER_MEMORY)
     for key, value in DEFAULT_CONFS.items():
         builder = builder.config(key, value)
+    builder = builder.config(
+        "spark.sql.adaptive.enabled", str(Configuration.ADAPTIVE_ENABLED).lower()
+    )
+    builder = builder.config(
+        "spark.sql.execution.arrow.pyspark.enabled",
+        str(Configuration.ARROW_ENABLED).lower(),
+    )
     spark = builder.getOrCreate()
     return spark
 
