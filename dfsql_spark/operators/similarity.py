@@ -244,6 +244,7 @@ def embedding_neardup_pairs(
     num_tables: int = 4,
     seed: int = 42,
     dim: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine ≥ threshold.
 
@@ -261,11 +262,16 @@ def embedding_neardup_pairs(
 
     ``use_lsh=True``/``False`` force a strategy (exact stays available
     as the explicit opt-in baseline).  ``dim`` (vector width) avoids
-    the one-row lookup job when the caller already knows it.
+    the one-row lookup job when the caller already knows it, and
+    ``n_docs`` (row count, e.g. from catalog stats) avoids the gate's
+    counting job the same way.
     """
     if use_lsh == "auto":
-        # zero-column count: parquet answers from row-group metadata
-        use_lsh = df.count() >= lsh_min_docs
+        # The count is metadata-only when ``df`` is a bare parquet scan
+        # (row-group metadata answers it); any upstream filter or
+        # transform makes it a full pass — callers holding catalog
+        # stats pass ``n_docs=`` (or ``use_lsh=`` explicitly) instead.
+        use_lsh = (n_docs if n_docs is not None else df.count()) >= lsh_min_docs
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if not use_lsh:
