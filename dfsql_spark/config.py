@@ -87,7 +87,23 @@ class _ConfigMeta(type):
     ``Configuration.SHUFFLE_PARTITIONS`` yields the value, not the
     field object — while a plain assignment (``Configuration.X = 5`` or
     a subclass override, as the reference's tests do) short-circuits
-    resolution entirely."""
+    resolution entirely.
+
+    Field *names* are recorded at class creation (``_field_names``), so
+    a plain override replacing the ``ConfigField`` object in the class
+    ``__dict__`` shadows the value but never removes the key from
+    :meth:`Configuration.as_dict` — the inspection surface stays
+    complete.
+    """
+
+    def __new__(mcls, name, bases, ns):
+        names: set[str] = set()
+        for base in bases:
+            names |= set(getattr(base, "_field_names", ()))
+        names |= {k for k, v in ns.items() if isinstance(v, ConfigField)}
+        ns = dict(ns)
+        ns["_field_names"] = frozenset(names)
+        return super().__new__(mcls, name, bases, ns)
 
     def __getattribute__(cls, name):
         value = super().__getattribute__(name)
@@ -95,15 +111,8 @@ class _ConfigMeta(type):
             return value.resolve()
         return value
 
-    def _fields(cls) -> dict[str, ConfigField]:
-        out: dict[str, ConfigField] = {}
-        for klass in reversed(cls.__mro__):
-            for k, v in vars(klass).items():
-                if isinstance(v, ConfigField):
-                    out[k] = v
-                elif k in out and not k.startswith("_"):
-                    out[k] = v  # plain override shadows the field
-        return out
+    def _fields(cls) -> frozenset:
+        return cls._field_names
 
 
 class Configuration(metaclass=_ConfigMeta):
@@ -134,5 +143,7 @@ class Configuration(metaclass=_ConfigMeta):
 
     @classmethod
     def as_dict(cls) -> dict:
-        """Resolved view of every field (reference: README.md:45-46)."""
-        return {name: getattr(cls, name) for name in cls._fields()}
+        """Resolved view of every field (reference: README.md:45-46).
+        Plain class-attribute overrides appear with their overridden
+        value — the key set is fixed at class creation."""
+        return {name: getattr(cls, name) for name in sorted(cls._fields())}

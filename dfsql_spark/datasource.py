@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from typing import Callable
 
 import pandas as pd
@@ -27,6 +28,15 @@ from .session import get_spark
 from .sources.tables import TableInfo, read_file
 
 METADATA_FILE = "datasource_tables.json"
+
+# ``spark.sql.caseSensitive`` is session-global; the per-query
+# set/analyze/restore window in ``_sql`` must not interleave across
+# threads, or a query can analyze under another DataSource's
+# sensitivity (and restore a stale value).  One process-wide lock:
+# sessions are a process-level resource and the guarded window is only
+# parse+analyze (execution happens outside it), so contention is
+# negligible next to query runtime.
+_CASE_SENSITIVITY_LOCK = threading.Lock()
 
 
 class QueryExecutionException(Exception):
@@ -211,17 +221,20 @@ class DataSource:
 
         # Scope case sensitivity to this query: spark.sql analyzes
         # eagerly, so name resolution happens inside the set/restore
-        # window and the session-global conf is left untouched.
-        prev = self.spark.conf.get("spark.sql.caseSensitive")
-        self.spark.conf.set(
-            "spark.sql.caseSensitive", str(self.case_sensitive).lower()
-        )
-        try:
-            return self.spark.sql(rewrite(sql))
-        except (AnalysisException, ParseException) as e:
-            raise QueryExecutionException(str(e).split("\n")[0]) from e
-        finally:
-            self.spark.conf.set("spark.sql.caseSensitive", prev)
+        # window and the session-global conf is left untouched.  The
+        # lock keeps concurrent DataSources (sharing one session) from
+        # analyzing under each other's sensitivity.
+        with _CASE_SENSITIVITY_LOCK:
+            prev = self.spark.conf.get("spark.sql.caseSensitive")
+            self.spark.conf.set(
+                "spark.sql.caseSensitive", str(self.case_sensitive).lower()
+            )
+            try:
+                return self.spark.sql(rewrite(sql))
+            except (AnalysisException, ParseException) as e:
+                raise QueryExecutionException(str(e).split("\n")[0]) from e
+            finally:
+                self.spark.conf.set("spark.sql.caseSensitive", prev)
 
     def query(self, sql: str, reduce_output: bool = True):
         """Reference-compatible entry point: materializes the result as

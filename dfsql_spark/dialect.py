@@ -117,8 +117,14 @@ def _rewrite_like(tokens: list[Token]) -> list[Token]:
             else:
                 # non-literal pattern (column / expression): anchor at
                 # runtime so re.match semantics hold for every pattern
-                # source — RLIKE CONCAT('^(?:', <expr>, ')')
-                end = _right_operand_end(tokens, i)
+                # source — RLIKE CONCAT('^(?:', <expr>, ')').  The
+                # operand is the FULL pattern expression up to the next
+                # lower-precedence boundary (AND/OR/comma/closing
+                # paren/comparison), so compound patterns like
+                # ``col || '.*'`` or ``b ^ 2`` anchor as a whole —
+                # subsequent rewrites (power) then apply inside the
+                # CONCAT, not around it.
+                end = _like_pattern_end(tokens, i)
                 operand = tokens[nxt : end + 1]
                 repl = (
                     [
@@ -211,6 +217,48 @@ def _right_operand_end(tokens: list[Token], i: int) -> int:
             j += 1
         return len(tokens) - 1
     return j
+
+
+# tokens that end a LIKE pattern expression: the pattern binds tighter
+# than comparisons/logical connectives and clause keywords, and a
+# depth-0 comma / closing paren / semicolon closes the enclosing
+# context.
+_LIKE_BOUNDARY_OPS = frozenset((",", ")", "]", ";", "=", "<", ">", "<=", ">=", "<>", "!="))
+_LIKE_BOUNDARY_WORDS = frozenset(
+    """and or not when then else end from where group order having limit
+    offset union except intersect join on as is in between like rlike
+    escape asc desc""".split()
+)
+
+
+def _like_pattern_end(tokens: list[Token], i: int) -> int:
+    """Index (inclusive) of the last token of the pattern expression
+    following the LIKE at ``i`` — the whole arithmetic/concat
+    expression, stopping at a lower-precedence boundary."""
+    j = _significant(tokens, i, +1)
+    if j == -1:
+        return i
+    depth = 0
+    last = j
+    while j < len(tokens):
+        t = tokens[j]
+        if t.kind in ("ws", "comment"):
+            j += 1
+            continue
+        if t.text in ("(", "["):
+            depth += 1
+        elif t.text in (")", "]"):
+            if depth == 0:
+                break
+            depth -= 1
+        elif depth == 0:
+            if t.kind == "op" and t.text in _LIKE_BOUNDARY_OPS:
+                break
+            if t.kind == "word" and t.text.lower() in _LIKE_BOUNDARY_WORDS:
+                break
+        last = j
+        j += 1
+    return last
 
 
 def _rewrite_power(tokens: list[Token]) -> list[Token]:

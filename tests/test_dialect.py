@@ -45,6 +45,27 @@ class TestRewriteUnits:
         out = rw("SELECT a FROM t WHERE a LIKE concat(p, '.*')")
         assert "RLIKE CONCAT('^(?:', concat(p, '.*'), ')')" in out
 
+    def test_like_compound_concat_pattern_anchors_whole_expr(self):
+        # `b || x` is ONE pattern — anchoring only `b` would mis-match
+        # when the tail contains alternation
+        out = rw("SELECT a FROM t WHERE a LIKE b || x AND c = 1")
+        assert "RLIKE CONCAT('^(?:', b || x, ')') AND c = 1" in out
+
+    def test_like_power_pattern_rewrites_inside_anchor(self):
+        # the power rewrite must apply INSIDE the runtime anchor, not
+        # wrap the CONCAT
+        out = rw("SELECT a FROM t WHERE a LIKE b ^ 2")
+        assert "RLIKE CONCAT('^(?:', POWER(b" in out
+        assert "POWER(CONCAT" not in out
+
+    def test_like_pattern_stops_at_clause_keywords(self):
+        out = rw("SELECT CASE WHEN a LIKE b THEN 1 ELSE 0 END FROM t")
+        assert "a RLIKE CONCAT('^(?:', b, ')') THEN 1" in out
+
+    def test_like_pattern_stops_at_depth0_paren_and_comma(self):
+        out = rw("SELECT f(x LIKE b, 2) FROM t")
+        assert "f(x RLIKE CONCAT('^(?:', b, ')'), 2)" in out
+
     def test_power_simple(self):
         assert rw("SELECT 2 ^ 3") == "SELECT POWER(2 , 3)"
 
