@@ -135,3 +135,45 @@ def range_join(
     if extra_cond is not None:
         cond = cond & extra_cond
     return l_binned.join(r_binned, "_bin").filter(cond).drop("_bin")
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    keys: DataFrame,
+    fact_key: str,
+    keys_key: str,
+    how: str = "left_semi",
+) -> DataFrame:
+    """Semi/anti join of a huge fact table against a filtered key set,
+    shaped so Spark's runtime bloom filter can prune the fact scan.
+
+    The join itself is declarative — what this function encodes is the
+    *regime analysis* for the 100 TB path:
+
+    * **small key side** (fits ``autoBroadcastJoinThreshold``): Catalyst
+      broadcasts and the semi join never shuffles the fact table.  No
+      bloom filter is needed or injected — broadcast already prunes at
+      the probe.
+    * **big-big** (neither side broadcastable — the 100 TB regime):
+      Catalyst plans a shuffle join, and the ``InjectRuntimeFilter``
+      rule adds ``might_contain(bloom, xxhash64(fact_key))`` to the
+      fact SCAN (visible in ``explain``), built from the filtered key
+      side.  Fact rows that cannot match are dropped before the
+      exchange — the shuffle carries only probable matches.  Injection
+      is governed by ``spark.sql.optimizer.runtime.bloomFilter.enabled``
+      (default true) and fires when the creation side is under
+      ``...creationSideThreshold`` and the application-side scan is over
+      ``...applicationSideScanSizeThreshold`` (10 GB default — i.e.
+      exactly the at-scale case; local tests lower it to observe the
+      plan, see tests/test_plan_audit.py).
+
+    Either way the result is identical; the bloom filter is a physical
+    optimization with false positives only (re-checked by the join).
+    """
+    if how not in ("left_semi", "left_anti"):
+        raise ValueError(f"how must be 'left_semi' or 'left_anti', got {how!r}")
+    return fact.join(
+        keys.select(F.col(keys_key)),
+        fact[fact_key] == F.col(keys_key),
+        how,
+    )

@@ -1,3 +1,3 @@
 """Structured Streaming operators over the events table."""
 
-from . import events  # noqa: F401
+from . import events, sinks  # noqa: F401

@@ -60,6 +60,55 @@ def test_embedding_neardup_scale_path_is_bucketed_equijoin(spark):
     assert "CartesianProduct" not in s.text, s.text
 
 
+def test_bloom_semi_join_small_side_broadcasts(spark):
+    """Test-scale regime: the filtered key side fits the broadcast
+    threshold, so the semi join must broadcast (no shuffle of the fact
+    table) and no bloom filter is needed."""
+    from dfsql_spark.operators.joins import bloom_semi_join
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    urgent = spark.read.parquet(f"{SF}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    df = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    assert_broadcast_join(df)
+
+
+def test_bloom_semi_join_big_big_regime_injects_runtime_filter(spark):
+    """100 TB regime simulated (broadcast off, application-side scan
+    threshold 0): Catalyst must inject might_contain(bloom, ...) into
+    the fact scan so the shuffle carries only probable matches."""
+    from dfsql_spark.operators.joins import bloom_semi_join
+    from pyspark.sql import functions as F
+
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        urgent = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        df = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_embedding_neardup_small_path_stays_exact(spark):
     """Below the gate the auto default must still be the exact O(n²)
     baseline (what the driver's d05 oracle hash-checks at sf0.01)."""
