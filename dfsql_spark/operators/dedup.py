@@ -207,6 +207,7 @@ def ngram_jaccard_pairs(
     dense_max_vocab: int = 1 << 16,
     dense_max_docs: int = 500_000,
     dense_max_bytes: int = 256 << 20,
+    dense_max_ops: float = 2e10,
     sets: DataFrame | None = None,
     n_docs: int | None = None,
 ) -> DataFrame:
@@ -267,13 +268,21 @@ def ngram_jaccard_pairs(
                 .agg(F.approx_count_distinct("sh").alias("v"))
                 .collect()[0]["v"]
             )
-            # Gate 2 — the driver bitmap is docs × ceil(vocab/8) bytes:
-            # gate on the PRODUCT, not the caps independently (500k
-            # docs × 64k vocab would be a 4 GB driver collect).
+            # Gate 2 — memory AND compute.  Memory: the driver bitmap
+            # is docs × ceil(vocab/8) bytes — gate on the PRODUCT, not
+            # the caps independently (500k docs × 64k vocab would be a
+            # 4 GB driver collect).  Compute: the dense compare is
+            # O(docs²/2 × ceil(vocab/8)) byte-ops — a corpus can fit
+            # the bitmap in memory yet cost hours of popcounts (50k
+            # docs × 20k vocab = 3e12 ops but only 125 MB; found by the
+            # sf1 scale run).  2e10 ops ≈ a few seconds across 32
+            # cores at ~10 GB/s/core of AND+popcount.
+            row_bytes = (vocab + 7) // 8
             strategy = (
                 "dense"
                 if vocab <= dense_max_vocab
-                and docs * ((vocab + 7) // 8) <= dense_max_bytes
+                and docs * row_bytes <= dense_max_bytes
+                and (docs * docs / 2) * row_bytes <= dense_max_ops
                 else "prefix"
             )
     if strategy == "dense":

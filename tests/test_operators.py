@@ -31,6 +31,28 @@ def test_exact_dedup_hash_and_text_keys_agree(docs):
     )
 
 
+def test_ngram_jaccard_dense_and_prefix_paths_agree(docs):
+    """The two physical strategies are bit-identical; the compute gate
+    (dense_max_ops) must be able to force the prefix path even when the
+    bitmap fits in memory (the 50k-doc sf1 regime: 125 MB bitmap but
+    3e12 byte-ops)."""
+    from dfsql_spark.operators.dedup import ngram_jaccard_pairs
+
+    dense = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(docs, threshold=0.6, strategy="dense").collect()
+    }
+    # dense_max_ops=0 routes auto to prefix regardless of memory fit
+    prefix = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.6, dense_max_ops=0
+        ).collect()
+    }
+    assert dense == prefix
+    assert dense
+
+
 def test_minhash_recall_vs_exact_jaccard(docs):
     """MinHash-LSH candidates must recover (almost) all exact-Jaccard
     pairs at a threshold above the banding threshold (~0.5)."""
