@@ -586,7 +586,9 @@ def x01_approx_distinct_pruned(spark, sf):
     100 TB — fixed-size sketch, map-side partial merge, no
     shuffle-every-value like exact COUNT(DISTINCT).  Its value isn't
     portable across engines, so the oracle checks the stable property:
-    the estimate lands within the configured 5% rsd of the exact count
+    the estimate lands within 3 sigma (15% at rsd=0.05) of the exact
+    count — rsd is one standard deviation, not a bound, so the graded
+    band uses 3σ to keep the check deterministic-in-practice
     (measured 2.6-3% on this corpus at sf0.01-0.1).  The semi join is
     :func:`bloom_semi_join` — at 100 TB, Spark injects a runtime bloom
     filter into the fact scan (plan asserted in tests/test_plan_audit.py).
@@ -607,8 +609,8 @@ def x01_approx_distinct_pruned(spark, sf):
             "exact_suppliers",
             (
                 F.abs(F.col("_approx") - F.col("exact_suppliers"))
-                <= 0.05 * F.col("exact_suppliers")
-            ).alias("approx_within_5pct"),
+                <= 0.15 * F.col("exact_suppliers")
+            ).alias("approx_within_3sigma"),
         )
     )
 
@@ -1488,7 +1490,7 @@ def oracle_sql() -> dict[str, str]:
         "x01_approx_distinct_pruned": """
             SELECT l_returnflag,
                    CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_suppliers,
-                   TRUE AS approx_within_5pct
+                   TRUE AS approx_within_3sigma
             FROM lineitem
             WHERE l_orderkey IN (
                 SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'

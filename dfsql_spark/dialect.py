@@ -240,6 +240,7 @@ def _like_pattern_end(tokens: list[Token], i: int) -> int:
         return i
     depth = 0
     last = j
+    prev_atom = False  # last depth-0 token completed an operand
     while j < len(tokens):
         t = tokens[j]
         if t.kind in ("ws", "comment"):
@@ -251,11 +252,22 @@ def _like_pattern_end(tokens: list[Token], i: int) -> int:
             if depth == 0:
                 break
             depth -= 1
+            if depth == 0:
+                prev_atom = True
         elif depth == 0:
             if t.kind == "op" and t.text in _LIKE_BOUNDARY_OPS:
                 break
             if t.kind == "word" and t.text.lower() in _LIKE_BOUNDARY_WORDS:
                 break
+            if t.kind in _ATOM_KINDS:
+                # two adjacent atoms with no operator between them: the
+                # second can only be a bare (no-AS) output alias — stop
+                # before it rather than swallowing it into the pattern.
+                if prev_atom:
+                    break
+                prev_atom = True
+            else:
+                prev_atom = False
         last = j
         j += 1
     return last

@@ -172,8 +172,7 @@ def bloom_semi_join(
     """
     if how not in ("left_semi", "left_anti"):
         raise ValueError(f"how must be 'left_semi' or 'left_anti', got {how!r}")
-    return fact.join(
-        keys.select(F.col(keys_key)),
-        fact[fact_key] == F.col(keys_key),
-        how,
-    )
+    # Alias the key column so the join condition is unambiguous even when
+    # fact_key == keys_key (the common case: semi-joining on a shared name).
+    k = keys.select(F.col(keys_key).alias("__bsj_key"))
+    return fact.join(k, fact[fact_key] == k["__bsj_key"], how)

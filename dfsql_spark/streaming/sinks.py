@@ -65,7 +65,21 @@ class KeyedParquetSink:
     """
 
     def __init__(self, path: str, key_cols: list[str], order_col: str | None = None):
-        self.path = path
+        # Markers and listings use driver-local os/shutil, so the table
+        # root must be a local filesystem path — on HDFS/S3 the markers
+        # would land on the driver's disk and the commit protocol would
+        # silently break (every batch would look uncommitted).  Reject
+        # non-local URIs up front; a remote deployment should swap
+        # process_batch for a transactional format's MERGE (see module
+        # docstring) or route marker I/O through the Hadoop FileSystem.
+        scheme, sep, _rest = path.partition("://")
+        if sep and scheme not in ("file",):
+            raise ValueError(
+                f"KeyedParquetSink requires a local filesystem path; got "
+                f"scheme {scheme!r} in {path!r}. Use a Delta/Iceberg MERGE "
+                f"sink for remote object storage."
+            )
+        self.path = path[len("file://"):] if path.startswith("file://") else path
         self.key_cols = list(key_cols)
         self.order_col = order_col
 
@@ -150,7 +164,7 @@ def run_foreach_batch(
     batch_fn,
     output_mode: str = "update",
     checkpoint_dir: str | None = None,
-    timeout_sec: int = 120,
+    timeout_sec: float = 120,
 ) -> None:
     """Run a streaming DataFrame to exhaustion (availableNow trigger)
     through a ``foreachBatch`` sink.
@@ -170,4 +184,11 @@ def run_foreach_batch(
     )
     q.awaitTermination(timeout_sec)
     if q.isActive:
+        # A timed-out stream means the sink state is incomplete; failing
+        # loudly here beats letting downstream reads see silently
+        # truncated results.
         q.stop()
+        raise TimeoutError(
+            f"streaming query still active after {timeout_sec}s "
+            f"(availableNow run did not drain the source)"
+        )

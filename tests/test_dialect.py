@@ -66,6 +66,21 @@ class TestRewriteUnits:
         out = rw("SELECT f(x LIKE b, 2) FROM t")
         assert "f(x RLIKE CONCAT('^(?:', b, ')'), 2)" in out
 
+    def test_like_pattern_stops_before_bare_alias(self):
+        # a second adjacent identifier after the pattern can only be a
+        # bare (no-AS) output alias — it must NOT be swallowed into the
+        # anchored CONCAT
+        out = rw("SELECT a LIKE b c FROM t")
+        assert "CONCAT('^(?:', b, ')') c FROM t" in out
+
+    def test_like_pattern_function_call_then_alias(self):
+        out = rw("SELECT a LIKE upper(b) c FROM t")
+        assert "CONCAT('^(?:', upper(b), ')') c FROM t" in out
+
+    def test_like_compound_pattern_then_alias(self):
+        out = rw("SELECT a LIKE b || x c FROM t")
+        assert "CONCAT('^(?:', b || x, ')') c FROM t" in out
+
     def test_power_simple(self):
         assert rw("SELECT 2 ^ 3") == "SELECT POWER(2 , 3)"
 

@@ -75,6 +75,21 @@ def test_bloom_semi_join_small_side_broadcasts(spark):
     assert_broadcast_join(df)
 
 
+def test_bloom_semi_join_same_column_name(spark):
+    """Semi-joining on a shared column name (fact_key == keys_key) must
+    not raise AMBIGUOUS_REFERENCE — the key side is aliased internally."""
+    from dfsql_spark.operators.joins import bloom_semi_join
+
+    fact = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    keys = spark.createDataFrame([(1,), (3,)], ["k"])
+    got = sorted(r.k for r in bloom_semi_join(fact, keys, "k", "k").collect())
+    assert got == [1, 3]
+    anti = sorted(
+        r.k for r in bloom_semi_join(fact, keys, "k", "k", how="left_anti").collect()
+    )
+    assert anti == [2]
+
+
 def test_bloom_semi_join_big_big_regime_injects_runtime_filter(spark):
     """100 TB regime simulated (broadcast off, application-side scan
     threshold 0): Catalyst must inject might_contain(bloom, ...) into

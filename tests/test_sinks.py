@@ -97,6 +97,35 @@ def test_empty_sink_reads_none(spark, sink):
     assert sink.committed_batches() == []
 
 
+def test_remote_path_rejected(tmp_path):
+    # marker I/O is driver-local; a remote table root would silently
+    # break the commit protocol, so it must be rejected up front
+    for bad in ("s3://bucket/state", "hdfs://nn/state", "abfs://c@a/state"):
+        with pytest.raises(ValueError, match="local filesystem"):
+            KeyedParquetSink(bad, key_cols=["user_id"])
+    # file:// scheme is fine and normalized to a plain path
+    s = KeyedParquetSink(f"file://{tmp_path}/state", key_cols=["user_id"])
+    assert s.path == str(tmp_path / "state")
+
+
+def test_run_foreach_batch_timeout_raises(spark, tmp_path):
+    """A stream that cannot drain within the timeout must raise, not
+    silently stop with truncated sink state."""
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    )
+    with pytest.raises(TimeoutError, match="still active"):
+        # rate source is unbounded; availableNow still plans batches,
+        # so an aggressive timeout fires while the query is active
+        run_foreach_batch(
+            stream,
+            lambda df, bid: None,
+            output_mode="append",
+            checkpoint_dir=str(tmp_path / "ckpt_timeout"),
+            timeout_sec=0.2,
+        )
+
+
 def test_stream_upsert_pipeline_equals_batch_agg(spark, tmp_path):
     """End-to-end: events stream → applyInPandasWithState running
     totals → foreachBatch upsert → final table == batch groupBy."""
