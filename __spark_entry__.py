@@ -649,24 +649,63 @@ def d02_dedup_ngram_jaccard(spark, sf):
 
 
 def d03_dedup_minhash_lsh(spark, sf):
-    """MinHash(64) + 16-band LSH candidate pairs (est_jaccard ≥ 0.5).
-    Hash permutations aren't portable SQL → rows-only check; the
-    d02 exact-Jaccard oracle pins the same planted duplicates."""
-    from dfsql_spark.operators.dedup import minhash_lsh_pairs
+    """MinHash(64) + 16-band LSH candidate pairs (est_jaccard ≥ 0.5),
+    graded as a PROPERTY: hash permutations aren't portable SQL, so
+    instead of the raw pairs the query emits the cross-engine-stable
+    claim — the count of exact 5-gram-Jaccard ≥ 0.7 pairs (the ground
+    truth, which DuckDB recomputes independently) plus a boolean that
+    MinHash-LSH recovered ≥ 90% of them (measured 100% at sf0.01;
+    the same floor is pinned by tests/test_operators.py).  Both the
+    sketch and the ground truth share one shingling pass."""
+    from dfsql_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
     docs = _t(spark, sf, "documents")
-    return minhash_lsh_pairs(
-        docs, verify_threshold=0.5, sets=_doc_shingles(spark, sf)
+    sets = _doc_shingles(spark, sf)
+    exact = ngram_jaccard_pairs(docs, k=5, threshold=0.7, sets=sets).select(
+        "id_a", "id_b"
+    )
+    approx = minhash_lsh_pairs(docs, verify_threshold=0.5, sets=sets).select(
+        "id_a", "id_b"
+    )
+    hit = exact.join(approx, ["id_a", "id_b"], "left_semi")
+    return (
+        exact.agg(F.count("*").alias("n_exact_pairs"))
+        .crossJoin(hit.agg(F.count("*").alias("_n_hit")))
+        .select(
+            "n_exact_pairs",
+            (F.col("_n_hit") >= 0.9 * F.col("n_exact_pairs")).alias(
+                "recall_ge_090"
+            ),
+        )
     )
 
 
 def d04_dedup_simhash(spark, sf):
-    """SimHash fingerprints + 16-bit-chunk blocking, hamming ≤ 3
-    (rows-only: xxhash64 not portable to the oracle)."""
-    from dfsql_spark.operators.dedup import simhash_pairs
+    """SimHash + 16-bit-chunk blocking, hamming ≤ 3, graded as a
+    PROPERTY (xxhash64 isn't portable to the oracle): the count of
+    exact 5-gram-Jaccard ≥ 0.8 pairs (DuckDB recomputes it) plus a
+    boolean that SimHash blocking recovered ≥ 50% of them (measured
+    60% at sf0.01 — SimHash at hamming ≤ 3 is a high-precision /
+    moderate-recall filter by design; the floor matches the pytest
+    pin)."""
+    from dfsql_spark.operators.dedup import ngram_jaccard_pairs, simhash_pairs
 
     docs = _t(spark, sf, "documents")
-    return simhash_pairs(docs, max_hamming=3)
+    exact = ngram_jaccard_pairs(
+        docs, k=5, threshold=0.8, sets=_doc_shingles(spark, sf)
+    ).select("id_a", "id_b")
+    sh = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b")
+    hit = exact.join(sh, ["id_a", "id_b"], "left_semi")
+    return (
+        exact.agg(F.count("*").alias("n_exact_pairs"))
+        .crossJoin(hit.agg(F.count("*").alias("_n_hit")))
+        .select(
+            "n_exact_pairs",
+            (F.col("_n_hit") >= 0.5 * F.col("n_exact_pairs")).alias(
+                "recall_ge_050"
+            ),
+        )
+    )
 
 
 def d05_embedding_neardup(spark, sf):
@@ -694,15 +733,40 @@ def s01_sim_topk(spark, sf):
 
 
 def s02_sim_topk_lsh(spark, sf):
-    """Random-hyperplane LSH approximate top-5 (rows-only: candidate
-    sets are hash-dependent; recall vs s01 is asserted in tests)."""
-    from dfsql_spark.operators.similarity import lsh_topk
+    """Random-hyperplane LSH approximate top-5, graded as a per-query
+    PROPERTY (candidate sets are hash-dependent): for each query, the
+    exact rank-2 neighbor (rank-1 is the query itself; DuckDB
+    recomputes rank-2 by brute-force cosine — s01 already proves the
+    two engines agree on the full ranking) and a boolean that LSH
+    recall@5 vs brute force is ≥ 0.6 (measured 1.0 at sf0.01 with
+    2 planes × 8 tables — the synthetic near-orthogonal corpus needs
+    dense probing; at scale the planes/tables knobs trade recall for
+    candidate volume)."""
+    from dfsql_spark.operators.similarity import cosine_topk, lsh_topk
 
     emb = _t(spark, sf, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, qs, k=5).select("query_id", "neighbor_id", "rank")
+    exact = cosine_topk(emb, qs, k=5).select("query_id", "neighbor_id", "rank")
+    approx = lsh_topk(emb, qs, k=5, num_planes=2, num_tables=8).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("_n_hit"))
+    )
+    return (
+        exact.filter(F.col("rank") == 2)
+        .select("query_id", F.col("neighbor_id").alias("exact_top2"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "exact_top2",
+            (F.coalesce(F.col("_n_hit"), F.lit(0)) >= 3).alias("recall_ge_060"),
+        )
+    )
 
 
 def t01_text_stats(spark, sf):
@@ -747,18 +811,36 @@ def t05_token_count(spark, sf):
 
 
 def s03_sim_ivf(spark, sf):
-    """IVF-Flat approximate top-5: KMeans coarse quantizer, n_probe
-    nearest cells per query, exact cosine rerank (rows-only: cell
-    assignments are iteration-order dependent; recall vs s01 is
-    asserted in tests)."""
-    from dfsql_spark.operators.similarity import ivf_topk
+    """IVF-Flat approximate top-5 (KMeans coarse quantizer, n_probe
+    nearest cells, exact cosine rerank), graded as a per-query
+    PROPERTY (cell assignments are iteration-order dependent): the
+    exact rank-2 neighbor per query (DuckDB brute-force recomputes it)
+    and a boolean that IVF recall@5 vs brute force is ≥ 0.6 (measured
+    min 0.8 at sf0.01 with n_probe=8 of n_cells=16)."""
+    from dfsql_spark.operators.similarity import cosine_topk, ivf_topk
 
     emb = _t(spark, sf, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, qs, k=5, n_cells=16, n_probe=8).select(
-        "query_id", "neighbor_id", "rank"
+    exact = cosine_topk(emb, qs, k=5).select("query_id", "neighbor_id", "rank")
+    approx = ivf_topk(emb, qs, k=5, n_cells=16, n_probe=8).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("_n_hit"))
+    )
+    return (
+        exact.filter(F.col("rank") == 2)
+        .select("query_id", F.col("neighbor_id").alias("exact_top2"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "exact_top2",
+            (F.coalesce(F.col("_n_hit"), F.lit(0)) >= 3).alias("recall_ge_060"),
+        )
     )
 
 
@@ -914,28 +996,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Every oracle-backed query should carry a recent driver CORRECTNESS
 # row, but the driver grades at most ~50 entries per round and there
-# are more oracle-backed queries than slots (54 as of round 3) — a
+# are more oracle-backed queries than slots (58 as of round 4 — d03/
+# d04/s02/s03 converted from rows-only to property-style oracles) — a
 # limitation worth fixing driver-side (see README "Driver contract").
 # Until then the overflow is managed by ROTATION, not by arranging
 # favourites: the entries listed here sit at the END of the
-# oracle-backed block this round, chosen as the longest-standing
-# twice-green trivial entries (q01-q04: driver-green in rounds 1 AND 2,
-# pinned by the pytest oracle mirror every round).  Rotate this list
-# each round so nothing goes ungraded two rounds running.
+# oracle-backed block this round, chosen as twice-green (driver-green
+# in rounds 2 AND 3) trivial single-operator entries, every one pinned
+# by the pytest oracle mirror each round.  Round 4 honors the round-3
+# rotation promise: q01-q04 are back in the graded block.  Rotate this
+# list each round so nothing goes ungraded two rounds running.
 _SIT_OUT_THIS_ROUND = (
-    "q01_projection",
-    "q02_filter",
-    "q03_cast",
-    "q04_distinct",
+    "q05_orderby_limit_offset",
+    "q06_groupby_agg",
+    "q07_groupby_expr",
+    "q08_implicit_agg",
+    "q09_count_distinct",
+    "q10_having_alias",
+    "q11_join_inner",
+    "q12_join_left",
 )
 
-# rows-only sketch queries (``no_oracle`` — recall pinned by pytest,
-# not the driver); always last.
+# rows-only sketch queries (``no_oracle``); always last.  m02 is the
+# Arrow decode plumbing whose stub output is engine-specific — the
+# batch shape is pinned by pytest instead.
 _ROWS_ONLY = (
-    "d03_dedup_minhash_lsh",
-    "d04_dedup_simhash",
-    "s02_sim_topk_lsh",
-    "s03_sim_ivf",
     "m02_media_decode",
 )
 
@@ -1302,6 +1387,62 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.id = id_b
             WHERE nc / (sa.sz + sb.sz - nc) >= 0.6
         """,
+        # d03/d04 property oracles: DuckDB independently recomputes the
+        # exact-Jaccard ground-truth pair count at the query's
+        # threshold; the recall boolean is the engine-side claim (the
+        # sketch recovered >= the floor of those pairs), pinned TRUE.
+        "d03_dedup_minhash_lsh": """
+            WITH n AS (
+                SELECT doc_id AS id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT id,
+                       UNNEST(list_distinct(list_transform(
+                           range(1, greatest(length(nt), 5) - 3),
+                           i -> substring(nt, i, 5)))) AS sh
+                FROM n
+            ),
+            sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+            common AS (
+                SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS nc
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+                GROUP BY a.id, b.id
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+                   TRUE AS recall_ge_090
+            FROM common
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE nc / (sa.sz + sb.sz - nc) >= 0.7
+        """,
+        "d04_dedup_simhash": """
+            WITH n AS (
+                SELECT doc_id AS id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT id,
+                       UNNEST(list_distinct(list_transform(
+                           range(1, greatest(length(nt), 5) - 3),
+                           i -> substring(nt, i, 5)))) AS sh
+                FROM n
+            ),
+            sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+            common AS (
+                SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS nc
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+                GROUP BY a.id, b.id
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+                   TRUE AS recall_ge_050
+            FROM common
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE nc / (sa.sz + sb.sz - nc) >= 0.8
+        """,
         "d05_embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -1324,6 +1465,44 @@ def oracle_sql() -> dict[str, str]:
                        ) AS INT) AS rank
                 FROM embeddings e CROSS JOIN q
             ) t WHERE rank <= 5
+        """,
+        # s02/s03 property oracles: DuckDB brute-force recomputes each
+        # query's exact rank-2 neighbor (rank-1 is the query itself;
+        # s01 proves both engines agree on the full cosine ranking);
+        # the recall@5 >= 0.6 boolean is the engine-side claim.
+        "s02_sim_topk_lsh": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5
+            )
+            SELECT query_id, neighbor_id AS exact_top2, TRUE AS recall_ge_060
+            FROM (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(e.embedding AS DOUBLE[]),
+                               CAST(q.embedding AS DOUBLE[])
+                           ) DESC, e.vec_id ASC
+                       ) AS rank
+                FROM embeddings e CROSS JOIN q
+            ) t WHERE rank = 2
+        """,
+        "s03_sim_ivf": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5
+            )
+            SELECT query_id, neighbor_id AS exact_top2, TRUE AS recall_ge_060
+            FROM (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(e.embedding AS DOUBLE[]),
+                               CAST(q.embedding AS DOUBLE[])
+                           ) DESC, e.vec_id ASC
+                       ) AS rank
+                FROM embeddings e CROSS JOIN q
+            ) t WHERE rank = 2
         """,
         "t01_text_stats": """
             WITH t AS (
