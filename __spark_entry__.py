@@ -156,10 +156,21 @@ def q24_union(spark, sf):
 
 
 def q25_except_intersect(spark, sf):
-    """Set-op uplift: nations with customers but no suppliers."""
+    """Set-op uplift: EXCEPT and INTERSECT legs that each genuinely
+    remove keys.  Suppliers are restricted to nations < 13, so the
+    EXCEPT leg keeps only customer nations >= 13 and the INTERSECT leg
+    only nations < 13 — neither equals the trivial DISTINCT (25 rows),
+    and both engines must implement real set-difference/intersection
+    semantics to match."""
     c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
-    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
-    return c.exceptAll(s).distinct()
+    s = (
+        _t(spark, sf, "supplier")
+        .filter(F.col("s_nationkey") < 13)
+        .select(F.col("s_nationkey").alias("nk"))
+    )
+    exc = c.subtract(s).select(F.lit("except").alias("leg"), "nk")
+    itc = c.intersect(s).select(F.lit("intersect").alias("leg"), "nk")
+    return exc.unionAll(itc)
 
 
 # ---------------------------------------------------------------------------
@@ -462,17 +473,21 @@ def e08_stream_interval_join(spark, sf):
 
 
 def e06_stream_dedupe(spark, sf):
-    """Streaming dedup via dropDuplicatesWithinWatermark on event_id —
-    state bounded by the watermark horizon.  Oracle: batch DISTINCT on
-    id (the synthetic events have unique ids, so output == input and
-    the check is that dedup drops nothing it shouldn't)."""
+    """Streaming dedup via dropDuplicatesWithinWatermark on event_id,
+    state bounded by the watermark horizon — and the input PROVABLY
+    contains duplicates: the stream is unioned with a full replay of
+    itself (modeling an at-least-once source), so every event_id
+    arrives twice and the operator must drop half the rows to match
+    the oracle (batch DISTINCT over the single-copy table)."""
     import uuid
 
     from dfsql_spark.streaming.events import dedupe_stream, read_events_stream, run_to_memory
 
+    original = read_events_stream(spark, sf)
+    replay = read_events_stream(spark, sf)
     name = f"dd_{uuid.uuid4().hex[:8]}"
     out = run_to_memory(
-        dedupe_stream(read_events_stream(spark, sf)), spark, name,
+        dedupe_stream(original.union(replay)), spark, name,
         output_mode="append",
     )
     return out.select("event_id", "user_id", "event_type")
@@ -1259,11 +1274,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_nationkey AS nk FROM supplier
         """,
         "q25_except_intersect": """
-            SELECT DISTINCT nk FROM (
+            SELECT 'except' AS leg, nk FROM (
                 SELECT c_nationkey AS nk FROM customer
-                EXCEPT ALL
-                SELECT s_nationkey AS nk FROM supplier
-            ) t
+                EXCEPT
+                SELECT s_nationkey AS nk FROM supplier WHERE s_nationkey < 13
+            ) e
+            UNION ALL
+            SELECT 'intersect' AS leg, nk FROM (
+                SELECT c_nationkey AS nk FROM customer
+                INTERSECT
+                SELECT s_nationkey AS nk FROM supplier WHERE s_nationkey < 13
+            ) i
         """,
         "q26_anti_join": """
             SELECT c_custkey, c_name FROM customer

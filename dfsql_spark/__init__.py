@@ -19,7 +19,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from .config import Configuration
-from .datasource import DataSource, QueryExecutionException
+from .datasource import DataSource
+from .exceptions import (
+    CommandException,
+    DfsqlException,
+    QueryExecutionException,
+    SQLParsingException,
+)
 from .functions import AggregateFunction, CustomFunction
 from .session import get_spark
 
@@ -28,6 +34,9 @@ __version__ = "0.1.0"
 __all__ = [
     "sql_query",
     "DataSource",
+    "DfsqlException",
+    "SQLParsingException",
+    "CommandException",
     "QueryExecutionException",
     "Configuration",
     "CustomFunction",
@@ -43,6 +52,7 @@ def sql_query(
     spark: SparkSession | None = None,
     custom_functions: dict | None = None,
     reduce_output: bool = True,
+    ds_kwargs: dict | None = None,
     **table_dfs,
 ):
     """Run one SQL statement against keyword-passed DataFrames.
@@ -50,22 +60,25 @@ def sql_query(
     Reference semantics (dfsql/__init__.py:12-36): each keyword is a
     table name that **must** appear in the SQL text (validated, raises
     otherwise); the result is a pandas DataFrame auto-collapsed to
-    Series/scalar.  Unlike the reference there is no CSV round-trip:
-    pandas input crosses to the JVM once via Arrow, Spark DataFrames
-    are registered as-is, and views are dropped afterwards.
+    Series/scalar; ``ds_kwargs`` is forwarded verbatim to the
+    one-shot :class:`DataSource` (reference signature's ``ds_kwargs=``,
+    dfsql/__init__.py:12,22 — e.g. ``{"case_sensitive": False}``).
+    Unlike the reference there is no CSV round-trip: pandas input
+    crosses to the JVM once via Arrow, Spark DataFrames are registered
+    as-is, and views are dropped afterwards.
     """
     if not table_dfs:
-        raise QueryExecutionException("At least one table must be provided")
+        raise DfsqlException("At least one table must be provided")
     spark = spark or get_spark()
     word_re = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
     sql_words = {w.lower() for w in word_re.findall(sql)}
     for name in table_dfs:
         # cheap name-in-SQL validation (reference: dfsql/__init__.py:24-25)
         if name.lower() not in sql_words:
-            raise QueryExecutionException(
+            raise DfsqlException(
                 f"Table {name} is not used in the query"
             )
-    ds = DataSource(spark=spark)
+    ds = DataSource(spark=spark, **(ds_kwargs or {}))
     if custom_functions:
         for fname, fn in custom_functions.items():
             ds.register_function(fname, fn)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import threading
 from typing import Callable
 
@@ -23,6 +24,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .commands import try_parse_command
 from .dialect import rewrite
+from .exceptions import (
+    CommandException,
+    DfsqlException,
+    QueryExecutionException,
+    SQLParsingException,
+)
 from .functions.registry import FunctionRegistry
 from .session import get_spark
 from .sources.tables import TableInfo, read_file
@@ -39,8 +46,16 @@ METADATA_FILE = "datasource_tables.json"
 _CASE_SENSITIVITY_LOCK = threading.Lock()
 
 
-class QueryExecutionException(Exception):
-    """Raised for engine-level errors (unknown table, bad command, ...)."""
+# QueryExecutionException historically lived here; it now sits in the
+# reference-parity hierarchy (exceptions.py) and is re-exported for
+# backward compatibility.
+__all__ = [
+    "DataSource",
+    "QueryExecutionException",
+    "SQLParsingException",
+    "CommandException",
+    "DfsqlException",
+]
 
 
 class DataSource:
@@ -205,18 +220,39 @@ class DataSource:
         """
         cmd = try_parse_command(sql)
         if cmd is not None:
-            result = cmd.execute(self)
+            result = self._execute_command(cmd)
             if isinstance(result, pd.DataFrame):
                 return self.spark.createDataFrame(result)
             return self.spark.createDataFrame([(str(result),)], ["status"])
         return self._sql(sql)
 
+    def _execute_command(self, cmd):
+        """Run a command, normalizing non-engine failures to
+        :class:`CommandException` (reference: dfsql/commands.py:38-98
+        raises CommandException for command-level misuse; engine errors
+        like "unknown table" stay :class:`QueryExecutionException`,
+        base_data_source.py:177)."""
+        try:
+            return cmd.execute(self)
+        except DfsqlException:
+            raise
+        except Exception as e:
+            raise CommandException(str(e).split("\n")[0]) from e
+
     def _sql(self, sql: str) -> DataFrame:
-        """``spark.sql`` with engine-level errors normalized to
-        :class:`QueryExecutionException` (the reference's single error
-        type for bad tables/columns/SQL — e.g. commands.py:47-49,
-        base_data_source.py:164-168), keeping the Spark exception as
-        ``__cause__`` for debugging."""
+        """``spark.sql`` with errors mapped onto the reference hierarchy
+        (exceptions.py): ``ParseException`` → :class:`SQLParsingException`,
+        ``AnalysisException`` → :class:`QueryExecutionException`
+        (reference: dfsql/exceptions.py:1-14), keeping the Spark
+        exception as ``__cause__`` for debugging.
+
+        Also the cache-on-access hook: every registered table the query
+        references is ``touch()``-ed, so repeated queries hit Spark's
+        block manager with no explicit ``cache_table()`` call —
+        reference behavior ``Table.dataframe`` → ``cache.get``
+        (dfsql/table.py:29-34, wired at base_data_source.py:76-79).
+        ``cacheTable`` only *marks* the plan; no job runs here.
+        """
         from pyspark.errors import AnalysisException, ParseException
 
         # Scope case sensitivity to this query: spark.sql analyzes
@@ -230,11 +266,29 @@ class DataSource:
                 "spark.sql.caseSensitive", str(self.case_sensitive).lower()
             )
             try:
-                return self.spark.sql(rewrite(sql))
-            except (AnalysisException, ParseException) as e:
+                out = self.spark.sql(rewrite(sql))
+            except ParseException as e:
+                raise SQLParsingException(str(e).split("\n")[0]) from e
+            except AnalysisException as e:
                 raise QueryExecutionException(str(e).split("\n")[0]) from e
             finally:
                 self.spark.conf.set("spark.sql.caseSensitive", prev)
+        self._touch_referenced(sql)
+        return out
+
+    def _touch_referenced(self, sql: str) -> None:
+        """Mark every registered table named in ``sql`` as used, driving
+        the cache policy (LRU pin/evict).  A word-level scan is exact
+        enough: a false positive (table name inside a string literal)
+        only pins a table early; resolution errors were already raised
+        by the analyzer above."""
+        words = set(re.findall(r"[A-Za-z_][A-Za-z_0-9]*", sql))
+        if not self.case_sensitive:
+            words = {w.lower() for w in words}
+        for name in self.tables:
+            probe = name if self.case_sensitive else name.lower()
+            if probe in words:
+                self.cache.touch(self.spark, name)
 
     def query(self, sql: str, reduce_output: bool = True):
         """Reference-compatible entry point: materializes the result as
@@ -248,7 +302,7 @@ class DataSource:
         """
         cmd = try_parse_command(sql)
         if cmd is not None:
-            return cmd.execute(self)
+            return self._execute_command(cmd)
         result = self._sql(sql)
         pdf = result.toPandas()
         pdf.columns = [_clean_name(c) for c in pdf.columns]

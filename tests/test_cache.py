@@ -68,6 +68,35 @@ def test_set_cache_swaps_and_clears(ds, spark):
     assert not spark.catalog.isCached("cb")
 
 
+def test_cache_on_access(ds, spark):
+    """Querying a registered table caches it with no explicit
+    cache_table() call — reference behavior Table.dataframe →
+    cache.get (dfsql/table.py:29-34): first touch is a miss, the
+    repeat query is a hit (reference tests/test_cache.py:5-61)."""
+    c = ds.cache
+    ds.query("SELECT sum(x) AS s FROM ca")
+    assert (c.hits, c.misses) == (0, 1)
+    assert spark.catalog.isCached("ca")
+    ds.query("SELECT sum(x) AS s FROM ca")
+    assert (c.hits, c.misses) == (1, 1)
+
+
+def test_cache_on_access_only_referenced_tables(ds, spark):
+    ds.query("SELECT x FROM cb WHERE x > 0")
+    assert spark.catalog.isCached("cb")
+    assert not spark.catalog.isCached("cc")
+
+
+def test_cache_on_access_respects_do_nothing(spark):
+    ds = DataSource(spark=spark, cache=False)
+    ds.add_table("cq", pd.DataFrame({"x": [1]}))
+    try:
+        ds.query("SELECT x FROM cq")
+        assert not spark.catalog.isCached("cq")
+    finally:
+        spark.catalog.dropTempView("cq")
+
+
 def test_drop_table_evicts(ds, spark):
     ds.cache_table("ca")
     ds.drop_table("ca")

@@ -280,6 +280,9 @@ def test_backtick_identifier_multiword(spark):
 
 
 # -------------------------------------------------------- error paths
+# Reference hierarchy (dfsql/exceptions.py:1-14): parse errors, command
+# errors, and execution errors are distinct leaves under DfsqlException,
+# and callers catch them separately (reference tests/test_interface.py).
 def test_unknown_table_raises(ds):
     with pytest.raises(QueryExecutionException):
         ds.query("SELECT * FROM no_such_table")
@@ -290,11 +293,63 @@ def test_unknown_column_raises(ds):
         ds.query("SELECT no_such_col FROM crew")
 
 
-def test_malformed_sql_raises(ds):
-    with pytest.raises(QueryExecutionException):
-        ds.query("SELECT FROM WHERE")
+def test_malformed_sql_raises_parsing_exception(ds):
+    from dfsql_spark import DfsqlException, SQLParsingException
+
+    # Spark 4 parses bare keywords as identifiers, so use SQL that
+    # cannot tokenize into a statement at all
+    with pytest.raises(SQLParsingException) as ei:
+        ds.query("SELEC * FROM crew ((")
+    assert isinstance(ei.value, DfsqlException)
+    assert not isinstance(ei.value, QueryExecutionException)
 
 
 def test_drop_missing_table_raises(ds):
+    # engine-level catalog error, not a command-syntax error
+    # (reference: base_data_source.py:177 raises QueryExecutionException)
     with pytest.raises(QueryExecutionException):
         ds.drop_table("ghost")
+
+
+def test_bad_command_raises_command_exception(ds):
+    from dfsql_spark import CommandException, DfsqlException
+
+    with pytest.raises(CommandException) as ei:
+        ds.query("CREATE TABLE ghost_tbl ('/no/such/file.csv')")
+    assert isinstance(ei.value, DfsqlException)
+
+
+def test_exception_hierarchy_is_disjoint():
+    from dfsql_spark import (
+        CommandException,
+        DfsqlException,
+        QueryExecutionException,
+        SQLParsingException,
+    )
+
+    for leaf in (SQLParsingException, CommandException, QueryExecutionException):
+        assert issubclass(leaf, DfsqlException)
+    assert not issubclass(SQLParsingException, QueryExecutionException)
+    assert not issubclass(CommandException, QueryExecutionException)
+
+
+def test_sql_query_ds_kwargs_passthrough(spark):
+    # reference signature forwards ds_kwargs to the DataSource
+    # (dfsql/__init__.py:12,22) — e.g. a one-shot case-insensitive query
+    from dfsql_spark import sql_query
+
+    pdf = pd.DataFrame({"NaMe": ["x"]})
+    out = sql_query(
+        "SELECT name FROM odd_case",
+        spark=spark,
+        ds_kwargs={"case_sensitive": False},
+        odd_case=pdf,
+    )
+    assert out == "x"
+    with pytest.raises(QueryExecutionException):
+        sql_query(
+            "SELECT name FROM odd_case",
+            spark=spark,
+            ds_kwargs={"case_sensitive": True},
+            odd_case=pdf,
+        )

@@ -111,15 +111,17 @@ def test_remote_path_rejected(tmp_path):
 def test_run_foreach_batch_timeout_raises(spark, tmp_path):
     """A stream that cannot drain within the timeout must raise, not
     silently stop with truncated sink state."""
+    import time
+
     stream = (
         spark.readStream.format("rate").option("rowsPerSecond", "1").load()
     )
     with pytest.raises(TimeoutError, match="still active"):
-        # rate source is unbounded; availableNow still plans batches,
-        # so an aggressive timeout fires while the query is active
+        # the batch fn outsleeps the timeout, so the query is
+        # deterministically still active when awaitTermination returns
         run_foreach_batch(
             stream,
-            lambda df, bid: None,
+            lambda df, bid: time.sleep(5),
             output_mode="append",
             checkpoint_dir=str(tmp_path / "ckpt_timeout"),
             timeout_sec=0.2,

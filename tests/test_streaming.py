@@ -75,6 +75,56 @@ def test_stream_dedupe_noop_on_unique_ids(spark, batch_events):
     assert out.count() == batch_events.count()
 
 
+def test_stream_dedupe_drops_planted_duplicates(spark, batch_events):
+    """Dedup must actually DROP rows: the stream unioned with a full
+    replay of itself carries every event_id twice; the output must be
+    exactly one copy per id (the batch DISTINCT), not the doubled
+    input."""
+    from dfsql_spark.streaming.events import dedupe_stream, run_to_memory
+
+    doubled = _stream(spark).union(_stream(spark))
+    out = run_to_memory(
+        dedupe_stream(doubled),
+        spark,
+        f"t_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    n_unique = batch_events.count()
+    n_out = out.count()
+    assert n_out == n_unique  # one copy per id ...
+    assert n_out < 2 * n_unique  # ... strictly fewer than the input rows
+    assert out.select("event_id").distinct().count() == n_unique
+
+
+def test_stream_dedupe_drops_explicit_dupe_file(spark, tmp_path):
+    """Plant duplicates at the source level: the same rows written as
+    two parquet files in one stream directory — dedup emits each id
+    once."""
+    from dfsql_spark.streaming.events import (
+        EVENTS_RAW_SCHEMA,
+        _with_event_time,
+        dedupe_stream,
+        run_to_memory,
+    )
+
+    rows = [
+        (i, 1_700_000_000_000_000_000 + i * 60_000_000_000, 7, "click", 1.0, "{}")
+        for i in range(5)
+    ]
+    src = str(tmp_path / "dupe_src")
+    df = spark.createDataFrame(rows, EVENTS_RAW_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    df.coalesce(1).write.mode("append").parquet(src)  # second copy of every row
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(src)
+    out = run_to_memory(
+        dedupe_stream(_with_event_time(raw)),
+        spark,
+        f"t_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    assert out.count() == 5  # 10 input rows, 5 distinct event_ids
+
+
 def test_stateful_running_totals_equal_batch_agg(spark, batch_events):
     from dfsql_spark.streaming.events import run_to_memory, running_totals_stateful
 
