@@ -651,16 +651,35 @@ def _doc_shingles(spark, sf):
     return _SHINGLE_CACHE[sf]
 
 
+_EXACT_PAIRS_CACHE: dict[str, DataFrame] = {}
+
+
+def _exact_jaccard_pairs(spark, sf):
+    """One exact 5-gram-Jaccard pass (threshold 0.6) per sf_dir, shared
+    by d02/d03/d04.  The ≥ 0.7 and ≥ 0.8 ground-truth sets the property
+    oracles need are subsets of the ≥ 0.6 result — the per-pair
+    ``jaccard`` value is threshold-independent, so a filter over this
+    output is bit-identical to a direct run at the higher threshold —
+    and sharing it means ONE prefix-filter join feeds all three queries
+    instead of three."""
+    if sf not in _EXACT_PAIRS_CACHE:
+        from dfsql_spark.operators.dedup import _materialize, ngram_jaccard_pairs
+
+        docs = _t(spark, sf, "documents")
+        _EXACT_PAIRS_CACHE[sf] = _materialize(
+            ngram_jaccard_pairs(
+                docs, k=5, threshold=0.6, sets=_doc_shingles(spark, sf)
+            ),
+            "persist",
+        )
+    return _EXACT_PAIRS_CACHE[sf]
+
+
 def d02_dedup_ngram_jaccard(spark, sf):
     """Exact 5-gram Jaccard near-dup pairs ≥ 0.6 via shingle
     inverted-index self-join.  Jaccard = int/int division → bit-exact
     across engines."""
-    from dfsql_spark.operators.dedup import ngram_jaccard_pairs
-
-    docs = _t(spark, sf, "documents")
-    return ngram_jaccard_pairs(
-        docs, k=5, threshold=0.6, sets=_doc_shingles(spark, sf)
-    )
+    return _exact_jaccard_pairs(spark, sf)
 
 
 def d03_dedup_minhash_lsh(spark, sf):
@@ -672,12 +691,14 @@ def d03_dedup_minhash_lsh(spark, sf):
     MinHash-LSH recovered ≥ 90% of them (measured 100% at sf0.01;
     the same floor is pinned by tests/test_operators.py).  Both the
     sketch and the ground truth share one shingling pass."""
-    from dfsql_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from dfsql_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf, "documents")
     sets = _doc_shingles(spark, sf)
-    exact = ngram_jaccard_pairs(docs, k=5, threshold=0.7, sets=sets).select(
-        "id_a", "id_b"
+    exact = (
+        _exact_jaccard_pairs(spark, sf)
+        .filter(F.col("jaccard") >= 0.7)
+        .select("id_a", "id_b")
     )
     approx = minhash_lsh_pairs(docs, verify_threshold=0.5, sets=sets).select(
         "id_a", "id_b"
@@ -703,12 +724,14 @@ def d04_dedup_simhash(spark, sf):
     60% at sf0.01 — SimHash at hamming ≤ 3 is a high-precision /
     moderate-recall filter by design; the floor matches the pytest
     pin)."""
-    from dfsql_spark.operators.dedup import ngram_jaccard_pairs, simhash_pairs
+    from dfsql_spark.operators.dedup import simhash_pairs
 
     docs = _t(spark, sf, "documents")
-    exact = ngram_jaccard_pairs(
-        docs, k=5, threshold=0.8, sets=_doc_shingles(spark, sf)
-    ).select("id_a", "id_b")
+    exact = (
+        _exact_jaccard_pairs(spark, sf)
+        .filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b")
+    )
     sh = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b")
     hit = exact.join(sh, ["id_a", "id_b"], "left_semi")
     return (

@@ -140,6 +140,12 @@ class Configuration(metaclass=_ConfigMeta):
     ADAPTIVE_ENABLED = BooleanConfig("DFSQL_ADAPTIVE_ENABLED", default=True)
     #: Arrow for pandas interchange (sql_query / .sql accessor path)
     ARROW_ENABLED = BooleanConfig("DFSQL_ARROW_ENABLED", default=True)
+    #: cache-on-access size gate: file tables larger than this many
+    #: bytes are NOT auto-cached by queries (a cached table scans ALL
+    #: columns into the InMemoryRelation, defeating column pruning —
+    #: right for dim-sized tables, wrong for a 100 TB fact table).
+    #: ``0`` disables the gate; explicit ``cache_table()`` always pins.
+    AUTO_CACHE_MAX_BYTES = IntConfig("DFSQL_AUTO_CACHE_MAX_BYTES", default=1 << 30)
 
     @classmethod
     def as_dict(cls) -> dict:

@@ -281,14 +281,32 @@ class DataSource:
         the cache policy (LRU pin/evict).  A word-level scan is exact
         enough: a false positive (table name inside a string literal)
         only pins a table early; resolution errors were already raised
-        by the analyzer above."""
+        by the analyzer above.
+
+        Scale gate: a cached table's first scan materializes EVERY
+        column into the InMemoryRelation — column pruning is lost — so
+        auto-caching is right for dim-sized tables and wrong for a
+        100 TB fact table.  File tables above
+        ``Configuration.AUTO_CACHE_MAX_BYTES`` (or whose size can't be
+        cheaply stat'ed — remote paths) are skipped; explicit
+        :meth:`cache_table` always pins, gate or no gate."""
         words = set(re.findall(r"[A-Za-z_][A-Za-z_0-9]*", sql))
         if not self.case_sensitive:
             words = {w.lower() for w in words}
-        for name in self.tables:
+        for name, info in self.tables.items():
             probe = name if self.case_sensitive else name.lower()
-            if probe in words:
+            if probe in words and self._auto_cacheable(info):
                 self.cache.touch(self.spark, name)
+
+    def _auto_cacheable(self, info: TableInfo) -> bool:
+        from .config import Configuration
+
+        limit = Configuration.AUTO_CACHE_MAX_BYTES
+        if not limit or info.fpath is None:
+            # gate disabled, or in-memory table (already materialized)
+            return True
+        size = _path_size_bytes(info.fpath)
+        return size is not None and size <= limit
 
     def query(self, sql: str, reduce_output: bool = True):
         """Reference-compatible entry point: materializes the result as
@@ -309,6 +327,24 @@ class DataSource:
         if reduce_output:
             return _reduce_output(pdf)
         return pdf
+
+
+def _path_size_bytes(path: str) -> int | None:
+    """Total bytes of a local file or directory; ``None`` when the path
+    can't be cheaply stat'ed (remote URI) — callers treat that as
+    "too big to auto-cache"."""
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    total += os.path.getsize(os.path.join(root, f))
+            return total
+    except OSError:
+        return None
+    return None
 
 
 def _clean_name(name: str) -> str:

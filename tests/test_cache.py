@@ -97,6 +97,33 @@ def test_cache_on_access_respects_do_nothing(spark):
         spark.catalog.dropTempView("cq")
 
 
+def test_cache_on_access_size_gate(spark, tmp_path):
+    """File tables above AUTO_CACHE_MAX_BYTES are not auto-cached
+    (caching defeats column pruning for big scans); explicit
+    cache_table() still pins them."""
+    from dfsql_spark.config import Configuration
+
+    csv = tmp_path / "big.csv"
+    csv.write_text("x,y\n" + "\n".join(f"{i},{i*2}" for i in range(100)))
+    ds = DataSource(spark=spark, cache=MemoryCache(maxsize=4))
+    ds.add_table_from_file("gated_tbl", str(csv))
+    original_field = Configuration.__dict__["AUTO_CACHE_MAX_BYTES"]
+    try:
+        Configuration.AUTO_CACHE_MAX_BYTES = 10  # smaller than the file
+        ds.query("SELECT sum(x) AS s FROM gated_tbl")
+        assert not spark.catalog.isCached("gated_tbl")
+        assert ds.cache.misses == 0
+        ds.cache_table("gated_tbl")  # explicit pin bypasses the gate
+        assert spark.catalog.isCached("gated_tbl")
+        Configuration.AUTO_CACHE_MAX_BYTES = original_field  # default gate
+        ds.query("SELECT sum(y) AS s FROM gated_tbl")
+        assert ds.cache.hits == 1  # now under the default 1 GiB gate
+    finally:
+        Configuration.AUTO_CACHE_MAX_BYTES = original_field
+        ds.cache.clear(spark)
+        spark.catalog.dropTempView("gated_tbl")
+
+
 def test_drop_table_evicts(ds, spark):
     ds.cache_table("ca")
     ds.drop_table("ca")
