@@ -39,8 +39,6 @@ debuggability; call :meth:`vacuum` to keep only the latest.
 
 from __future__ import annotations
 
-import os
-import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -65,41 +63,43 @@ class KeyedParquetSink:
     """
 
     def __init__(self, path: str, key_cols: list[str], order_col: str | None = None):
-        # Markers and listings use driver-local os/shutil, so the table
-        # root must be a local filesystem path — on HDFS/S3 the markers
-        # would land on the driver's disk and the commit protocol would
-        # silently break (every batch would look uncommitted).  Reject
-        # non-local URIs up front; a remote deployment should swap
-        # process_batch for a transactional format's MERGE (see module
-        # docstring) or route marker I/O through the Hadoop FileSystem.
-        scheme, sep, _rest = path.partition("://")
-        if sep and scheme not in ("file",):
-            raise ValueError(
-                f"KeyedParquetSink requires a local filesystem path; got "
-                f"scheme {scheme!r} in {path!r}. Use a Delta/Iceberg MERGE "
-                f"sink for remote object storage."
-            )
-        self.path = path[len("file://"):] if path.startswith("file://") else path
+        # Marker/listing I/O goes through the same storage system as
+        # the snapshot parquet: driver-local os for scheme-less paths,
+        # the Hadoop FileSystem API for any URI (file://, hdfs://,
+        # s3a://) — see _fs.py.  Writing markers with driver-local I/O
+        # against a remote table root would silently break the commit
+        # protocol (every batch would look uncommitted).
+        self.path = path.rstrip("/")
         self.key_cols = list(key_cols)
         self.order_col = order_col
 
+    def _fs(self, spark: SparkSession | None = None):
+        from ._fs import fs_for
+
+        return fs_for(self.path, spark)
+
+    def _join(self, name: str) -> str:
+        # URI-safe join: Hadoop paths always use '/'
+        return f"{self.path}/{name}"
+
     # -- commit log --------------------------------------------------------
-    def committed_batches(self) -> list[int]:
-        if not os.path.isdir(self.path):
+    def committed_batches(self, spark: SparkSession | None = None) -> list[int]:
+        fs = self._fs(spark)
+        if not fs.isdir(self.path):
             return []
         return sorted(
             int(name[len(_MARKER_PREFIX):])
-            for name in os.listdir(self.path)
+            for name in fs.listdir(self.path)
             if name.startswith(_MARKER_PREFIX)
         )
 
     def _snapshot_dir(self, batch_id: int) -> str:
-        return os.path.join(self.path, f"{_SNAPSHOT_PREFIX}{batch_id}")
+        return self._join(f"{_SNAPSHOT_PREFIX}{batch_id}")
 
     # -- reads -------------------------------------------------------------
     def read(self, spark: SparkSession) -> "DataFrame | None":
         """Current state (latest committed snapshot), or None if empty."""
-        committed = self.committed_batches()
+        committed = self.committed_batches(spark)
         if not committed:
             return None
         return spark.read.parquet(self._snapshot_dir(committed[-1]))
@@ -109,10 +109,11 @@ class KeyedParquetSink:
         """Upsert one micro-batch.  Safe to call twice with the same
         ``batch_id`` (replay after failure): the existing commit marker
         short-circuits."""
-        marker = os.path.join(self.path, f"{_MARKER_PREFIX}{batch_id}")
-        if os.path.exists(marker):
-            return  # replayed batch — already committed
         spark = batch_df.sparkSession
+        fs = self._fs(spark)
+        marker = self._join(f"{_MARKER_PREFIX}{batch_id}")
+        if fs.exists(marker):
+            return  # replayed batch — already committed
         prev = self.read(spark)
         new = batch_df.withColumn("_src", F.lit(1))
         merged = (
@@ -130,33 +131,33 @@ class KeyedParquetSink:
             .drop("_rn", "_src")
         )
         snap_dir = self._snapshot_dir(batch_id)
-        if os.path.isdir(snap_dir):
+        if fs.isdir(snap_dir):
             # dangling data from a crash before the marker write —
             # remove and rewrite (the marker is the commit point)
-            shutil.rmtree(snap_dir)
+            fs.delete(snap_dir)
         snapshot.write.mode("overwrite").parquet(snap_dir)
-        with open(marker, "w", encoding="utf-8"):
-            pass  # marker AFTER data = the atomic commit point
+        fs.touch(marker)  # marker AFTER data = the atomic commit point
 
-    def vacuum(self) -> None:
+    def vacuum(self, spark: SparkSession | None = None) -> None:
         """Drop all but the latest committed snapshot (and any dangling
         uncommitted snapshot directories)."""
-        committed = self.committed_batches()
+        fs = self._fs(spark)
+        committed = self.committed_batches(spark)
         keep = committed[-1] if committed else None
-        if not os.path.isdir(self.path):
+        if not fs.isdir(self.path):
             return
-        for name in os.listdir(self.path):
-            full = os.path.join(self.path, name)
+        for name in fs.listdir(self.path):
+            full = self._join(name)
             if name.startswith(_SNAPSHOT_PREFIX):
                 bid = int(name[len(_SNAPSHOT_PREFIX):])
                 if bid != keep and (
                     bid not in committed or keep is None or bid < keep
                 ):
-                    shutil.rmtree(full)
+                    fs.delete(full)
             elif name.startswith(_MARKER_PREFIX):
                 bid = int(name[len(_MARKER_PREFIX):])
                 if keep is not None and bid < keep:
-                    os.remove(full)
+                    fs.delete(full)
 
 
 def run_foreach_batch(

@@ -97,15 +97,35 @@ def test_empty_sink_reads_none(spark, sink):
     assert sink.committed_batches() == []
 
 
-def test_remote_path_rejected(tmp_path):
-    # marker I/O is driver-local; a remote table root would silently
-    # break the commit protocol, so it must be rejected up front
-    for bad in ("s3://bucket/state", "hdfs://nn/state", "abfs://c@a/state"):
-        with pytest.raises(ValueError, match="local filesystem"):
-            KeyedParquetSink(bad, key_cols=["user_id"])
-    # file:// scheme is fine and normalized to a plain path
-    s = KeyedParquetSink(f"file://{tmp_path}/state", key_cols=["user_id"])
-    assert s.path == str(tmp_path / "state")
+def test_uri_path_uses_hadoop_fs(spark, tmp_path):
+    """Scheme'd table roots route marker I/O through the Hadoop
+    FileSystem API (the commit protocol must live on the same storage
+    as the snapshots).  file:// exercises the HadoopFS adapter against
+    real storage; hdfs://s3a:// use the same code path."""
+    from dfsql_spark.streaming._fs import HadoopFS
+
+    sink = KeyedParquetSink(f"file://{tmp_path}/state", key_cols=["k"])
+    assert isinstance(sink._fs(spark), HadoopFS)
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    sink.process_batch(b0, 0)
+    assert sink.committed_batches(spark) == [0]
+    # replay is a no-op; upsert batch overwrites by key
+    sink.process_batch(b0, 0)
+    b1 = spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"])
+    sink.process_batch(b1, 1)
+    state = {(r.k, r.v) for r in sink.read(spark).collect()}
+    assert state == {(1, "a"), (2, "B"), (3, "c")}
+    sink.vacuum(spark)
+    assert sink.committed_batches(spark) == [1]
+
+
+def test_uri_path_without_session_raises(tmp_path):
+    from pyspark.sql import SparkSession
+
+    sink = KeyedParquetSink("s3a://bucket/state", key_cols=["k"])
+    if SparkSession.getActiveSession() is None:
+        with pytest.raises(RuntimeError, match="SparkSession is required"):
+            sink.committed_batches()
 
 
 def test_run_foreach_batch_timeout_raises(spark, tmp_path):
