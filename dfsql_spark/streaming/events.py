@@ -47,6 +47,9 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# Legacy layout: TIMESTAMP(NANOS) parquet read as INT64 nanos via
+# spark.sql.legacy.parquet.nanosAsLong.  Newer testdata generations
+# write native timestamp[us]; the readers below adapt to either.
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -60,15 +63,26 @@ EVENTS_RAW_SCHEMA = StructType(
 
 
 def _enable_nanos(spark: SparkSession) -> None:
-    # the testdata writes TIMESTAMP(NANOS) parquet, which Spark only
-    # reads as long with this conf; we rebuild a µs timestamp below.
+    # harmless on µs/ms parquet; required to read TIMESTAMP(NANOS)
+    # files at all (Spark has no nanosecond timestamp type).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
 def _with_event_time(df: DataFrame) -> DataFrame:
-    # integer div: double division of ~1.7e18 ns exceeds double's 2^53
-    # mantissa and can round across a microsecond boundary.
-    return df.withColumn("event_time", F.expr("timestamp_micros(ts div 1000)"))
+    """Normalize ``ts`` to a µs ``event_time`` timestamp column.
+
+    * INT64 ``ts`` = epoch nanos (legacy TIMESTAMP(NANOS) data read via
+      nanosAsLong): integer div by 1000 — double division of ~1.7e18 ns
+      exceeds double's 2^53 mantissa and can round across a µs boundary.
+    * timestamp / timestamp_ntz ``ts`` (native µs parquet): cast to the
+      session-zone timestamp; the session zone is pinned UTC
+      (session.py) so the wall-clock value is preserved exactly.
+    """
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn(
+            "event_time", F.expr("timestamp_micros(ts div 1000)")
+        )
+    return df.withColumn("event_time", F.col("ts").cast("timestamp"))
 
 
 def read_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,10 +94,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet — in production this
     would be Kafka/Kinesis; the transformation pipeline is identical."""
     _enable_nanos(spark)
+    # file-source streams need an explicit schema; take it from the
+    # file footer (driver-only metadata read) so the stream matches
+    # whichever ts encoding this data generation uses.
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file-source streams take a directory; pathGlobFilter narrows the
     # listing to the events file among the other tables.
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)

@@ -90,9 +90,11 @@ def replicate(spark, src: str, dst: str, copies: int) -> None:
             "c_custkey", F.col("c_custkey") + i * OFF["custkey"]
         ),
     )
-    # the source events parquet is TIMESTAMP(NANOS); read it as long
-    # (the same conf the streaming module uses) — the replica stores
-    # plain INT64 nanos, which both the batch and stream readers accept
+    # legacy events parquet is TIMESTAMP(NANOS); read it as long (the
+    # same conf the streaming module uses) so the replica stores plain
+    # INT64 nanos.  On native timestamp[us] data the conf is a no-op
+    # and the replica keeps timestamp[us] — the schema-adaptive event
+    # readers accept either.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     fan(
         "events",
