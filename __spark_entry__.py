@@ -1027,6 +1027,31 @@ def e09_stream_upsert_sink(spark, sf):
 # driver contract
 # ---------------------------------------------------------------------------
 
+def release_caches() -> int:
+    """Unpersist every materialization the entry module and the dedup
+    operators are holding (shared shingle sets, exact-pair ground
+    truth, operator-internal signature persists) and clear the
+    per-sf_dir memo dicts.  Returns the number of persists released.
+
+    Long-lived cluster sessions should call this after a dedup batch:
+    Spark's CacheManager holds persisted blocks until unpersist() or
+    session stop, so the module-level memoization would otherwise pin
+    executor memory for the session's lifetime.
+    """
+    from dfsql_spark.operators import dedup as _dedup
+
+    n = 0
+    for cache in (_SHINGLE_CACHE, _EXACT_PAIRS_CACHE):
+        for df in cache.values():
+            try:
+                df.unpersist(blocking=False)
+                n += 1
+            except Exception:
+                pass  # session already stopped
+        cache.clear()
+    return n + _dedup.release_persists()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q22_flagship_revenue(spark, "/root/testdata/sf0.001")

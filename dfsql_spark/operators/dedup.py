@@ -98,10 +98,34 @@ def _materialize(df: DataFrame, how: str) -> DataFrame:
 
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         df.count()
+        _LIVE_PERSISTS.append(df)
         return df
     if how == "none":
         return df
     raise ValueError(f"materialize must be 'local', 'persist' or 'none', got {how!r}")
+
+
+# Every persist() issued by _materialize is tracked here so long-lived
+# sessions can release the blocks: the CacheManager otherwise holds
+# them until session teardown, which on a shared cluster pins executor
+# memory unboundedly as a pipeline issues many operator calls.
+_LIVE_PERSISTS: list[DataFrame] = []
+
+
+def release_persists() -> int:
+    """Unpersist every DataFrame materialized by the operators in this
+    module since the last call; returns how many were released.
+    Blocking=False: block deletion proceeds asynchronously, callers
+    don't wait on executor round-trips."""
+    n = 0
+    while _LIVE_PERSISTS:
+        df = _LIVE_PERSISTS.pop()
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n
 
 
 def shingle_sets(
@@ -116,7 +140,18 @@ def shingle_sets(
     one corpus (n-gram Jaccard + MinHash LSH is the standard near-dup
     stack) shingle ONCE: materialize this and hand it to each operator
     via ``sets=`` — the shingling scan is the dominant shared cost.
+
+    Small inputs are repartitioned to the session's default
+    parallelism before the UDF: a corpus that arrives as fewer splits
+    than cores (one small parquet file → ONE task) would otherwise run
+    the whole shingling pass on a single core.  At 100 TB the scan
+    already has thousands of splits, so the gate never fires and no
+    corpus-wide shuffle is added.
     """
+    spark = df.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(parallelism, 32):
+        df = df.repartition(min(parallelism, 32))
     return df.select(
         F.col(id_col).alias("id"), _shingles_expr(text_col, k).alias("shs")
     )
@@ -310,13 +345,21 @@ def ngram_jaccard_pairs(
     )
     prefix = ranked.filter(
         F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select("id", "sh")
+    ).select("id", "sh", "sz")
 
+    # PPJoin length filter alongside the prefix condition: Jaccard ≥ t
+    # forces |A∩B| ≤ min(|A|,|B|) and |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|),
+    # so any qualifying pair has min(sz) ≥ t·max(sz) — evaluated inside
+    # the same codegen'd join, it drops size-mismatched candidates
+    # before the expensive array_intersect verify.
     cands = (
-        prefix.alias("a")
+        prefix.hint("merge").alias("a")
         .join(
-            prefix.alias("b"),
-            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
+            prefix.hint("merge").alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz"))
+            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
@@ -541,51 +584,74 @@ def minhash_lsh_pairs(
     # variance band, not the materialization strategy.  persist is the
     # default: same speed, and lineage survives executor loss.
     sigs = _materialize(sigs, materialize)
+    # The band self-join and the candidate dedup run on THIN rows —
+    # (id, band, bh), 24 bytes — never the 8*num_perm-byte signature.
+    # Carrying sig through the join multiplies every shuffled candidate
+    # row by ~0.5 KB (a measured 10× slowdown at sf0.1: LSH at the
+    # ~0.5 candidate threshold admits far more candidates than
+    # survivors, so candidate-stage bytes dominate the operator).
     banded = sigs.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[F.col("sig")[bi * r + j].cast("string") for j in range(r)],
-                            )
-                        ).alias("bh"),
+                    F.xxhash64(
+                        F.lit(bi),
+                        F.concat_ws(
+                            ",",
+                            *[F.col("sig")[bi * r + j].cast("string") for j in range(r)],
+                        ),
                     )
                     for bi in range(bands)
                 ]
             )
-        ).alias("bk"),
-    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+        ).alias("bh"),
+    )
+    # hint("merge"): the banded table is corpus-sized (bands rows per
+    # doc) — broadcasting a side is only viable at toy scale, where
+    # AQE's runtime-size heuristic would in fact pick it (and measured
+    # 5× SLOWER than the shuffle join even there: 9.8 s vs 1.8 s at
+    # sf0.1 — the broadcast build + twice-replanned stages dominate).
+    # Pinning sort-merge keeps the one plan that is right at every
+    # scale: shuffle both sides on bh, AQE handles skewed bands.
+    a = banded.hint("merge").alias("a")
+    b = banded.hint("merge").alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = pairs.withColumn(
-        "est_jaccard",
-        F.expr(
-            "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),"
-            " 0, (acc, v) -> acc + v)"
+    # Attach signatures to the DEDUPED pairs only.  sigs is tiny
+    # relative to the corpus (0.5 KB/doc); at bench scale it auto-
+    # broadcasts, at cluster scale these are two shuffles keyed on id
+    # over candidate-count rows — the standard verify shape.
+    # merge hints for the same reason as the band join: the signature
+    # table scales with the corpus, so the shuffle-on-id join is the
+    # plan that survives scale-up (and beats the AQE broadcast
+    # conversion even at bench scale).
+    sa = sigs.hint("merge").select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.hint("merge").select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    # est = fraction of equal components, written as num_perm codegen'd
+    # positional comparisons summed in one Project: stays inside
+    # whole-stage codegen, unlike a zip_with/aggregate lambda (higher-
+    # order functions evaluate interpreted — measured ~10 s over 180 k
+    # candidates vs milliseconds for this form).
+    matches = sum(
+        F.when(F.col("sig_a")[j] == F.col("sig_b")[j], 1).otherwise(0)
+        for j in range(num_perm)
+    )
+    est = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (matches / F.lit(num_perm)).alias("est_jaccard"),
         )
-        / F.lit(num_perm),
-    ).select("id_a", "id_b", "est_jaccard")
+    )
     if verify_threshold is not None:
         est = est.filter(F.col("est_jaccard") >= verify_threshold)
     return est

@@ -129,3 +129,31 @@ def test_drop_table_evicts(ds, spark):
     ds.drop_table("ca")
     assert ds.cache.currsize == 0
     assert "ca" not in [t.name for t in ds.tables.values()]
+
+
+def test_release_caches_unpersists_everything(spark):
+    """After a dedup batch, release_caches() must leave no persisted
+    blocks behind beyond what existed before the batch (VERDICT r4:
+    module-level persists otherwise pin executor memory for the
+    session's lifetime)."""
+    import __spark_entry__ as em
+
+    def persistent_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
+    before = persistent_ids()
+    sf = "/root/testdata/sf0.001"
+    em.d02_dedup_ngram_jaccard(spark, sf).count()
+    em.d03_dedup_minhash_lsh(spark, sf).count()
+    assert persistent_ids() - before, "expected new persisted blocks"
+    released = em.release_caches()
+    assert released >= 2
+    assert not em._SHINGLE_CACHE and not em._EXACT_PAIRS_CACHE
+    # unpersist(blocking=False) is async; poll briefly
+    import time
+
+    for _ in range(50):
+        if not (persistent_ids() - before):
+            break
+        time.sleep(0.1)
+    assert not (persistent_ids() - before)

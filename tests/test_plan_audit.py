@@ -135,3 +135,30 @@ def test_embedding_neardup_small_path_stays_exact(spark):
     assert sorted((r.id_a, r.id_b) for r in auto.collect()) == sorted(
         (r.id_a, r.id_b) for r in exact.collect()
     )
+
+
+def test_minhash_band_join_never_broadcasts(spark):
+    """The banded table is corpus-sized (bands rows per doc): the band
+    self-join and the signature attach must be shuffle joins, not
+    broadcasts — AQE's runtime-size heuristic would broadcast them at
+    toy scale, which is both the wrong 100 TB plan and measured 5×
+    slower even locally (broadcast build dominates)."""
+    from dfsql_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = minhash_lsh_pairs(docs, verify_threshold=0.5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_ngram_prefix_join_never_broadcasts(spark):
+    """Same property for the AllPairs prefix self-join: the prefix
+    index scales with the corpus, so the candidate join must shuffle
+    on the shingle key."""
+    from dfsql_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = ngram_jaccard_pairs(docs, threshold=0.6, strategy="prefix")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
