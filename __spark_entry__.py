@@ -1065,27 +1065,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # Until then the overflow is managed by ROTATION, not by arranging
 # favourites: the entries listed here sit at the END of the
 # oracle-backed block this round, chosen as twice-green (driver-green
-# in rounds 2 AND 3) trivial single-operator entries, every one pinned
-# by the pytest oracle mirror each round.  Round 4 honors the round-3
-# rotation promise: q01-q04 are back in the graded block.  Rotate this
-# list each round so nothing goes ungraded two rounds running.
+# in rounds 3 AND 4) trivial single-operator entries, every one pinned
+# by the pytest oracle mirror each round.  Round 5 honors the round-4
+# rotation promise: q05-q12 are back in the graded block; the 9
+# sit-outs below (9 = 59 oracle-backed queries minus the driver's ~50
+# slots, m02 newly oracle-backed) were all green in rounds 3 and 4.
+# Rotate this list each round so nothing goes ungraded two rounds
+# running.
 _SIT_OUT_THIS_ROUND = (
-    "q05_orderby_limit_offset",
-    "q06_groupby_agg",
-    "q07_groupby_expr",
-    "q08_implicit_agg",
-    "q09_count_distinct",
-    "q10_having_alias",
-    "q11_join_inner",
-    "q12_join_left",
+    "q13_join_right",
+    "q14_join_full",
+    "q15_self_join",
+    "q16_in_subquery",
+    "q19_like_regex",
+    "q20_string_funcs",
+    "q21_power",
+    "q23_case_when",
+    "q24_union",
 )
 
-# rows-only sketch queries (``no_oracle``); always last.  m02 is the
-# Arrow decode plumbing whose stub output is engine-specific — the
-# batch shape is pinned by pytest instead.
-_ROWS_ONLY = (
-    "m02_media_decode",
-)
+# rows-only sketch queries (``no_oracle``); always last.  Empty since
+# round 5: m02's stub decoder is SHA-256-derived, which DuckDB
+# reproduces (sha256() + hex-byte extraction), so even the media
+# plumbing is value-checked.
+_ROWS_ONLY: tuple[str, ...] = ()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1760,5 +1763,18 @@ def oracle_sql() -> dict[str, str]:
                    MIN(n_bytes) AS min_bytes,
                    MAX(n_bytes) AS max_bytes
             FROM m GROUP BY 1
+        """,
+        # m02: the stub decoder is SHA-256-derived (multimodal.py
+        # _fake_decode), so DuckDB reproduces width/height exactly:
+        # byte k of the digest is hex chars 2k+1..2k+2 of sha256().
+        "m02_media_decode": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                        WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                        ELSE 'video/mp4' END AS mime,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CAST(64 + CAST('0x' || substr(sha256(text), 1, 2) AS INT) % 192 AS INT) AS width,
+                   CAST(64 + CAST('0x' || substr(sha256(text), 3, 2) AS INT) % 192 AS INT) AS height
+            FROM documents
         """,
     }

@@ -107,6 +107,21 @@ class DataSource:
     # ------------------------------------------------------------------
     # catalog
     # ------------------------------------------------------------------
+    def _resolve_name(self, name: str) -> str:
+        """Catalog-dict name resolution.  When ``case_sensitive=False``
+        a lookup matches the stored key case-insensitively (reference
+        wraps its table map in a CaseInsensitiveDict:
+        base_data_source.py:48-59, utils.py:87-157); an exact match
+        always wins.  Spark's temp-view catalog is case-insensitive by
+        itself, so only this dict needs the shim."""
+        if self.case_sensitive or name in self.tables:
+            return name
+        lowered = name.lower()
+        for key in self.tables:
+            if key.lower() == lowered:
+                return key
+        return name
+
     def add_table_from_file(
         self, name: str, fpath: str, fmt: str | None = None, **options
     ) -> None:
@@ -114,6 +129,9 @@ class DataSource:
         dfsql/table.py:51-72).  The scan itself stays lazy."""
         df = read_file(self.spark, fpath, fmt, **options)
         df.createOrReplaceTempView(name)
+        # case-insensitive mode: re-registering under a case variant
+        # replaces the existing entry (Spark's temp view already did)
+        self.tables.pop(self._resolve_name(name), None)
         self.tables[name] = TableInfo(name=name, fpath=fpath, format=fmt, options=options)
         self.save_metadata()
 
@@ -125,9 +143,11 @@ class DataSource:
         if isinstance(df, pd.DataFrame):
             df = self.spark.createDataFrame(df)
         df.createOrReplaceTempView(name)
+        self.tables.pop(self._resolve_name(name), None)
         self.tables[name] = TableInfo(name=name)
 
     def drop_table(self, name: str) -> None:
+        name = self._resolve_name(name)
         if name not in self.tables and not self.spark.catalog.tableExists(name):
             raise QueryExecutionException(f"Table {name} not found")
         self.cache.evict(self.spark, name)
@@ -183,10 +203,10 @@ class DataSource:
     # swap pattern from the reference README/testdrive)
     # ------------------------------------------------------------------
     def cache_table(self, name: str) -> None:
-        self.cache.touch(self.spark, name)
+        self.cache.touch(self.spark, self._resolve_name(name))
 
     def uncache_table(self, name: str) -> None:
-        self.cache.evict(self.spark, name)
+        self.cache.evict(self.spark, self._resolve_name(name))
 
     def set_cache(self, cache) -> None:
         """Swap the cache policy; previously pinned tables are

@@ -176,6 +176,29 @@ def _bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
     return bucket.cast("int")
 
 
+def _all_table_buckets(
+    vec_col: str, dim: int, num_planes: int, num_tables: int, seed: int
+) -> Column:
+    """``explode(array<struct<tbl,bucket>>)`` — every table's bucket id
+    computed in ONE projection, so bucketing costs one corpus scan
+    regardless of ``num_tables``.  (The previous unionAll of per-table
+    bucketings scanned the corpus ``num_tables`` times — harmless at
+    bench scale, N× the dominant cost at 100 TB.)"""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    _bucket_expr(
+                        vec_col, _hyperplanes(dim, num_planes, seed + t)
+                    ).alias("bucket"),
+                )
+                for t in range(num_tables)
+            ]
+        )
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -191,37 +214,42 @@ def lsh_topk(
     """Approximate top-k: random-hyperplane LSH with ``num_tables``
     independent tables (union of candidates ≈ multi-probe recall).
 
-    Corpus rows are bucketed once per table and meet queries in a
-    (table, bucket) equi-join — candidate set per query is the union of
-    its buckets, typically a small fraction of the corpus.  Exact
-    cosine then ranks candidates.  Recall improves with more tables;
-    cost scales with candidate volume, not corpus size.  Pass ``dim``
-    (vector width) to skip the one-row lookup job.
+    Corpus rows are bucketed once for ALL tables in a single
+    projection (:func:`_all_table_buckets` — one corpus scan, not
+    ``num_tables``) and meet queries in a (table, bucket) equi-join —
+    candidate set per query is the union of its buckets, typically a
+    small fraction of the corpus.  Cosine is computed inside the
+    broadcast join's projection — map-side, while both vectors are on
+    hand — so the candidate dedup that follows shuffles only thin
+    (query, neighbor, score) rows, never the embedding payload, and
+    the corpus itself is never shuffled at all.  Cosine is duplicate-
+    invariant, so scoring before dedup is value-identical; a pair
+    colliding in several tables recomputes it at most ``num_tables``
+    times.  Recall improves with more tables; cost scales with
+    candidate volume, not corpus size.  Pass ``dim`` (vector width) to
+    skip the one-row lookup job.
     """
     dim = dim or len(corpus.select(vec_col).first()[0])
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("q_vec"))
 
-    c_bucketed = None
-    q_bucketed = None
-    for t in range(num_tables):
-        planes = _hyperplanes(dim, num_planes, seed + t)
-        cb = c.select(
-            "neighbor_id", "c_vec", F.lit(t).alias("tbl"), _bucket_expr("c_vec", planes).alias("bucket")
-        )
-        qb = q.select(
-            query_id_col, "q_vec", F.lit(t).alias("tbl"), _bucket_expr("q_vec", planes).alias("bucket")
-        )
-        c_bucketed = cb if c_bucketed is None else c_bucketed.unionAll(cb)
-        q_bucketed = qb if q_bucketed is None else q_bucketed.unionAll(qb)
+    cb = c.select(
+        "neighbor_id",
+        "c_vec",
+        _all_table_buckets("c_vec", dim, num_planes, num_tables, seed).alias("tb"),
+    ).select("neighbor_id", "c_vec", "tb.tbl", "tb.bucket")
+    qb = q.select(
+        query_id_col,
+        "q_vec",
+        _all_table_buckets("q_vec", dim, num_planes, num_tables, seed).alias("tb"),
+    ).select(query_id_col, "q_vec", "tb.tbl", "tb.bucket")
 
-    cand = (
-        c_bucketed.join(broadcast(q_bucketed), ["tbl", "bucket"])
-        .select(query_id_col, "neighbor_id", "c_vec", "q_vec")
+    scored = (
+        cb.join(broadcast(qb), ["tbl", "bucket"])
+        .select(
+            query_id_col, "neighbor_id", cosine("c_vec", "q_vec").alias("cos_sim")
+        )
         .dropDuplicates([query_id_col, "neighbor_id"])
-    )
-    scored = cand.select(
-        query_id_col, "neighbor_id", cosine("c_vec", "q_vec").alias("cos_sim")
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -275,25 +303,30 @@ def embedding_neardup_pairs(
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if not use_lsh:
-        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    else:
-        dim = dim or len(df.select(vec_col).first()[0])
-        ab = None
-        bb = None
-        for t in range(num_tables):
-            planes = _hyperplanes(dim, num_planes, seed + t)
-            at = a.select("id_a", "va", F.lit(t).alias("tbl"), _bucket_expr("va", planes).alias("bucket"))
-            bt = b.select("id_b", "vb", F.lit(t).alias("tbl"), _bucket_expr("vb", planes).alias("bucket"))
-            ab = at if ab is None else ab.unionAll(at)
-            bb = bt if bb is None else bb.unionAll(bt)
-        pairs = (
-            ab.join(bb, ["tbl", "bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", cosine("va", "vb").alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold)
         )
+    dim = dim or len(df.select(vec_col).first()[0])
+    # One projection computes every table's bucket (single corpus scan);
+    # cosine is evaluated inside the bucket join while both vectors are
+    # in hand, then threshold-filtered, so the pair dedup shuffles only
+    # thin (id_a, id_b, cos_sim) survivors — never the embedding
+    # payload.  Cosine is duplicate-invariant: filter-then-dedup is
+    # value-identical to dedup-then-score.
+    ab = a.select(
+        "id_a", "va", _all_table_buckets("va", dim, num_planes, num_tables, seed).alias("tb")
+    ).select("id_a", "va", "tb.tbl", "tb.bucket")
+    bb = b.select(
+        "id_b", "vb", _all_table_buckets("vb", dim, num_planes, num_tables, seed).alias("tb")
+    ).select("id_b", "vb", "tb.tbl", "tb.bucket")
     return (
-        pairs.select("id_a", "id_b", cosine("va", "vb").alias("cos_sim"))
+        ab.join(bb, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine("va", "vb").alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

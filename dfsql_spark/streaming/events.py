@@ -5,7 +5,9 @@ streaming-shaped capability the north star asks for, expressed with
 Spark Structured Streaming primitives:
 
 * :func:`read_events_stream` — file-source ``readStream`` over the
-  events parquet (schema pinned; ns timestamps normalized).
+  events parquet (schema inferred from the parquet footer, so the
+  stream adapts to whichever ts encoding the data generation used;
+  ns timestamps normalized).
 * :func:`windowed_counts` — tumbling/sliding window aggregation with a
   watermark for late data.
 * :func:`session_agg` — ``session_window`` (gap-based) aggregation.
@@ -78,11 +80,21 @@ def _with_event_time(df: DataFrame) -> DataFrame:
       session-zone timestamp; the session zone is pinned UTC
       (session.py) so the wall-clock value is preserved exactly.
     """
-    if isinstance(df.schema["ts"].dataType, LongType):
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
         return df.withColumn(
             "event_time", F.expr("timestamp_micros(ts div 1000)")
         )
-    return df.withColumn("event_time", F.col("ts").cast("timestamp"))
+    if isinstance(ts_type, (TimestampType, TimestampNTZType)):
+        return df.withColumn("event_time", F.col("ts").cast("timestamp"))
+    # An int32/double ts silently cast to timestamp would be read as
+    # epoch SECONDS, shifting every event time by 10^9 — fail loudly.
+    raise TypeError(
+        f"events.ts has unsupported type {ts_type.simpleString()}; "
+        "expected INT64 epoch-nanos or timestamp/timestamp_ntz"
+    )
 
 
 def read_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,14 +110,30 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file footer (driver-only metadata read) so the stream matches
     # whichever ts encoding this data generation uses.
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # file-source streams take a directory; pathGlobFilter narrows the
-    # listing to the events file among the other tables.
-    raw = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    events_path = f"{sf_dir}/events.parquet"
+    from ._fs import fs_for
+
+    if fs_for(events_path, spark).isdir(events_path):
+        # Spark-written replica (scripts/make_scale_data.py):
+        # events.parquet is a DIRECTORY of part files — stream from it
+        # directly.  (pathGlobFilter matches leaf file names only, so
+        # the single-file approach below would silently exclude every
+        # part-*.parquet and stream zero rows.)
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_path)
+        )
+    else:
+        # single-file generation: file-source streams reject a bare
+        # file path ("basePath must be a directory"), so stream the
+        # parent with a glob narrowed to the events file.
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return _with_event_time(raw)
 
 

@@ -93,8 +93,10 @@ def replicate(spark, src: str, dst: str, copies: int) -> None:
     # legacy events parquet is TIMESTAMP(NANOS); read it as long (the
     # same conf the streaming module uses) so the replica stores plain
     # INT64 nanos.  On native timestamp[us] data the conf is a no-op
-    # and the replica keeps timestamp[us] — the schema-adaptive event
-    # readers accept either.
+    # and the replica keeps timestamp[us].  Both the batch reader and
+    # read_events_stream accept the replica: the stream detects that
+    # events.parquet is a directory of part files and streams from it
+    # directly (a leaf-name pathGlobFilter would exclude them).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     fan(
         "events",

@@ -278,3 +278,28 @@ def test_datasource_reads_config_case_sensitivity(spark, clean_config, tmp_path)
     Configuration.CASE_SENSITIVE = True
     ds2 = DataSource(spark=spark, metadata_dir=str(tmp_path / "m2"))
     assert ds2.case_sensitive is True
+
+
+def test_custom_function_shadows_builtin(spark):
+    """Reference parity: custom_functions are checked BEFORE builtin
+    ops (reference base_data_source.py:192-198), so registering
+    'lower' overrides the builtin.  Spark 4 session catalogs clone the
+    builtin function registry per-session, and udf.register replaces
+    the entry by name — so the shadow works through plain spark.sql.
+    Divergence (documented in README): the shadow is session-wide, not
+    per-DataSource."""
+    from dfsql_spark import DataSource
+
+    ds = DataSource(spark=spark)
+    ds.add_table("shadow_t", pd.DataFrame({"x": ["AbC", "DeF"]}))
+    try:
+        ds.register_function("lower", lambda s: s + "!", return_type="string")
+        out = ds.query("SELECT lower(x) AS r FROM shadow_t", reduce_output=False)
+        assert list(out["r"]) == ["AbC!", "DeF!"]
+    finally:
+        # a builtin-name shadow cannot be DROPped (Spark refuses
+        # "DROP TEMPORARY FUNCTION lower"); restore equivalent
+        # semantics for the rest of the suite by re-registering a
+        # passthrough with the builtin's behavior
+        ds.register_function("lower", lambda s: s.str.lower(), return_type="string")
+        spark.catalog.dropTempView("shadow_t")

@@ -162,3 +162,27 @@ def test_ngram_prefix_join_never_broadcasts(spark):
     df = ngram_jaccard_pairs(docs, threshold=0.6, strategy="prefix")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_lsh_topk_single_corpus_scan(spark):
+    """Multi-table bucketing must cost ONE corpus scan: all tables'
+    bucket ids come from a single projection + explode, not a unionAll
+    of per-table bucketings (which scans the corpus num_tables times —
+    N× the dominant cost at 100 TB)."""
+    from dfsql_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.limit(3).selectExpr("vec_id AS query_id", "embedding")
+    df = lsh_topk(emb, qs, k=3, num_tables=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one scan for the corpus side, one for the (broadcast) query side
+    assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_embedding_neardup_lsh_single_scan_per_side(spark):
+    from dfsql_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = embedding_neardup_pairs(emb, threshold=0.3, lsh_min_docs=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 2, plan

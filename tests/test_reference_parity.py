@@ -353,3 +353,72 @@ def test_sql_query_ds_kwargs_passthrough(spark):
             ds_kwargs={"case_sensitive": True},
             odd_case=pdf,
         )
+
+
+def test_case_insensitive_table_catalog_lookup(spark):
+    """Catalog-dict operations resolve table names case-insensitively
+    when case_sensitive=False (reference wraps its table map in a
+    CaseInsensitiveDict: base_data_source.py:48-59, utils.py:87-157;
+    behavior pinned by its test_select_table_case_insensitive,
+    test_file_data_source.py:118-131)."""
+    ds = DataSource(spark=spark, case_sensitive=False)
+    ds.add_table("titanic_ci", pd.DataFrame({"a": [1, 2]}))
+    try:
+        # mixed-case query resolves
+        assert list(ds.query("SELECT a FROM TiTaNiC_CI")) == [1, 2]
+        # cache/uncache under a case variant resolve to the same entry
+        ds.cache_table("TITANIC_CI")
+        ds.uncache_table("Titanic_Ci")
+        # re-registering a case variant replaces, not duplicates
+        ds.add_table("TITANIC_CI", pd.DataFrame({"a": [3]}))
+        assert len(ds.tables) == 1
+        # DROP under a different case succeeds (reference parity)
+        ds.drop_table("Titanic_Ci")
+        assert not ds.tables
+    finally:
+        spark.catalog.dropTempView("titanic_ci")
+        spark.conf.set("spark.sql.caseSensitive", "true")
+
+
+def test_case_sensitive_drop_still_strict(spark):
+    """With case_sensitive=True (the default) a case-mismatched DROP
+    of a dict-registered table still errors — but only if the name
+    also misses Spark's own (case-insensitive) temp-view catalog, so
+    pin the dict behavior directly via _resolve_name."""
+    ds = DataSource(spark=spark, case_sensitive=True)
+    ds.add_table("strict_tbl", pd.DataFrame({"a": [1]}))
+    try:
+        assert ds._resolve_name("STRICT_TBL") == "STRICT_TBL"
+        assert ds._resolve_name("strict_tbl") == "strict_tbl"
+    finally:
+        ds.drop_table("strict_tbl")
+
+
+def test_csv_int_with_nulls_dtype_divergence(spark, tmp_path):
+    """Reference pins nullable pandas dtypes: read_csv().convert_dtypes()
+    turns an int column with missing values into Int64 (reference
+    dfsql/table.py:7-10).  Spark's CSV reader infers IntegerType and
+    keeps true NULLs engine-side — the SQL-correct representation — but
+    the pandas hand-off renders int-with-null as float64/NaN.  Values
+    are semantically identical; only the client-side dtype differs.
+    Documented divergence (README §Testing), pinned here."""
+    p = tmp_path / "people.csv"
+    p.write_text("pid,age\n1,22\n2,\n3,35\n")
+    ds = DataSource(spark=spark)
+    ds.add_table_from_file("people_nulls", str(p))
+    try:
+        sdf = spark.table("people_nulls")
+        # engine-side: integer column, real NULL (not NaN, not string)
+        assert dict(sdf.dtypes)["age"] == "int"
+        assert sdf.filter("age IS NULL").count() == 1
+        out = ds.query(
+            "SELECT pid, age FROM people_nulls", reduce_output=False
+        ).sort_values("pid")
+        # client-side: float64 with NaN where the reference gives Int64
+        assert str(out["age"].dtype) == "float64"
+        assert list(out["age"].fillna(-1)) == [22.0, -1.0, 35.0]
+        ref = pd.read_csv(p).convert_dtypes()
+        assert str(ref["age"].dtype) == "Int64"  # the reference's shape
+        assert list(ref["age"].fillna(-1)) == list(out["age"].fillna(-1))
+    finally:
+        ds.drop_table("people_nulls")

@@ -172,3 +172,32 @@ def test_stream_interval_join_equals_batch(spark, batch_events):
     s = streamed.sort_values(key).reset_index(drop=True)
     assert len(b) == len(s) and len(b) > 0
     assert (b[key].values == s[key].values).all()
+
+
+def test_stream_reads_directory_shaped_events(spark, tmp_path):
+    """Spark-written replicas store events.parquet as a DIRECTORY of
+    part files (scripts/make_scale_data.py).  The stream must detect
+    that and read the parts — a leaf-name pathGlobFilter would silently
+    stream zero rows (ADVICE r4)."""
+    from dfsql_spark.streaming.events import read_events_stream, run_to_memory
+
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet").limit(200)
+    replica_dir = str(tmp_path / "replica")
+    src.write.parquet(f"{replica_dir}/events.parquet")
+    out = run_to_memory(
+        read_events_stream(spark, replica_dir),
+        spark,
+        f"dirshape_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    assert out.count() == 200
+
+
+def test_with_event_time_rejects_unexpected_ts_type(spark):
+    """An int32/double ts cast to timestamp would be read as epoch
+    SECONDS (10^9 shift) — the reader must refuse instead (ADVICE r4)."""
+    from dfsql_spark.streaming.events import _with_event_time
+
+    df = spark.range(3).selectExpr("CAST(id AS INT) AS ts")
+    with pytest.raises(TypeError, match="unsupported type"):
+        _with_event_time(df)
