@@ -848,6 +848,52 @@ def t05_token_count(spark, sf):
     return token_counts(docs)
 
 
+def t06_deterministic_split(spark, sf):
+    """Content-addressed train/val/test split: bucket = first 8 hex
+    chars of md5(text) mod 10000, thresholds at 90/95%.  Stable across
+    dataset versions and engines (MD5 is MD5 everywhere); pure map, no
+    shuffle.  Value-checked: DuckDB recomputes every assignment."""
+    from dfsql_spark.operators.text import deterministic_split
+
+    docs = _t(spark, sf, "documents")
+    return deterministic_split(docs)
+
+
+def t07_vocab_topk(spark, sf):
+    """Corpus vocabulary head: top-50 lowercased whitespace tokens by
+    frequency, count-desc / token-asc tie-break.  One explode + one
+    map-side-combined hash aggregate; shuffle is vocabulary-sized."""
+    from dfsql_spark.operators.text import vocab_topk
+
+    docs = _t(spark, sf, "documents")
+    return vocab_topk(docs, k=50).select(
+        "token", F.col("n").cast("long").alias("n")
+    )
+
+
+def t08_pii_scrub(spark, sf):
+    """PII redaction over text with planted PII (the synthetic corpus
+    contains none, so each doc gets a deterministic doc_id-derived
+    email + phone appended before scrubbing — exercising real
+    replacement, not a passthrough).  Chained regexp_replace +
+    regexp_count, all codegen'd maps; patterns restricted to the
+    Java/RE2-portable subset so DuckDB reproduces every byte."""
+    from dfsql_spark.operators.text import pii_scrub
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567"),
+        ).alias("text"),
+    )
+    return pii_scrub(docs).select(
+        "doc_id", "clean_text", "n_email", "n_phone", "n_ssn"
+    )
+
+
 def s03_sim_ivf(spark, sf):
     """IVF-Flat approximate top-5 (KMeans coarse quantizer, n_probe
     nearest cells, exact cosine rerank), graded as a per-query
@@ -1067,11 +1113,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle-backed block this round, chosen as twice-green (driver-green
 # in rounds 3 AND 4) trivial single-operator entries, every one pinned
 # by the pytest oracle mirror each round.  Round 5 honors the round-4
-# rotation promise: q05-q12 are back in the graded block; the 9
-# sit-outs below (9 = 59 oracle-backed queries minus the driver's ~50
-# slots, m02 newly oracle-backed) were all green in rounds 3 and 4.
-# Rotate this list each round so nothing goes ungraded two rounds
-# running.
+# rotation promise: q05-q12 are back in the graded block; the 12
+# sit-outs below (12 = 62 oracle-backed queries minus the driver's
+# ~50 slots — m02 newly oracle-backed, t06/t07/t08 newly added) were
+# all green in rounds 3 and 4.  Rotate this list each round so nothing
+# goes ungraded two rounds running.
 _SIT_OUT_THIS_ROUND = (
     "q13_join_right",
     "q14_join_full",
@@ -1082,6 +1128,9 @@ _SIT_OUT_THIS_ROUND = (
     "q21_power",
     "q23_case_when",
     "q24_union",
+    "q25_except_intersect",
+    "q26_anti_join",
+    "q28_rollup",
 )
 
 # rows-only sketch queries (``no_oracle``); always last.  Empty since
@@ -1151,6 +1200,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t03_lang_id": t03_lang_id,
         "t04_fingerprint": t04_fingerprint,
         "t05_token_count": t05_token_count,
+        "t06_deterministic_split": t06_deterministic_split,
+        "t07_vocab_topk": t07_vocab_topk,
+        "t08_pii_scrub": t08_pii_scrub,
         "x01_approx_distinct_pruned": x01_approx_distinct_pruned,
         "d03_dedup_minhash_lsh": d03_dedup_minhash_lsh,
         "d04_dedup_simhash": d04_dedup_simhash,
@@ -1670,6 +1722,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '''[a-z]+|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+', 0)) AS INT) AS bpe_pieces,
                    length(text) * 1.0 / greatest(len(regexp_extract_all(text, '''[a-z]+|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+', 0)), 1) AS chars_per_piece
             FROM documents
+        """,
+        "t06_deterministic_split": """
+            SELECT doc_id,
+                   CASE WHEN CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 10000 < 9000
+                        THEN 'train'
+                        WHEN CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 10000 < 9500
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "t07_vocab_topk": """
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (
+                SELECT lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS token
+                FROM documents
+            ) t
+            WHERE token <> ''
+            GROUP BY token
+            ORDER BY n DESC, token ASC
+            LIMIT 50
+        """,
+        "t08_pii_scrub": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or 555-123-4567' AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text,
+                               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                               '[REDACTED_EMAIL]', 'g'),
+                           '\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}',
+                           '[REDACTED_PHONE]', 'g'),
+                       '[0-9]{3}-[0-9]{2}-[0-9]{4}',
+                       '[REDACTED_SSN]', 'g') AS clean_text,
+                   CAST(len(regexp_extract_all(text,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS INT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                       '\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}')) AS INT) AS n_phone,
+                   CAST(len(regexp_extract_all(text,
+                       '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS INT) AS n_ssn
+            FROM aug
         """,
         "t04_fingerprint": """
             WITH n AS (

@@ -189,3 +189,117 @@ def token_counts(
             "chars_per_piece"
         ),
     )
+
+
+def deterministic_split(
+    df: DataFrame,
+    weights: "dict[str, float] | None" = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Content-addressed train/val/test assignment.
+
+    The split key is MD5 of the document TEXT (not the id): the
+    assignment is stable across dataset versions, re-partitionings,
+    and engines, and a document that reappears under a new id lands in
+    the same split — the standard defense against test-set leakage
+    when a corpus is re-scraped.  Pure per-row map (one hash + one
+    comparison chain), no shuffle, so it pipelines into the scan at
+    any scale.
+
+    ``weights`` maps split name → fraction (default 90/5/5); fractions
+    are quantized to ``buckets`` (bucket = first 8 hex chars of the
+    MD5 mod ``buckets``), so the realized proportions are exact in
+    expectation and the bucket boundaries are portable integers —
+    DuckDB reproduces the assignment bit-for-bit from the same SQL
+    shape.
+    """
+    weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {weights}")
+    # first 8 hex chars → 32-bit int → bucket in [0, buckets)
+    bucket = F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % buckets
+    expr = None
+    edge = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        edge += weights[name]
+        cond = bucket < int(round(edge * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1])
+        if expr is None
+        else expr.otherwise(names[-1])
+    )
+    return df.select(F.col(id_col), expr.alias("split"))
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Corpus-level top-k token frequencies (the vocabulary head).
+
+    One explode + one hash aggregate: partial counts combine map-side,
+    so the shuffle carries (distinct-token × partition) partial rows —
+    vocabulary-sized, not corpus-sized.  The final top-k is a single
+    ORDER BY/LIMIT over the vocabulary aggregate (count desc, token
+    asc for a deterministic tie-break).  At 100 TB the only scaling
+    knob that matters is vocabulary cardinality; token skew ("the") is
+    absorbed by the map-side partial aggregation, not a hot reducer.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    tok = F.explode(toks).alias("token")
+    src = df.select(tok)
+    if normalize:
+        src = src.select(F.lower(F.col("token")).alias("token"))
+    src = src.filter(F.col("token") != "")
+    return (
+        src.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+# Deliberately simple, auditable patterns (RE2/Java/PCRE-portable
+# subset: no backrefs, no lookaround).  A production deployment would
+# swap in a maintained PII library via the same map shape.
+PII_PATTERNS = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: "dict[str, str] | None" = None,
+) -> DataFrame:
+    """Redact PII spans and count what was removed.
+
+    Each pattern is applied as a chained ``regexp_replace`` (→
+    ``[REDACTED_KIND]``) with a ``regexp_count`` per kind — all native
+    codegen'd expressions, a pure per-row map over the scan: zero
+    shuffle at any scale, and the patterns are drawn from the regex
+    subset Java (Spark) and RE2/PCRE (DuckDB, the oracle) agree on.
+    Order is deterministic (dict order): earlier redactions can't
+    create later matches because replacement tokens contain no
+    pattern-matchable characters.
+    """
+    patterns = patterns or PII_PATTERNS
+    scrubbed = F.col(text_col)
+    counts = []
+    for kind, pat in patterns.items():
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{kind}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"[REDACTED_{kind.upper()}]")
+    return df.select(F.col(id_col), scrubbed.alias("clean_text"), *counts)

@@ -337,3 +337,73 @@ def test_connected_components_chain_semantics(spark):
         r["doc_id"] for r in dedup_by_components(docs, pairs).collect()
     )
     assert survivors == [1, 10, 20]  # one per cluster + untouched row
+
+
+def test_deterministic_split_content_addressed(spark):
+    """Same text → same split regardless of id (the leakage defense);
+    bad weights rejected; all rows assigned a known split name."""
+    import pandas as pd
+
+    from dfsql_spark.operators.text import deterministic_split
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": ["same words here", "same words here", "other"]}
+        )
+    )
+    rows = {r.doc_id: r.split for r in deterministic_split(df).collect()}
+    assert rows[1] == rows[2]  # identical content, different ids
+    assert set(rows.values()) <= {"train", "val", "test"}
+    with pytest.raises(ValueError, match="sum to 1"):
+        deterministic_split(df, weights={"train": 0.5, "val": 0.1})
+
+
+def test_deterministic_split_proportions(docs):
+    """At corpus size the realized proportions track the weights
+    (binomial tolerance)."""
+    from dfsql_spark.operators.text import deterministic_split
+
+    counts = {
+        r.split: r.n
+        for r in deterministic_split(docs).groupBy("split").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    total = sum(counts.values())
+    assert 0.80 <= counts.get("train", 0) / total <= 0.97
+
+
+def test_vocab_topk_deterministic_tiebreak(spark):
+    import pandas as pd
+
+    from dfsql_spark.operators.text import vocab_topk
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["b a b a c C"]})
+    )
+    rows = [(r.token, r.n) for r in vocab_topk(df, k=10).collect()]
+    assert rows == [("a", 2), ("b", 2), ("c", 2)]  # count desc, token asc
+    rows_nonorm = [
+        (r.token, r.n) for r in vocab_topk(df, k=10, normalize=False).collect()
+    ]
+    assert ("C", 1) in rows_nonorm
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    import pandas as pd
+
+    from dfsql_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1],
+                "text": ["mail a.b@x.io or call 555-123-4567; ssn 123-45-6789."],
+            }
+        )
+    )
+    r = pii_scrub(df).collect()[0]
+    assert "[REDACTED_EMAIL]" in r.clean_text
+    assert "[REDACTED_PHONE]" in r.clean_text
+    assert "[REDACTED_SSN]" in r.clean_text
+    assert "a.b@x.io" not in r.clean_text
+    assert (r.n_email, r.n_phone, r.n_ssn) == (1, 1, 1)

@@ -186,3 +186,14 @@ def test_embedding_neardup_lsh_single_scan_per_side(spark):
     df = embedding_neardup_pairs(emb, threshold=0.3, lsh_min_docs=1)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_split_and_scrub_are_pure_maps(spark):
+    """t06/t08-class operators must stay shuffle-free: a pure per-row
+    map pipelines into the scan at any scale."""
+    from dfsql_spark.operators.text import deterministic_split, pii_scrub
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (deterministic_split(docs), pii_scrub(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
