@@ -894,6 +894,17 @@ def t08_pii_scrub(spark, sf):
     )
 
 
+def t09_pack_sequences(spark, sf):
+    """Greedy token-budget sequence packing per source shard
+    (applyInPandas — one shuffle on the shard key, sequential greedy
+    fill inside each shard, the shape production packers use).  Oracle:
+    the same greedy recurrence as a DuckDB recursive CTE."""
+    from dfsql_spark.operators.text import pack_sequences
+
+    docs = _t(spark, sf, "documents")
+    return pack_sequences(docs, budget=512)
+
+
 def s03_sim_ivf(spark, sf):
     """IVF-Flat approximate top-5 (KMeans coarse quantizer, n_probe
     nearest cells, exact cosine rerank), graded as a per-query
@@ -1113,10 +1124,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle-backed block this round, chosen as twice-green (driver-green
 # in rounds 3 AND 4) trivial single-operator entries, every one pinned
 # by the pytest oracle mirror each round.  Round 5 honors the round-4
-# rotation promise: q05-q12 are back in the graded block; the 12
-# sit-outs below (12 = 62 oracle-backed queries minus the driver's
-# ~50 slots — m02 newly oracle-backed, t06/t07/t08 newly added) were
-# all green in rounds 3 and 4.  Rotate this list each round so nothing
+# rotation promise: q05-q12 are back in the graded block; the 13
+# sit-outs below (13 = 63 oracle-backed queries minus the driver's
+# ~50 slots — m02 newly oracle-backed, t06-t09 newly added) were all
+# green in rounds 3 and 4.  Rotate this list each round so nothing
 # goes ungraded two rounds running.
 _SIT_OUT_THIS_ROUND = (
     "q13_join_right",
@@ -1131,6 +1142,7 @@ _SIT_OUT_THIS_ROUND = (
     "q25_except_intersect",
     "q26_anti_join",
     "q28_rollup",
+    "q29_exists_correlated",
 )
 
 # rows-only sketch queries (``no_oracle``); always last.  Empty since
@@ -1203,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t06_deterministic_split": t06_deterministic_split,
         "t07_vocab_topk": t07_vocab_topk,
         "t08_pii_scrub": t08_pii_scrub,
+        "t09_pack_sequences": t09_pack_sequences,
         "x01_approx_distinct_pruned": x01_approx_distinct_pruned,
         "d03_dedup_minhash_lsh": d03_dedup_minhash_lsh,
         "d04_dedup_simhash": d04_dedup_simhash,
@@ -1742,6 +1755,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY n DESC, token ASC
             LIMIT 50
+        """,
+        # t09: the greedy packing recurrence as a recursive CTE — one
+        # recursion step per doc rank, chains advance per source in
+        # parallel; bit-identical to the applyInPandas greedy loop.
+        "t09_pack_sequences": """
+            WITH RECURSIVE d AS (
+                SELECT doc_id, source,
+                       CAST(least(len(regexp_split_to_array(trim(text), '\\s+')), 512) AS INT) AS doc_tokens,
+                       ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM documents
+            ), pack AS (
+                SELECT doc_id, source, rn, doc_tokens,
+                       CAST(0 AS BIGINT) AS seq_id, doc_tokens AS cum
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.doc_id, d.source, d.rn, d.doc_tokens,
+                       CASE WHEN p.cum + d.doc_tokens > 512
+                            THEN p.seq_id + 1 ELSE p.seq_id END,
+                       CASE WHEN p.cum + d.doc_tokens > 512
+                            THEN d.doc_tokens ELSE p.cum + d.doc_tokens END
+                FROM d JOIN pack p
+                  ON d.source = p.source AND d.rn = p.rn + 1
+            )
+            SELECT doc_id, source, seq_id, doc_tokens FROM pack
         """,
         "t08_pii_scrub": """
             WITH aug AS (

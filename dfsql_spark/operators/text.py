@@ -303,3 +303,59 @@ def pii_scrub(
         )
         scrubbed = F.regexp_replace(scrubbed, pat, f"[REDACTED_{kind.upper()}]")
     return df.select(F.col(id_col), scrubbed.alias("clean_text"), *counts)
+
+
+PACK_SCHEMA = "doc_id bigint, source string, seq_id bigint, doc_tokens int"
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Greedy sequence packing: concatenate documents (in ``id_col``
+    order) into training sequences of at most ``budget`` whitespace
+    tokens; a document that would overflow the open sequence starts a
+    new one.  Documents longer than ``budget`` are counted as
+    ``budget`` tokens (the trainer truncates them to one sequence).
+
+    Packing is inherently sequential — each assignment depends on the
+    running fill — so it runs as ``applyInPandas`` per ``shard_col``
+    group: the corpus shuffles ONCE on the shard key, each shard packs
+    independently, and parallelism equals shard count (at 100 TB a
+    corpus has thousands of shards — source files, domains, crawl
+    segments — so this matches how production packers actually run;
+    a global pack order would serialize the corpus through one task by
+    definition).  Output keeps per-document grain: (doc, shard,
+    sequence id within shard, clamped token count) — an aggregation
+    away from per-sequence stats, and join-back-able to the text.
+
+    Token counting reuses the whitespace tokenizer (t05's
+    ``ws_tokens``), keeping the op oracle-checkable: the same greedy
+    recurrence is expressible as a recursive CTE in ANSI SQL.
+    """
+    toks = F.least(
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")), F.lit(budget)
+    )
+    thin = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(shard_col).alias("source"),
+        toks.cast("int").alias("doc_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids = []
+        seq, cum = 0, 0
+        for t in pdf["doc_tokens"]:
+            if cum + t > budget:
+                seq += 1
+                cum = 0
+            seq_ids.append(seq)
+            cum += t
+        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        return pdf[["doc_id", "source", "seq_id", "doc_tokens"]]
+
+    return thin.groupBy("source").applyInPandas(pack, schema=PACK_SCHEMA)

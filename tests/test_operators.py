@@ -407,3 +407,50 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert "[REDACTED_SSN]" in r.clean_text
     assert "a.b@x.io" not in r.clean_text
     assert (r.n_email, r.n_phone, r.n_ssn) == (1, 1, 1)
+
+
+def test_pack_sequences_greedy_semantics(spark):
+    """Overflow starts a new sequence; an oversized doc is clamped to
+    one full sequence; shards pack independently."""
+    import pandas as pd
+
+    from dfsql_spark.operators.text import pack_sequences
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 10],
+            "source": ["a", "a", "a", "a", "b"],
+            "text": [
+                "w " * 300,          # 300 tokens -> seq 0 (cum 300)
+                "w " * 300,          # overflow -> seq 1 (cum 300)
+                "w " * 200,          # fits -> seq 1 (cum 500)
+                "w " * 999,          # clamped to 512, overflow -> seq 2
+                "w " * 5,            # shard b restarts at seq 0
+            ],
+        }
+    )
+    out = {
+        (r.doc_id): (r.source, r.seq_id, r.doc_tokens)
+        for r in pack_sequences(spark.createDataFrame(rows), budget=512).collect()
+    }
+    assert out[1] == ("a", 0, 300)
+    assert out[2] == ("a", 1, 300)
+    assert out[3] == ("a", 1, 200)
+    assert out[4] == ("a", 2, 512)
+    assert out[10] == ("b", 0, 5)
+
+
+def test_pack_sequences_respects_budget(docs):
+    """No packed sequence exceeds the budget."""
+    from pyspark.sql import functions as F
+
+    from dfsql_spark.operators.text import pack_sequences
+
+    packed = pack_sequences(docs, budget=256)
+    over = (
+        packed.groupBy("source", "seq_id")
+        .agg(F.sum("doc_tokens").alias("seq_tokens"))
+        .filter(F.col("seq_tokens") > 256)
+        .count()
+    )
+    assert over == 0
