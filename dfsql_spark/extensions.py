@@ -121,3 +121,56 @@ try:  # pragma: no cover - modin not installed in this environment
         pass
 except ImportError:
     pass
+
+
+# Spark-era mirror: the reference's "distributed pandas" was modin; on
+# Spark it's pandas-on-Spark (pyspark.pandas).  Same accessor surface,
+# but the data NEVER leaves the JVM: ``to_spark()`` hands over the
+# underlying Spark plan, the query composes onto it lazily, and the
+# result returns as pandas-on-Spark via ``pandas_api()``.
+try:
+    import pyspark.pandas as _ps
+    from pyspark.pandas.extensions import (
+        register_dataframe_accessor as _ps_register,
+    )
+
+    @_ps_register("sql")
+    class PandasOnSparkSQLAccessor:
+        """``psdf.sql("SELECT a WHERE b > 1")`` for pandas-on-Spark
+        DataFrames; the DataFrame is visible as table ``temp`` and
+        FROM-less SELECTs get it injected, like the pandas accessor.
+
+        Divergence from the pandas/modin accessor (documented): the
+        result stays a lazy pandas-on-Spark DataFrame by default —
+        auto-collapse (1-col → Series, 1×1 → scalar) needs a row-count
+        action, which would force a job on every call and defeat the
+        lazy contract.  Pass ``reduce_output=True`` to opt into the
+        reference's collapse semantics (runs the query).
+        """
+
+        def __init__(self, ps_obj):
+            self._psdf = ps_obj
+
+        def __call__(
+            self,
+            sql: str,
+            reduce_output: bool = False,
+            from_table: str = "temp",
+        ):
+            from .datasource import DataSource
+
+            sdf = self._psdf.to_spark()
+            ds = DataSource(spark=sdf.sparkSession, cache=False)
+            ds.add_table(from_table, sdf)
+            try:
+                sql = maybe_add_from_to_query(sql, table_name=from_table)
+                if reduce_output:
+                    return ds.query(sql, reduce_output=True)
+                out = ds.query_df(sql)
+            finally:
+                # the analyzed plan no longer needs the view; drop it so
+                # concurrent accessors don't collide on the name
+                ds.drop_table(from_table)
+            return out.pandas_api()
+except ImportError:  # pragma: no cover - pyspark.pandas needs pandas>=1.0
+    pass

@@ -84,3 +84,38 @@ class TestAccessor:
             custom_functions={"triple": lambda x: x * 3},
         )
         assert result == 6
+
+
+class TestPandasOnSparkAccessor:
+    """Spark-era mirror of the reference's modin registration
+    (dfsql/extensions.py:70-96): same accessor on pyspark.pandas
+    DataFrames, data never leaves the JVM."""
+
+    def _psdf(self, spark):
+        import pyspark.pandas as ps
+
+        return ps.DataFrame({"a": [1, 2, 3, 4], "b": ["x", "x", "y", "y"]})
+
+    def test_lazy_distributed_result(self, spark):
+        psdf = self._psdf(spark)
+        out = psdf.sql("SELECT b, SUM(a) AS s GROUP BY b ORDER BY b")
+        import pyspark.pandas as ps
+
+        assert isinstance(out, ps.DataFrame)  # stayed distributed
+        assert out.to_pandas()["s"].tolist() == [3, 7]
+
+    def test_fromless_injection_and_dialect(self, spark):
+        psdf = self._psdf(spark)
+        # FROM-less SELECT + the ^-is-power dialect rewrite
+        assert psdf.sql("SELECT a ^ 2 AS p WHERE a <= 2").to_pandas()[
+            "p"
+        ].tolist() == [1.0, 4.0]
+
+    def test_reduce_output_opt_in(self, spark):
+        psdf = self._psdf(spark)
+        assert psdf.sql("SELECT SUM(a) AS s", reduce_output=True) == 10
+
+    def test_temp_view_not_leaked(self, spark):
+        psdf = self._psdf(spark)
+        psdf.sql("SELECT a WHERE a = 1").to_pandas()
+        assert not spark.catalog.tableExists("temp")
