@@ -364,8 +364,10 @@ def ngram_jaccard_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sa = sets.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
-    sb = sets.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))
+    # merge hints: the shingle-set table is corpus-sized (and carries
+    # the heavy arrays) — never a broadcast candidate beyond toy scale
+    sa = sets.hint("merge").select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
+    sb = sets.hint("merge").select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))
     return (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
@@ -752,8 +754,12 @@ def simhash_pairs(
             )
         ).alias("c"),
     ).select("id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
-    a = chunks.alias("a")
-    b = chunks.alias("b")
+    # hint("merge"): the chunk table is corpus-sized (4 rows/doc) —
+    # same reasoning as the LSH band join: a broadcast is only viable
+    # at toy scale (where AQE's size heuristic would pick it), and the
+    # shuffle join on (ci, cv) is the plan that holds at every scale.
+    a = chunks.hint("merge").alias("a")
+    b = chunks.hint("merge").alias("b")
     return (
         a.join(
             b,
@@ -766,8 +772,11 @@ def simhash_pairs(
             F.col("b.id").alias("id_b"),
             F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # hamming is pair-deterministic, so filtering BEFORE the dedup
+        # is value-identical and shrinks the dedup shuffle to the
+        # near-dup survivors instead of every chunk-collision pair
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -321,8 +321,11 @@ def embedding_neardup_pairs(
     bb = b.select(
         "id_b", "vb", _all_table_buckets("vb", dim, num_planes, num_tables, seed).alias("tb")
     ).select("id_b", "vb", "tb.tbl", "tb.bucket")
+    # hint("merge"): both sides are the (corpus-sized) bucketed table —
+    # pin the shuffle join; AQE would broadcast a side at toy scale,
+    # which is the wrong plan everywhere else.
     return (
-        ab.join(bb, ["tbl", "bucket"])
+        ab.hint("merge").join(bb.hint("merge"), ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cosine("va", "vb").alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
