@@ -905,6 +905,53 @@ def t09_pack_sequences(spark, sf):
     return pack_sequences(docs, budget=512)
 
 
+def t10_stratified_sample(spark, sf):
+    """Dataset mixing: per-source deterministic sampling (src0 kept
+    fully, src1 at 50%, everything else at 20%), content-addressed via
+    a salted md5 bucket so the sample is stable across runs, engines,
+    and dataset versions.  Pure map; DuckDB recomputes every keep
+    decision."""
+    from dfsql_spark.operators.text import stratified_sample
+
+    docs = _t(spark, sf, "documents")
+    return stratified_sample(
+        docs, rates={"src0": 1.0, "src1": 0.5}, default_rate=0.2
+    ).select("doc_id", "source")
+
+
+def x02_approx_quantiles(spark, sf):
+    """Sketch-based quantiles: percentile_approx (KLL-ish, mergeable,
+    fixed-size state — THE quantile at 100 TB, where exact percentile
+    means a full sort) graded against the exact percentile.  Both
+    engines compute the same linear-interpolation exact quantiles
+    (bit-identical on identical doubles, rounded to 6dp for safety);
+    the engine-side claim is that the sketch lands within 1% relative
+    error at accuracy=10000 (rank error ≤ n/10000).  The exact
+    percentile here is the grading device, not the demonstrated
+    operator — at scale only the sketch runs."""
+    li = _t(spark, sf, "lineitem")
+    qs = [0.5, 0.95, 0.99]
+    exact = F.expr(
+        "percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))"
+    )
+    approx = F.percentile_approx("l_extendedprice", qs, 10000)
+    agg = li.agg(exact.alias("ex"), approx.alias("ap"))
+    out = agg.select(
+        *[
+            F.round(F.col("ex")[i], 6).alias(f"exact_p{int(q * 100)}")
+            for i, q in enumerate(qs)
+        ],
+        *[
+            (
+                F.abs(F.col("ap")[i] - F.col("ex")[i])
+                <= 0.01 * F.abs(F.col("ex")[i])
+            ).alias(f"approx_ok_p{int(q * 100)}")
+            for i, q in enumerate(qs)
+        ],
+    )
+    return out
+
+
 def s03_sim_ivf(spark, sf):
     """IVF-Flat approximate top-5 (KMeans coarse quantizer, n_probe
     nearest cells, exact cosine rerank), graded as a per-query
@@ -1124,16 +1171,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle-backed block this round, chosen as twice-green (driver-green
 # in rounds 3 AND 4) trivial single-operator entries, every one pinned
 # by the pytest oracle mirror each round.  Round 5 honors the round-4
-# rotation promise: q05-q12 are back in the graded block; the 13
-# sit-outs below (13 = 63 oracle-backed queries minus the driver's
-# ~50 slots — m02 newly oracle-backed, t06-t09 newly added) were all
-# green in rounds 3 and 4.  Rotate this list each round so nothing
+# rotation promise: q05-q12 are back in the graded block; the 15
+# sit-outs below (15 = 65 oracle-backed queries minus the driver's
+# ~50 slots — m02 newly oracle-backed, t06-t10/x02 newly added) were
+# all green in rounds 3 and 4.  Rotate this list each round so nothing
 # goes ungraded two rounds running.
 _SIT_OUT_THIS_ROUND = (
     "q13_join_right",
     "q14_join_full",
     "q15_self_join",
     "q16_in_subquery",
+    "q17_scalar_subquery",
     "q19_like_regex",
     "q20_string_funcs",
     "q21_power",
@@ -1143,6 +1191,7 @@ _SIT_OUT_THIS_ROUND = (
     "q26_anti_join",
     "q28_rollup",
     "q29_exists_correlated",
+    "q30_grouping_sets",
 )
 
 # rows-only sketch queries (``no_oracle``); always last.  Empty since
@@ -1216,7 +1265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t07_vocab_topk": t07_vocab_topk,
         "t08_pii_scrub": t08_pii_scrub,
         "t09_pack_sequences": t09_pack_sequences,
+        "t10_stratified_sample": t10_stratified_sample,
         "x01_approx_distinct_pruned": x01_approx_distinct_pruned,
+        "x02_approx_quantiles": x02_approx_quantiles,
         "d03_dedup_minhash_lsh": d03_dedup_minhash_lsh,
         "d04_dedup_simhash": d04_dedup_simhash,
         "s02_sim_topk_lsh": s02_sim_topk_lsh,
@@ -1881,6 +1932,26 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
             )
             GROUP BY l_returnflag
+        """,
+        "t10_stratified_sample": """
+            SELECT doc_id, source
+            FROM documents
+            WHERE CAST('0x' || substr(md5('sample:' || text), 1, 8) AS BIGINT) % 10000
+                  < CASE source WHEN 'src0' THEN 10000
+                                WHEN 'src1' THEN 5000
+                                ELSE 2000 END
+        """,
+        # x02: both engines compute the same linear-interpolation exact
+        # quantiles (identical doubles in, identical doubles out); the
+        # sketch-accuracy booleans are the engine-side claim, s02-style.
+        "x02_approx_quantiles": """
+            SELECT round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+                   round(quantile_cont(l_extendedprice, 0.95), 6) AS exact_p95,
+                   round(quantile_cont(l_extendedprice, 0.99), 6) AS exact_p99,
+                   TRUE AS approx_ok_p50,
+                   TRUE AS approx_ok_p95,
+                   TRUE AS approx_ok_p99
+            FROM lineitem
         """,
         "m01_media_stats": """
             WITH m AS (

@@ -359,3 +359,52 @@ def pack_sequences(
         return pdf[["doc_id", "source", "seq_id", "doc_tokens"]]
 
     return thin.groupBy("source").applyInPandas(pack, schema=PACK_SCHEMA)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: "dict[str, float]",
+    default_rate: float = 0.0,
+    stratum_col: str = "source",
+    text_col: str = "text",
+    buckets: int = 10_000,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the dataset-mixing
+    primitive (sample each source/domain/language at its own rate).
+
+    Keep decision = md5(salt || text) bucket < rate × buckets, so the
+    sample is content-addressed: stable across runs, partitionings,
+    engines, and dataset versions (a re-scraped duplicate keeps its
+    fate), and independent of the t06 split assignment because the
+    hash is salted differently.  Pure per-row map — a filter that
+    pipelines into the scan, no shuffle, no sampling state; realized
+    rates are exact in expectation with binomial variance.
+
+    ``rates`` maps stratum value → keep fraction; anything unlisted
+    uses ``default_rate``.
+    """
+    for name, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(text_col))), 1, 8),
+        16,
+        10,
+    ).cast("bigint") % buckets
+    rate = None
+    for name, r in rates.items():
+        thr = int(round(r * buckets))
+        rate = (
+            F.when(F.col(stratum_col) == name, thr)
+            if rate is None
+            else rate.when(F.col(stratum_col) == name, thr)
+        )
+    rate = (
+        F.lit(int(round(default_rate * buckets)))
+        if rate is None
+        else rate.otherwise(int(round(default_rate * buckets)))
+    )
+    return df.filter(bucket < rate)

@@ -454,3 +454,42 @@ def test_pack_sequences_respects_budget(docs):
         .count()
     )
     assert over == 0
+
+
+def test_stratified_sample_deterministic_and_rates(docs):
+    """Same input → identical sample; per-stratum realized rates track
+    the requested rates; rate validation."""
+    from dfsql_spark.operators.text import stratified_sample
+
+    rates = {"src0": 1.0, "src1": 0.5}
+    s1 = {r.doc_id for r in stratified_sample(docs, rates, default_rate=0.2).collect()}
+    s2 = {r.doc_id for r in stratified_sample(docs, rates, default_rate=0.2).collect()}
+    assert s1 == s2  # deterministic
+    from pyspark.sql import functions as F
+
+    per = {
+        r.source: r.frac
+        for r in stratified_sample(docs, rates, default_rate=0.2)
+        .groupBy("source").count()
+        .join(docs.groupBy("source").count().withColumnRenamed("count", "total"), "source")
+        .select("source", (F.col("count") / F.col("total")).alias("frac"))
+        .collect()
+    }
+    assert per["src0"] == 1.0
+    assert 0.2 <= per["src1"] <= 0.8  # binomial tolerance at ~25 docs/stratum
+    with pytest.raises(ValueError, match="rate"):
+        stratified_sample(docs, {"src0": 1.5})
+
+
+def test_stratified_sample_independent_of_split(docs):
+    """The sampling hash is salted, so keep decisions don't correlate
+    with t06's split assignment (both are md5-of-text derived)."""
+    from dfsql_spark.operators.text import deterministic_split, stratified_sample
+
+    sampled = stratified_sample(docs, rates={}, default_rate=0.5).select("doc_id")
+    split = deterministic_split(docs)
+    got = split.join(sampled, "doc_id").groupBy("split").count().collect()
+    kept = {r.split: r["count"] for r in got}
+    # train is ~90% of docs; if sampling reused the split hash, val/test
+    # (the top buckets) would be entirely dropped or entirely kept
+    assert kept.get("train", 0) > 0 and (kept.get("val", 0) + kept.get("test", 0)) > 0
