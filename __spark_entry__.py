@@ -905,6 +905,20 @@ def t09_pack_sequences(spark, sf):
     return pack_sequences(docs, budget=512)
 
 
+def d07_decontaminate(spark, sf):
+    """Benchmark decontamination: corpus docs (source != src0) sharing
+    a 13-token run with the eval set (source == src0) — the canonical
+    n-gram collision method for benchmark-leakage detection.  The
+    planted cross-source near-dups are exactly what it should flag;
+    DuckDB recomputes every collision from the same gram definition."""
+    from dfsql_spark.operators.dedup import ngram_decontaminate
+
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    eval_set = docs.filter(F.col("source") == "src0")
+    return ngram_decontaminate(corpus, eval_set, n=13)
+
+
 def t10_stratified_sample(spark, sf):
     """Dataset mixing: per-source deterministic sampling (src0 kept
     fully, src1 at 50%, everything else at 20%), content-addressed via
@@ -1171,11 +1185,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle-backed block this round, chosen as twice-green (driver-green
 # in rounds 3 AND 4) trivial single-operator entries, every one pinned
 # by the pytest oracle mirror each round.  Round 5 honors the round-4
-# rotation promise: q05-q12 are back in the graded block; the 15
-# sit-outs below (15 = 65 oracle-backed queries minus the driver's
-# ~50 slots — m02 newly oracle-backed, t06-t10/x02 newly added) were
-# all green in rounds 3 and 4.  Rotate this list each round so nothing
-# goes ungraded two rounds running.
+# rotation promise: q05-q12 are back in the graded block; the 16
+# sit-outs below (16 = 66 oracle-backed queries minus the driver's
+# ~50 slots — m02 newly oracle-backed, d07/t06-t10/x02 newly added)
+# were all green in rounds 3 and 4.  Rotate this list each round so
+# nothing goes ungraded two rounds running.
 _SIT_OUT_THIS_ROUND = (
     "q13_join_right",
     "q14_join_full",
@@ -1192,6 +1206,7 @@ _SIT_OUT_THIS_ROUND = (
     "q28_rollup",
     "q29_exists_correlated",
     "q30_grouping_sets",
+    "q18_from_subquery",
 )
 
 # rows-only sketch queries (``no_oracle``); always last.  Empty since
@@ -1265,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t07_vocab_topk": t07_vocab_topk,
         "t08_pii_scrub": t08_pii_scrub,
         "t09_pack_sequences": t09_pack_sequences,
+        "d07_decontaminate": d07_decontaminate,
         "t10_stratified_sample": t10_stratified_sample,
         "x01_approx_distinct_pruned": x01_approx_distinct_pruned,
         "x02_approx_quantiles": x02_approx_quantiles,
@@ -1932,6 +1948,21 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
             )
             GROUP BY l_returnflag
+        """,
+        "d07_decontaminate": """
+            WITH toks AS (
+                SELECT doc_id, source,
+                       string_split_regex(trim(text), '\\s+') AS t
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, source,
+                       array_to_string(t[u.i : u.i + 12], ' ') AS g
+                FROM toks, unnest(range(1, len(t) - 11)) u(i)
+                WHERE len(t) >= 13
+            )
+            SELECT DISTINCT c.doc_id, e.doc_id AS eval_doc_id
+            FROM grams c JOIN grams e ON c.g = e.g
+            WHERE c.source <> 'src0' AND e.source = 'src0'
         """,
         "t10_stratified_sample": """
             SELECT doc_id, source

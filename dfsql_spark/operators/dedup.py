@@ -877,3 +877,80 @@ def dedup_by_components(
     comp = connected_components(pairs, **cc_kwargs)
     losers = comp.filter(F.col("id") != F.col("component")).select("id")
     return df.join(losers, df[id_col] == losers.id, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram collision against an eval set)
+# ---------------------------------------------------------------------------
+
+_WORD_NGRAM_UDFS: dict[int, object] = {}
+
+
+def _word_ngrams_expr(text_col: str, n: int) -> Column:
+    """Arrow-batched word n-gram extraction (space-joined strings).
+
+    Same rationale as :func:`_shingles_expr`: the pure-SQL
+    ``transform(sequence(...), i -> array_join(slice(...)))`` form
+    evaluates interpreted and re-slices per element; the vectorized UDF
+    is a deterministic per-row map that pipelines into the scan.
+    """
+    if n not in _WORD_NGRAM_UDFS:
+        import re as _re
+
+        from pyspark.sql.functions import pandas_udf
+
+        ws = _re.compile(r"\s+")
+
+        @pandas_udf("array<string>")
+        def _ng(texts: pd.Series) -> pd.Series:
+            out = []
+            for t in texts:
+                toks = ws.split((t or "").strip())
+                out.append(
+                    [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+                )
+            return pd.Series(out)
+
+        _WORD_NGRAM_UDFS[n] = _ng
+    return _WORD_NGRAM_UDFS[n](F.col(text_col))
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str | None = None,
+) -> DataFrame:
+    """Training-set decontamination: distinct (doc_id, eval_doc_id)
+    pairs where a corpus document shares at least one run of ``n``
+    consecutive whitespace tokens with an eval-set document — the
+    standard n-gram collision method (n=13 is the canonical choice)
+    for detecting benchmark leakage into pretraining data.
+
+    Shape at scale: both sides explode to (id, gram) and meet in a
+    gram equi-join — candidate volume is collision-driven, never
+    all-pairs.  The eval side is benchmark-sized (orders of magnitude
+    smaller than the corpus), so Spark's planner broadcasts it when it
+    fits and falls back to a shuffle join when it doesn't — both plans
+    are correct here, which is why this join is deliberately
+    UN-hinted, unlike the corpus×corpus self-joins in this module.
+    The join key is the gram STRING (exact, oracle-reproducible); a
+    production run at 100 TB would pre-hash the gram to 8 bytes and
+    accept the ~1e-13 collision odds per candidate.
+    """
+    eval_id_col = eval_id_col or id_col
+    cg = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_word_ngrams_expr(text_col, n)).alias("g"),
+    )
+    eg = eval_df.select(
+        F.col(eval_id_col).alias("eval_doc_id"),
+        F.explode(_word_ngrams_expr(text_col, n)).alias("g"),
+    )
+    return (
+        cg.join(eg, "g")
+        .select("doc_id", "eval_doc_id")
+        .dropDuplicates(["doc_id", "eval_doc_id"])
+    )

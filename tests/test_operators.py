@@ -493,3 +493,48 @@ def test_stratified_sample_independent_of_split(docs):
     # train is ~90% of docs; if sampling reused the split hash, val/test
     # (the top buckets) would be entirely dropped or entirely kept
     assert kept.get("train", 0) > 0 and (kept.get("val", 0) + kept.get("test", 0)) > 0
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A doc sharing a 13-token run with an eval doc is flagged; a doc
+    sharing only 12 tokens is not."""
+    import pandas as pd
+
+    from dfsql_spark.operators.dedup import ngram_decontaminate
+
+    run13 = " ".join(f"w{i}" for i in range(13))
+    run12 = " ".join(f"w{i}" for i in range(12))
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    f"prefix {run13} suffix",      # full 13-run -> flagged
+                    f"prefix {run12} other words", # only 12 -> clean
+                    "completely unrelated text here",
+                ],
+            }
+        )
+    )
+    eval_df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": f"eval intro {run13} eval outro"})
+    )
+    got = {(r.doc_id, r.eval_doc_id) for r in ngram_decontaminate(corpus, eval_df).collect()}
+    assert got == {(1, 100)}
+
+
+def test_decontaminate_short_docs_yield_no_grams(spark):
+    import pandas as pd
+
+    from dfsql_spark.operators.dedup import ngram_decontaminate
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["only five words right here now"]})
+    )
+    eval_df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [2], "text": ["only five words right here now"]})
+    )
+    # identical docs but shorter than n: no gram, no flag
+    assert ngram_decontaminate(corpus, eval_df, n=13).count() == 0
+    # at n <= doc length they collide
+    assert ngram_decontaminate(corpus, eval_df, n=6).count() == 1
