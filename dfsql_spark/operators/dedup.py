@@ -20,6 +20,9 @@ Catalyst/AQE handle distribution:
   chunks equal) → hamming filter via ``bit_count(a XOR b)``.
 * :func:`embedding_neardup_pairs` — cosine-threshold pairs over an
   embedding column (see operators/similarity.py for the primitives).
+* :func:`ngram_decontaminate` — benchmark decontamination: corpus docs
+  sharing an n-token run (n=13 canonical) with an eval set, via a
+  word-n-gram equi-join.
 
 Scale notes (100 TB posture)
 ----------------------------
