@@ -1158,16 +1158,14 @@ def release_caches() -> int:
     """
     from dfsql_spark.operators import dedup as _dedup
 
-    n = 0
-    for cache in (_SHINGLE_CACHE, _EXACT_PAIRS_CACHE):
-        for df in cache.values():
-            try:
-                df.unpersist(blocking=False)
-                n += 1
-            except Exception:
-                pass  # session already stopped
-        cache.clear()
-    return n + _dedup.release_persists()
+    # The memoized DataFrames were all persisted via the operators'
+    # _materialize, so they're already tracked in the dedup module's
+    # registry — clearing the memo dicts here and letting
+    # release_persists() do the unpersisting counts each persist
+    # exactly once.
+    _SHINGLE_CACHE.clear()
+    _EXACT_PAIRS_CACHE.clear()
+    return _dedup.release_persists()
 
 
 def entry(spark: SparkSession) -> DataFrame:

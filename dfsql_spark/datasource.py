@@ -129,9 +129,13 @@ class DataSource:
         dfsql/table.py:51-72).  The scan itself stays lazy."""
         df = read_file(self.spark, fpath, fmt, **options)
         df.createOrReplaceTempView(name)
-        # case-insensitive mode: re-registering under a case variant
-        # replaces the existing entry (Spark's temp view already did)
-        self.tables.pop(self._resolve_name(name), None)
+        # Re-registering (any case variant when case-insensitive)
+        # replaces the existing entry; evict its cache pin too — the
+        # LRU is keyed by the OLD name, so a later drop/evict under the
+        # new name would miss it and the stale plan would stay pinned.
+        old = self._resolve_name(name)
+        self.cache.evict(self.spark, old)
+        self.tables.pop(old, None)
         self.tables[name] = TableInfo(name=name, fpath=fpath, format=fmt, options=options)
         self.save_metadata()
 
@@ -143,7 +147,9 @@ class DataSource:
         if isinstance(df, pd.DataFrame):
             df = self.spark.createDataFrame(df)
         df.createOrReplaceTempView(name)
-        self.tables.pop(self._resolve_name(name), None)
+        old = self._resolve_name(name)
+        self.cache.evict(self.spark, old)
+        self.tables.pop(old, None)
         self.tables[name] = TableInfo(name=name)
 
     def drop_table(self, name: str) -> None:

@@ -15,11 +15,16 @@ Execution is fully distributed; only the accessor boundary is pandas.
 
 from __future__ import annotations
 
+import threading
 from typing import Callable
 
 import pandas as pd
 
 from .dialect import tokenize
+
+# serializes accessor calls that register the shared `temp` view (see
+# PandasOnSparkSQLAccessor.__call__)
+_ACCESSOR_VIEW_LOCK = threading.Lock()
 
 __all__ = ["maybe_add_from_to_query", "SQLAccessor"]
 
@@ -161,16 +166,25 @@ try:
 
             sdf = self._psdf.to_spark()
             ds = DataSource(spark=sdf.sparkSession, cache=False)
-            ds.add_table(from_table, sdf)
-            try:
-                sql = maybe_add_from_to_query(sql, table_name=from_table)
-                if reduce_output:
-                    return ds.query(sql, reduce_output=True)
-                out = ds.query_df(sql)
-            finally:
-                # the analyzed plan no longer needs the view; drop it so
-                # concurrent accessors don't collide on the name
-                ds.drop_table(from_table)
+            # The view name is part of the accessor contract (the SQL
+            # may say "FROM temp" explicitly), so it cannot be made
+            # unique per call.  The lock serializes register→analyze→
+            # drop within this process so two threads' accessor calls
+            # can't read each other's data; a pre-existing USER view of
+            # the same name is replaced and then dropped — the same
+            # clobber the pandas accessor / sql_query path has always
+            # had (the name is reserved by the API, documented).
+            with _ACCESSOR_VIEW_LOCK:
+                ds.add_table(from_table, sdf)
+                try:
+                    sql = maybe_add_from_to_query(sql, table_name=from_table)
+                    if reduce_output:
+                        return ds.query(sql, reduce_output=True)
+                    # analysis resolves the view eagerly here; after
+                    # this the plan no longer needs it
+                    out = ds.query_df(sql)
+                finally:
+                    ds.drop_table(from_table)
             return out.pandas_api()
 except ImportError:  # pragma: no cover - pyspark.pandas needs pandas>=1.0
     pass

@@ -177,7 +177,9 @@ def _shingles_expr(text_col: str, k: int) -> Column:
 
         from pyspark.sql.functions import pandas_udf
 
-        ws = _re.compile(r"\s+")
+        # ASCII \s: agree with the DuckDB oracle (RE2) and Spark-native
+        # normalization (Java regex), which split ASCII whitespace only
+        ws = _re.compile(r"\s+", _re.ASCII)
 
         @pandas_udf("array<string>")
         def _sh(texts: pd.Series) -> pd.Series:
@@ -902,7 +904,11 @@ def _word_ngrams_expr(text_col: str, n: int) -> Column:
 
         from pyspark.sql.functions import pandas_udf
 
-        ws = _re.compile(r"\s+")
+        # ASCII \s only: Python's \s is Unicode-aware (would split at
+        # NBSP etc.) while the DuckDB oracle (RE2) and the Spark-native
+        # tokenizers in text.py (Java regex) split ASCII whitespace
+        # only — the gram definition must agree across all three.
+        ws = _re.compile(r"\s+", _re.ASCII)
 
         @pandas_udf("array<string>")
         def _ng(texts: pd.Series) -> pd.Series:

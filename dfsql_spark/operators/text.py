@@ -139,7 +139,9 @@ def fingerprint(
 
     from pyspark.sql.functions import pandas_udf
 
-    ws = _re.compile(r"\s+")
+    # ASCII \s: agree with the DuckDB oracle (RE2) and Spark-native
+    # normalization (Java regex), which split ASCII whitespace only
+    ws = _re.compile(r"\s+", _re.ASCII)
 
     @pandas_udf("bigint")
     def _fp(texts: pd.Series) -> pd.Series:

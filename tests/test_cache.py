@@ -147,7 +147,8 @@ def test_release_caches_unpersists_everything(spark):
     em.d03_dedup_minhash_lsh(spark, sf).count()
     assert persistent_ids() - before, "expected new persisted blocks"
     released = em.release_caches()
-    assert released >= 2
+    # shingles + exact pairs + d03's signatures, each counted ONCE
+    assert released >= 3
     assert not em._SHINGLE_CACHE and not em._EXACT_PAIRS_CACHE
     # unpersist(blocking=False) is async; poll briefly
     import time
@@ -157,3 +158,23 @@ def test_release_caches_unpersists_everything(spark):
             break
         time.sleep(0.1)
     assert not (persistent_ids() - before)
+
+
+def test_reregister_evicts_stale_cache_entry(spark):
+    """Re-registering a table (any case variant when case-insensitive)
+    must evict the replaced table's cache pin — the LRU is keyed by the
+    OLD name, so a later drop under the new name would miss it and the
+    stale plan would stay pinned (code-review r5 finding)."""
+    import pandas as pd
+
+    from dfsql_spark import DataSource
+
+    ds = DataSource(spark=spark, case_sensitive=False)
+    ds.add_table("rr_tbl", pd.DataFrame({"a": [1]}))
+    ds.cache_table("rr_tbl")
+    assert ds.cache.currsize == 1
+    ds.add_table("RR_TBL", pd.DataFrame({"a": [2]}))
+    # the old pin is gone, and drop under the new name leaves nothing
+    assert ds.cache.currsize == 0
+    ds.drop_table("rr_tbl")
+    assert ds.cache.currsize == 0 and not ds.tables

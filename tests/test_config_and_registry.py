@@ -300,6 +300,12 @@ def test_custom_function_shadows_builtin(spark):
         # a builtin-name shadow cannot be DROPped (Spark refuses
         # "DROP TEMPORARY FUNCTION lower"); restore equivalent
         # semantics for the rest of the suite by re-registering a
-        # passthrough with the builtin's behavior
-        ds.register_function("lower", lambda s: s.str.lower(), return_type="string")
+        # passthrough with the builtin's behavior.  astype(str) first:
+        # the builtin implicitly casts non-string input, and the
+        # session is shared, so the passthrough must not crash on it.
+        # (No other test in the suite calls SQL-string lower() —
+        # DataFrame-API F.lower bypasses the function registry.)
+        ds.register_function(
+            "lower", lambda s: s.astype(str).str.lower(), return_type="string"
+        )
         spark.catalog.dropTempView("shadow_t")
