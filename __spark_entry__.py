@@ -919,6 +919,16 @@ def d07_decontaminate(spark, sf):
     return ngram_decontaminate(corpus, eval_set, n=13)
 
 
+def t11_repetition(spark, sf):
+    """Gopher-style within-doc repetition: duplicate word-bigram
+    fraction (1 - distinct/total).  Pure map; integer-quotient values
+    are bit-identical across engines."""
+    from dfsql_spark.operators.text import repetition_ratio
+
+    docs = _t(spark, sf, "documents")
+    return repetition_ratio(docs)
+
+
 def t10_stratified_sample(spark, sf):
     """Dataset mixing: per-source deterministic sampling (src0 kept
     fully, src1 at 50%, everything else at 20%), content-addressed via
@@ -1183,9 +1193,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle-backed block this round, chosen as twice-green (driver-green
 # in rounds 3 AND 4) trivial single-operator entries, every one pinned
 # by the pytest oracle mirror each round.  Round 5 honors the round-4
-# rotation promise: q05-q12 are back in the graded block; the 16
-# sit-outs below (16 = 66 oracle-backed queries minus the driver's
-# ~50 slots — m02 newly oracle-backed, d07/t06-t10/x02 newly added)
+# rotation promise: q05-q12 are back in the graded block; the 17
+# sit-outs below (17 = 67 oracle-backed queries minus the driver's
+# ~50 slots — m02 newly oracle-backed, d07/t06-t11/x02 newly added)
 # were all green in rounds 3 and 4.  Rotate this list each round so
 # nothing goes ungraded two rounds running.
 _SIT_OUT_THIS_ROUND = (
@@ -1205,6 +1215,7 @@ _SIT_OUT_THIS_ROUND = (
     "q29_exists_correlated",
     "q30_grouping_sets",
     "q18_from_subquery",
+    "e03_json_props",
 )
 
 # rows-only sketch queries (``no_oracle``); always last.  Empty since
@@ -1280,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t09_pack_sequences": t09_pack_sequences,
         "d07_decontaminate": d07_decontaminate,
         "t10_stratified_sample": t10_stratified_sample,
+        "t11_repetition": t11_repetition,
         "x01_approx_distinct_pruned": x01_approx_distinct_pruned,
         "x02_approx_quantiles": x02_approx_quantiles,
         "d03_dedup_minhash_lsh": d03_dedup_minhash_lsh,
@@ -1946,6 +1958,25 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
             )
             GROUP BY l_returnflag
+        """,
+        "t11_repetition": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, array_to_string(t[u.i : u.i + 1], ' ') AS g
+                FROM toks, unnest(range(1, len(t))) u(i)
+                WHERE len(t) >= 2
+            ), agg AS (
+                SELECT doc_id,
+                       1.0 - COUNT(DISTINCT g) * 1.0 / COUNT(*) AS rep_ratio,
+                       CAST(COUNT(*) AS INT) AS n_grams
+                FROM grams GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.rep_ratio, 0.0) AS rep_ratio,
+                   COALESCE(a.n_grams, GREATEST(len(string_split_regex(trim(d.text), '\\s+')) - 1, 0)) AS n_grams
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         """,
         "d07_decontaminate": """
             WITH toks AS (

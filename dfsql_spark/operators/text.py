@@ -410,3 +410,34 @@ def stratified_sample(
         else rate.otherwise(int(round(default_rate * buckets)))
     )
     return df.filter(bucket < rate)
+
+
+def repetition_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Within-document repetition signal (Gopher-style duplicate
+    n-gram fraction): 1 − distinct_ngrams / total_ngrams over word
+    n-grams (default bigrams).  Boilerplate, keyboard-mash, and
+    template spam score high; natural prose scores near 0.
+
+    The n-gram extraction reuses the Arrow-batched word-n-gram UDF
+    (ASCII-whitespace tokens, oracle-consistent); the distinct count is
+    JVM-side ``array_distinct`` on the per-document array — a pure
+    per-row map, zero shuffle at any scale.  Exact integer-quotient
+    output, bit-identical across engines.
+    """
+    from .dedup import _word_ngrams_expr
+
+    grams = _word_ngrams_expr(text_col, n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return df.select(
+        F.col(id_col),
+        F.when(total > 0, 1.0 - distinct / total)
+        .otherwise(F.lit(0.0))
+        .alias("rep_ratio"),
+        total.alias("n_grams"),
+    )

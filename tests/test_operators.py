@@ -538,3 +538,26 @@ def test_decontaminate_short_docs_yield_no_grams(spark):
     assert ngram_decontaminate(corpus, eval_df, n=13).count() == 0
     # at n <= doc length they collide
     assert ngram_decontaminate(corpus, eval_df, n=6).count() == 1
+
+
+def test_repetition_ratio_semantics(spark):
+    import pandas as pd
+
+    from dfsql_spark.operators.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "spam spam spam spam spam",   # one distinct bigram of 4
+                    "all words here are unique",  # no repeated bigram
+                    "solo",                       # < 2 tokens -> 0 grams
+                ],
+            }
+        )
+    )
+    rows = {r.doc_id: (r.rep_ratio, r.n_grams) for r in repetition_ratio(df).collect()}
+    assert rows[1] == (0.75, 4)
+    assert rows[2] == (0.0, 4)
+    assert rows[3] == (0.0, 0)
