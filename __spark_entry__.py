@@ -1238,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d02_dedup_ngram_jaccard": d02_dedup_ngram_jaccard,
         "d05_embedding_neardup": d05_embedding_neardup,
         "d06_dedup_connected": d06_dedup_connected,
+        "d07_decontaminate": d07_decontaminate,
         "e01_windowed_counts": e01_windowed_counts,
         "e02_sessionize": e02_sessionize,
         "e03_json_props": e03_json_props,
@@ -1289,7 +1290,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t07_vocab_topk": t07_vocab_topk,
         "t08_pii_scrub": t08_pii_scrub,
         "t09_pack_sequences": t09_pack_sequences,
-        "d07_decontaminate": d07_decontaminate,
         "t10_stratified_sample": t10_stratified_sample,
         "t11_repetition": t11_repetition,
         "x01_approx_distinct_pruned": x01_approx_distinct_pruned,
