@@ -1039,12 +1039,14 @@ def d06_dedup_connected(spark, sf):
     exact-Jaccard pair graph (iterative min-label propagation with
     lineage truncation per round).  Greedy pair-drops over-delete on
     chains a~b~c; components keep exactly one survivor per cluster.
-    Oracle: DuckDB recursive-CTE transitive closure."""
-    from dfsql_spark.operators.dedup import connected_components, ngram_jaccard_pairs
+    Oracle: DuckDB recursive-CTE transitive closure.
 
-    docs = _t(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(docs, k=5, threshold=0.6)
-    return connected_components(pairs)
+    Consumes the shared ``_exact_jaccard_pairs`` persist (same corpus,
+    same k/threshold as d02), so the whole d-block runs ONE shingling +
+    prefix-join pass instead of two."""
+    from dfsql_spark.operators.dedup import connected_components
+
+    return connected_components(_exact_jaccard_pairs(spark, sf))
 
 
 def e01_windowed_counts(spark, sf):
@@ -1191,31 +1193,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # Until then the overflow is managed by ROTATION, not by arranging
 # favourites: the entries listed here sit at the END of the
 # oracle-backed block this round, chosen as twice-green (driver-green
-# in rounds 3 AND 4) trivial single-operator entries, every one pinned
-# by the pytest oracle mirror each round.  Round 5 honors the round-4
-# rotation promise: q05-q12 are back in the graded block; the 17
-# sit-outs below (17 = 67 oracle-backed queries minus the driver's
-# ~50 slots — m02 newly oracle-backed, d07/t06-t11/x02 newly added)
-# were all green in rounds 3 and 4.  Rotate this list each round so
-# nothing goes ungraded two rounds running.
+# in the two preceding rounds) entries, every one pinned by the pytest
+# oracle mirror each round.  Round 6 honors the round-5 rotation
+# promise: all 17 round-5 sit-outs (q13-q21, q23-q26, q28-q30, e03)
+# are back in the graded block; the 17 below were all driver-green in
+# rounds 4 AND 5 (verified against CORRECTNESS_r04/r05.json).  Rotate
+# this list each round so nothing goes ungraded two rounds running.
 _SIT_OUT_THIS_ROUND = (
-    "q13_join_right",
-    "q14_join_full",
-    "q15_self_join",
-    "q16_in_subquery",
-    "q17_scalar_subquery",
-    "q19_like_regex",
-    "q20_string_funcs",
-    "q21_power",
-    "q23_case_when",
-    "q24_union",
-    "q25_except_intersect",
-    "q26_anti_join",
-    "q28_rollup",
-    "q29_exists_correlated",
-    "q30_grouping_sets",
-    "q18_from_subquery",
-    "e03_json_props",
+    "a01_asof_join",
+    "a02_range_join",
+    "e01_windowed_counts",
+    "e02_sessionize",
+    "e04_stream_windowed_counts",
+    "e05_stream_stateful",
+    "e06_stream_dedupe",
+    "e07_interval_join",
+    "e08_stream_interval_join",
+    "e09_stream_upsert_sink",
+    "m01_media_stats",
+    "q01_projection",
+    "q02_filter",
+    "q03_cast",
+    "q04_distinct",
+    "q22_flagship_revenue",
+    "q27_window_topk",
 )
 
 # rows-only sketch queries (``no_oracle``); always last.  Empty since

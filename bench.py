@@ -19,7 +19,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # the representative mix: scan-heavy agg, multi-join, window, dedup
-# (exact + sketch), similarity, text, sessionization, streaming-batch
+# (exact + sketch), similarity, text, sessionization, streaming-batch.
+# Round 6 adds the shuffle-bearing round-5 operators (VERDICT r5 item
+# 4) so their perf trend is visible: decontamination gram join (d07),
+# vocabulary agg (t07), applyInPandas sequence packing (t09).
 HEADLINE = [
     "q06_groupby_agg",
     "q22_flagship_revenue",
@@ -28,9 +31,12 @@ HEADLINE = [
     "d01_dedup_exact",
     "d02_dedup_ngram_jaccard",
     "d03_dedup_minhash_lsh",
+    "d07_decontaminate",
     "s01_sim_topk",
     "t01_text_stats",
     "t04_fingerprint",
+    "t07_vocab_topk",
+    "t09_pack_sequences",
     "e01_windowed_counts",
     "e02_sessionize",
 ]

@@ -292,7 +292,9 @@ class DataSource:
                 "spark.sql.caseSensitive", str(self.case_sensitive).lower()
             )
             try:
-                out = self.spark.sql(rewrite(sql))
+                out = self.spark.sql(
+                    rewrite(sql, self.function_registry.name_map())
+                )
             except ParseException as e:
                 raise SQLParsingException(str(e).split("\n")[0]) from e
             except AnalysisException as e:

@@ -330,9 +330,43 @@ def _in_cast(tokens: list[Token], as_idx: int) -> bool:
     return False
 
 
-def rewrite(sql: str) -> str:
-    """Rewrite a dfsql-dialect SQL string into Spark SQL."""
+def _rewrite_function_names(tokens: list[Token], fmap: dict[str, str]) -> list[Token]:
+    """Rename call sites of registered custom functions to their
+    internal session names (``name(`` → ``dfsql_fN_name(``).
+
+    This is the per-DataSource function-scoping mechanism (reference
+    resolves custom functions before builtins, per DataSource:
+    base_data_source.py:192-198): only call-position words are renamed
+    — a word token immediately followed by ``(`` — so column/alias
+    references of the same name are untouched.  Dotted (qualified)
+    names are skipped: custom functions are unqualified.  SQL function
+    names are case-insensitive, hence the lowercase lookup.
+    """
+    for i, tok in enumerate(tokens):
+        if tok.kind != "word" or "." in tok.text:
+            continue
+        internal = fmap.get(tok.text.lower())
+        if internal is None:
+            continue
+        nxt = _significant(tokens, i, +1)
+        if nxt != -1 and tokens[nxt].text == "(":
+            tokens[i] = Token("word", internal)
+    return tokens
+
+
+def rewrite(sql: str, function_map: "dict[str, str] | None" = None) -> str:
+    """Rewrite a dfsql-dialect SQL string into Spark SQL.
+
+    ``function_map`` (lowercase public name → internal session name)
+    scopes custom functions to the calling DataSource.  It runs FIRST:
+    user-written call sites (including ``power(``/``concat(``) are
+    renamed, while ``POWER``/``CONCAT`` tokens *generated* by the later
+    ``^``/LIKE rewrites keep Spark's builtins — matching the reference,
+    whose ``^`` and LIKE lowering use native ops, not custom functions.
+    """
     tokens = tokenize(sql)
+    if function_map:
+        tokens = _rewrite_function_names(tokens, function_map)
     tokens = _rewrite_like(tokens)
     tokens = _rewrite_power(tokens)
     tokens = _rewrite_cast_types(tokens)

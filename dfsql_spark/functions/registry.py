@@ -14,12 +14,28 @@ the Arrow fast path:
   Spark's grouped-aggregate pandas UDF — the identical contract to the
   reference's ``AggregateFunction.execute``.
 
-Registered names are usable both from the DataFrame API and inside
-``spark.sql`` strings (``spark.udf.register``).
+Scoping (reference parity): the reference resolves custom functions
+per-DataSource, *before* builtins (base_data_source.py:192-198).  Spark
+has no per-session-scope function namespaces, and Spark 4 resolves even
+DataFrame-API calls (``F.lower`` inside ``F.transform``) through the
+session function registry — so registering a UDF under a builtin's name
+session-wide breaks unrelated plans.  Instead, each registry registers
+its UDFs under a collision-proof *internal* session name
+(``dfsql_f<rid>_<name>``) and exposes :meth:`name_map`; the dialect
+rewriter renames function-call tokens in THIS DataSource's SQL to the
+internal names.  Result: ``register_function("lower", ...)`` shadows the
+builtin only inside this DataSource's queries, other DataSources and
+every DataFrame-API plan keep the builtin — the reference's scoping,
+with zero session-registry mutation of builtin names.
+
+For DataFrame-API use of a custom function, use the wrapped UDF column
+function that ``register*`` returns (callable directly on columns).
 """
 
 from __future__ import annotations
 
+import itertools
+import re
 from dataclasses import dataclass
 from typing import Callable
 
@@ -27,6 +43,9 @@ import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf, udf
 from pyspark.sql.types import DataType, _parse_datatype_string
+
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*$")
+_REGISTRY_IDS = itertools.count()
 
 
 def _as_datatype(t: "DataType | str") -> DataType:
@@ -119,14 +138,35 @@ class RegisteredFunction:
     return_type: str
     is_aggregate: bool
     vectorized: bool
+    internal_name: str = ""
 
 
 class FunctionRegistry:
-    """Per-DataSource registry; functions are also visible to SQL."""
+    """Per-DataSource registry; functions are visible to this
+    DataSource's SQL via the dialect-layer rename (:meth:`name_map`)."""
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self.functions: dict[str, RegisteredFunction] = {}
+        self._rid = next(_REGISTRY_IDS)
+
+    def _internal_name(self, name: str) -> str:
+        """Collision-proof session-registry name for ``name``: unique
+        per registry instance, never equal to any builtin, so the
+        session function registry's builtin entries are never replaced."""
+        if not _IDENT_RE.match(name):
+            raise ValueError(
+                f"invalid function name {name!r}: must be an identifier "
+                "([A-Za-z_][A-Za-z_0-9]*)"
+            )
+        return f"dfsql_f{self._rid}_{name.lower()}"
+
+    def name_map(self) -> dict[str, str]:
+        """lowercase public name → internal session name, consumed by
+        ``dialect.rewrite`` to rename call sites in this DataSource's
+        SQL (reference resolution order — custom before builtin:
+        base_data_source.py:192-198)."""
+        return {k: rf.internal_name for k, rf in self.functions.items()}
 
     def register_scalar(
         self,
@@ -143,13 +183,19 @@ class FunctionRegistry:
         row-at-a-time UDF for callables that only handle scalars.
         """
         dt = _as_datatype(return_type)
+        internal = self._internal_name(name)
         if vectorized:
             wrapped = pandas_udf(dt)(_hinted_series_wrapper(name, func))
         else:
             wrapped = udf(func, dt)
-        self.spark.udf.register(name, wrapped)
+        self.spark.udf.register(internal, wrapped)
         self.functions[name.lower()] = RegisteredFunction(
-            name, func, str(return_type), is_aggregate=False, vectorized=vectorized
+            name,
+            func,
+            str(return_type),
+            is_aggregate=False,
+            vectorized=vectorized,
+            internal_name=internal,
         )
         return wrapped
 
@@ -160,6 +206,7 @@ class FunctionRegistry:
         (dfsql/functions.py:293-303) via Spark's grouped-agg pandas UDF.
         """
         dt = _as_datatype(return_type)
+        internal = self._internal_name(name)
 
         def _agg(s):
             return func(s)
@@ -171,9 +218,14 @@ class FunctionRegistry:
         # selects the eval type.
         _agg.__annotations__ = {"s": pd.Series, "return": float}
         wrapped = pandas_udf(dt)(_agg)
-        self.spark.udf.register(name, wrapped)
+        self.spark.udf.register(internal, wrapped)
         self.functions[name.lower()] = RegisteredFunction(
-            name, func, str(return_type), is_aggregate=True, vectorized=True
+            name,
+            func,
+            str(return_type),
+            is_aggregate=True,
+            vectorized=True,
+            internal_name=internal,
         )
         return wrapped
 

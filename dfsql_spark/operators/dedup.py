@@ -119,7 +119,17 @@ def release_persists() -> int:
     """Unpersist every DataFrame materialized by the operators in this
     module since the last call; returns how many were released.
     Blocking=False: block deletion proceeds asynchronously, callers
-    don't wait on executor round-trips."""
+    don't wait on executor round-trips.
+
+    Ownership is PROCESS-GLOBAL: the registry spans every pipeline (and
+    every SparkSession) in the process, so calling this from one
+    pipeline releases materializations a concurrent pipeline may still
+    be reading — that costs a recompute on next access, never wrong
+    results (persist is an optimization hint, lineage remains).  It
+    also strands ``__spark_entry__``'s memo dicts with unpersisted
+    entries; prefer ``__spark_entry__.release_caches()``, which clears
+    those memos first.  Pipelines needing isolated release should run
+    in separate processes (Spark-idiomatic: one driver per job)."""
     n = 0
     while _LIVE_PERSISTS:
         df = _LIVE_PERSISTS.pop()
@@ -356,15 +366,19 @@ def ngram_jaccard_pairs(
     # forces |A∩B| ≤ min(|A|,|B|) and |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|),
     # so any qualifying pair has min(sz) ≥ t·max(sz) — evaluated inside
     # the same codegen'd join, it drops size-mismatched candidates
-    # before the expensive array_intersect verify.
+    # before the expensive array_intersect verify.  The 1e-9 slack
+    # keeps the filter a strict superset of the exact verify: for a
+    # threshold whose double rounds up, fl(t·max_sz) can land just
+    # above an integer min_sz on an exact-boundary pair (jaccard == t)
+    # and drop a pair the verify would keep.
     cands = (
         prefix.hint("merge").alias("a")
         .join(
             prefix.hint("merge").alias("b"),
             (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.id") < F.col("b.id"))
-            & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz"))
-            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz")),
+            & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz") - F.lit(1e-9))
+            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz") - F.lit(1e-9)),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
@@ -931,6 +945,7 @@ def ngram_decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     eval_id_col: str | None = None,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Training-set decontamination: distinct (doc_id, eval_doc_id)
     pairs where a corpus document shares at least one run of ``n``
@@ -945,9 +960,14 @@ def ngram_decontaminate(
     fits and falls back to a shuffle join when it doesn't — both plans
     are correct here, which is why this join is deliberately
     UN-hinted, unlike the corpus×corpus self-joins in this module.
-    The join key is the gram STRING (exact, oracle-reproducible); a
-    production run at 100 TB would pre-hash the gram to 8 bytes and
-    accept the ~1e-13 collision odds per candidate.
+    The default join key is the gram STRING (exact,
+    oracle-reproducible).  ``hash_grams=True`` is the 100 TB scale
+    path: both sides join on ``xxhash64(g)`` instead — exploded rows
+    and shuffle keys shrink from ~60 bytes of text to 8 bytes, at
+    ~1e-13 false-candidate odds per collision (a false candidate flags
+    one extra (doc, eval) pair; for decontamination that direction of
+    error is benign).  Output is identical on any corpus without an
+    adversarial hash collision.
     """
     eval_id_col = eval_id_col or id_col
     cg = corpus.select(
@@ -958,6 +978,9 @@ def ngram_decontaminate(
         F.col(eval_id_col).alias("eval_doc_id"),
         F.explode(_word_ngrams_expr(text_col, n)).alias("g"),
     )
+    if hash_grams:
+        cg = cg.select("doc_id", F.xxhash64("g").alias("g"))
+        eg = eg.select("eval_doc_id", F.xxhash64("g").alias("g"))
     return (
         cg.join(eg, "g")
         .select("doc_id", "eval_doc_id")

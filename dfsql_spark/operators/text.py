@@ -285,7 +285,7 @@ def pii_scrub(
     id_col: str = "doc_id",
     patterns: "dict[str, str] | None" = None,
 ) -> DataFrame:
-    """Redact PII spans and count what was removed.
+    """Redact PII spans and count per-pattern occurrences.
 
     Each pattern is applied as a chained ``regexp_replace`` (→
     ``[REDACTED_KIND]``) with a ``regexp_count`` per kind — all native
@@ -295,6 +295,14 @@ def pii_scrub(
     Order is deterministic (dict order): earlier redactions can't
     create later matches because replacement tokens contain no
     pattern-matchable characters.
+
+    Count semantics: ``n_<kind>`` counts occurrences of each pattern in
+    the ORIGINAL text, while replacements chain on progressively
+    scrubbed text — a match nested inside an earlier kind's match
+    (an SSN-shaped run inside an email local part) is counted under
+    its own kind but was redacted as part of the earlier span.  Counts
+    are per-pattern occurrence tallies, not redactions performed; the
+    oracle mirrors the same definition.
     """
     patterns = patterns or PII_PATTERNS
     scrubbed = F.col(text_col)
@@ -316,6 +324,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     shard_col: str = "source",
+    max_docs_per_task: "int | None" = None,
 ) -> DataFrame:
     """Greedy sequence packing: concatenate documents (in ``id_col``
     order) into training sequences of at most ``budget`` whitespace
@@ -337,6 +346,19 @@ def pack_sequences(
     Token counting reuses the whitespace tokenizer (t05's
     ``ws_tokens``), keeping the op oracle-checkable: the same greedy
     recurrence is expressible as a recursive CTE in ANSI SQL.
+
+    ``max_docs_per_task`` is the monster-shard escape hatch: one giant
+    shard otherwise serializes through a single Python task.  When set,
+    each shard is cut into contiguous (by ``id_col``) sub-shards of at
+    most that many documents — the split point is a JVM-side
+    ``row_number`` (a per-shard sort, which spills instead of
+    serializing Python) — and each sub-shard packs independently in
+    parallel.  Sequences never span a sub-shard boundary, so up to one
+    partially-filled sequence per cut is the (bounded, deliberate)
+    deviation from the unsalted pack.  ``seq_id`` stays deterministic
+    and unique per shard via ``bucket * max_docs_per_task + local``
+    (each bucket emits at most ``max_docs_per_task`` sequences), but is
+    no longer contiguous.
     """
     toks = F.least(
         F.size(F.split(F.trim(F.col(text_col)), r"\s+")), F.lit(budget)
@@ -347,17 +369,41 @@ def pack_sequences(
         toks.cast("int").alias("doc_tokens"),
     )
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    def greedy(tokens) -> list[int]:
         seq_ids = []
         seq, cum = 0, 0
-        for t in pdf["doc_tokens"]:
+        for t in tokens:
             if cum + t > budget:
                 seq += 1
                 cum = 0
             seq_ids.append(seq)
             cum += t
-        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        return seq_ids
+
+    if max_docs_per_task:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("source").orderBy("doc_id")
+        thin = thin.withColumn(
+            "_bucket",
+            F.floor((F.row_number().over(w) - 1) / max_docs_per_task),
+        )
+
+        def pack_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+            base = int(pdf["_bucket"].iloc[0]) * max_docs_per_task
+            pdf["seq_id"] = pd.Series(
+                [base + s for s in greedy(pdf["doc_tokens"])], dtype="int64"
+            )
+            return pdf[["doc_id", "source", "seq_id", "doc_tokens"]]
+
+        return thin.groupBy("source", "_bucket").applyInPandas(
+            pack_bucket, schema=PACK_SCHEMA
+        )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pdf["seq_id"] = pd.Series(greedy(pdf["doc_tokens"]), dtype="int64")
         return pdf[["doc_id", "source", "seq_id", "doc_tokens"]]
 
     return thin.groupBy("source").applyInPandas(pack, schema=PACK_SCHEMA)

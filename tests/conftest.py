@@ -23,6 +23,26 @@ TABLES = (
 ).split()
 
 
+@pytest.fixture(autouse=True)
+def _restore_configuration_attrs():
+    """Snapshot/restore ``Configuration`` class attributes around every
+    test: a test that assigns onto the class (the documented override
+    pattern) can no longer leak global state into later tests — the
+    pattern behind round 5's order-dependent failure."""
+    from dfsql_spark.config import Configuration
+
+    saved = {
+        k: v for k, v in vars(Configuration).items() if not k.startswith("__")
+    }
+    yield
+    for k in list(vars(Configuration)):
+        if not k.startswith("__") and k not in saved:
+            delattr(Configuration, k)
+    for k, v in saved.items():
+        if vars(Configuration).get(k) is not v:
+            setattr(Configuration, k, v)
+
+
 @pytest.fixture(scope="session")
 def spark():
     from dfsql_spark.session import get_spark

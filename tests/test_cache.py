@@ -178,3 +178,21 @@ def test_reregister_evicts_stale_cache_entry(spark):
     assert ds.cache.currsize == 0
     ds.drop_table("rr_tbl")
     assert ds.cache.currsize == 0 and not ds.tables
+
+
+def test_d06_reuses_shared_exact_pairs(spark):
+    """VERDICT r5 item 3: the d-block runs ONE shingling + prefix-join
+    pass — d06 consumes the shared ``_exact_jaccard_pairs`` persist
+    instead of re-running ``ngram_jaccard_pairs`` from scratch, so it
+    adds zero new persisted materializations after d02 has run."""
+    import __spark_entry__ as em
+    from dfsql_spark.operators import dedup as dd
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        em.d02_dedup_ngram_jaccard(spark, sf).count()
+        n_before = len(dd._LIVE_PERSISTS)
+        assert em.d06_dedup_connected(spark, sf).count() > 0
+        assert len(dd._LIVE_PERSISTS) == n_before
+    finally:
+        em.release_caches()

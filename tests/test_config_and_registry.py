@@ -280,32 +280,63 @@ def test_datasource_reads_config_case_sensitivity(spark, clean_config, tmp_path)
     assert ds2.case_sensitive is True
 
 
-def test_custom_function_shadows_builtin(spark):
-    """Reference parity: custom_functions are checked BEFORE builtin
-    ops (reference base_data_source.py:192-198), so registering
-    'lower' overrides the builtin.  Spark 4 session catalogs clone the
-    builtin function registry per-session, and udf.register replaces
-    the entry by name — so the shadow works through plain spark.sql.
-    Divergence (documented in README): the shadow is session-wide, not
-    per-DataSource."""
+def test_custom_function_shadows_builtin_scoped(spark):
+    """Reference parity: custom functions are checked BEFORE builtin
+    ops (reference base_data_source.py:192-198) — and, like the
+    reference, the shadow is scoped to the registering DataSource.
+    Implementation: the UDF lives in the session registry only under a
+    collision-proof internal name; the dialect rewriter renames call
+    sites in this DataSource's SQL (dialect.py
+    ``_rewrite_function_names``).  The session's builtin ``lower`` is
+    never replaced, so other DataSources and plain ``spark.sql`` keep
+    builtin semantics."""
     from dfsql_spark import DataSource
 
     ds = DataSource(spark=spark)
+    ds2 = DataSource(spark=spark)
     ds.add_table("shadow_t", pd.DataFrame({"x": ["AbC", "DeF"]}))
+    ds2.add_table("shadow_t2", pd.DataFrame({"x": ["AbC"]}))
     try:
         ds.register_function("lower", lambda s: s + "!", return_type="string")
         out = ds.query("SELECT lower(x) AS r FROM shadow_t", reduce_output=False)
         assert list(out["r"]) == ["AbC!", "DeF!"]
+        # scoping: a sibling DataSource on the SAME session still gets
+        # the builtin, as does direct spark.sql
+        assert ds2.query("SELECT lower(x) FROM shadow_t2") == "abc"
+        assert spark.sql("SELECT lower('AbC') AS r").collect()[0].r == "abc"
     finally:
-        # a builtin-name shadow cannot be DROPped (Spark refuses
-        # "DROP TEMPORARY FUNCTION lower"); restore equivalent
-        # semantics for the rest of the suite by re-registering a
-        # passthrough with the builtin's behavior.  astype(str) first:
-        # the builtin implicitly casts non-string input, and the
-        # session is shared, so the passthrough must not crash on it.
-        # (No other test in the suite calls SQL-string lower() —
-        # DataFrame-API F.lower bypasses the function registry.)
-        ds.register_function(
-            "lower", lambda s: s.astype(str).str.lower(), return_type="string"
-        )
         spark.catalog.dropTempView("shadow_t")
+        spark.catalog.dropTempView("shadow_t2")
+
+
+def test_builtin_shadow_cannot_break_dataframe_api(spark):
+    """Round-5 regression pin: Spark 4 resolves DataFrame-API functions
+    (e.g. ``F.lower`` inside ``F.transform``'s lambda) through the
+    session function registry, so a session-wide ``udf.register`` of a
+    builtin name broke unrelated plans with
+    UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_WITH_PYTHON_UDF.  With scoped
+    registration the session entry for ``lower`` is untouched:
+    registering a custom ``lower`` must leave every F.lower-in-lambda
+    plan analyzable — including the engine's own lang_id operator."""
+    from pyspark.sql import functions as F
+
+    from dfsql_spark import DataSource
+    from dfsql_spark.operators.text import lang_id
+
+    ds = DataSource(spark=spark)
+    ds.register_function("lower", lambda s: s + "!", return_type="string")
+
+    # bare F.lower inside a lambda — the exact shape that failed
+    df = spark.createDataFrame([(["AbC", "DeF"],)], ["arr"])
+    got = df.select(
+        F.transform("arr", lambda c: F.lower(c)).alias("lo")
+    ).collect()[0].lo
+    assert got == ["abc", "def"]
+
+    # and the real operator that tripped in round 5 (t03)
+    docs = spark.createDataFrame(
+        [("d1", "the quick brown fox and the lazy dog walk together")],
+        ["doc_id", "text"],
+    )
+    out = lang_id(docs).collect()
+    assert out[0].lang_pred == "en"

@@ -561,3 +561,98 @@ def test_repetition_ratio_semantics(spark):
     assert rows[1] == (0.75, 4)
     assert rows[2] == (0.0, 4)
     assert rows[3] == (0.0, 0)
+
+
+def test_decontaminate_hash_grams_identical(docs):
+    """``hash_grams=True`` (the 8-byte-shuffle-key scale path) produces
+    the identical pair set as the exact string-keyed join on a real
+    corpus (VERDICT r5 item 5)."""
+    from pyspark.sql import functions as F
+
+    from dfsql_spark.operators.dedup import ngram_decontaminate
+
+    # eval set = a slice of the corpus itself -> guaranteed collisions
+    eval_df = docs.orderBy("doc_id").limit(8).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    exact = ngram_decontaminate(docs, eval_df, n=13)
+    hashed = ngram_decontaminate(docs, eval_df, n=13, hash_grams=True)
+    e = {(r.doc_id, r.eval_doc_id) for r in exact.collect()}
+    h = {(r.doc_id, r.eval_doc_id) for r in hashed.collect()}
+    assert e == h
+    assert e  # non-vacuous: the planted slice must collide
+
+
+def test_pack_sequences_salted_single_shard(spark):
+    """``max_docs_per_task`` (VERDICT r5 item 6): a one-shard corpus
+    splits into contiguous sub-shards that pack in parallel; budget is
+    still respected, seq_ids stay deterministic and unique, and every
+    doc keeps its token count."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from dfsql_spark.operators.text import pack_sequences
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": range(50),
+            "source": ["mono"] * 50,
+            "text": ["tok " * 100] * 50,  # 100 tokens each
+        }
+    )
+    df = spark.createDataFrame(rows)
+    salted = pack_sequences(df, budget=512, max_docs_per_task=10)
+    out = salted.collect()
+    assert len(out) == 50
+    assert {r.doc_id for r in out} == set(range(50))
+    assert all(r.doc_tokens == 100 for r in out)
+    # budget holds within every sequence
+    over = (
+        salted.groupBy("source", "seq_id")
+        .agg(F.sum("doc_tokens").alias("s"))
+        .filter(F.col("s") > 512)
+        .count()
+    )
+    assert over == 0
+    # sub-shards of 10 docs x 100 tokens: 5 docs/seq -> 2 seqs/bucket,
+    # seq_ids renumbered as bucket*10 + local
+    seq_ids = sorted({r.seq_id for r in out})
+    assert seq_ids == [b * 10 + s for b in range(5) for s in (0, 1)]
+    # deterministic across runs
+    again = pack_sequences(df, budget=512, max_docs_per_task=10).collect()
+    assert sorted((r.doc_id, r.seq_id) for r in again) == sorted(
+        (r.doc_id, r.seq_id) for r in out
+    )
+    # and a sequence never spans a bucket cut: docs 0-9 in bucket 0, etc.
+    for r in out:
+        assert r.seq_id // 10 == r.doc_id // 10
+
+
+def test_pack_sequences_salted_matches_unsalted_at_cut_free_sizes(spark):
+    """When every sub-shard boundary falls exactly on a sequence
+    boundary, salted output equals the unsalted pack bit-for-bit."""
+    import pandas as pd
+
+    from dfsql_spark.operators.text import pack_sequences
+
+    # 4 docs of 256 tokens = exactly 2 per 512-seq; cut every 2 docs
+    rows = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "source": ["m"] * 8,
+            "text": ["t " * 256] * 8,
+        }
+    )
+    df = spark.createDataFrame(rows)
+    unsalted = {
+        r.doc_id: r.seq_id for r in pack_sequences(df, budget=512).collect()
+    }
+    salted = {
+        r.doc_id: (r.seq_id // 2, r.seq_id % 2)
+        for r in pack_sequences(df, budget=512, max_docs_per_task=2).collect()
+    }
+    # bucket*2+local with 1 seq per bucket -> seq_id = 2*bucket; the
+    # unsalted pack assigns seq k to docs 2k,2k+1
+    for doc, useq in unsalted.items():
+        assert salted[doc] == (useq, 0)
