@@ -546,6 +546,26 @@ def sk01_salted_agg(spark, sf):
     )
 
 
+def sk02_salted_join(spark, sf):
+    """Skew-safe salted equi-join (orders ⋈ customer on custkey): big
+    side salted into 8 buckets, small side replicated per salt, joined
+    on (key, salt) with sort-merge pinned — the manual skew-join for
+    when the dim side outgrows broadcast.  Result multiset is identical
+    to the plain join, so the oracle runs the plain join; the
+    aggregation keeps the graded result segment-sized."""
+    from dfsql_spark.operators.skew import salted_skew_join
+
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = salted_skew_join(orders, cust, on="o_custkey", num_salts=8, pin_sort_merge=True)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_totalprice").alias("sum_price"),
+    )
+
+
 def a01_asof_join(spark, sf):
     """Backward as-of join (union + last-non-null window: ONE shuffle,
     no range blowup): each click gets its user's most recent prior
@@ -919,6 +939,40 @@ def d07_decontaminate(spark, sf):
     return ngram_decontaminate(corpus, eval_set, n=13)
 
 
+def d08_semantic_dedup(spark, sf):
+    """SemDeDup-style semantic dedup over the embeddings table, graded
+    as a PROPERTY (KMeans cell assignments aren't portable SQL): the
+    count of exact cosine ≥ 0.4 pairs (DuckDB recomputes it from the
+    raw vectors) plus a boolean that the within-cluster pass recovered
+    ≥ 50% of them (measured 0.63 at sf0.01 / 0.59 at sf0.001 with
+    n_clusters=4; the same floor is pinned in tests/test_operators.py).
+    Low cluster count is the toy-scale setting — production scales
+    n_clusters with the corpus so cells stay ~10⁴ vectors."""
+    from dfsql_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        semantic_dedup_pairs,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    exact = embedding_neardup_pairs(emb, threshold=0.4, use_lsh=False).select(
+        "id_a", "id_b"
+    )
+    found = semantic_dedup_pairs(emb, threshold=0.4, n_clusters=4).select(
+        "id_a", "id_b"
+    )
+    hit = exact.join(found, ["id_a", "id_b"], "left_semi")
+    return (
+        exact.agg(F.count("*").alias("n_exact_pairs"))
+        .crossJoin(hit.agg(F.count("*").alias("_n_hit")))
+        .select(
+            "n_exact_pairs",
+            (F.col("_n_hit") >= 0.5 * F.col("n_exact_pairs")).alias(
+                "recall_ge_050"
+            ),
+        )
+    )
+
+
 def t11_repetition(spark, sf):
     """Gopher-style within-doc repetition: duplicate word-bigram
     fraction (1 - distinct/total).  Pure map; integer-quotient values
@@ -927,6 +981,17 @@ def t11_repetition(spark, sf):
 
     docs = _t(spark, sf, "documents")
     return repetition_ratio(docs)
+
+
+def t12_c4_filters(spark, sf):
+    """C4-style document filter signals: word count, terminal-punct
+    line ratio, mean word length, code/boilerplate markers, combined
+    keep decision.  Pure codegen'd map — zero shuffle at any scale;
+    every ratio is an integer quotient, bit-identical across engines."""
+    from dfsql_spark.operators.text import c4_filters
+
+    docs = _t(spark, sf, "documents")
+    return c4_filters(docs)
 
 
 def t10_stratified_sample(spark, sf):
@@ -1187,8 +1252,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Every oracle-backed query should carry a recent driver CORRECTNESS
 # row, but the driver grades at most ~50 entries per round and there
-# are more oracle-backed queries than slots (58 as of round 4 — d03/
-# d04/s02/s03 converted from rows-only to property-style oracles) — a
+# are more oracle-backed queries than slots (70 as of round 6) — a
 # limitation worth fixing driver-side (see README "Driver contract").
 # Until then the overflow is managed by ROTATION, not by arranging
 # favourites: the entries listed here sit at the END of the
@@ -1196,12 +1260,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # in the two preceding rounds) entries, every one pinned by the pytest
 # oracle mirror each round.  Round 6 honors the round-5 rotation
 # promise: all 17 round-5 sit-outs (q13-q21, q23-q26, q28-q30, e03)
-# are back in the graded block; the 17 below were all driver-green in
-# rounds 4 AND 5 (verified against CORRECTNESS_r04/r05.json).  Rotate
-# this list each round so nothing goes ungraded two rounds running.
+# are back in the graded block; the 20 below were all driver-green in
+# rounds 4 AND 5 (verified against CORRECTNESS_r04/r05.json) — 20 not
+# 17 because round 6 adds three NEW queries (d08/sk02/t12) that must
+# be graded in their first round, so the graded block stays at 50
+# (70 total).  Rotate this list each round so nothing goes ungraded
+# two rounds running.
 _SIT_OUT_THIS_ROUND = (
     "a01_asof_join",
     "a02_range_join",
+    "d01_dedup_exact",
+    "s01_sim_topk",
+    "t01_text_stats",
     "e01_windowed_counts",
     "e02_sessionize",
     "e04_stream_windowed_counts",
@@ -1240,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d05_embedding_neardup": d05_embedding_neardup,
         "d06_dedup_connected": d06_dedup_connected,
         "d07_decontaminate": d07_decontaminate,
+        "d08_semantic_dedup": d08_semantic_dedup,
         "e01_windowed_counts": e01_windowed_counts,
         "e02_sessionize": e02_sessionize,
         "e03_json_props": e03_json_props,
@@ -1282,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_grouping_sets": q30_grouping_sets,
         "s01_sim_topk": s01_sim_topk,
         "sk01_salted_agg": sk01_salted_agg,
+        "sk02_salted_join": sk02_salted_join,
         "t01_text_stats": t01_text_stats,
         "t02_quality_score": t02_quality_score,
         "t03_lang_id": t03_lang_id,
@@ -1293,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t09_pack_sequences": t09_pack_sequences,
         "t10_stratified_sample": t10_stratified_sample,
         "t11_repetition": t11_repetition,
+        "t12_c4_filters": t12_c4_filters,
         "x01_approx_distinct_pruned": x01_approx_distinct_pruned,
         "x02_approx_quantiles": x02_approx_quantiles,
         "d03_dedup_minhash_lsh": d03_dedup_minhash_lsh,
@@ -1541,6 +1614,45 @@ def oracle_sql() -> dict[str, str]:
                    MAX(l_discount) AS max_disc
             FROM lineitem
             GROUP BY l_returnflag
+        """,
+        "sk02_salted_join": """
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   SUM(o_totalprice) AS sum_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "d08_semantic_dedup": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+                   TRUE AS recall_ge_050
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
+            ) >= 0.4
+        """,
+        "t12_c4_filters": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+                       string_split(text, chr(10)) AS lines,
+                       length(regexp_replace(text, '\\s+', '', 'g')) AS n_wchars
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(n_words AS INT) AS n_words,
+                   CAST(len(lines) AS INT) AS n_lines,
+                   len(list_filter(lines,
+                       l -> regexp_matches(rtrim(l), '[.!?"]$'))) * 1.0
+                       / len(lines) AS term_punct_ratio,
+                   n_wchars * 1.0 / n_words AS mean_word_len,
+                   contains(text, '{') AS has_curly,
+                   contains(lower(text), 'lorem ipsum') AS has_lorem,
+                   (n_words >= 50
+                    AND n_wchars * 1.0 / n_words >= 3.0
+                    AND n_wchars * 1.0 / n_words <= 10.0
+                    AND NOT contains(text, '{')
+                    AND NOT contains(lower(text), 'lorem ipsum')) AS keep_doc
+            FROM base
         """,
         "a01_asof_join": """
             SELECT l.event_id, l.user_id, epoch_us(l.ts) AS click_us,

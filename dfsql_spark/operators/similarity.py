@@ -333,6 +333,60 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 32,
+    seed: int = 42,
+    train_fraction: float | None = None,
+    max_iter: int = 10,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (the published recipe: cluster
+    embeddings, compare only within clusters): a seeded KMeans coarse
+    quantizer assigns every vector to one cell, then exact cosine runs
+    inside each cell via a cell equi-join — pair candidates are
+    near-duplicates' neighbors, never the corpus cross product.
+
+    Scale shape: candidate volume is Σ|cell|², so ``n_clusters`` must
+    grow with the corpus (the published setting is ~corpus_size/10⁴
+    clusters; train on a sample via ``train_fraction`` — the quantizer
+    needs ~10⁶ vectors, not 100 TB).  The cell join is merge-hinted:
+    both sides are the corpus-sized assignment table, never a
+    broadcast candidate beyond toy scale.  A true near-dup pair can
+    land in two different cells (bounded recall loss, the documented
+    SemDeDup trade-off); recall rises as clusters shrink toward the
+    duplicate scale.
+
+    Each id has exactly one cell, so pairs emerge at most once — no
+    dedup shuffle needed.  Seeded KMeans + deterministic tie-breaks
+    keep output stable run-to-run.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    c = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), feat.alias("features")
+    )
+    train = c.sample(train_fraction, seed=seed) if train_fraction else c
+    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(
+        train.select("features")
+    )
+    cells = model.transform(c).select(
+        "id", "v", F.col("prediction").alias("cell")
+    )
+    a = cells.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "cell")
+    b = cells.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "cell")
+    return (
+        a.hint("merge").join(b.hint("merge"), "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine("va", "vb").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -80,3 +80,52 @@ def salted_groupby_agg(
     partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partial_exprs)
     merged = partial.groupBy(*keys).agg(*merge_exprs)
     return merged.select(*keys, *final_cols)
+
+
+def salted_skew_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: "list[str] | str",
+    how: str = "inner",
+    num_salts: int = 16,
+    pin_sort_merge: bool = False,
+) -> DataFrame:
+    """Skew-safe equi-join: ``big ⋈ small`` on ``on`` with key salting.
+
+    Each big-side row gets a salt in ``[0, num_salts)``; the small side
+    is replicated once per salt value; the join runs on
+    ``(key, _salt)``.  A hot key's rows land on ``num_salts`` shuffle
+    partitions instead of one, at the cost of shipping ``num_salts``
+    copies of the small side — the classic manual skew-join, correct
+    for ``inner`` and ``left`` (every big row sees exactly the one
+    small-side replica carrying its own salt, so no duplicates and no
+    lost left rows).
+
+    When to use over AQE: AQE's skew-join split handles sort-merge
+    skew at runtime, but only per shuffle-partition granularity and
+    only for the join itself — salting is the deterministic,
+    plan-stable form (and composes with downstream operators that pin
+    the partitioning).  ``pin_sort_merge=True`` hints both sides
+    ``merge``, the 100 TB shape where the "small" side is itself too
+    big to broadcast (a broadcast join has no shuffle to skew, making
+    salting pointless overhead — leave the pin off and the planner
+    will broadcast when it fits).
+
+    Result multiset is identical to ``big.join(small, on, how)``; only
+    the physical shuffle shape differs.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_skew_join supports how='inner'|'left', got {how!r} "
+            "(right/full would need the salt on the other side)"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(num_salts))
+    salted_big = big.withColumn("_salt", salt)
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+    )
+    if pin_sort_merge:
+        salted_big = salted_big.hint("merge")
+        salted_small = salted_small.hint("merge")
+    return salted_big.join(salted_small, keys + ["_salt"], how).drop("_salt")

@@ -315,6 +315,60 @@ def pii_scrub(
     return df.select(F.col(id_col), scrubbed.alias("clean_text"), *counts)
 
 
+def c4_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+) -> DataFrame:
+    """C4-style document-level heuristic filter signals (the public
+    C4/Gopher cleaning recipe): word count, fraction of lines ending in
+    terminal punctuation, mean word length, curly-brace (code) and
+    "lorem ipsum" (boilerplate) markers, plus the combined ``keep_doc``
+    decision (length + word-shape + marker rules; the terminal-punct
+    ratio is reported but not part of ``keep_doc`` — C4 applies that
+    rule per-LINE removal, not document removal).
+
+    Every signal is a codegen'd expression over the scan — a pure
+    per-row map, zero shuffle at any scale — and every ratio is a
+    quotient of integer counts, so values are bit-identical across
+    engines.
+    """
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    term_lines = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike('[.!?"]$'))
+    )
+    # sum of word lengths = non-whitespace char count (one regexp, no
+    # per-token lambda) — same identity text_stats uses
+    mean_word_len = (
+        F.length(F.regexp_replace(F.col(text_col), r"\s+", "")) / n_words
+    )
+    has_curly = F.col(text_col).contains("{")
+    has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
+    keep = (
+        (n_words >= F.lit(min_words))
+        & (mean_word_len >= F.lit(min_mean_word_len))
+        & (mean_word_len <= F.lit(max_mean_word_len))
+        & ~has_curly
+        & ~has_lorem
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("int").alias("n_words"),
+        n_lines.cast("int").alias("n_lines"),
+        (term_lines / n_lines).alias("term_punct_ratio"),
+        mean_word_len.alias("mean_word_len"),
+        has_curly.alias("has_curly"),
+        has_lorem.alias("has_lorem"),
+        keep.alias("keep_doc"),
+    )
+
+
 PACK_SCHEMA = "doc_id bigint, source string, seq_id bigint, doc_tokens int"
 
 

@@ -656,3 +656,81 @@ def test_pack_sequences_salted_matches_unsalted_at_cut_free_sizes(spark):
     # unsalted pack assigns seq k to docs 2k,2k+1
     for doc, useq in unsalted.items():
         assert salted[doc] == (useq, 0)
+
+
+def test_c4_filters_planted_flags(spark):
+    """Planted documents exercise every C4 signal: terminal-punct
+    lines, curly braces, lorem ipsum, short docs, long-word docs."""
+    import pandas as pd
+
+    from dfsql_spark.operators.text import c4_filters
+
+    good = " ".join(["word"] * 60)  # 60 words, mean len 4 -> keep
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                good,
+                "Line one.\nline two?\nno punct here\n",  # 2/4 lines terminal
+                good + " {code}",                          # curly -> drop
+                "Lorem Ipsum dolor " + good,               # lorem -> drop
+                "too short",                               # < 50 words
+            ],
+        }
+    )
+    out = {r.doc_id: r for r in c4_filters(spark.createDataFrame(rows)).collect()}
+    assert out[1].keep_doc and out[1].n_words == 60
+    assert out[2].n_lines == 4 and abs(out[2].term_punct_ratio - 0.5) < 1e-12
+    assert out[3].has_curly and not out[3].keep_doc
+    assert out[4].has_lorem and not out[4].keep_doc
+    assert not out[5].keep_doc and out[5].n_words == 2
+
+
+def test_salted_skew_join_matches_plain_join(spark):
+    """Salted join result multiset equals the plain join (inner and
+    left), including null-extension of unmatched left rows."""
+    import pandas as pd
+
+    from dfsql_spark.operators.skew import salted_skew_join
+
+    big = spark.createDataFrame(
+        pd.DataFrame({"k": [1] * 50 + [2] * 3 + [9], "v": range(54)})
+    )
+    small = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3], "name": ["a", "b", "c"]})
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            (r.k, r.v, r.name)
+            for r in salted_skew_join(big, small, on="k", how=how, num_salts=4).collect()
+        )
+        want = sorted(
+            (r.k, r.v, r.name) for r in big.join(small, "k", how).collect()
+        )
+        assert got == want, how
+    with pytest.raises(ValueError, match="how"):
+        salted_skew_join(big, small, on="k", how="right")
+
+
+def test_semantic_dedup_subset_and_recall(emb):
+    """SemDeDup pairs are a subset of the exact cosine pairs (same
+    threshold) and recover >= 50% of them at the entry settings."""
+    from dfsql_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        semantic_dedup_pairs,
+    )
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(emb, threshold=0.4, use_lsh=False)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    found = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(emb, threshold=0.4, n_clusters=4)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert found <= exact
+    assert len(found) >= 0.5 * len(exact)

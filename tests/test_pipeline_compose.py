@@ -1,0 +1,74 @@
+"""End-to-end pipeline composition: the operators are designed to
+chain as ONE lazy DataFrame DAG — filter → dedup → split → pack —
+the way a production training-data pipeline runs them.  This test
+pins that the composition stays lazy (no action until the end), that
+each stage's output feeds the next by column contract, and that the
+end-to-end result is consistent with running the stages standalone.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_filter_dedup_split_pack_composes_lazily(spark, docs):
+    from dfsql_spark.operators.dedup import (
+        dedup_by_components,
+        ngram_jaccard_pairs,
+        release_persists,
+    )
+    from dfsql_spark.operators.text import (
+        c4_filters,
+        deterministic_split,
+        pack_sequences,
+    )
+
+    try:
+        # 1. quality gate: keep docs passing the C4 word-shape rules
+        #    (relaxed min_words — the synthetic corpus is short-doc)
+        flags = c4_filters(docs, min_words=10)
+        kept = docs.join(
+            flags.filter(F.col("keep_doc")).select("doc_id"), "doc_id"
+        )
+
+        # 2. near-dup removal: one survivor per duplicate cluster
+        pairs = ngram_jaccard_pairs(kept, k=5, threshold=0.6)
+        deduped = dedup_by_components(kept, pairs)
+
+        # 3. content-addressed split, then pack only the train split
+        split = deterministic_split(deduped.select("doc_id", "text", "source"))
+        train = deduped.join(
+            split.filter(F.col("split") == "train").select("doc_id"), "doc_id"
+        )
+        packed = pack_sequences(train, budget=256)
+
+        # everything above is transformations only; the single action:
+        rows = packed.collect()
+
+        n_kept = kept.count()
+        n_deduped = deduped.count()
+        assert 0 < len(rows) == train.count() <= n_deduped <= n_kept
+        # ~90% of deduped docs should land in train (md5-bucketed)
+        assert len(rows) >= 0.8 * n_deduped
+        # budget respected end-to-end
+        over = (
+            packed.groupBy("source", "seq_id")
+            .agg(F.sum("doc_tokens").alias("s"))
+            .filter(F.col("s") > 256)
+            .count()
+        )
+        assert over == 0
+        # survivors are a subset of the filtered corpus, no duplicates
+        assert packed.select("doc_id").distinct().count() == len(rows)
+    finally:
+        release_persists()

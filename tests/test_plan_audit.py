@@ -197,3 +197,35 @@ def test_split_and_scrub_are_pure_maps(spark):
     for df in (deterministic_split(docs), pii_scrub(docs)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+def test_salted_join_plan_is_salted_sort_merge(spark):
+    """sk02's 100 TB shape: the join must be a SortMergeJoin keyed on
+    (key, _salt) — the salt actually reaches the shuffle keys — with
+    no broadcast anywhere (the pin is the point: the pattern exists
+    for dim sides too big to broadcast)."""
+    df = em.queries()["sk02_salted_join"](spark, SF)
+    s = plan_summary(df)
+    assert "SortMergeJoin" in s.text, s.text
+    assert "_salt" in s.text
+    assert "BroadcastHashJoin" not in s.text, s.text
+
+
+def test_semantic_dedup_cell_equijoin_never_broadcasts(spark):
+    """d08's pair generator must be a cell equi-join with sort-merge
+    pinned — never a broadcast (corpus-sized both sides at scale) and
+    never a cartesian pair join."""
+    from dfsql_spark.operators.similarity import semantic_dedup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = semantic_dedup_pairs(emb, threshold=0.4, n_clusters=4)
+    s = plan_summary(df)
+    assert "SortMergeJoin" in s.text, s.text
+    assert "BroadcastHashJoin" not in s.text, s.text
+    assert "CartesianProduct" not in s.text, s.text
+
+
+def test_c4_filters_is_pure_map(spark):
+    """t12 must stay a zero-shuffle per-row map."""
+    df = em.queries()["t12_c4_filters"](spark, SF)
+    assert plan_summary(df).n_exchanges == 0
