@@ -1095,6 +1095,41 @@ def m02_media_decode(spark, sf):
     )
 
 
+def m03_media_dedup(spark, sf):
+    """Content-hash media dedup.  The corpus has no exact duplicates,
+    so the input unions a deterministic replay of the first 50 docs
+    (ids offset by 100000) — those groups must come back with
+    n_copies=2 and the original id as survivor.  The payload bytes
+    never shuffle (hashed map-side); DuckDB recomputes every SHA-256
+    from the same UTF-8 payload definition."""
+    from dfsql_spark.operators.multimodal import attach_fake_media, media_dedup
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    replay = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return media_dedup(attach_fake_media(docs.unionAll(replay)))
+
+
+def f01_custom_agg_sql(spark, sf):
+    """Custom aggregate through the FULL dfsql surface — DataSource
+    catalog, dialect rewrite, and the scoped UDF rename — not the bare
+    DataFrame API: ``register_function("span", ...)`` (the reference's
+    Series→scalar contract, backed by an Arrow grouped-agg pandas UDF)
+    then a SQL GROUP BY that calls it.  span = max − min: exact double
+    subtraction, no summation order, so values are bit-identical to
+    the oracle's MAX−MIN."""
+    from dfsql_spark import DataSource
+
+    ds = DataSource(spark=spark)
+    ds.add_table("li_f01", _t(spark, sf, "lineitem"))
+    ds.register_function("span", lambda s: s.max() - s.min(), is_aggregate=True)
+    return ds.query_df(
+        "SELECT l_returnflag, span(l_extendedprice) AS price_span "
+        "FROM li_f01 GROUP BY l_returnflag"
+    )
+
+
 # ---------------------------------------------------------------------------
 # events / streaming (SURVEY §7 phase E; reference has none — §2.7)
 # ---------------------------------------------------------------------------
@@ -1252,7 +1287,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Every oracle-backed query should carry a recent driver CORRECTNESS
 # row, but the driver grades at most ~50 entries per round and there
-# are more oracle-backed queries than slots (70 as of round 6) — a
+# are more oracle-backed queries than slots (72 as of round 6) — a
 # limitation worth fixing driver-side (see README "Driver contract").
 # Until then the overflow is managed by ROTATION, not by arranging
 # favourites: the entries listed here sit at the END of the
@@ -1260,18 +1295,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # in the two preceding rounds) entries, every one pinned by the pytest
 # oracle mirror each round.  Round 6 honors the round-5 rotation
 # promise: all 17 round-5 sit-outs (q13-q21, q23-q26, q28-q30, e03)
-# are back in the graded block; the 20 below were all driver-green in
-# rounds 4 AND 5 (verified against CORRECTNESS_r04/r05.json) — 20 not
-# 17 because round 6 adds three NEW queries (d08/sk02/t12) that must
-# be graded in their first round, so the graded block stays at 50
-# (70 total).  Rotate this list each round so nothing goes ungraded
-# two rounds running.
+# are back in the graded block; the 22 below were all driver-green in
+# rounds 4 AND 5 (verified against CORRECTNESS_r04/r05.json) — 22 not
+# 17 because round 6 adds five NEW queries (d08/sk02/t12/m03/f01)
+# that must be graded in their first round, so the graded block stays
+# at 50 (72 total).  Rotate this list each round so nothing goes
+# ungraded two rounds running.
 _SIT_OUT_THIS_ROUND = (
     "a01_asof_join",
     "a02_range_join",
     "d01_dedup_exact",
     "s01_sim_topk",
     "t01_text_stats",
+    "t02_quality_score",
+    "t03_lang_id",
     "e01_windowed_counts",
     "e02_sessionize",
     "e04_stream_windowed_counts",
@@ -1320,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e07_interval_join": e07_interval_join,
         "e08_stream_interval_join": e08_stream_interval_join,
         "e09_stream_upsert_sink": e09_stream_upsert_sink,
+        "f01_custom_agg_sql": f01_custom_agg_sql,
         "m01_media_stats": m01_media_stats,
         "q01_projection": q01_projection,
         "q02_filter": q02_filter,
@@ -1373,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s02_sim_topk_lsh": s02_sim_topk_lsh,
         "s03_sim_ivf": s03_sim_ivf,
         "m02_media_decode": m02_media_decode,
+        "m03_media_dedup": m03_media_dedup,
     }
     tail = set(_SIT_OUT_THIS_ROUND) | set(_ROWS_ONLY)
     ordered = [n for n in all_queries if n not in tail]
@@ -2154,5 +2193,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(64 + CAST('0x' || substr(sha256(text), 1, 2) AS INT) % 192 AS INT) AS width,
                    CAST(64 + CAST('0x' || substr(sha256(text), 3, 2) AS INT) % 192 AS INT) AS height
             FROM documents
+        """,
+        "m03_media_dedup": """
+            WITH all_docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text
+                FROM documents WHERE doc_id < 50
+            )
+            SELECT sha256(text) AS payload_sha256,
+                   MIN(doc_id) AS survivor_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM all_docs
+            GROUP BY sha256(text)
+        """,
+        "f01_custom_agg_sql": """
+            SELECT l_returnflag,
+                   MAX(l_extendedprice) - MIN(l_extendedprice) AS price_span
+            FROM lineitem
+            GROUP BY l_returnflag
         """,
     }

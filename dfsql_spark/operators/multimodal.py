@@ -168,6 +168,29 @@ def sample_frames(
     return videos.mapInPandas(frames, schema=FRAME_SCHEMA)
 
 
+def media_dedup(
+    media: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content-hash dedup for media corpora: one row per distinct
+    payload with the surviving (min) id and the copy count.
+
+    The media bytes never shuffle — the map side reduces each row to
+    its 64-char SHA-256 before the groupBy, so the exchange carries
+    (hash, id) regardless of payload size.  This is the multimodal
+    twin of exact text dedup (d01): at 100 TB of images the hash
+    groupBy is the only viable exact-dedup shape.
+    """
+    h = F.sha2(F.col(payload_col), 256)
+    return (
+        media.select(h.alias("payload_sha256"), F.col(id_col))
+        .groupBy("payload_sha256")
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Metadata-only aggregate — never reads the payload column (column
     pruning keeps media bytes out of the scan entirely)."""

@@ -734,3 +734,22 @@ def test_semantic_dedup_subset_and_recall(emb):
     }
     assert found <= exact
     assert len(found) >= 0.5 * len(exact)
+
+
+def test_media_dedup_hash_grouping(spark):
+    """Identical payloads collapse to one group (min-id survivor,
+    correct copy count); distinct payloads stay separate."""
+    import pandas as pd
+
+    from dfsql_spark.operators.multimodal import attach_fake_media, media_dedup
+
+    rows = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 10], "text": ["aa", "bb", "aa", "aa"]}
+    )
+    out = {
+        r.payload_sha256: (r.survivor_id, r.n_copies)
+        for r in media_dedup(attach_fake_media(spark.createDataFrame(rows))).collect()
+    }
+    assert len(out) == 2
+    assert (1, 3) in out.values()  # 'aa' x3 -> survivor 1
+    assert (2, 1) in out.values()
