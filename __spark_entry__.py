@@ -1118,10 +1118,18 @@ def f01_custom_agg_sql(spark, sf):
     Series→scalar contract, backed by an Arrow grouped-agg pandas UDF)
     then a SQL GROUP BY that calls it.  span = max − min: exact double
     subtraction, no summation order, so values are bit-identical to
-    the oracle's MAX−MIN."""
+    the oracle's MAX−MIN.
+
+    ``cache=False``: the default cache-on-access would pin the full
+    lineitem relation in the session-wide cache manager, and Spark's
+    cache substitution is plan-global — every LATER lineitem scan in
+    the same session (other contract queries, the plan-audit suite)
+    would silently resolve to the unpruned InMemoryRelation and lose
+    column pruning.  A shared-session contract query must not leave
+    that footprint."""
     from dfsql_spark import DataSource
 
-    ds = DataSource(spark=spark)
+    ds = DataSource(spark=spark, cache=False)
     ds.add_table("li_f01", _t(spark, sf, "lineitem"))
     ds.register_function("span", lambda s: s.max() - s.min(), is_aggregate=True)
     return ds.query_df(

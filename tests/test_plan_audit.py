@@ -18,7 +18,7 @@ SF = "/root/testdata/sf0.001"
 def test_flagship_broadcasts_dims_and_prunes(spark):
     df = em.queries()["q22_flagship_revenue"](spark, SF)
     assert_broadcast_join(df)
-    # lineitem has 16 columns; the query needs 3
+    # lineitem has 11 columns; the query needs 3
     assert_max_read_columns(df, 4)
     s = plan_summary(df, execute=True)  # audit AQE's FINAL plan
     assert s.wholestage_codegen
@@ -32,6 +32,21 @@ def test_filter_reaches_parquet_scan(spark):
 def test_projection_reads_only_needed_columns(spark):
     df = em.queries()["q01_projection"](spark, SF)
     assert_max_read_columns(df, 5)
+
+
+def test_sql_path_query_leaves_no_cache_footprint(spark):
+    """Regression: f01 runs through the DataSource SQL path in the
+    shared session.  With the default cache-on-access it would pin the
+    full lineitem relation in the session cache manager, and Spark's
+    plan-global cache substitution would then swap the unpruned
+    InMemoryRelation into EVERY later lineitem scan — silently
+    defeating column pruning for unrelated queries (the exact failure:
+    q22/q01 pruning audits red after the oracle-mirror ran f01).
+    f01 must opt out of the pin, and a fresh projection afterwards
+    must still prune to its ReadSchema."""
+    em.queries()["f01_custom_agg_sql"](spark, SF).collect()
+    fresh = em.queries()["q01_projection"](spark, SF)
+    assert_max_read_columns(fresh, 5)
 
 
 def test_exact_dedup_single_exchange(spark):
