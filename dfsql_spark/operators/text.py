@@ -512,6 +512,71 @@ def stratified_sample(
     return df.filter(bucket < rate)
 
 
+def rebalance_mix(
+    df: DataFrame,
+    target: "dict[str, float]",
+    stratum_col: str = "source",
+    text_col: str = "text",
+    buckets: int = 10_000,
+    salt: str = "mix",
+) -> DataFrame:
+    """Rebalance a corpus to a target stratum mix by down-sampling —
+    the data-mixing step of a training run (e.g. 50% web / 30% code /
+    20% books regardless of how the raw crawl is skewed).
+
+    Where :func:`stratified_sample` applies USER-GIVEN per-stratum
+    rates, this derives the rates from target proportions: the largest
+    achievable total without up-sampling is ``T = min_s n_s / p_s``
+    (the stratum that runs out first is kept fully), then stratum ``s``
+    keeps ``rate_s = p_s * T / n_s``.  Strata absent from ``target``
+    are dropped.  The keep decision reuses the salted-md5 bucket, so
+    the sample is content-addressed: stable across runs, partitionings,
+    engines, and dataset versions.
+
+    Scale shape: one tiny per-stratum count aggregate (map-side
+    combined; output rows = #strata), a 1-row global min, and a
+    broadcast join of the rates back onto the corpus — the 100 TB scan
+    happens exactly once and the filter pipelines into it.  All rate
+    arithmetic is double division/multiplication in a fixed order
+    (``(p * t) / n``), bit-identical to the SQL oracle.
+    """
+    if not target:
+        raise ValueError("target must name at least one stratum")
+    for name, p in target.items():
+        if p <= 0.0:
+            raise ValueError(f"target share for {name!r} must be > 0, got {p}")
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(target.items())],
+        f"{stratum_col} string, p double",
+    )
+    counts = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    lim = (
+        counts.join(F.broadcast(tgt), stratum_col)
+        .agg(F.min(F.col("n") / F.col("p")).alias("t"))
+    )
+    rates = (
+        counts.join(F.broadcast(tgt), stratum_col)
+        .crossJoin(F.broadcast(lim))
+        .select(
+            stratum_col,
+            (F.col("p") * F.col("t") / F.col("n")).alias("keep_rate"),
+        )
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(text_col))), 1, 8),
+        16,
+        10,
+    ).cast("bigint") % buckets
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(bucket < F.col("keep_rate") * buckets)
+        .drop("keep_rate")
+    )
+
+
 def repetition_ratio(
     df: DataFrame,
     text_col: str = "text",
