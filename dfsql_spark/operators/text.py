@@ -533,12 +533,15 @@ def rebalance_mix(
     the sample is content-addressed: stable across runs, partitionings,
     engines, and dataset versions.
 
-    Scale shape: one tiny per-stratum count aggregate (map-side
-    combined; output rows = #strata), a 1-row global min, and a
-    broadcast join of the rates back onto the corpus — the 100 TB scan
-    happens exactly once and the filter pipelines into it.  All rate
-    arithmetic is double division/multiplication in a fixed order
-    (``(p * t) / n``), bit-identical to the SQL oracle.
+    Scale shape: ONE tiny per-stratum count aggregate (map-side
+    combined, stratum-column-only scan, output rows = #strata), the
+    global min taken as an unpartitioned window over that #strata-row
+    relation (SinglePartition exchange of #strata rows, not a second
+    corpus scan), and a broadcast join of the rates back onto the
+    corpus — the full-width 100 TB scan happens exactly once and the
+    keep filter pipelines into it.  All rate arithmetic is double
+    division/multiplication in a fixed order (``(p * t) / n``),
+    bit-identical to the SQL oracle.
     """
     if not target:
         raise ValueError("target must name at least one stratum")
@@ -550,16 +553,15 @@ def rebalance_mix(
         [(k, float(v)) for k, v in sorted(target.items())],
         f"{stratum_col} string, p double",
     )
+    from pyspark.sql import Window
+
     counts = df.groupBy(stratum_col).agg(
         F.count(F.lit(1)).cast("double").alias("n")
     )
-    lim = (
-        counts.join(F.broadcast(tgt), stratum_col)
-        .agg(F.min(F.col("n") / F.col("p")).alias("t"))
-    )
+    everything = Window.partitionBy()  # #strata rows — tiny by contract
     rates = (
         counts.join(F.broadcast(tgt), stratum_col)
-        .crossJoin(F.broadcast(lim))
+        .withColumn("t", F.min(F.col("n") / F.col("p")).over(everything))
         .select(
             stratum_col,
             (F.col("p") * F.col("t") / F.col("n")).alias("keep_rate"),

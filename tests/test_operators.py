@@ -495,6 +495,39 @@ def test_stratified_sample_independent_of_split(docs):
     assert kept.get("train", 0) > 0 and (kept.get("val", 0) + kept.get("test", 0)) > 0
 
 
+def test_rebalance_mix_limiting_stratum_and_shares(docs):
+    """The limiting stratum is kept fully; every other listed stratum
+    is down-sampled toward its target share; unlisted strata are
+    dropped; derived rates never exceed 1 (no up-sampling)."""
+    from dfsql_spark.operators.text import rebalance_mix
+
+    # uniform 25 docs/source → src2 (smallest share... all equal) —
+    # with equal counts the LARGEST target share is limiting
+    out = rebalance_mix(docs, target={"src0": 0.5, "src1": 0.3, "src2": 0.2})
+    per = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    totals = {r.source: r["count"] for r in docs.groupBy("source").count().collect()}
+    assert set(per) <= {"src0", "src1", "src2"}  # unlisted strata dropped
+    # src0 has the largest target share → limiting → kept fully
+    assert per["src0"] == totals["src0"]
+    # the others are strict down-samples with binomial wiggle around
+    # p_s*T/n_s (0.6 and 0.4 of 25 docs here)
+    assert 0 < per.get("src1", 0) < totals["src1"]
+    assert 0 < per.get("src2", 0) < totals["src2"]
+    # deterministic: same input → identical sample
+    a = {r.doc_id for r in out.collect()}
+    b = {
+        r.doc_id
+        for r in rebalance_mix(
+            docs, target={"src0": 0.5, "src1": 0.3, "src2": 0.2}
+        ).collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError, match="target"):
+        rebalance_mix(docs, target={})
+    with pytest.raises(ValueError, match="share"):
+        rebalance_mix(docs, target={"src0": 0.0})
+
+
 def test_decontaminate_flags_planted_overlap(spark):
     """A doc sharing a 13-token run with an eval doc is flagged; a doc
     sharing only 12 tokens is not."""

@@ -34,6 +34,19 @@ def test_projection_reads_only_needed_columns(spark):
     assert_max_read_columns(df, 5)
 
 
+def test_mix_rebalance_single_corpus_scan(spark):
+    """t13's rate derivation must cost one stratum-column-only scan,
+    never a second full-width pass, and the corpus side must reach the
+    keep filter via a broadcast of the rates (no corpus shuffle)."""
+    df = em.queries()["t13_mix_rebalance"](spark, SF)
+    s = plan_summary(df)
+    full = [r for r in s.read_schemas if "text" in r]
+    thin = [r for r in s.read_schemas if "text" not in r]
+    assert len(full) == 1, s.read_schemas   # corpus scanned exactly once
+    assert all(r == "struct<source:string>" for r in thin), s.read_schemas
+    assert_broadcast_join(df)
+
+
 def test_sql_path_query_leaves_no_cache_footprint(spark):
     """Regression: f01 runs through the DataSource SQL path in the
     shared session.  With the default cache-on-access it would pin the
