@@ -1025,6 +1025,19 @@ def t13_mix_rebalance(spark, sf):
     ).select("doc_id", "source")
 
 
+def t14_winnow_fingerprints(spark, sf):
+    """MOSS-style winnowing fingerprints (k=8 char-gram polynomial
+    hashes, window w=4, keep each window's min): position-robust
+    partial-overlap fingerprints with guaranteed detection of any
+    shared substring of length >= k+w-1 and density ~2/(w+1).  Pure
+    Arrow-batched map + explode, zero shuffle; every selected hash is
+    plain int64 arithmetic mod 2^31-1, recomputed exactly by DuckDB."""
+    from dfsql_spark.operators.text import winnow_fingerprints
+
+    docs = _t(spark, sf, "documents")
+    return winnow_fingerprints(docs, k=8, w=4)
+
+
 def x02_approx_quantiles(spark, sf):
     """Sketch-based quantiles: percentile_approx (KLL-ish, mergeable,
     fixed-size state — THE quantile at 100 TB, where exact percentile
@@ -1357,11 +1370,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # in the two preceding rounds) entries, every one pinned by the pytest
 # oracle mirror each round.  Round 6 honors the round-5 rotation
 # promise: all 17 round-5 sit-outs (q13-q21, q23-q26, q28-q30, e03)
-# are back in the graded block; the 25 below were all driver-green in
-# rounds 4 AND 5 (verified against CORRECTNESS_r04/r05.json) — 25 not
-# 17 because round 6 adds eight NEW queries (d08/d09/sk02/t12/t13/
+# are back in the graded block; the 26 below were all driver-green in
+# rounds 4 AND 5 (verified against CORRECTNESS_r04/r05.json) — 26 not
+# 17 because round 6 adds nine NEW queries (d08/d09/sk02/t12/t13/t14/
 # m03/f01/f02) that must be graded in their first round, so the graded
-# block stays at 50 (75 total).  Rotate this list each round so
+# block stays at 50 (76 total).  Rotate this list each round so
 # nothing goes ungraded two rounds running.
 _SIT_OUT_THIS_ROUND = (
     "a01_asof_join",
@@ -1389,6 +1402,7 @@ _SIT_OUT_THIS_ROUND = (
     "q04_distinct",
     "q22_flagship_revenue",
     "q27_window_topk",
+    "x01_approx_distinct_pruned",
 )
 
 # rows-only sketch queries (``no_oracle``); always last.  Empty since
@@ -1472,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t11_repetition": t11_repetition,
         "t12_c4_filters": t12_c4_filters,
         "t13_mix_rebalance": t13_mix_rebalance,
+        "t14_winnow_fingerprints": t14_winnow_fingerprints,
         "x01_approx_distinct_pruned": x01_approx_distinct_pruned,
         "x02_approx_quantiles": x02_approx_quantiles,
         "d03_dedup_minhash_lsh": d03_dedup_minhash_lsh,
@@ -2337,5 +2352,38 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN rates r ON d.source = r.source
             WHERE CAST('0x' || substr(md5('mix:' || d.text), 1, 8) AS BIGINT)
                   % 10000 < r.keep_rate * 10000
+        """,
+        # t14: winnowing — k-gram polynomial hashes (weights 31^7..31^0
+        # spelled out), sliding-window min, per-doc distinct.
+        "t14_winnow_fingerprints": """
+            WITH t AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ),
+            hs AS (
+                SELECT doc_id,
+                       [ (  ascii(substr(t, i    , 1)) * 27512614111
+                          + ascii(substr(t, i + 1, 1)) * CAST(887503681 AS BIGINT)
+                          + ascii(substr(t, i + 2, 1)) * CAST(28629151 AS BIGINT)
+                          + ascii(substr(t, i + 3, 1)) * CAST(923521 AS BIGINT)
+                          + ascii(substr(t, i + 4, 1)) * CAST(29791 AS BIGINT)
+                          + ascii(substr(t, i + 5, 1)) * CAST(961 AS BIGINT)
+                          + ascii(substr(t, i + 6, 1)) * CAST(31 AS BIGINT)
+                          + ascii(substr(t, i + 7, 1))
+                         ) % 2147483647
+                         for i in range(1, length(t) - 6) ] AS h
+                FROM t WHERE length(t) >= 8
+            ),
+            mins AS (
+                SELECT doc_id,
+                       CASE WHEN len(h) < 4 THEN [list_min(h)]
+                            ELSE [ list_min(h[i:i+3])
+                                   for i in range(1, len(h) - 2) ]
+                       END AS m
+                FROM hs
+            )
+            SELECT DISTINCT doc_id, CAST(unnest(m) AS BIGINT) AS fp
+            FROM mins
         """,
     }

@@ -158,6 +158,67 @@ def fingerprint(
     return df.select(F.col(id_col), _fp(F.col(text_col)).alias("fingerprint"))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting scheme): hash every
+    character ``k``-gram of the normalized text, slide a window of
+    ``w`` consecutive hashes, keep each window's minimum.  Guarantees:
+    any shared substring of length ≥ ``k + w - 1`` yields at least one
+    shared fingerprint, and the selected density is ~``2/(w+1)`` —
+    position-robust partial-overlap detection that bag-of-shingles
+    Jaccard (d02) and order-sensitive whole-doc hashing (t04) both
+    miss.  Overlap candidates are then a fingerprint equi-join — the
+    same bucketed-join shape as every other dedup pair generator, never
+    all-pairs.
+
+    Output: one row per distinct (id, fp).  Pure Arrow-batched per-row
+    map + explode — no shuffle at any scale (per-doc dedup of
+    fingerprints happens inside the UDF).  Hashes are plain int64
+    polynomial arithmetic mod 2^31-1, bit-identical in DuckDB.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
+    import re as _re
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    # ASCII \s: agree with the DuckDB oracle (RE2) and Spark-native
+    # normalization (Java regex), which split ASCII whitespace only
+    ws = _re.compile(r"\s+", _re.ASCII)
+    # codes < 2^21 and sum(code * 31^j, j<k) < 2^21 * 31^k/30 — safely
+    # inside int64 for k <= 10; the mod is applied once per gram
+    weights = np.power(np.int64(31), np.arange(k - 1, -1, -1, dtype=np.int64))
+
+    @pandas_udf("array<bigint>")
+    def _winnow(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            norm = ws.sub(" ", (t or "").lower()).strip()
+            if len(norm) < k:
+                out.append([])
+                continue
+            codes = np.array([ord(c) for c in norm], dtype=np.int64)
+            grams = np.lib.stride_tricks.sliding_window_view(codes, k)
+            hs = (grams * weights).sum(axis=1) % FINGERPRINT_MOD
+            if len(hs) < w:
+                sel = hs.min(keepdims=True)
+            else:
+                sel = np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1)
+            out.append(np.unique(sel).tolist())
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col), F.explode(_winnow(F.col(text_col))).alias("fp")
+    )
+
+
 # GPT-2-style pre-tokenizer pieces: contractions, letter runs, digit
 # runs, punctuation runs, whitespace runs.  Java regex (used by Spark)
 # and PCRE (DuckDB) agree on this subset, so oracles can replicate it.

@@ -528,6 +528,43 @@ def test_rebalance_mix_limiting_stratum_and_shares(docs):
         rebalance_mix(docs, target={"src0": 0.0})
 
 
+def test_winnow_guarantee_and_density(spark):
+    """The winnowing guarantee: two docs sharing a substring of length
+    >= k+w-1 share at least one fingerprint; unrelated docs (here:
+    disjoint alphabets) share none.  Selected density is ~2/(w+1)."""
+    import pandas as pd
+
+    from dfsql_spark.operators.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"  # >> k+w-1
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "AAAA " + shared + " BBBB CCCC DDDD EEEE",
+                    "XXXX YYYY ZZZZ " + shared + " WWWW",
+                    "0123456789 " * 8,  # disjoint character content
+                ],
+            }
+        )
+    )
+    k, w = 8, 4
+    fps = winnow_fingerprints(docs, k=k, w=w)
+    by_doc = {
+        r.doc_id: set(r.fps)
+        for r in fps.groupBy("doc_id").agg(F.collect_set("fp").alias("fps")).collect()
+    }
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    # density: #selected / #grams ≈ 2/(w+1) (loose band: winnowing's
+    # expected density is 2/(w+1)=0.4 for random-ish hashes)
+    n_grams = len("AAAA " + shared + " BBBB CCCC DDDD EEEE") - k + 1
+    assert 0.15 <= len(by_doc[1]) / n_grams <= 0.7
+    with pytest.raises(ValueError, match="k and w"):
+        winnow_fingerprints(docs, k=0)
+
+
 def test_decontaminate_flags_planted_overlap(spark):
     """A doc sharing a 13-token run with an eval doc is flagged; a doc
     sharing only 12 tokens is not."""
