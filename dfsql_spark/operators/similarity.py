@@ -462,3 +462,178 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ / ADC)
+# ---------------------------------------------------------------------------
+
+def _kmeans_np(X: np.ndarray, k: int, seed: int, iters: int = 20) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a (small, driver-side) training
+    sample: random-choice init from a fixed seed, empty clusters keep
+    their previous centroid.  numpy-only — the training matrix is a
+    bounded sample by contract, never the corpus."""
+    rng = np.random.RandomState(seed)
+    k = min(k, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            pts = X[assign == j]
+            if len(pts):
+                C[j] = pts.mean(axis=0)
+    return C
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    m: int = 8,
+    n_codes: int = 32,
+    seed: int = 42,
+    train_size: int = 100_000,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Approximate top-k via product quantization (Jegou et al., PAMI
+    2011) with asymmetric distance computation and exact rerank.
+
+    The 100 TB story is MEMORY, not candidate pruning: each
+    (unit-normalized) vector is split into ``m`` subspaces and each
+    subspace is quantized to one of ``n_codes`` centroids, so a
+    ``dim``-float vector compresses to ``m`` code ids (``m`` bytes at
+    ``n_codes<=256`` — 32x for dim=64 float32).  The compressed index
+    is what a production system materializes and scans; raw vectors
+    are only fetched for the final rerank.
+
+    Build: codebooks are trained driver-side on a bounded sample
+    (``train_size`` rows max — at 100 TB you train on ~10^5-10^6
+    sampled vectors, never the corpus; same posture as
+    :func:`ivf_topk`'s ``train_fraction``), then broadcast; encoding
+    is one Arrow-batched corpus pass (argmin per subspace).
+
+    Search (ADC): per query, an (m x n_codes) look-up table of partial
+    dot products is broadcast; each corpus partition scores its codes
+    by LUT gather + sum — no decompression — and emits only its local
+    top ``k*rerank_factor`` per query; after the window merge, the
+    surviving candidates (|queries| x k x rerank_factor rows) join
+    back to raw vectors for the exact cosine rerank.  The shuffle
+    carries ``partitions x queries x k*rerank_factor`` thin rows no
+    matter the corpus size — the same merge shape as
+    :func:`cosine_topk`, on 8-byte codes instead of 256-byte vectors.
+    """
+    if m < 1 or n_codes < 2:
+        raise ValueError(f"need m >= 1 and n_codes >= 2, got m={m}, n_codes={n_codes}")
+    dim = len(
+        corpus.select(F.col(vec_col)).first()[0]
+    )
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    spark = corpus.sparkSession
+
+    # --- train codebooks on a bounded, unit-normalized sample
+    n_total = corpus.count()
+    frac = min(1.0, train_size / max(n_total, 1))
+    sample = (
+        corpus.sample(frac, seed=seed) if frac < 1.0 else corpus
+    ).select(vec_col).limit(train_size).toPandas()
+    X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    codebooks = np.stack(
+        [
+            _kmeans_np(X[:, j * sub : (j + 1) * sub], n_codes, seed + j)
+            for j in range(m)
+        ]
+    )  # (m, n_codes_eff, sub)
+    b_cb = spark.sparkContext.broadcast(codebooks)
+
+    # --- encode the corpus: one Arrow-batched pass, argmin per subspace
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        cb = b_cb.value
+        mm, _, sb = cb.shape
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64)
+            x /= np.linalg.norm(x)
+            code = [
+                int(
+                    (((cb[j] - x[j * sb : (j + 1) * sb]) ** 2).sum(axis=1)).argmin()
+                )
+                for j in range(mm)
+            ]
+            out.append(code)
+        return pd.Series(out)
+
+    codes = corpus.select(
+        F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("code")
+    )
+
+    # --- ADC scan: broadcast per-query LUTs, gather+sum per partition
+    qpd = queries.select(F.col(query_id_col), F.col(vec_col)).toPandas()
+    qids = qpd[query_id_col].to_numpy()
+    qm = np.stack(qpd[vec_col].to_numpy()).astype(np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    # luts[q, j, c] = q_sub_j . centroid_{j,c}
+    luts = np.einsum("qjs,jcs->qjc", qm.reshape(len(qids), m, sub), codebooks)
+    b_lut = spark.sparkContext.broadcast((qids, luts))
+    n_cand = k * rerank_factor
+
+    def adc(batches):
+        qids_, luts_ = b_lut.value
+        nq, mm, _ = luts_.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["code"].to_numpy())  # (n, m)
+            nids = pdf["neighbor_id"].to_numpy()
+            kk = min(n_cand, len(nids))
+            out = []
+            for qi in range(nq):
+                # gather: sum_j lut[j, code_j] — approximate dot product
+                s = luts_[qi][np.arange(mm)[None, :], C].sum(axis=1)
+                idx = np.lexsort((nids, -s))[:kk]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qids_[qi], "neighbor_id": nids[idx], "adc": s[idx]}
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    nid_type = corpus.schema[id_col].dataType.simpleString()
+    scored = codes.mapInPandas(
+        adc, f"query_id {qid_type}, neighbor_id {nid_type}, adc double"
+    ).withColumnRenamed("query_id", query_id_col)
+    w_adc = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        scored.withColumn("r", F.row_number().over(w_adc))
+        .filter(F.col("r") <= n_cand)
+        .select(query_id_col, "neighbor_id")
+    )
+
+    # --- exact rerank of the surviving candidates only
+    c_raw = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    q_raw = queries.select(F.col(query_id_col), F.col(vec_col).alias("q_vec"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.join(c_raw, "neighbor_id")
+        .join(broadcast(q_raw), query_id_col)
+        .select(query_id_col, "neighbor_id", cosine("c_vec", "q_vec").alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank", "cos_sim")
+    )

@@ -229,6 +229,25 @@ def test_ivf_topk_recall_vs_bruteforce(emb):
     assert (self_hits.query_id == self_hits.neighbor_id).all()
 
 
+def test_pq_topk_recall_and_selfmatch(emb):
+    from dfsql_spark.operators.similarity import cosine_topk, pq_topk
+
+    qs = emb.filter("vec_id < 5").selectExpr("vec_id AS query_id", "embedding")
+    exact = cosine_topk(emb, qs, k=5).toPandas()
+    approx = pq_topk(emb, qs, k=5, m=8, n_codes=128, rerank_factor=16).toPandas()
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    a = set(zip(approx.query_id, approx.neighbor_id))
+    assert len(e & a) / len(e) >= 0.6
+    # rank-1 self-match survives quantization: the query's own code is
+    # its ADC argmax and the exact rerank confirms it
+    self_hits = approx[(approx["rank"] == 1)]
+    assert (self_hits.query_id == self_hits.neighbor_id).all()
+    with pytest.raises(ValueError, match="divisible"):
+        pq_topk(emb, qs, k=5, m=7)
+    with pytest.raises(ValueError, match="n_codes"):
+        pq_topk(emb, qs, k=5, n_codes=1)
+
+
 def test_token_counts_shapes(docs):
     from dfsql_spark.operators.text import token_counts
 
