@@ -22,7 +22,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # (exact + sketch), similarity, text, sessionization, streaming-batch.
 # Round 6 adds the shuffle-bearing round-5 operators (VERDICT r5 item
 # 4) so their perf trend is visible: decontamination gram join (d07),
-# vocabulary agg (t07), applyInPandas sequence packing (t09).
+# vocabulary agg (t07), applyInPandas sequence packing (t09) — and the
+# round-6 operators: salted skew join (sk02), C4 filters (t12), mix
+# rebalance (t13), winnowing (t14), PQ ANN (s04), media dedup (m03),
+# dedup survivors (d09, cheap here because it reuses d02's shared
+# shingle persist — the same reuse the driver run gets).  d08 is
+# deliberately NOT benched: its contract entry spends ~95% of its time
+# computing the all-pairs exact ground truth (the toy-scale grading
+# device), which would bench the harness, not the operator.
 HEADLINE = [
     "q06_groupby_agg",
     "q22_flagship_revenue",
@@ -32,11 +39,18 @@ HEADLINE = [
     "d02_dedup_ngram_jaccard",
     "d03_dedup_minhash_lsh",
     "d07_decontaminate",
+    "d09_dedup_survivors",
     "s01_sim_topk",
+    "s04_sim_pq",
+    "sk02_salted_join",
     "t01_text_stats",
     "t04_fingerprint",
     "t07_vocab_topk",
     "t09_pack_sequences",
+    "t12_c4_filters",
+    "t13_mix_rebalance",
+    "t14_winnow_fingerprints",
+    "m03_media_dedup",
     "e01_windowed_counts",
     "e02_sessionize",
 ]
