@@ -194,5 +194,11 @@ def test_d06_reuses_shared_exact_pairs(spark):
         n_before = len(dd._LIVE_PERSISTS)
         assert em.d06_dedup_connected(spark, sf).count() > 0
         assert len(dd._LIVE_PERSISTS) == n_before
+        # d09 (the survivors query) rides the same persist: still no
+        # new materializations, and survivors + losers == corpus
+        n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+        n_survivors = em.d09_dedup_survivors(spark, sf).count()
+        assert 0 < n_survivors <= n_docs
+        assert len(dd._LIVE_PERSISTS) == n_before
     finally:
         em.release_caches()

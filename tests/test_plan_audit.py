@@ -34,6 +34,12 @@ def test_projection_reads_only_needed_columns(spark):
     assert_max_read_columns(df, 5)
 
 
+def test_winnow_is_shuffle_free(spark):
+    """t14 is a pure map + explode: zero exchanges at any scale."""
+    df = em.queries()["t14_winnow_fingerprints"](spark, SF)
+    assert plan_summary(df).n_exchanges == 0
+
+
 def test_mix_rebalance_single_corpus_scan(spark):
     """t13's rate derivation must cost one stratum-column-only scan,
     never a second full-width pass, and the corpus side must reach the
