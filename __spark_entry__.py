@@ -1177,6 +1177,38 @@ def m03_media_dedup(spark, sf):
     return media_dedup(attach_fake_media(docs.unionAll(replay)))
 
 
+def m04_media_sim(spark, sf):
+    """The full multimodal pipeline composed end-to-end: binary
+    payloads -> Arrow-batched decode/featurize (stub: SHA-256-derived
+    8-dim features, the deterministic stand-in for a real encoder) ->
+    exact cosine top-5 over the feature column.  Demonstrates that the
+    media plumbing FEEDS the similarity stack — the composition a
+    video/image dedup or retrieval pipeline runs at 100 TB, with the
+    payload scanned once, features thin (32 B/row), and the ANN merge
+    shape of s01.  Value-checked exactly: DuckDB recomputes every
+    feature from the same sha256 bytes and re-ranks (rank + neighbor
+    output only; raw cosines differ in last-ulp summation order).
+    6dp-quantized random-ish features make cross-engine rank ties
+    possible only for bit-identical payloads, where both engines
+    fall back to the same id-ascending tie-break."""
+    from dfsql_spark.operators.multimodal import (
+        attach_fake_media,
+        decode_and_featurize,
+    )
+    from dfsql_spark.operators.similarity import cosine_topk
+
+    docs = _t(spark, sf, "documents")
+    feats = decode_and_featurize(attach_fake_media(docs)).select(
+        "doc_id", "features"
+    )
+    qs = feats.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "features"
+    )
+    return cosine_topk(
+        feats, qs, k=5, id_col="doc_id", vec_col="features"
+    ).select("query_id", "neighbor_id", "rank")
+
+
 def f01_custom_agg_sql(spark, sf):
     """Custom aggregate through the FULL dfsql surface — DataSource
     catalog, dialect rewrite, and the scoped UDF rename — not the bare
@@ -1406,18 +1438,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # in the two preceding rounds) entries, every one pinned by the pytest
 # oracle mirror each round.  Round 6 honors the round-5 rotation
 # promise: all 17 round-5 sit-outs (q13-q21, q23-q26, q28-q30, e03)
-# are back in the graded block; the 27 below were all driver-green in
-# rounds 4 AND 5 (verified against CORRECTNESS_r04/r05.json) — 27 not
-# 17 because round 6 adds ten NEW queries (d08/d09/sk02/t12/t13/t14/
-# m03/f01/f02/s04) that must be graded in their first round, so the
-# graded block stays at 50 (77 total).  Rotate this list each round so
-# nothing goes ungraded two rounds running.
+# are back in the graded block; the 28 below were all driver-green in
+# rounds 4 AND 5 (verified against CORRECTNESS_r04/r05.json) — 28 not
+# 17 because round 6 adds eleven NEW queries (d08/d09/sk02/t12/t13/
+# t14/m03/m04/f01/f02/s04) that must be graded in their first round,
+# so the graded block stays at 50 (78 total).  Rotate this list each
+# round so nothing goes ungraded two rounds running.
 _SIT_OUT_THIS_ROUND = (
     "a01_asof_join",
     "a02_range_join",
     "d01_dedup_exact",
     "s01_sim_topk",
     "s02_sim_topk_lsh",
+    "s03_sim_ivf",
     "sk01_salted_agg",
     "t01_text_stats",
     "t02_quality_score",
@@ -1477,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f01_custom_agg_sql": f01_custom_agg_sql,
         "f02_custom_scalar_sql": f02_custom_scalar_sql,
         "m01_media_stats": m01_media_stats,
+        "m04_media_sim": m04_media_sim,
         "q01_projection": q01_projection,
         "q02_filter": q02_filter,
         "q03_cast": q03_cast,
@@ -2354,6 +2388,32 @@ def oracle_sql() -> dict[str, str]:
         # m02: the stub decoder is SHA-256-derived (multimodal.py
         # _fake_decode), so DuckDB reproduces width/height exactly:
         # byte k of the digest is hex chars 2k+1..2k+2 of sha256().
+        "m04_media_sim": """
+            WITH f AS (
+                SELECT doc_id,
+                       [ round(CAST('0x' || substr(sha256(text),  5, 2) AS INT) / 255.0, 6),
+                         round(CAST('0x' || substr(sha256(text),  7, 2) AS INT) / 255.0, 6),
+                         round(CAST('0x' || substr(sha256(text),  9, 2) AS INT) / 255.0, 6),
+                         round(CAST('0x' || substr(sha256(text), 11, 2) AS INT) / 255.0, 6),
+                         round(CAST('0x' || substr(sha256(text), 13, 2) AS INT) / 255.0, 6),
+                         round(CAST('0x' || substr(sha256(text), 15, 2) AS INT) / 255.0, 6),
+                         round(CAST('0x' || substr(sha256(text), 17, 2) AS INT) / 255.0, 6),
+                         round(CAST('0x' || substr(sha256(text), 19, 2) AS INT) / 255.0, 6) ] AS feats
+                FROM documents
+            ),
+            q AS (SELECT doc_id AS query_id, feats FROM f WHERE doc_id < 3)
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT q.query_id, f.doc_id AS neighbor_id,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(f.feats AS DOUBLE[]),
+                               CAST(q.feats AS DOUBLE[])
+                           ) DESC, f.doc_id ASC
+                       ) AS INT) AS rank
+                FROM f CROSS JOIN q
+            ) t WHERE rank <= 5
+        """,
         "m02_media_decode": """
             SELECT doc_id,
                    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
