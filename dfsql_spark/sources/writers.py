@@ -102,3 +102,92 @@ def write_bucketed_table(
             sort_by = [sort_by]
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(name)
+
+
+def write_zordered_table(
+    df: DataFrame,
+    path: str,
+    zorder_by: "list[str]",
+    n_files: int = 32,
+    bits: int = 16,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    **options,
+) -> None:
+    """Write ``df`` clustered on a Z-order (Morton) curve over
+    ``zorder_by`` — multi-dimensional data skipping for downstream
+    scans.
+
+    Linear sort layouts skip well on the leading column only; Z-order
+    interleaves the bits of all ``zorder_by`` columns so each output
+    file covers a small hyper-rectangle of the key space, and a
+    predicate on ANY subset of the columns prunes most files via
+    parquet min/max footer stats.  This is the layout trick that turns
+    a 100 TB full scan into a few-file read for point/range lookups on
+    secondary dimensions (same idea as Delta's OPTIMIZE ZORDER BY).
+
+    Mechanics (all one pass + one tiny stats pass, no driver data):
+    numeric columns are min/max-normalized to ``bits``-bit integers
+    (a single global agg, broadcast back as literals); their bits are
+    interleaved with codegen'd shift/or expressions into one morton
+    value; ``repartitionByRange(n_files, morton)`` range-partitions the
+    curve so each file owns a contiguous curve segment; a final
+    within-partition sort tightens row-group stats.  Skew in the value
+    distribution maps to uneven curve segments — range partitioning
+    absorbs it (quantile-based boundaries from a sample).
+
+    Limitations (documented, not silent): columns must be numeric
+    (cast dates/timestamps to epoch first); min==max columns contribute
+    zero bits (constant).
+    """
+    from pyspark.sql import functions as F
+
+    if fmt not in _VALID_FORMATS:
+        raise ValueError(f"Unsupported format {fmt!r}; one of {sorted(_VALID_FORMATS)}")
+    if not zorder_by or len(zorder_by) < 2:
+        raise ValueError("zorder_by needs at least 2 columns (use sort_by for 1)")
+    if bits * len(zorder_by) > 63:
+        raise ValueError(
+            f"bits={bits} x {len(zorder_by)} columns exceeds a signed 64-bit morton"
+        )
+    for c in zorder_by:
+        if not df.schema[c].dataType.typeName() in (
+            "integer", "long", "short", "byte", "float", "double", "decimal",
+        ):
+            raise ValueError(f"zorder column {c!r} must be numeric")
+
+    # one tiny stats pass; results land in the plan as literals
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in zorder_by],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in zorder_by],
+    ).first()
+    scale = (1 << bits) - 1
+    quant = []
+    for c in zorder_by:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None or mx is None or mx == mn:
+            quant.append(F.lit(0).cast("long"))
+        else:
+            q = F.floor(
+                (F.col(c).cast("double") - F.lit(mn)) / F.lit(mx - mn) * scale
+            ).cast("long")
+            # clamp fp edge (x == max -> exactly scale)
+            quant.append(F.least(F.greatest(q, F.lit(0)), F.lit(scale)))
+    n = len(zorder_by)
+    # interleave: output bit (b*n + i) = bit b of column i — unrolled
+    # shift/and/or terms, all inside whole-stage codegen
+    morton = F.lit(0).cast("long")
+    for i, q in enumerate(quant):
+        for b in range(bits):
+            morton = morton.bitwiseOR(
+                F.shiftleft(q.bitwiseAND(F.lit(1 << b)).cast("long"), b * (n - 1) + i)
+            )
+    zdf = (
+        df.withColumn("__z", morton)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    # NOTE: drop AFTER the sort keeps the curve order; Spark plans the
+    # sort on the pre-drop projection.
+    zdf.write.format(fmt).mode(mode).options(**options).save(path)

@@ -94,3 +94,75 @@ def test_bucketed_join_has_no_shuffle(ds, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_facts")
         spark.sql("DROP TABLE IF EXISTS b_dims")
+
+
+def test_zorder_prunes_secondary_dimension(ds, tmp_path):
+    """Z-order vs linear sort: files are curve segments covering small
+    hyper-rectangles, so a predicate on the SECONDARY column prunes
+    most files by parquet footer stats — a linear sort on the leading
+    column cannot prune it at all (every file spans the full secondary
+    range).  This is the property that matters at 100 TB."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dfsql_spark.sources.writers import write_table, write_zordered_table
+
+    spark = ds.spark
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zpath, spath = str(tmp_path / "zorder"), str(tmp_path / "sorted")
+    write_zordered_table(li, zpath, zorder_by=["l_partkey", "l_suppkey"], n_files=16)
+    write_table(li, spath, repartition=16, sort_by=["l_partkey"])
+
+    def ranges(path, col):
+        out = []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            ci = next(
+                j for j in range(md.num_columns)
+                if md.row_group(0).column(j).path_in_schema == col
+            )
+            stats = [md.row_group(i).column(ci).statistics for i in range(md.num_row_groups)]
+            out.append((min(s.min for s in stats), max(s.max for s in stats)))
+        return out
+
+    from pyspark.sql import functions as F
+
+    lo, hi = li.agg(F.min("l_suppkey"), F.max("l_suppkey")).first()
+    band_lo = lo
+    band_hi = lo + max(1, (hi - lo) // 20)  # a ~5% band on the secondary col
+
+    def frac_hit(path):
+        rs = ranges(path, "l_suppkey")
+        hit = sum(1 for mn, mx in rs if not (mx < band_lo or mn > band_hi))
+        return hit / len(rs)
+
+    z_hit, s_hit = frac_hit(zpath), frac_hit(spath)
+    # linear layout: suppkey is uncorrelated with the sort key, every
+    # file spans ~the full suppkey range -> no pruning
+    assert s_hit == 1.0, s_hit
+    # z-order: most files don't intersect the 5% band
+    assert z_hit <= 0.5, (z_hit, s_hit)
+    # and the data itself round-trips
+    assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_zorder_validation(ds, tmp_path):
+    from dfsql_spark.sources.writers import write_zordered_table
+
+    spark = ds.spark
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    with pytest.raises(ValueError, match="at least 2"):
+        write_zordered_table(li, str(tmp_path / "x"), zorder_by=["l_partkey"])
+    with pytest.raises(ValueError, match="numeric"):
+        write_zordered_table(
+            li, str(tmp_path / "x"), zorder_by=["l_returnflag", "l_partkey"]
+        )
+    with pytest.raises(ValueError, match="64-bit"):
+        write_zordered_table(
+            li, str(tmp_path / "x"),
+            zorder_by=["l_partkey", "l_suppkey", "l_orderkey", "l_quantity"],
+            bits=16,
+        )
