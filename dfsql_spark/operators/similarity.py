@@ -497,6 +497,7 @@ def pq_topk(
     n_codes: int = 32,
     seed: int = 42,
     train_size: int = 100_000,
+    train_fraction: float | None = None,
     rerank_factor: int = 4,
 ) -> DataFrame:
     """Approximate top-k via product quantization (Jegou et al., PAMI
@@ -536,11 +537,18 @@ def pq_topk(
     sub = dim // m
     spark = corpus.sparkSession
 
-    # --- train codebooks on a bounded, unit-normalized sample
-    n_total = corpus.count()
-    frac = min(1.0, train_size / max(n_total, 1))
+    # --- train codebooks on a bounded, unit-normalized sample.
+    # Pass train_fraction when the corpus size is known (catalog
+    # stats): it avoids the count() below, which is itself a full
+    # metadata/scan job at 100 TB.  Either way the driver never holds
+    # more than train_size vectors.
+    if train_fraction is None:
+        n_total = corpus.count()
+        train_fraction = min(1.0, train_size / max(n_total, 1))
     sample = (
-        corpus.sample(frac, seed=seed) if frac < 1.0 else corpus
+        corpus.sample(train_fraction, seed=seed)
+        if train_fraction < 1.0
+        else corpus
     ).select(vec_col).limit(train_size).toPandas()
     X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     X /= np.linalg.norm(X, axis=1, keepdims=True)
