@@ -191,3 +191,84 @@ def write_zordered_table(
     # NOTE: drop AFTER the sort keeps the curve order; Spark plans the
     # sort on the pre-drop projection.
     zdf.write.format(fmt).mode(mode).options(**options).save(path)
+
+
+def merge_table(
+    spark,
+    target_path: str,
+    source: DataFrame,
+    key: "list[str] | str",
+    when_matched: str = "update",
+    insert_not_matched: bool = True,
+    fmt: str = "parquet",
+) -> None:
+    """Batch MERGE (upsert) into a parquet/orc table — the batch twin
+    of the streaming idempotent upsert sink (streaming/sinks.py).
+
+    Semantics per key: ``when_matched="update"`` replaces the target
+    row with the source row; ``"delete"`` removes it; ``"ignore"``
+    keeps the target row.  ``insert_not_matched`` appends source keys
+    absent from the target.  Equivalent to::
+
+        MERGE INTO target USING source ON <key>
+        WHEN MATCHED THEN UPDATE/DELETE WHEN NOT MATCHED THEN INSERT
+
+    Plan shape: ONE full-outer shuffle join on the key (AQE broadcasts
+    the source side when it is small — the common CDC case), per-column
+    coalesce picks the winner, then a copy-on-write swap: the merged
+    table is written beside the target and moved into place.  The swap
+    is write-temp -> delete-old -> rename, NOT transactional — a table
+    format with a commit log (Delta/Iceberg) is the right tool when
+    concurrent readers need snapshot isolation; this is the
+    plain-parquet fallback with the same dataflow.
+
+    At 100 TB the rewrite cost is the whole table (copy-on-write);
+    partition the target and merge only affected partitions to bound
+    it (pass a pre-filtered target path/dataset).
+    """
+    if when_matched not in ("update", "delete", "ignore"):
+        raise ValueError(
+            f"when_matched must be update|delete|ignore, got {when_matched!r}"
+        )
+    keys = [key] if isinstance(key, str) else list(key)
+    from pyspark.sql import functions as F
+
+    target = spark.read.format(fmt).load(target_path)
+    if set(target.columns) != set(source.columns):
+        raise ValueError(
+            f"schema mismatch: target {sorted(target.columns)} "
+            f"vs source {sorted(source.columns)}"
+        )
+    # side-presence via literal marker columns, not value nullability —
+    # a matched row may legitimately hold NULLs in every data column
+    t = target.alias("t").withColumn("__t", F.lit(1))
+    s = source.alias("s").withColumn("__s", F.lit(1))
+    joined = t.join(s, keys, "full_outer")
+    matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
+    only_t = F.col("__t").isNotNull() & F.col("__s").isNull()
+    only_s = F.col("__t").isNull() & F.col("__s").isNotNull()
+    take = {"update": "s", "ignore": "t"}.get(when_matched)
+    keep = only_t | (matched & F.lit(when_matched != "delete"))
+    if insert_not_matched:
+        keep = keep | only_s
+    merged = joined.filter(keep).select(
+        *keys,
+        *[
+            F.when(matched, F.col(f"{take}.{c}") if take else F.lit(None))
+            .when(only_s, F.col(f"s.{c}"))
+            .otherwise(F.col(f"t.{c}"))
+            .alias(c)
+            for c in target.columns
+            if c not in keys
+        ],
+    ).select(*target.columns)  # original column order
+
+    tmp = target_path.rstrip("/") + "__merge_tmp"
+    merged.write.format(fmt).mode("overwrite").save(tmp)
+    # copy-on-write swap via Hadoop FS (works on HDFS/S3A/local alike)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(target_path).getFileSystem(conf)
+    fs.delete(Path(target_path), True)
+    fs.rename(Path(tmp), Path(target_path))

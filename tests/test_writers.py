@@ -166,3 +166,38 @@ def test_zorder_validation(ds, tmp_path):
             zorder_by=["l_partkey", "l_suppkey", "l_orderkey", "l_quantity"],
             bits=16,
         )
+
+
+def test_merge_table_update_insert_delete(ds, tmp_path):
+    """Batch MERGE semantics: update replaces matched rows, inserts
+    append unmatched source keys, delete removes matched keys, ignore
+    keeps the target row; NULL data values don't confuse matching."""
+    from dfsql_spark.sources.writers import merge_table, write_table
+
+    spark = ds.spark
+    tgt = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3], "v": [10.0, 20.0, None]})
+    )
+    write_table(base, tgt)
+    src = spark.createDataFrame(
+        pd.DataFrame({"k": [2, 4], "v": [99.0, 40.0]})
+    )
+    merge_table(spark, tgt, src, key="k")
+    got = {r.k: r.v for r in spark.read.parquet(tgt).collect()}
+    assert got == {1: 10.0, 2: 99.0, 3: None, 4: 40.0}
+
+    merge_table(spark, tgt, src.filter("k = 2"), key="k", when_matched="delete",
+                insert_not_matched=False)
+    got = {r.k: r.v for r in spark.read.parquet(tgt).collect()}
+    assert got == {1: 10.0, 3: None, 4: 40.0}
+
+    newer = spark.createDataFrame(pd.DataFrame({"k": [1], "v": [111.0]}))
+    merge_table(spark, tgt, newer, key="k", when_matched="ignore")
+    got = {r.k: r.v for r in spark.read.parquet(tgt).collect()}
+    assert got[1] == 10.0  # ignore keeps the target row
+
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_table(spark, tgt, src.withColumnRenamed("v", "w"), key="k")
+    with pytest.raises(ValueError, match="when_matched"):
+        merge_table(spark, tgt, src, key="k", when_matched="upsert")
