@@ -1038,6 +1038,19 @@ def t14_winnow_fingerprints(spark, sf):
     return winnow_fingerprints(docs, k=8, w=4)
 
 
+def t15_unigram_familiarity(spark, sf):
+    """Corpus-statistics quality signal: per-doc token count, OOV
+    count vs the top-1000 corpus vocabulary, and summed corpus
+    frequency of the doc's tokens — the integer-exact stand-in for a
+    unigram-LM logprob filter (no float accumulation, bit-identical
+    across engines).  Vocabulary shuffle is vocabulary-sized; head
+    table broadcast; per-doc agg combines map-side."""
+    from dfsql_spark.operators.text import unigram_familiarity
+
+    docs = _t(spark, sf, "documents")
+    return unigram_familiarity(docs, vocab_size=1000)
+
+
 def x02_approx_quantiles(spark, sf):
     """Sketch-based quantiles: percentile_approx (KLL-ish, mergeable,
     fixed-size state — THE quantile at 100 TB, where exact percentile
@@ -1438,16 +1451,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # in the two preceding rounds) entries, every one pinned by the pytest
 # oracle mirror each round.  Round 6 honors the round-5 rotation
 # promise: all 17 round-5 sit-outs (q13-q21, q23-q26, q28-q30, e03)
-# are back in the graded block; the 28 below were all driver-green in
-# rounds 4 AND 5 (verified against CORRECTNESS_r04/r05.json) — 28 not
-# 17 because round 6 adds eleven NEW queries (d08/d09/sk02/t12/t13/
-# t14/m03/m04/f01/f02/s04) that must be graded in their first round,
-# so the graded block stays at 50 (78 total).  Rotate this list each
-# round so nothing goes ungraded two rounds running.
+# are back in the graded block; the 29 below were all driver-green in
+# rounds 4 AND 5 (verified against CORRECTNESS_r04/r05.json) — 29 not
+# 17 because round 6 adds twelve NEW queries (d08/d09/sk02/t12/t13/
+# t14/t15/m03/m04/f01/f02/s04) that must be graded in their first
+# round, so the graded block stays at 50 (79 total).  Operators whose
+# IMPLEMENTATION changed this round (d03's zero-shuffle signatures)
+# stay in the graded block regardless of rotation age.  Rotate this
+# list each round so nothing goes ungraded two rounds running.
 _SIT_OUT_THIS_ROUND = (
     "a01_asof_join",
     "a02_range_join",
     "d01_dedup_exact",
+    "d04_dedup_simhash",
     "s01_sim_topk",
     "s02_sim_topk_lsh",
     "s03_sim_ivf",
@@ -1559,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t12_c4_filters": t12_c4_filters,
         "t13_mix_rebalance": t13_mix_rebalance,
         "t14_winnow_fingerprints": t14_winnow_fingerprints,
+        "t15_unigram_familiarity": t15_unigram_familiarity,
         "x01_approx_distinct_pruned": x01_approx_distinct_pruned,
         "x02_approx_quantiles": x02_approx_quantiles,
         "d03_dedup_minhash_lsh": d03_dedup_minhash_lsh,
@@ -2467,6 +2484,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN rates r ON d.source = r.source
             WHERE CAST('0x' || substr(md5('mix:' || d.text), 1, 8) AS BIGINT)
                   % 10000 < r.keep_rate * 10000
+        """,
+        "t15_unigram_familiarity": """
+            WITH toks AS (
+                SELECT doc_id,
+                       lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS token
+                FROM documents
+            ),
+            t2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+            vc AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+                   FROM t2 GROUP BY token),
+            vocab AS (SELECT token, n FROM vc
+                      ORDER BY n DESC, token ASC LIMIT 1000)
+            SELECT t2.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov,
+                   CAST(sum(coalesce(v.n, 0)) AS BIGINT) AS freq_mass
+            FROM t2 LEFT JOIN vocab v ON t2.token = v.token
+            GROUP BY t2.doc_id
         """,
         # t14: winnowing — k-gram polynomial hashes (weights 31^7..31^0
         # spelled out), sliding-window min, per-doc distinct.

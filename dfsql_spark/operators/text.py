@@ -330,6 +330,58 @@ def vocab_topk(
     )
 
 
+def unigram_familiarity(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-statistics quality signal: how much of a document is
+    made of the corpus's own common words.  Two passes — build the
+    top-``vocab_size`` unigram table (t07's map-side-combined count,
+    deterministic count-desc/token-asc tie-break), then score each
+    document by joining its tokens against the (broadcast) vocabulary:
+    ``n_tokens``, ``n_oov`` (tokens outside the head vocabulary), and
+    ``freq_mass`` (summed corpus frequency of its tokens).  Rare-word
+    soup, keyboard mash, and wrong-language text score high-OOV /
+    low-mass — the same role a unigram-LM logprob plays in published
+    quality filters, but INTEGER-exact: no log/float accumulation, so
+    results are bit-identical across engines and partitionings.
+
+    Scale shape: the vocabulary aggregate's shuffle is
+    vocabulary-sized (skew absorbed map-side), the head table is tiny
+    and broadcast, and the per-doc re-aggregation shuffles (id,
+    partial-sum) pairs with map-side combine.  Zero Python.
+    """
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("raw"),
+        )
+        .select(F.col(id_col), F.lower(F.col("raw")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(vocab_size)
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("n").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.sum(F.coalesce(F.col("n"), F.lit(0))).cast("bigint").alias("freq_mass"),
+        )
+    )
+
+
 # Deliberately simple, auditable patterns (RE2/Java/PCRE-portable
 # subset: no backrefs, no lookaround).  A production deployment would
 # swap in a maintained PII library via the same map shape.
