@@ -650,6 +650,35 @@ def x01_approx_distinct_pruned(spark, sf):
     )
 
 
+def x03_hll_sketch_rollup(spark, sf):
+    """MERGEABLE sketch state — the incremental-analytics pattern at
+    100 TB: per-day HLL sketches of distinct users (what a pipeline
+    materializes as a tiny sketch table), then a union-merge across
+    days answers "distinct users overall" WITHOUT rescanning the
+    event log; any date-range rollup is a merge of the same partials.
+    Spark: hll_sketch_agg per day -> hll_union_agg -> estimate
+    (Apache DataSketches HLL, fixed-size mergeable state).  The sketch
+    binary isn't portable SQL, so the graded claim is the stable
+    property: exact distinct count (DuckDB recomputes) + the merged
+    estimate landing within 5% (measured exact-equal at sf0.01-0.1:
+    150/1500 users are far below the lgK=12 sketch's dense regime)."""
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    merged = daily.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("_est")
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact_users"))
+    return exact.crossJoin(merged).select(
+        "n_exact_users",
+        (
+            F.abs(F.col("_est") - F.col("n_exact_users"))
+            <= 0.05 * F.col("n_exact_users")
+        ).alias("merged_est_within_5pct"),
+    )
+
+
 _SHINGLE_CACHE: dict[str, DataFrame] = {}
 
 
@@ -1451,11 +1480,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # in the two preceding rounds) entries, every one pinned by the pytest
 # oracle mirror each round.  Round 6 honors the round-5 rotation
 # promise: all 17 round-5 sit-outs (q13-q21, q23-q26, q28-q30, e03)
-# are back in the graded block; the 29 below were all driver-green in
-# rounds 4 AND 5 (verified against CORRECTNESS_r04/r05.json) — 29 not
-# 17 because round 6 adds twelve NEW queries (d08/d09/sk02/t12/t13/
-# t14/t15/m03/m04/f01/f02/s04) that must be graded in their first
-# round, so the graded block stays at 50 (79 total).  Operators whose
+# are back in the graded block; the 30 below were all driver-green in
+# rounds 4 AND 5 (verified against CORRECTNESS_r04/r05.json) — 30 not
+# 17 because round 6 adds thirteen NEW queries (d08/d09/sk02/t12/t13/
+# t14/t15/m03/m04/f01/f02/s04/x03) that must be graded in their first
+# round, so the graded block stays at 50 (80 total).  Operators whose
 # IMPLEMENTATION changed this round (d03's zero-shuffle signatures)
 # stay in the graded block regardless of rotation age.  Rotate this
 # list each round so nothing goes ungraded two rounds running.
@@ -1464,6 +1493,7 @@ _SIT_OUT_THIS_ROUND = (
     "a02_range_join",
     "d01_dedup_exact",
     "d04_dedup_simhash",
+    "d05_embedding_neardup",
     "s01_sim_topk",
     "s02_sim_topk_lsh",
     "s03_sim_ivf",
@@ -1578,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t15_unigram_familiarity": t15_unigram_familiarity,
         "x01_approx_distinct_pruned": x01_approx_distinct_pruned,
         "x02_approx_quantiles": x02_approx_quantiles,
+        "x03_hll_sketch_rollup": x03_hll_sketch_rollup,
         "d03_dedup_minhash_lsh": d03_dedup_minhash_lsh,
         "d04_dedup_simhash": d04_dedup_simhash,
         "s02_sim_topk_lsh": s02_sim_topk_lsh,
@@ -2331,6 +2362,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
             )
             GROUP BY l_returnflag
+        """,
+        "x03_hll_sketch_rollup": """
+            SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact_users,
+                   TRUE AS merged_est_within_5pct
+            FROM events
         """,
         "t11_repetition": """
             WITH toks AS (
