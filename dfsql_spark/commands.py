@@ -139,7 +139,77 @@ class CopyToCommand(Command):
         return "OK"
 
 
-COMMANDS = (CreateTableCommand, DropTableCommand, ShowTablesCommand, CopyToCommand)
+@dataclass
+class MergeIntoCommand(Command):
+    """``MERGE INTO '<path>' USING <table | (SELECT ...)> ON (key, ...)
+    [WHEN MATCHED <UPDATE|DELETE|IGNORE>] [NO INSERT] [FORMAT fmt]``
+
+    Spark-era extension: SQL surface over
+    :func:`dfsql_spark.sources.writers.merge_table` — batch upsert
+    into a parquet/orc table path with one full-outer shuffle and a
+    copy-on-write swap.  Defaults match MERGE conventions: matched
+    rows update, unmatched source rows insert.
+    """
+
+    target_path: str
+    source: str
+    keys: "list[str]"
+    when_matched: str
+    insert: bool
+    fmt: str
+
+    pattern = re.compile(
+        r"^\s*MERGE\s+INTO\s+['\"](?P<path>[^'\"]+)['\"]\s+"
+        r"USING\s+(?P<src>\(.*\)|[A-Za-z_][\w]*)\s+"
+        r"ON\s+\(\s*(?P<keys>[^)]+?)\s*\)"
+        r"(?:\s+WHEN\s+MATCHED\s+(?P<matched>UPDATE|DELETE|IGNORE))?"
+        r"(?:\s+(?P<noinsert>NO\s+INSERT))?"
+        r"(?:\s+FORMAT\s+(?P<fmt>\w+))?"
+        r"\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    @classmethod
+    def from_string(cls, sql: str) -> "MergeIntoCommand | None":
+        m = cls.pattern.match(sql)
+        if not m:
+            return None
+        return cls(
+            target_path=m.group("path"),
+            source=m.group("src"),
+            keys=[k.strip() for k in m.group("keys").split(",")],
+            when_matched=(m.group("matched") or "update").lower(),
+            insert=m.group("noinsert") is None,
+            fmt=(m.group("fmt") or "parquet").lower(),
+        )
+
+    def execute(self, ds: "DataSource"):
+        from .sources.writers import merge_table
+
+        src = self.source.strip()
+        if src.startswith("("):
+            df = ds.query_df(src[1:-1])
+        else:
+            df = ds.spark.table(src)
+        merge_table(
+            ds.spark,
+            self.target_path,
+            df,
+            key=self.keys,
+            when_matched=self.when_matched,
+            insert_not_matched=self.insert,
+            fmt=self.fmt,
+        )
+        return "OK"
+
+
+COMMANDS = (
+    CreateTableCommand,
+    DropTableCommand,
+    ShowTablesCommand,
+    CopyToCommand,
+    MergeIntoCommand,
+)
 
 
 def try_parse_command(sql: str) -> Command | None:

@@ -201,3 +201,30 @@ def test_merge_table_update_insert_delete(ds, tmp_path):
         merge_table(spark, tgt, src.withColumnRenamed("v", "w"), key="k")
     with pytest.raises(ValueError, match="when_matched"):
         merge_table(spark, tgt, src, key="k", when_matched="upsert")
+
+
+def test_merge_into_command(ds, tmp_path):
+    """The SQL surface: MERGE INTO '<path>' USING <src> ON (k) routes
+    through merge_table with MERGE-conventional defaults."""
+    from dfsql_spark.sources.writers import write_table
+
+    spark = ds.spark
+    tgt = str(tmp_path / "cmd_target")
+    write_table(
+        spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": [1.0, 2.0]})), tgt
+    )
+    ds.add_table("updates", pd.DataFrame({"k": [2, 3], "v": [22.0, 33.0]}))
+    assert ds.query(f"MERGE INTO '{tgt}' USING updates ON (k)") == "OK"
+    got = {r.k: r.v for r in spark.read.parquet(tgt).collect()}
+    assert got == {1: 1.0, 2: 22.0, 3: 33.0}
+    # subquery source + WHEN MATCHED DELETE + NO INSERT
+    assert (
+        ds.query(
+            f"MERGE INTO '{tgt}' USING (SELECT k, v FROM updates WHERE k = 2) "
+            f"ON (k) WHEN MATCHED DELETE NO INSERT"
+        )
+        == "OK"
+    )
+    got = {r.k: r.v for r in spark.read.parquet(tgt).collect()}
+    assert got == {1: 1.0, 3: 33.0}
+    spark.catalog.dropTempView("updates")
