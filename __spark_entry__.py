@@ -1334,6 +1334,24 @@ def d09_dedup_survivors(spark, sf):
     ).select("doc_id", "source")
 
 
+def d10_winnow_overlap(spark, sf):
+    """Partial-overlap / containment candidate pairs: docs sharing
+    >= 5 winnowing fingerprints.  Catches quotation and boilerplate
+    reuse that whole-doc Jaccard misses (a paragraph inside a larger
+    doc barely moves Jaccard but keeps its winnowed fingerprints).
+    Fingerprint equi-join, merge-hinted, map-side-combined pair
+    counts — never all-pairs.  DuckDB recomputes every fingerprint
+    and the same join."""
+    from dfsql_spark.operators.dedup import winnow_overlap_pairs
+
+    docs = _t(spark, sf, "documents")
+    # k=16/w=8 — the guarantee window is k+w-1 = 23 chars, i.e.
+    # quotation-scale substrings; at k=8 every doc shares common-word
+    # 8-grams and the pair set degenerates to ~all-pairs (measured 88k
+    # pairs over 500 docs vs 47 here)
+    return winnow_overlap_pairs(docs, min_shared=5, k=16, w=8)
+
+
 def e01_windowed_counts(spark, sf):
     """Tumbling 1-hour window counts + value sums per event_type
     (batch twin of the streaming aggregation)."""
@@ -1480,20 +1498,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # in the two preceding rounds) entries, every one pinned by the pytest
 # oracle mirror each round.  Round 6 honors the round-5 rotation
 # promise: all 17 round-5 sit-outs (q13-q21, q23-q26, q28-q30, e03)
-# are back in the graded block; the 30 below were all driver-green in
-# rounds 4 AND 5 (verified against CORRECTNESS_r04/r05.json) — 30 not
-# 17 because round 6 adds thirteen NEW queries (d08/d09/sk02/t12/t13/
-# t14/t15/m03/m04/f01/f02/s04/x03) that must be graded in their first
-# round, so the graded block stays at 50 (80 total).  Operators whose
-# IMPLEMENTATION changed this round (d03's zero-shuffle signatures)
-# stay in the graded block regardless of rotation age.  Rotate this
-# list each round so nothing goes ungraded two rounds running.
+# are back in the graded block; the 31 below were all driver-green in
+# rounds 4 AND 5 (verified against CORRECTNESS_r04/r05.json) — 31 not
+# 17 because round 6 adds fourteen NEW queries (d08/d09/d10/sk02/t12/
+# t13/t14/t15/m03/m04/f01/f02/s04/x03) that must be graded in their
+# first round, so the graded block stays at 50 (81 total).  Operators
+# whose IMPLEMENTATION changed this round (d03's zero-shuffle
+# signatures) stay in the graded block regardless of rotation age.
+# Rotate this list each round so nothing goes ungraded two rounds
+# running.
 _SIT_OUT_THIS_ROUND = (
     "a01_asof_join",
     "a02_range_join",
     "d01_dedup_exact",
     "d04_dedup_simhash",
     "d05_embedding_neardup",
+    "d06_dedup_connected",
     "s01_sim_topk",
     "s02_sim_topk_lsh",
     "s03_sim_ivf",
@@ -1544,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d07_decontaminate": d07_decontaminate,
         "d08_semantic_dedup": d08_semantic_dedup,
         "d09_dedup_survivors": d09_dedup_survivors,
+        "d10_winnow_overlap": d10_winnow_overlap,
         "e01_windowed_counts": e01_windowed_counts,
         "e02_sessionize": e02_sessionize,
         "e03_json_props": e03_json_props,
@@ -2572,5 +2593,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id, CAST(unnest(m) AS BIGINT) AS fp
             FROM mins
+        """,
+        "d10_winnow_overlap": """
+            WITH t AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ),
+            hs AS (
+                SELECT doc_id,
+                       [ (  ascii(substr(t, i    , 1)) * CAST(2104259670 AS BIGINT)
+                          + ascii(substr(t, i + 1, 1)) * CAST(1799720995 AS BIGINT)
+                          + ascii(substr(t, i + 2, 1)) * CAST(127329182 AS BIGINT)
+                          + ascii(substr(t, i + 3, 1)) * CAST(73381059 AS BIGINT)
+                          + ascii(substr(t, i + 4, 1)) * CAST(140914463 AS BIGINT)
+                          + ascii(substr(t, i + 5, 1)) * CAST(350913958 AS BIGINT)
+                          + ascii(substr(t, i + 6, 1)) * CAST(1950982454 AS BIGINT)
+                          + ascii(substr(t, i + 7, 1)) * CAST(340029582 AS BIGINT)
+                          + ascii(substr(t, i + 8, 1)) * CAST(1742810347 AS BIGINT)
+                          + ascii(substr(t, i + 9, 1)) * CAST(887503681 AS BIGINT)
+                          + ascii(substr(t, i + 10, 1)) * CAST(28629151 AS BIGINT)
+                          + ascii(substr(t, i + 11, 1)) * CAST(923521 AS BIGINT)
+                          + ascii(substr(t, i + 12, 1)) * CAST(29791 AS BIGINT)
+                          + ascii(substr(t, i + 13, 1)) * CAST(961 AS BIGINT)
+                          + ascii(substr(t, i + 14, 1)) * CAST(31 AS BIGINT)
+                          + ascii(substr(t, i + 15, 1))
+                         ) % 2147483647
+                         for i in range(1, length(t) - 14) ] AS h
+                FROM t WHERE length(t) >= 16
+            ),
+            mins AS (
+                SELECT doc_id,
+                       CASE WHEN len(h) < 8 THEN [list_min(h)]
+                            ELSE [ list_min(h[i:i+7])
+                                   for i in range(1, len(h) - 6) ]
+                       END AS m
+                FROM hs
+            ),
+            fps AS (
+                SELECT DISTINCT doc_id, CAST(unnest(m) AS BIGINT) AS fp
+                FROM mins
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 5
         """,
     }

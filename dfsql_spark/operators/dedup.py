@@ -1011,3 +1011,45 @@ def ngram_decontaminate(
         .select("doc_id", "eval_doc_id")
         .dropDuplicates(["doc_id", "eval_doc_id"])
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing overlap (partial-overlap / containment candidates)
+# ---------------------------------------------------------------------------
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    min_shared: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints
+    — PARTIAL-overlap / containment detection (quotation, boilerplate
+    reuse, doc-inside-doc), which whole-document Jaccard misses: a
+    paragraph embedded in a much larger doc barely moves the Jaccard
+    but reliably shares its winnowed fingerprints (guaranteed for any
+    common substring of length >= k+w-1, density ~2/(w+1)).
+
+    Scale shape: the standard bucketed pair generator — fingerprint
+    equi-join (merge-hinted: both sides are corpus-sized; broadcast is
+    only viable at toy scale), map-side-combinable count per pair,
+    never all-pairs.  Hot fingerprints (boilerplate shared by many
+    docs) fan out quadratically within their bucket exactly like hot
+    shingles in the prefix join — cap them upstream by dropping
+    fingerprints with document frequency above a threshold if the
+    corpus has mass-duplicated boilerplate.
+    """
+    from .text import winnow_fingerprints
+
+    fps = winnow_fingerprints(df, text_col=text_col, id_col=id_col, k=k, w=w)
+    a = fps.select(F.col(id_col).alias("id_a"), "fp").hint("merge")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp").hint("merge")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -192,9 +192,14 @@ def winnow_fingerprints(
     # ASCII \s: agree with the DuckDB oracle (RE2) and Spark-native
     # normalization (Java regex), which split ASCII whitespace only
     ws = _re.compile(r"\s+", _re.ASCII)
-    # codes < 2^21 and sum(code * 31^j, j<k) < 2^21 * 31^k/30 — safely
-    # inside int64 for k <= 10; the mod is applied once per gram
-    weights = np.power(np.int64(31), np.arange(k - 1, -1, -1, dtype=np.int64))
+    # weights are 31^j REDUCED mod 2^31-1: identical result after the
+    # final mod (31^j ≡ 31^j mod M), but every term stays < 2^21 * 2^31
+    # = 2^52 and the k-term sum < 2^52 * k — no int64 overflow for any
+    # practical k (raw 31^j would overflow at k > 13)
+    weights = np.array(
+        [pow(31, j, FINGERPRINT_MOD) for j in range(k - 1, -1, -1)],
+        dtype=np.int64,
+    )
 
     @pandas_udf("array<bigint>")
     def _winnow(texts: pd.Series) -> pd.Series:
