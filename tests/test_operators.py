@@ -584,6 +584,42 @@ def test_winnow_guarantee_and_density(spark):
         winnow_fingerprints(docs, k=0)
 
 
+def test_winnow_overlap_detects_containment(spark):
+    """The use-case Jaccard misses: a 60-char passage quoted inside an
+    otherwise-unrelated document.  Winnowing guarantees a shared
+    fingerprint for any common substring >= k+w-1 chars, so the pair
+    must surface; two unrelated docs must not."""
+    import pandas as pd
+
+    from dfsql_spark.operators.dedup import ngram_jaccard_pairs, winnow_overlap_pairs
+
+    passage = "four score and seven years ago our fathers brought forth a nation"
+    filler_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    filler_b = "one two three four five six seven eight nine ten eleven " * 6
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    filler_a + passage,
+                    filler_b + passage + " extra trailing words here",
+                    "completely different content with nothing quoted at all " * 7,
+                ],
+            }
+        )
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in winnow_overlap_pairs(docs, min_shared=1, k=16, w=8).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # and whole-doc Jaccard at the d02 threshold indeed misses it —
+    # the quoted passage is a small fraction of either doc
+    j = ngram_jaccard_pairs(docs, threshold=0.6).count()
+    assert j == 0
+
+
 def test_decontaminate_flags_planted_overlap(spark):
     """A doc sharing a 13-token run with an eval doc is flagged; a doc
     sharing only 12 tokens is not."""
