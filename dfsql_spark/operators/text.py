@@ -335,6 +335,61 @@ def vocab_topk(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    max_chars: int = 500,
+    overlap: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-budget overlapping chunks with full
+    provenance — the context-window packing precursor (long doc ->
+    model-sized pieces; the overlap keeps boundary-spanning content
+    learnable/retrievable).
+
+    Chunk ``i`` starts at ``1 + i*stride`` (``stride = max_chars -
+    overlap``); the count ``1 + ceil((len - max_chars)/stride)``
+    guarantees full coverage with only the last chunk short.  Emits
+    (id, chunk_idx, chunk_start, chunk, n_chunk_chars).
+
+    Plan: ``explode(sequence(...))`` + ``substring`` — all inside
+    whole-stage codegen (no higher-order lambdas: transform() would
+    evaluate interpreted), zero shuffle, output rows ~= corpus_bytes /
+    stride at any scale.  Integer start/count arithmetic is exact
+    across engines.
+    """
+    if max_chars < 1 or overlap < 0 or overlap >= max_chars:
+        raise ValueError(
+            f"need max_chars >= 1 and 0 <= overlap < max_chars, "
+            f"got max_chars={max_chars}, overlap={overlap}"
+        )
+    stride = max_chars - overlap
+    n = F.length(F.col(text_col))
+    extra = F.greatest(n - max_chars, F.lit(0))
+    # integer ceil-div: 1 + floor((extra + stride - 1) / stride)
+    n_chunks = F.lit(1) + F.floor((extra + F.lit(stride - 1)) / F.lit(stride))
+    start = F.lit(1) + F.col("chunk_idx") * stride
+    return (
+        df.filter(n > 0)
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(
+                F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+            ).alias("chunk_idx"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            start.cast("bigint").alias("chunk_start"),
+            F.substring(F.col(text_col), start.cast("int"), max_chars).alias(
+                "chunk"
+            ),
+        )
+        .withColumn("n_chunk_chars", F.length("chunk").cast("bigint"))
+    )
+
+
 def unigram_familiarity(
     df: DataFrame,
     vocab_size: int = 1000,

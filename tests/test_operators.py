@@ -584,6 +584,34 @@ def test_winnow_guarantee_and_density(spark):
         winnow_fingerprints(docs, k=0)
 
 
+def test_chunk_documents_coverage_and_edges(spark):
+    """Chunks cover the full document with the configured overlap;
+    short docs yield exactly one chunk; empty docs yield none;
+    parameter validation."""
+    import pandas as pd
+
+    from dfsql_spark.operators.text import chunk_documents
+
+    long = "x" * 1050
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": [long, "short", ""]})
+    )
+    out = chunk_documents(docs, max_chars=500, overlap=100).toPandas()
+    c1 = out[out.doc_id == 1].sort_values("chunk_idx")
+    # starts advance by stride=400; coverage: last chunk reaches 1050
+    assert list(c1.chunk_start) == [1, 401, 801]
+    assert list(c1.n_chunk_chars) == [500, 500, 250]
+    assert int(c1.chunk_start.iloc[-1] + c1.n_chunk_chars.iloc[-1] - 1) == 1050
+    # overlap: consecutive chunks share exactly `overlap` chars
+    assert (
+        c1.chunk.iloc[0][-100:] == c1.chunk.iloc[1][:100]
+    )
+    assert list(out[out.doc_id == 2].chunk) == ["short"]
+    assert (out.doc_id == 3).sum() == 0
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, max_chars=100, overlap=100)
+
+
 def test_winnow_overlap_detects_containment(spark):
     """The use-case Jaccard misses: a 60-char passage quoted inside an
     otherwise-unrelated document.  Winnowing guarantees a shared
