@@ -1176,7 +1176,9 @@ def s04_sim_pq(spark, sf):
     )
     exact = cosine_topk(emb, qs, k=5).select("query_id", "neighbor_id", "rank")
     approx = pq_topk(
-        emb, qs, k=5, m=8, n_codes=128, rerank_factor=16
+        emb, qs, k=5, m=8, n_codes=128, rerank_factor=16,
+        train_fraction=1.0,  # corpus < train_size at every test SF —
+        # identical sample, skips the corpus count job
     ).select("query_id", "neighbor_id")
     hits = (
         exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
@@ -1364,6 +1366,45 @@ def d10_winnow_overlap(spark, sf):
     return winnow_overlap_pairs(docs, min_shared=5, k=16, w=8)
 
 
+def p01_curation_pipeline(spark, sf):
+    """CAPSTONE: the end-to-end corpus curation run, composed from the
+    graded operators — keep docs that pass the C4 heuristic filter
+    (t12), have repetition <= 0.2 (t11), and survive near-dup cluster
+    resolution (d09); emit their PII-scrubbed text (t08 patterns on
+    the raw text).  Output IS the curated corpus (doc_id, clean_text).
+
+    Composition shape here is operator-reuse (flag tables joined on
+    8-byte doc_id; the dedup side rides the d-block's shared persist).
+    At production scale the three per-row signals fuse into ONE
+    projection over the scan — only the duplicate-loser anti-join is
+    inherently a join.  DuckDB recomputes every filter, the recursive
+    closure, and the scrub."""
+    from dfsql_spark.operators.dedup import dedup_by_components
+    from dfsql_spark.operators.text import (
+        c4_filters,
+        pii_scrub,
+        repetition_ratio,
+    )
+
+    docs = _t(spark, sf, "documents")
+    keep_c4 = c4_filters(docs).filter("keep_doc").select("doc_id")
+    low_rep = (
+        repetition_ratio(docs)
+        .filter(F.col("rep_ratio") <= 0.2)
+        .select("doc_id")
+    )
+    survivors = dedup_by_components(
+        docs, _exact_jaccard_pairs(spark, sf)
+    ).select("doc_id")
+    return (
+        pii_scrub(docs)
+        .select("doc_id", "clean_text")
+        .join(keep_c4, "doc_id")
+        .join(low_rep, "doc_id")
+        .join(survivors, "doc_id")
+    )
+
+
 def e01_windowed_counts(spark, sf):
     """Tumbling 1-hour window counts + value sums per event_type
     (batch twin of the streaming aggregation)."""
@@ -1510,16 +1551,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # in the two preceding rounds) entries, every one pinned by the pytest
 # oracle mirror each round.  Round 6 honors the round-5 rotation
 # promise: all 17 round-5 sit-outs (q13-q21, q23-q26, q28-q30, e03)
-# are back in the graded block; the 32 below were all driver-green in
-# rounds 4 AND 5 (verified against CORRECTNESS_r04/r05.json) — 32 not
-# 17 because round 6 adds fifteen NEW queries (d08/d09/d10/sk02/t12/
-# t13/t14/t15/t16/m03/m04/f01/f02/s04/x03) that must be graded in
-# their first round, so the graded block stays at 50 (82 total).
+# are back in the graded block; the 33 below sit out so the graded
+# block stays at 50 (83 total) while round 6's sixteen NEW queries
+# (d08/d09/d10/sk02/t12-t16/m03/m04/f01/f02/s04/x03/p01) are all
+# graded in their first round.  32 of the 33 were driver-green in
+# rounds 4 AND 5 (verified against CORRECTNESS_r04/r05.json); the
+# twice-green pool is exhausted, so x02 (green in r5, its only
+# round so far) takes the last slot and returns in round 7 —
+# the hard invariant (nothing ungraded two rounds running) holds.
 # Operators whose IMPLEMENTATION changed substantively this round
 # (d03's zero-shuffle signatures) stay in the graded block regardless
 # of rotation age; d02 sits out with only a one-line PPJoin epsilon
-# change (1e-9 slack), pinned by the pytest mirror every run.  Rotate
-# this list each round so nothing goes ungraded two rounds running.
+# change (1e-9 slack), pinned by the pytest mirror every run.
 _SIT_OUT_THIS_ROUND = (
     "a01_asof_join",
     "a02_range_join",
@@ -1553,6 +1596,7 @@ _SIT_OUT_THIS_ROUND = (
     "q22_flagship_revenue",
     "q27_window_topk",
     "x01_approx_distinct_pruned",
+    "x02_approx_quantiles",
 )
 
 # rows-only sketch queries (``no_oracle``); always last.  Empty since
@@ -1592,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f02_custom_scalar_sql": f02_custom_scalar_sql,
         "m01_media_stats": m01_media_stats,
         "m04_media_sim": m04_media_sim,
+        "p01_curation_pipeline": p01_curation_pipeline,
         "q01_projection": q01_projection,
         "q02_filter": q02_filter,
         "q03_cast": q03_cast,
@@ -2623,6 +2668,80 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id, CAST(unnest(m) AS BIGINT) AS fp
             FROM mins
+        """,
+        "p01_curation_pipeline": """
+            WITH c4 AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id,
+                           len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+                           length(regexp_replace(text, '\\s+', '', 'g')) AS n_wchars,
+                           contains(text, '{') AS has_curly,
+                           contains(lower(text), 'lorem ipsum') AS has_lorem
+                    FROM documents
+                ) WHERE n_words >= 50
+                      AND n_wchars * 1.0 / n_words >= 3.0
+                      AND n_wchars * 1.0 / n_words <= 10.0
+                      AND NOT has_curly AND NOT has_lorem
+            ),
+            grams AS (
+                SELECT doc_id, array_to_string(t[u.i : u.i + 1], ' ') AS g
+                FROM (SELECT doc_id,
+                             string_split_regex(trim(text), '\\s+') AS t
+                      FROM documents) toks,
+                     unnest(range(1, len(t))) u(i)
+                WHERE len(t) >= 2
+            ),
+            rep AS (
+                SELECT d.doc_id
+                FROM documents d LEFT JOIN (
+                    SELECT doc_id,
+                           1.0 - COUNT(DISTINCT g) * 1.0 / COUNT(*) AS rep_ratio
+                    FROM grams GROUP BY doc_id
+                ) a ON d.doc_id = a.doc_id
+                WHERE COALESCE(a.rep_ratio, 0.0) <= 0.2
+            ),
+            sh AS (SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id,
+                       unnest([substr(t, i, 5)
+                               for i in range(1, greatest(length(t),5)-3)]) AS s
+                FROM (SELECT doc_id,
+                             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                      FROM documents))),
+            sz AS (SELECT doc_id, count(*) c FROM sh GROUP BY doc_id),
+            p0 AS (SELECT a.doc_id ia, b.doc_id ib, count(*) n
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+            pairs AS (SELECT ia id_a, ib id_b
+                      FROM p0 JOIN sz za ON za.doc_id = ia
+                              JOIN sz zb ON zb.doc_id = ib
+                      WHERE n * 1.0 / (za.c + zb.c - n) >= 0.6),
+            edges AS (SELECT id_a s, id_b d FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+                WITH RECURSIVE r(s, d) AS (
+                    SELECT s, d FROM edges
+                    UNION
+                    SELECT r.s, e.d FROM r JOIN edges e ON r.d = e.s
+                ) SELECT * FROM r
+            ),
+            losers AS (
+                SELECT s AS id FROM reach
+                GROUP BY s HAVING least(s, min(d)) < s
+            )
+            SELECT d.doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(d.text,
+                               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                               '[REDACTED_EMAIL]', 'g'),
+                           '\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}',
+                           '[REDACTED_PHONE]', 'g'),
+                       '[0-9]{3}-[0-9]{2}-[0-9]{4}',
+                       '[REDACTED_SSN]', 'g') AS clean_text
+            FROM documents d
+            JOIN c4 USING (doc_id)
+            JOIN rep USING (doc_id)
+            WHERE d.doc_id NOT IN (SELECT id FROM losers)
         """,
         "d10_winnow_overlap": """
             WITH t AS (
