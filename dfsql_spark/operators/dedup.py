@@ -670,16 +670,21 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # Attach signatures to the DEDUPED pairs only.  sigs is tiny
-    # relative to the corpus (0.5 KB/doc); at bench scale it auto-
-    # broadcasts, at cluster scale these are two shuffles keyed on id
-    # over candidate-count rows — the standard verify shape.
-    # merge hints for the same reason as the band join: the signature
-    # table scales with the corpus, so the shuffle-on-id join is the
-    # plan that survives scale-up (and beats the AQE broadcast
-    # conversion even at bench scale).
-    sa = sigs.hint("merge").select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.hint("merge").select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    # Attach signatures to the DEDUPED pairs only.  The signature
+    # table scales with the corpus, so these must be shuffle joins —
+    # never broadcast (AQE's conversion was measured slower even at
+    # bench scale and is wrong at any real scale).  Among shuffle
+    # joins, SHUFFLE_HASH beats merge here: sort-merge must sort the
+    # candidate rows WITH their 8*num_perm-byte signature payloads
+    # (the dominant cost of the whole operator — measured 6.0 s vs
+    # 3.6 s at sf0.1, ~40% off the verify stage), while the hash build
+    # side is one partition's share of the fixed-width signature
+    # table, bounded by the shuffle partition count.  The band
+    # self-join above stays sort-merge: its rows are 24 bytes (nothing
+    # to save) and SMJ degrades gracefully on a pathologically hot
+    # band where a hash build could not.
+    sa = sigs.hint("shuffle_hash").select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.hint("shuffle_hash").select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     # est = fraction of equal components, written as num_perm codegen'd
     # positional comparisons summed in one Project: stays inside
     # whole-stage codegen, unlike a zip_with/aggregate lambda (higher-
