@@ -573,7 +573,7 @@ def minhash_signatures(
         out = []
         for lst in shs:
             if lst is None or len(lst) == 0:
-                out.append(empty)
+                out.append(empty)  # unreachable post-filter; kept as guard
                 continue
             hx = pd.util.hash_array(np.asarray(lst, dtype=object)) & np.uint64(
                 0xFFFFFFFF
@@ -584,7 +584,12 @@ def minhash_signatures(
             out.append(m.astype(np.int64).tolist())
         return pd.Series(out)
 
-    return src.select("id", _sig("shs").alias("sig"))
+    # docs with EMPTY shingle arrays emit no signature row — matching
+    # the old explode+agg path, where explode dropped them.  Without
+    # this filter every empty doc would share the identical all-zero
+    # sentinel signature, collide in every LSH band, and verify at
+    # est_jaccard = 1.0: n empty docs -> O(n^2) spurious pairs.
+    return src.filter(F.size("shs") > 0).select("id", _sig("shs").alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -1027,8 +1032,8 @@ def winnow_overlap_pairs(
     min_shared: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    k: int = 8,
-    w: int = 4,
+    k: int = 16,
+    w: int = 8,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowing fingerprints
     — PARTIAL-overlap / containment detection (quotation, boilerplate
@@ -1045,6 +1050,11 @@ def winnow_overlap_pairs(
     shingles in the prefix join — cap them upstream by dropping
     fingerprints with document frequency above a threshold if the
     corpus has mass-duplicated boilerplate.
+
+    Defaults are quotation-scale (k=16/w=8: guarantee window 23
+    chars).  Small k degenerates: at k=8 every doc shares common-word
+    8-grams and the pair set approaches all-pairs (measured 88k pairs
+    over 500 docs vs 47 at the defaults).
     """
     from .text import winnow_fingerprints
 

@@ -476,8 +476,14 @@ def _kmeans_np(X: np.ndarray, k: int, seed: int, iters: int = 20) -> np.ndarray:
     rng = np.random.RandomState(seed)
     k = min(k, len(X))
     C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    # argmin over ||x||^2 - 2xC' + ||C||^2: an (n x k) matrix + one
+    # BLAS gemm per iteration.  The broadcast form
+    # ((X[:,None,:]-C)**2).sum(2) materializes an (n x k x dim)
+    # temporary — ~1.6 GB/iteration at the documented posture
+    # (train_size=1e5, n_codes=256, sub=8) — on the driver.
+    xx = (X * X).sum(axis=1)[:, None]
     for _ in range(iters):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        d2 = xx - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
         assign = d2.argmin(axis=1)
         for j in range(k):
             pts = X[assign == j]
@@ -529,13 +535,22 @@ def pq_topk(
     """
     if m < 1 or n_codes < 2:
         raise ValueError(f"need m >= 1 and n_codes >= 2, got m={m}, n_codes={n_codes}")
-    dim = len(
-        corpus.select(F.col(vec_col)).first()[0]
+    spark = corpus.sparkSession
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    nid_type = corpus.schema[id_col].dataType.simpleString()
+    empty_schema = (
+        f"{query_id_col} {qid_type}, neighbor_id {nid_type}, "
+        "rank int, cos_sim double"
     )
+    first_row = corpus.select(F.col(vec_col)).first()
+    # empty corpus or query set -> empty result, same schema — the
+    # contract cosine_topk keeps (pipelines tolerate empty partitions)
+    if first_row is None:
+        return spark.createDataFrame([], empty_schema)
+    dim = len(first_row[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
-    spark = corpus.sparkSession
 
     # --- train codebooks on a bounded, unit-normalized sample.
     # Pass train_fraction when the corpus size is known (catalog
@@ -586,6 +601,8 @@ def pq_topk(
 
     # --- ADC scan: broadcast per-query LUTs, gather+sum per partition
     qpd = queries.select(F.col(query_id_col), F.col(vec_col)).toPandas()
+    if not len(qpd):
+        return spark.createDataFrame([], empty_schema)
     qids = qpd[query_id_col].to_numpy()
     qm = np.stack(qpd[vec_col].to_numpy()).astype(np.float64)
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
@@ -615,8 +632,6 @@ def pq_topk(
                 )
             yield pd.concat(out, ignore_index=True)
 
-    qid_type = queries.schema[query_id_col].dataType.simpleString()
-    nid_type = corpus.schema[id_col].dataType.simpleString()
     scored = codes.mapInPandas(
         adc, f"query_id {qid_type}, neighbor_id {nid_type}, adc double"
     ).withColumnRenamed("query_id", query_id_col)

@@ -37,6 +37,25 @@ _DIGIT_RE = r"[^0-9]"
 FINGERPRINT_MOD = 2147483647  # 2^31 - 1: (acc*31 + c) stays in int64
 
 
+def _salted_bucket(
+    text_col: str, buckets: int, salt: str | None = None
+) -> Column:
+    """Content-addressed bucket in [0, buckets): first 8 hex chars of
+    md5(salt ':' text) as a 32-bit int, mod buckets.  THE determinism
+    contract shared by deterministic_split / stratified_sample /
+    rebalance_mix and their DuckDB oracles
+    (``CAST('0x' || substr(md5(...), 1, 8) AS BIGINT) % buckets``) —
+    change it here and in every oracle together, never in one place.
+    ``salt=None`` hashes the bare text (the split's assignment);
+    a salt decorrelates a sampler's keep decisions from the split."""
+    h = (
+        F.md5(F.col(text_col))
+        if salt is None
+        else F.md5(F.concat(F.lit(salt + ":"), F.col(text_col)))
+    )
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % buckets
+
+
 def tokens(text_col: str = "text") -> Column:
     """Whitespace tokens of the trimmed text (array<string>)."""
     return F.split(F.trim(F.col(text_col)), r"\s+")
@@ -286,10 +305,7 @@ def deterministic_split(
     weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
     if abs(sum(weights.values()) - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {weights}")
-    # first 8 hex chars → 32-bit int → bucket in [0, buckets)
-    bucket = F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast(
-        "bigint"
-    ) % buckets
+    bucket = _salted_bucket(text_col, buckets)
     expr = None
     edge = 0.0
     names = list(weights)
@@ -664,11 +680,7 @@ def stratified_sample(
             raise ValueError(f"rate for {name!r} must be in [0, 1], got {r}")
     if not 0.0 <= default_rate <= 1.0:
         raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(text_col))), 1, 8),
-        16,
-        10,
-    ).cast("bigint") % buckets
+    bucket = _salted_bucket(text_col, buckets, salt)
     rate = None
     for name, r in rates.items():
         thr = int(round(r * buckets))
@@ -740,11 +752,7 @@ def rebalance_mix(
             (F.col("p") * F.col("t") / F.col("n")).alias("keep_rate"),
         )
     )
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(text_col))), 1, 8),
-        16,
-        10,
-    ).cast("bigint") % buckets
+    bucket = _salted_bucket(text_col, buckets, salt)
     return (
         df.join(F.broadcast(rates), stratum_col)
         .filter(bucket < F.col("keep_rate") * buckets)

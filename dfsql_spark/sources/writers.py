@@ -201,6 +201,7 @@ def merge_table(
     when_matched: str = "update",
     insert_not_matched: bool = True,
     fmt: str = "parquet",
+    validate_unique_key: bool = True,
 ) -> None:
     """Batch MERGE (upsert) into a parquet/orc table — the batch twin
     of the streaming idempotent upsert sink (streaming/sinks.py).
@@ -225,6 +226,11 @@ def merge_table(
     At 100 TB the rewrite cost is the whole table (copy-on-write);
     partition the target and merge only affected partitions to bound
     it (pass a pre-filtered target path/dataset).
+
+    Like standard MERGE, a source with duplicate join keys is an error
+    (each would multiply the matched target row); the check is one
+    tiny aggregate on the source — disable with
+    ``validate_unique_key=False`` only if the source is known-unique.
     """
     if when_matched not in ("update", "delete", "ignore"):
         raise ValueError(
@@ -239,6 +245,22 @@ def merge_table(
             f"schema mismatch: target {sorted(target.columns)} "
             f"vs source {sorted(source.columns)}"
         )
+    if validate_unique_key:
+        dup = (
+            source.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            dk = {k: dup[0][k] for k in keys}
+            raise ValueError(
+                f"merge_table: source has duplicate join keys (e.g. {dk}); "
+                "each would multiply the matched target row.  Deduplicate "
+                "the source (keep the latest change per key) or pass "
+                "validate_unique_key=False if duplication is intended."
+            )
     # side-presence via literal marker columns, not value nullability —
     # a matched row may legitimately hold NULLs in every data column
     t = target.alias("t").withColumn("__t", F.lit(1))
@@ -265,10 +287,22 @@ def merge_table(
 
     tmp = target_path.rstrip("/") + "__merge_tmp"
     merged.write.format(fmt).mode("overwrite").save(tmp)
-    # copy-on-write swap via Hadoop FS (works on HDFS/S3A/local alike)
+    # copy-on-write swap via Hadoop FS (works on HDFS/S3A/local alike).
+    # Hadoop signals failure by RETURNING false, not raising — an
+    # unchecked swap would report a successful merge while the table
+    # still serves pre-merge rows (or worse, rename-into-existing-dir
+    # nests tmp under the target).  Check both results.
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     Path = jvm.org.apache.hadoop.fs.Path
     fs = Path(target_path).getFileSystem(conf)
-    fs.delete(Path(target_path), True)
-    fs.rename(Path(tmp), Path(target_path))
+    if not fs.delete(Path(target_path), True):
+        raise IOError(
+            f"merge_table: could not delete old target {target_path!r}; "
+            f"merged output preserved at {tmp!r}"
+        )
+    if not fs.rename(Path(tmp), Path(target_path)):
+        raise IOError(
+            f"merge_table: rename {tmp!r} -> {target_path!r} failed; "
+            f"TARGET IS MISSING — recover the merged output from {tmp!r}"
+        )
