@@ -375,3 +375,93 @@ def stream_interval_join(
 def interval_join_batch(events: DataFrame, lookback: str = "10 minutes") -> DataFrame:
     """Batch twin of :func:`stream_interval_join` (same expressions)."""
     return stream_interval_join(events, lookback=lookback)
+
+
+# ---------------------------------------------------------------------------
+# batch event analytics: funnels & retention
+# ---------------------------------------------------------------------------
+
+def funnel_counts(
+    events: DataFrame,
+    steps: "list[str]",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users performed ``steps`` in
+    order (each step strictly after their first qualifying occurrence
+    of the previous one).  Returns (step_idx, step, n_users).
+
+    Plan shape: one groupBy-min per step on rows pre-filtered to that
+    step's type; every join/agg is keyed on ``user_col``, so after the
+    first shuffle the stages are co-partitioned (Catalyst reuses the
+    hash partitioning — no re-exchange per step), and each step's
+    input shrinks monotonically.  The per-step counts union into one
+    plan: a single action computes the whole funnel.
+    """
+    if not steps:
+        raise ValueError("steps must name at least one event type")
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    tiers = [cur]
+    for step in steps[1:]:
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .join(tiers[-1].select(user_col, F.col("_t").alias("_prev")), user_col)
+            .filter(F.col(ts_col) > F.col("_prev"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("_t"))
+        )
+        tiers.append(nxt)
+    counts = [
+        t.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("step_idx"),
+            F.lit(steps[i]).alias("step"),
+            "n_users",
+        )
+        for i, t in enumerate(tiers)
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week,
+    counted in every later week they were active.  Returns
+    (cohort_week date, week_offset int, n_users).
+
+    Two aggregations keyed on ``user_col`` (first-seen) and on the
+    (cohort, offset) pair — both map-side combinable; the distinct
+    active-weeks set is per (user, week), bounded by users x weeks.
+    Week truncation and integer day-diff arithmetic are exact and
+    engine-portable (Monday-start weeks in both Spark and DuckDB).
+    """
+    first = events.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).cast("date").alias("cohort_week")
+    )
+    active = (
+        events.select(
+            user_col,
+            F.date_trunc("week", F.col(ts_col)).cast("date").alias("week"),
+        )
+        .distinct()
+    )
+    return (
+        active.join(first, user_col)
+        .select(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+            user_col,
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

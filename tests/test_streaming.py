@@ -201,3 +201,80 @@ def test_with_event_time_rejects_unexpected_ts_type(spark):
     df = spark.range(3).selectExpr("CAST(id AS INT) AS ts")
     with pytest.raises(TypeError, match="unsupported type"):
         _with_event_time(df)
+
+
+def test_funnel_counts_vs_duckdb(spark):
+    """Ordered funnel (view -> click -> purchase, each strictly after
+    the user's previous step) graded against a DuckDB recomputation."""
+    import duckdb
+
+    from dfsql_spark.streaming.events import funnel_counts
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    got = {
+        (r.step_idx, r.step): r.n_users
+        for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()
+    }
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.sql("""
+        WITH v AS (SELECT user_id, min(ts) t FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(e.ts) t FROM events e
+              JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+              WHERE event_type = 'click' GROUP BY 1),
+        p AS (SELECT e.user_id, min(e.ts) t FROM events e
+              JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+              WHERE event_type = 'purchase' GROUP BY 1)
+        SELECT (SELECT count(*) FROM v), (SELECT count(*) FROM c),
+               (SELECT count(*) FROM p)
+    """).fetchone()
+    assert got[(0, "view")] == want[0]
+    assert got[(1, "click")] == want[1]
+    assert got[(2, "purchase")] == want[2]
+    assert want[0] >= want[1] >= want[2] > 0  # funnel monotone, non-trivial
+    with pytest.raises(ValueError, match="steps"):
+        funnel_counts(ev, [])
+
+
+def test_retention_cohorts_vs_duckdb(spark):
+    """Weekly cohort retention graded against DuckDB (Monday-start
+    week truncation agrees between engines)."""
+    import duckdb
+
+    from dfsql_spark.streaming.events import retention_cohorts
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    got = {
+        (str(r.cohort_week), r.week_offset): r.n_users
+        for r in retention_cohorts(ev).collect()
+    }
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = {
+        (str(r[0]), r[1]): r[2]
+        for r in con.sql("""
+            WITH first AS (
+                SELECT user_id,
+                       CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+                FROM events GROUP BY user_id
+            ),
+            active AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', ts) AS DATE) AS week
+                FROM events
+            )
+            SELECT cohort_week,
+                   CAST(date_diff('day', cohort_week, week) / 7 AS INT)
+                       AS week_offset,
+                   count(*) AS n_users
+            FROM active JOIN first USING (user_id)
+            GROUP BY 1, 2
+        """).fetchall()
+    }
+    assert got == want
+    # offset-0 row exists for every cohort (a user is active in their
+    # own first week by construction)
+    assert all((cw, 0) in got for (cw, off) in got)
