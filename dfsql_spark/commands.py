@@ -142,7 +142,8 @@ class CopyToCommand(Command):
 @dataclass
 class MergeIntoCommand(Command):
     """``MERGE INTO '<path>' USING <table | (SELECT ...)> ON (key, ...)
-    [WHEN MATCHED <UPDATE|DELETE|IGNORE>] [NO INSERT] [FORMAT fmt]``
+    [WHEN MATCHED <UPDATE|DELETE|IGNORE>] [NO INSERT] [NO VALIDATE]
+    [FORMAT fmt]``
 
     Spark-era extension: SQL surface over
     :func:`dfsql_spark.sources.writers.merge_table` — batch upsert
@@ -156,6 +157,7 @@ class MergeIntoCommand(Command):
     keys: "list[str]"
     when_matched: str
     insert: bool
+    validate: bool
     fmt: str
 
     pattern = re.compile(
@@ -164,6 +166,7 @@ class MergeIntoCommand(Command):
         r"ON\s+\(\s*(?P<keys>[^)]+?)\s*\)"
         r"(?:\s+WHEN\s+MATCHED\s+(?P<matched>UPDATE|DELETE|IGNORE))?"
         r"(?:\s+(?P<noinsert>NO\s+INSERT))?"
+        r"(?:\s+(?P<novalidate>NO\s+VALIDATE))?"
         r"(?:\s+FORMAT\s+(?P<fmt>\w+))?"
         r"\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
@@ -180,6 +183,7 @@ class MergeIntoCommand(Command):
             keys=[k.strip() for k in m.group("keys").split(",")],
             when_matched=(m.group("matched") or "update").lower(),
             insert=m.group("noinsert") is None,
+            validate=m.group("novalidate") is None,
             fmt=(m.group("fmt") or "parquet").lower(),
         )
 
@@ -198,6 +202,7 @@ class MergeIntoCommand(Command):
             key=self.keys,
             when_matched=self.when_matched,
             insert_not_matched=self.insert,
+            validate_unique_key=self.validate,
             fmt=self.fmt,
         )
         return "OK"

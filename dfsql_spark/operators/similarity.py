@@ -552,6 +552,12 @@ def pq_topk(
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
 
+    # collect the query matrix FIRST (needed for the LUTs anyway): an
+    # empty query set returns before the count/sample/train work below
+    qpd = queries.select(F.col(query_id_col), F.col(vec_col)).toPandas()
+    if not len(qpd):
+        return spark.createDataFrame([], empty_schema)
+
     # --- train codebooks on a bounded, unit-normalized sample.
     # Pass train_fraction when the corpus size is known (catalog
     # stats): it avoids the count() below, which is itself a full
@@ -600,9 +606,6 @@ def pq_topk(
     )
 
     # --- ADC scan: broadcast per-query LUTs, gather+sum per partition
-    qpd = queries.select(F.col(query_id_col), F.col(vec_col)).toPandas()
-    if not len(qpd):
-        return spark.createDataFrame([], empty_schema)
     qids = qpd[query_id_col].to_numpy()
     qm = np.stack(qpd[vec_col].to_numpy()).astype(np.float64)
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)

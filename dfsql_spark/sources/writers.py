@@ -245,64 +245,76 @@ def merge_table(
             f"schema mismatch: target {sorted(target.columns)} "
             f"vs source {sorted(source.columns)}"
         )
+    pinned = False
     if validate_unique_key:
-        dup = (
-            source.groupBy(*keys)
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            dk = {k: dup[0][k] for k in keys}
-            raise ValueError(
-                f"merge_table: source has duplicate join keys (e.g. {dk}); "
-                "each would multiply the matched target row.  Deduplicate "
-                "the source (keep the latest change per key) or pass "
-                "validate_unique_key=False if duplication is intended."
+        # persist: the check is an extra ACTION over the source plan —
+        # without the pin an expensive source subquery would compute
+        # twice (once here, once in the merge join).  Aggregate column
+        # aliased so it can never collide with a key named "count".
+        source = source.persist()
+        pinned = True
+    try:
+        if validate_unique_key:
+            dup = (
+                source.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .limit(1)
+                .collect()
             )
-    # side-presence via literal marker columns, not value nullability —
-    # a matched row may legitimately hold NULLs in every data column
-    t = target.alias("t").withColumn("__t", F.lit(1))
-    s = source.alias("s").withColumn("__s", F.lit(1))
-    joined = t.join(s, keys, "full_outer")
-    matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
-    only_t = F.col("__t").isNotNull() & F.col("__s").isNull()
-    only_s = F.col("__t").isNull() & F.col("__s").isNotNull()
-    take = {"update": "s", "ignore": "t"}.get(when_matched)
-    keep = only_t | (matched & F.lit(when_matched != "delete"))
-    if insert_not_matched:
-        keep = keep | only_s
-    merged = joined.filter(keep).select(
-        *keys,
-        *[
-            F.when(matched, F.col(f"{take}.{c}") if take else F.lit(None))
-            .when(only_s, F.col(f"s.{c}"))
-            .otherwise(F.col(f"t.{c}"))
-            .alias(c)
-            for c in target.columns
-            if c not in keys
-        ],
-    ).select(*target.columns)  # original column order
+            if dup:
+                dk = {k: dup[0][k] for k in keys}
+                raise ValueError(
+                    f"merge_table: source has duplicate join keys (e.g. {dk}); "
+                    "each would multiply the matched target row.  Deduplicate "
+                    "the source (keep the latest change per key) or pass "
+                    "validate_unique_key=False if duplication is intended."
+                )
+        # side-presence via literal marker columns, not value nullability —
+        # a matched row may legitimately hold NULLs in every data column
+        t = target.alias("t").withColumn("__t", F.lit(1))
+        s = source.alias("s").withColumn("__s", F.lit(1))
+        joined = t.join(s, keys, "full_outer")
+        matched = F.col("__t").isNotNull() & F.col("__s").isNotNull()
+        only_t = F.col("__t").isNotNull() & F.col("__s").isNull()
+        only_s = F.col("__t").isNull() & F.col("__s").isNotNull()
+        take = {"update": "s", "ignore": "t"}.get(when_matched)
+        keep = only_t | (matched & F.lit(when_matched != "delete"))
+        if insert_not_matched:
+            keep = keep | only_s
+        merged = joined.filter(keep).select(
+            *keys,
+            *[
+                F.when(matched, F.col(f"{take}.{c}") if take else F.lit(None))
+                .when(only_s, F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+                for c in target.columns
+                if c not in keys
+            ],
+        ).select(*target.columns)  # original column order
 
-    tmp = target_path.rstrip("/") + "__merge_tmp"
-    merged.write.format(fmt).mode("overwrite").save(tmp)
-    # copy-on-write swap via Hadoop FS (works on HDFS/S3A/local alike).
-    # Hadoop signals failure by RETURNING false, not raising — an
-    # unchecked swap would report a successful merge while the table
-    # still serves pre-merge rows (or worse, rename-into-existing-dir
-    # nests tmp under the target).  Check both results.
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    Path = jvm.org.apache.hadoop.fs.Path
-    fs = Path(target_path).getFileSystem(conf)
-    if not fs.delete(Path(target_path), True):
-        raise IOError(
-            f"merge_table: could not delete old target {target_path!r}; "
-            f"merged output preserved at {tmp!r}"
-        )
-    if not fs.rename(Path(tmp), Path(target_path)):
-        raise IOError(
-            f"merge_table: rename {tmp!r} -> {target_path!r} failed; "
-            f"TARGET IS MISSING — recover the merged output from {tmp!r}"
-        )
+        tmp = target_path.rstrip("/") + "__merge_tmp"
+        merged.write.format(fmt).mode("overwrite").save(tmp)
+        # copy-on-write swap via Hadoop FS (works on HDFS/S3A/local
+        # alike).  Hadoop signals failure by RETURNING false, not
+        # raising — an unchecked swap would report a successful merge
+        # while the table still serves pre-merge rows (or worse,
+        # rename-into-existing-dir nests tmp under the target).
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        Path = jvm.org.apache.hadoop.fs.Path
+        fs = Path(target_path).getFileSystem(conf)
+        if not fs.delete(Path(target_path), True):
+            raise IOError(
+                f"merge_table: could not delete old target {target_path!r}; "
+                f"merged output preserved at {tmp!r}"
+            )
+        if not fs.rename(Path(tmp), Path(target_path)):
+            raise IOError(
+                f"merge_table: rename {tmp!r} -> {target_path!r} failed; "
+                f"TARGET IS MISSING — recover the merged output from {tmp!r}"
+            )
+    finally:
+        if pinned:
+            source.unpersist()

@@ -203,22 +203,17 @@ def test_with_event_time_rejects_unexpected_ts_type(spark):
         _with_event_time(df)
 
 
-def test_funnel_counts_vs_duckdb(spark):
+def test_funnel_counts_vs_duckdb(spark, duck):
     """Ordered funnel (view -> click -> purchase, each strictly after
     the user's previous step) graded against a DuckDB recomputation."""
-    import duckdb
-
     from dfsql_spark.streaming.events import funnel_counts
 
-    sf = "/root/testdata/sf0.001"
-    ev = spark.read.parquet(f"{sf}/events.parquet")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     got = {
         (r.step_idx, r.step): r.n_users
         for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()
     }
-    con = duckdb.connect()
-    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
-    want = con.sql("""
+    want = duck.sql("""
         WITH v AS (SELECT user_id, min(ts) t FROM events
                    WHERE event_type = 'view' GROUP BY 1),
         c AS (SELECT e.user_id, min(e.ts) t FROM events e
@@ -238,24 +233,19 @@ def test_funnel_counts_vs_duckdb(spark):
         funnel_counts(ev, [])
 
 
-def test_retention_cohorts_vs_duckdb(spark):
+def test_retention_cohorts_vs_duckdb(spark, duck):
     """Weekly cohort retention graded against DuckDB (Monday-start
     week truncation agrees between engines)."""
-    import duckdb
-
     from dfsql_spark.streaming.events import retention_cohorts
 
-    sf = "/root/testdata/sf0.001"
-    ev = spark.read.parquet(f"{sf}/events.parquet")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     got = {
         (str(r.cohort_week), r.week_offset): r.n_users
         for r in retention_cohorts(ev).collect()
     }
-    con = duckdb.connect()
-    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
     want = {
         (str(r[0]), r[1]): r[2]
-        for r in con.sql("""
+        for r in duck.sql("""
             WITH first AS (
                 SELECT user_id,
                        CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week

@@ -227,4 +227,42 @@ def test_merge_into_command(ds, tmp_path):
     )
     got = {r.k: r.v for r in spark.read.parquet(tgt).collect()}
     assert got == {1: 1.0, 3: 33.0}
+    # NO VALIDATE surfaces the validate_unique_key bypass in SQL
+    ds.add_table("dups", pd.DataFrame({"k": [1, 1], "v": [7.0, 8.0]}))
+    from dfsql_spark.exceptions import DfsqlException
+
+    with pytest.raises((ValueError, DfsqlException)):
+        ds.query(f"MERGE INTO '{tgt}' USING dups ON (k)")
+    assert ds.query(f"MERGE INTO '{tgt}' USING dups ON (k) NO VALIDATE") == "OK"
     spark.catalog.dropTempView("updates")
+    spark.catalog.dropTempView("dups")
+
+
+def test_merge_table_rejects_duplicate_source_keys(ds, tmp_path):
+    """Standard MERGE semantics: duplicate source join keys error by
+    default (they would multiply the matched target row); the
+    validate_unique_key=False bypass keeps the multiplying behavior
+    for callers who want it."""
+    from dfsql_spark.sources.writers import merge_table, write_table
+
+    spark = ds.spark
+    tgt = str(tmp_path / "dup_t")
+    write_table(
+        spark.createDataFrame(pd.DataFrame({"k": [1], "v": [1.0]})), tgt
+    )
+    dup_src = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "v": [2.0, 3.0]})
+    )
+    with pytest.raises(ValueError, match="duplicate join keys"):
+        merge_table(spark, tgt, dup_src, key="k")
+    # bypass: both source rows survive (documented multiplication)
+    merge_table(spark, tgt, dup_src, key="k", validate_unique_key=False)
+    assert spark.read.parquet(tgt).count() == 2
+    # a key column named "count" must not break the validation agg
+    tgt2 = str(tmp_path / "count_t")
+    write_table(
+        spark.createDataFrame(pd.DataFrame({"count": [1], "v": [1.0]})), tgt2
+    )
+    src2 = spark.createDataFrame(pd.DataFrame({"count": [1, 2], "v": [9.0, 8.0]}))
+    merge_table(spark, tgt2, src2, key="count")
+    assert spark.read.parquet(tgt2).count() == 2
