@@ -2,4 +2,4 @@
 analysis, temporal joins, skew mitigation, multimodal plumbing
 (north-star capabilities beyond the reference's SQL surface)."""
 
-from . import dedup, joins, multimodal, similarity, skew, text  # noqa: F401
+from . import checks, dedup, joins, multimodal, similarity, skew, text  # noqa: F401

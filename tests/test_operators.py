@@ -906,3 +906,66 @@ def test_media_dedup_hash_grouping(spark):
     assert len(out) == 2
     assert (1, 3) in out.values()  # 'aa' x3 -> survivor 1
     assert (2, 1) in out.values()
+
+
+def test_run_checks_single_pass_and_results(spark):
+    """A full check suite evaluates in ONE aggregation job (single
+    scan, one wide agg row, codegen'd stack unpivot) and reports
+    per-check pass/observed correctly, including failures."""
+    from dfsql_spark.operators.checks import (
+        in_range,
+        matches_regex,
+        not_null,
+        row_count_at_least,
+        run_checks,
+        unique,
+        values_in,
+    )
+    from dfsql_spark.plans.audit import plan_summary
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    report = run_checks(
+        li,
+        [
+            row_count_at_least(1000),
+            not_null("l_orderkey"),
+            unique("l_orderkey"),  # NOT unique (multi-line orders) -> fails
+            in_range("l_discount", 0.0, 0.1),
+            values_in("l_returnflag", ["A", "N", "R"]),
+            matches_regex("l_linestatus", "^[OF]$"),
+        ],
+    )
+    rows = {r.check: (r.passed, r.observed) for r in report.collect()}
+    assert rows["row_count_at_least(1000)"][0] is True
+    assert rows["not_null(l_orderkey)"] == (True, 0.0)
+    assert rows["unique(l_orderkey)"][0] is False  # observed = n distinct
+    assert rows["in_range(l_discount,0.0,0.1)"][0] is True
+    assert rows["values_in(l_returnflag)"][0] is True
+    assert rows["matches_regex(l_linestatus)"] == (True, 1.0)
+    # single-pass: exactly one scan of lineitem in the plan
+    s = plan_summary(report)
+    assert len(s.read_schemas) == 1, s.read_schemas
+    with pytest.raises(ValueError, match="at least one"):
+        run_checks(li, [])
+
+
+def test_run_checks_empty_table_semantics(spark):
+    """Empty input: fraction-checks observe 0.0 and pass; row-count
+    floor fails — no NULL leakage into the report."""
+    import pandas as pd
+
+    from dfsql_spark.operators.checks import (
+        not_null,
+        row_count_at_least,
+        run_checks,
+    )
+
+    empty = spark.createDataFrame(pd.DataFrame({"x": [1.0]})).filter("x < 0")
+    rows = {
+        r.check: (r.passed, r.observed)
+        for r in run_checks(
+            empty, [row_count_at_least(1), not_null("x")]
+        ).collect()
+    }
+    assert rows["row_count_at_least(1)"] == (False, 0.0)
+    assert rows["not_null(x)"] == (True, 0.0)
