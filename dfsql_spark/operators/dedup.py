@@ -1068,3 +1068,101 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# line-level exact dedup (C4 / RefinedWeb duplicated-line removal)
+# ---------------------------------------------------------------------------
+
+def remove_duplicate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_chars: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide exact line dedup: every line keeps exactly ONE
+    occurrence — the globally first by ``(doc_id, position)`` — and
+    all later occurrences are deleted from their documents.  This is
+    the duplicated-line-removal step of the C4 / RefinedWeb / CCNet
+    recipes (boilerplate, navigation chrome, and licence banners
+    repeat verbatim across pages; whole-document dedup never sees
+    them), applied at document granularity here because the corpus
+    carries no page structure.
+
+    Lines shorter than ``min_line_chars`` (after no normalization —
+    exact bytes) are EXEMPT: they are always kept, so blank separator
+    lines survive.  Documents whose every line is deleted come back
+    with ``text`` = '' rather than disappearing.
+
+    Scale shape: two line-volume shuffles, no winner-back join.
+      1. explode to (id, pos, line), groupBy the line string,
+         ``min(struct(id, pos))`` — the keeper of each distinct line
+         IS the aggregate's output row, so no winner-back join is
+         needed.  Map-side partial aggregation absorbs within-
+         partition repeats before the exchange; the shuffle key is
+         the line text itself because the winning line must travel to
+         the reducer anyway (an 8-byte hash key would not shrink the
+         row, unlike :func:`ngram_decontaminate`'s ``hash_grams``).
+      2. reassembly: union exempt + winning lines, groupBy id,
+         ``array_join(sort by pos)``.
+    The only join is the map-only doc roster (id + line count, ~12
+    bytes/row) LEFT-joined to the rebuilt docs so fully-deleted
+    documents still come back — the rebuilt side arrives already
+    hash-partitioned by id from its groupBy, so the exchange it adds
+    is roster-sized, not corpus-sized.  Pathology to watch at 100 TB:
+    one line duplicated across a large fraction of the corpus (an
+    empty-ish banner) makes a hot reduce key — but map-side combine
+    collapses each partition's copies to ONE candidate row, so the
+    reducer receives at most n_partitions rows per line, never
+    n_docs.
+
+    ``sep`` is a Java regex (the ``F.split`` contract); the kept
+    lines are re-joined with the same string, so pass a literal
+    separator.
+
+    Output: (id_col, text, n_lines, n_kept) — ``text`` is the
+    reassembled document, counts let callers filter husk documents
+    (e.g. ``n_kept / n_lines < 0.3``).
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.col(text_col), sep, -1).alias("_ls"),
+    )
+    # map-only roster: every doc with its line count, so documents
+    # whose every line loses still appear in the output (text='')
+    roster = base.select("_id", F.size("_ls").alias("n_lines"))
+    lines = base.select(
+        "_id", F.posexplode("_ls").alias("_pos", "_line")
+    )
+    subject = lines.filter(F.length("_line") >= min_line_chars)
+    exempt = lines.filter(F.length("_line") < min_line_chars)
+    winners = (
+        subject.groupBy("_line")
+        .agg(F.min(F.struct("_id", "_pos")).alias("_w"))
+        .select(
+            F.col("_w._id").alias("_id"),
+            F.col("_w._pos").alias("_pos"),
+            "_line",
+        )
+    )
+    kept = exempt.unionByName(winners)
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            sep,
+        ).alias("_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        roster.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )

@@ -969,3 +969,58 @@ def test_run_checks_empty_table_semantics(spark):
     }
     assert rows["row_count_at_least(1)"] == (False, 0.0)
     assert rows["not_null(x)"] == (True, 0.0)
+
+
+def test_remove_duplicate_lines_semantics(spark):
+    """Global first occurrence (doc asc, pos asc) survives; later
+    exact occurrences are deleted; short lines are exempt; a doc that
+    loses every line comes back with text='' rather than vanishing."""
+    import pandas as pd
+
+    from dfsql_spark.operators.dedup import remove_duplicate_lines
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "alpha beta\n\ncopyright banner\nunique one",
+                    "copyright banner\nunique two\n\nalpha beta",
+                    "copyright banner",
+                ],
+            }
+        )
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_lines(docs, min_line_chars=1).collect()
+    }
+    # doc 1 is first everywhere: keeps all lines verbatim
+    assert out[1].text == "alpha beta\n\ncopyright banner\nunique one"
+    assert (out[1].n_lines, out[1].n_kept) == (4, 4)
+    # doc 2 loses both repeats but keeps its blank (exempt) line
+    assert out[2].text == "unique two\n"
+    assert (out[2].n_lines, out[2].n_kept) == (4, 2)
+    # doc 3's only line was already claimed by doc 1
+    assert out[3].text == ""
+    assert (out[3].n_lines, out[3].n_kept) == (1, 0)
+
+
+def test_remove_duplicate_lines_within_doc_and_empty(spark):
+    """A line repeated INSIDE one document keeps only its first
+    position, and an empty document round-trips unchanged."""
+    import pandas as pd
+
+    from dfsql_spark.operators.dedup import remove_duplicate_lines
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [7, 8], "text": ["x y\nmid\nx y", ""]})
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_lines(docs, min_line_chars=1).collect()
+    }
+    assert out[7].text == "x y\nmid"
+    assert (out[7].n_lines, out[7].n_kept) == (3, 2)
+    assert out[8].text == ""
+    assert (out[8].n_lines, out[8].n_kept) == (1, 1)
