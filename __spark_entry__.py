@@ -1197,6 +1197,29 @@ def s04_sim_pq(spark, sf):
     )
 
 
+def s05_bm25(spark, sf):
+    """BM25 lexical top-5 for three fixed keyword queries — the
+    retrieval stack's lexical half, next to the embedding ANN entries.
+    One corpus-token shuffle builds the postings list; everything
+    query-side is broadcast onto the collision-sized subset, and df is
+    aggregated only over query terms, never the whole vocabulary.
+    quantize=6 makes the score an order-independent integer sum (of
+    per-term contributions with 6-decimal-rounded idf), so DuckDB
+    reproduces every score bit-for-bit from the same formula."""
+    from dfsql_spark.operators.text import bm25_topk
+
+    docs = _t(spark, sf, "documents")
+    qs = spark.createDataFrame(
+        [
+            (1, "spark join table"),
+            (2, "fast query scan"),
+            (3, "window stream data"),
+        ],
+        "query_id long, text string",
+    )
+    return bm25_topk(docs, qs, k=5, quantize=6)
+
+
 def m01_media_stats(spark, sf):
     """Multimodal metadata aggregate over the binary payload table —
     payload column never scanned (column pruning)."""
@@ -1585,10 +1608,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # in the two preceding rounds) entries, every one pinned by the pytest
 # oracle mirror each round.  Round 6 honors the round-5 rotation
 # promise: all 17 round-5 sit-outs (q13-q21, q23-q26, q28-q30, e03)
-# are back in the graded block; the 34 below sit out so the graded
-# block stays at 50 (84 total) while round 6's seventeen NEW queries
-# (d08/d09/d10/d11/sk02/t12-t16/m03/m04/f01/f02/s04/x03/p01) are all
-# graded in their first round.  33 of the 34 were driver-green in
+# are back in the graded block; the 35 below sit out so the graded
+# block stays at 50 (85 total) while round 6's eighteen NEW queries
+# (d08/d09/d10/d11/sk02/t12-t16/m03/m04/f01/f02/s04/s05/x03/p01) are
+# all graded in their first round.  34 of the 35 were driver-green in
 # rounds 4 AND 5 (verified against CORRECTNESS_r04/r05.json); the
 # twice-green pool is exhausted, so x02 (green in r5, its only
 # round so far) takes the last slot and returns in round 7 —
@@ -1598,10 +1621,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # of rotation age; d02 sits out with only a one-line PPJoin epsilon
 # change (1e-9 slack), pinned by the pytest mirror every run.
 _SIT_OUT_THIS_ROUND = (
-    # q05 joined the sit-outs when d11 (new, graded first round) was
-    # added mid-round: twice-green (r4+r5), pytest-mirrored, returns
-    # in round 7 with the rest.
+    # q05/q06 joined the sit-outs when d11/s05 (new, graded first
+    # round) were added mid-round: twice-green (r4+r5),
+    # pytest-mirrored, back in round 7 with the rest.
     "q05_orderby_limit_offset",
+    "q06_groupby_agg",
     "a01_asof_join",
     "a02_range_join",
     "d01_dedup_exact",
@@ -1708,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_grouping_sets": q30_grouping_sets,
         "s01_sim_topk": s01_sim_topk,
         "s04_sim_pq": s04_sim_pq,
+        "s05_bm25": s05_bm25,
         "sk01_salted_agg": sk01_salted_agg,
         "sk02_salted_join": sk02_salted_join,
         "t01_text_stats": t01_text_stats,
@@ -2209,6 +2234,83 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rank
                 FROM embeddings e CROSS JOIN q
             ) t WHERE rank = 2
+        """,
+        # s05: the same Lucene-BM25 arithmetic, written with the SAME
+        # expression tree as the Spark side (constants composed as
+        # (1.2 + 1.0), avgdl as CAST(sum AS DOUBLE)/count, 6-decimal
+        # idf, integer contribution sum) so every double op is
+        # bit-identical; ln() is the only transcendental and its
+        # last-ulp exposure is absorbed by the idf rounding.
+        "s05_bm25": """
+            WITH q(query_id, qtext) AS (
+                VALUES (1, 'spark join table'),
+                       (2, 'fast query scan'),
+                       (3, 'window stream data')
+            ),
+            docs AS (
+                SELECT doc_id,
+                       len(list_filter(
+                           string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> '')) AS dl,
+                       list_filter(
+                           string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS t
+                FROM documents
+            ),
+            postings AS (
+                SELECT doc_id, u.term AS term,
+                       count(*) AS tf, any_value(dl) AS dl
+                FROM docs, unnest(t) u(term)
+                GROUP BY doc_id, u.term
+            ),
+            qt AS (
+                SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, term
+                FROM (
+                    SELECT query_id,
+                           unnest(list_filter(
+                               string_split_regex(trim(lower(qtext)), '\\s+'),
+                               x -> x <> '')) AS term
+                    FROM q
+                )
+            ),
+            hits AS (
+                SELECT * FROM postings
+                WHERE term IN (SELECT term FROM qt)
+            ),
+            dfreq AS (SELECT term, count(*) AS dfq FROM hits GROUP BY term),
+            stats AS (
+                SELECT count(*) AS n,
+                       CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                FROM docs
+            ),
+            scored AS (
+                SELECT qt.query_id, h.doc_id,
+                       CAST(round(
+                           (round(ln(1.0 + (s.n - f.dfq + 0.5) / (f.dfq + 0.5)), 6)
+                            * ((h.tf * (1.2 + 1.0))
+                               / (h.tf + 1.2 * (1.0 - 0.75
+                                                + 0.75 * h.dl / s.avgdl))))
+                           * 1000000.0
+                       ) AS BIGINT) AS c
+                FROM hits h
+                JOIN dfreq f USING (term)
+                JOIN qt ON qt.term = h.term
+                CROSS JOIN stats s
+            ),
+            per AS (
+                SELECT query_id, doc_id, sum(c) AS s_int
+                FROM scored GROUP BY query_id, doc_id
+            )
+            SELECT query_id, CAST(rn AS INT) AS rank, doc_id,
+                   s_int / 1000000.0 AS score
+            FROM (
+                SELECT query_id, doc_id, s_int,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY s_int DESC, doc_id ASC
+                       ) AS rn
+                FROM per
+            ) WHERE rn <= 5
         """,
         "t01_text_stats": """
             WITH t AS (

@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # round-6 operators: salted skew join (sk02), C4 filters (t12), mix
 # rebalance (t13), winnowing (t14), PQ ANN (s04), media dedup (m03),
 # dedup survivors (d09, cheap here because it reuses d02's shared
-# shingle persist — the same reuse the driver run gets).  d08 is
+# shingle persist — the same reuse the driver run gets), line dedup
+# (d11), and BM25 retrieval (s05).  d08 is
 # deliberately NOT benched: its contract entry spends ~95% of its time
 # computing the all-pairs exact ground truth (the toy-scale grading
 # device), which would bench the harness, not the operator.
@@ -40,8 +41,10 @@ HEADLINE = [
     "d03_dedup_minhash_lsh",
     "d07_decontaminate",
     "d09_dedup_survivors",
+    "d11_line_dedup",
     "s01_sim_topk",
     "s04_sim_pq",
+    "s05_bm25",
     "sk02_salted_join",
     "t01_text_stats",
     "t04_fingerprint",

@@ -789,3 +789,137 @@ def repetition_ratio(
         .alias("rep_ratio"),
         total.alias("n_grams"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval
+# ---------------------------------------------------------------------------
+
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    quantize: "int | None" = None,
+) -> DataFrame:
+    """BM25 top-``k`` document retrieval for a (small) set of keyword
+    queries — the lexical half of a retrieval/curation stack, next to
+    the embedding ANN operators in ``similarity.py``.  Uses the
+    Lucene/Robertson formulation: ``idf = ln(1 + (N - df + .5)/(df + .5))``,
+    ``score = sum_t idf_t * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``,
+    over lowercase whitespace tokens (repeated query terms count
+    once).
+
+    Scale shape: the corpus is scanned once into a postings list
+    ``(term, doc, tf, dl)`` — the one corpus-sized shuffle, keyed by
+    (doc, term); at 100 TB you'd materialize it once
+    (``write_bucketed_table`` on term) and serve every query batch
+    from it.  Everything query-side stays broadcast: postings are
+    semi-joined down to query terms FIRST, document frequency is a
+    count-window over that collision-sized subset (so df never
+    aggregates the whole vocabulary and the corpus is scanned exactly
+    once), and the query expansion and 1-row corpus stats broadcast
+    onto it.  Final top-k is a per-query window over candidate docs
+    only.
+
+    ``quantize=d`` makes scoring ENGINE-REPRODUCIBLE: each term's idf
+    is rounded to ``d`` decimals and each (term, doc) contribution is
+    rounded to an integer at ``10^d`` scale, so the per-doc score is
+    an order-independent INTEGER sum — immune to float summation
+    order across engines and partitionings (the remaining exposure is
+    a last-ulp ``ln`` difference landing exactly on a rounding
+    boundary).  ``quantize=None`` returns the raw double sum.
+
+    Output: (query_id, rank, doc_id, score), rank 1..k per query by
+    (score desc, doc_id asc).
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    docs = df.select(
+        F.col(id_col).alias("_doc"), toks.alias("_toks")
+    ).withColumn("_dl", F.size("_toks"))
+    postings = (
+        docs.select("_doc", "_dl", F.explode("_toks").alias("_term"))
+        .groupBy("_doc", "_term")
+        .agg(F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl"))
+    )
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("_qid"),
+            F.explode(
+                F.filter(
+                    F.split(
+                        F.trim(F.lower(F.col(query_text_col))), r"\s+"
+                    ),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("_term"),
+        )
+        .distinct()
+    )
+    hits = postings.join(
+        F.broadcast(qterms.select("_term").distinct()), "_term"
+    )
+    # document frequency as a window over the collision-sized hits —
+    # (doc, term) is unique there, so count-over-term IS df.  A
+    # separate groupBy+join would recompute the corpus-sized postings
+    # a second time for its other consumer; the window keeps the
+    # corpus scan single.
+    hits = hits.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("_term"))
+    )
+    # explicit sum/count, not F.avg: the integer sum is exact, so the
+    # single double division is bit-identical across engines and
+    # partitionings (an incremental double mean would not be)
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("_n"),
+        (F.sum("_dl") / F.count(F.lit(1))).alias("_avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    if quantize is not None:
+        idf = F.round(idf, quantize)
+    tfpart = (F.col("_tf") * (k1 + 1)) / (
+        F.col("_tf")
+        + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+    )
+    contrib = idf * tfpart
+    scored = hits.crossJoin(F.broadcast(stats)).join(
+        F.broadcast(qterms), "_term"
+    )
+    if quantize is not None:
+        scale = float(10 ** quantize)
+        per_doc = scored.groupBy("_qid", "_doc").agg(
+            F.sum(F.round(contrib * scale).cast("long")).alias("_s_int")
+        )
+        per_doc = per_doc.select(
+            "_qid", "_doc", (F.col("_s_int") / scale).alias("_score")
+        )
+    else:
+        per_doc = scored.groupBy("_qid", "_doc").agg(
+            F.sum(contrib).alias("_score")
+        )
+    w = Window.partitionBy("_qid").orderBy(
+        F.col("_score").desc(), F.col("_doc").asc()
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            "rank",
+            F.col("_doc").alias(id_col),
+            F.col("_score").alias("score"),
+        )
+    )

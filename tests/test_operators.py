@@ -1024,3 +1024,57 @@ def test_remove_duplicate_lines_within_doc_and_empty(spark):
     assert (out[7].n_lines, out[7].n_kept) == (3, 2)
     assert out[8].text == ""
     assert (out[8].n_lines, out[8].n_kept) == (1, 1)
+
+
+def test_bm25_topk_matches_hand_formula(spark):
+    """BM25 scores and ranking match a directly-computed Lucene-style
+    formula on a tiny corpus; repeated query terms count once."""
+    import math
+
+    import pandas as pd
+
+    from dfsql_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "apple banana apple",
+                    "banana cherry",
+                    "cherry cherry cherry apple",
+                ],
+            }
+        )
+    )
+    qs = spark.createDataFrame(
+        pd.DataFrame(
+            {"query_id": [10, 20], "text": ["apple", "banana cherry cherry"]}
+        )
+    )
+    out = bm25_topk(docs, qs, k=3).collect()
+    got = {(r.query_id, r.rank): (r.doc_id, r.score) for r in out}
+
+    n, avgdl, k1, b = 3, 3.0, 1.2, 0.75
+
+    def score(pairs):  # [(tf, dl, df)]
+        s = 0.0
+        for tf, dl, dfq in pairs:
+            idf = math.log(1 + (n - dfq + 0.5) / (dfq + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+        return s
+
+    # q10 'apple': d1 (tf=2, dl=3), d3 (tf=1, dl=4); df(apple)=2
+    assert got[(10, 1)][0] == 1
+    assert abs(got[(10, 1)][1] - score([(2, 3, 2)])) < 1e-9
+    assert got[(10, 2)][0] == 3
+    assert abs(got[(10, 2)][1] - score([(1, 4, 2)])) < 1e-9
+    assert (10, 3) not in got  # d2 has no 'apple'
+    # q20 'banana cherry' (dup 'cherry' counted once):
+    # d2 matches both terms, d3 cherry-heavy, d1 banana only
+    assert got[(20, 1)][0] == 2
+    assert abs(got[(20, 1)][1] - score([(1, 2, 2), (1, 2, 2)])) < 1e-9
+    assert got[(20, 2)][0] == 3
+    assert abs(got[(20, 2)][1] - score([(3, 4, 2)])) < 1e-9
+    assert got[(20, 3)][0] == 1
+    assert abs(got[(20, 3)][1] - score([(1, 3, 2)])) < 1e-9
