@@ -1078,3 +1078,31 @@ def test_bm25_topk_matches_hand_formula(spark):
     assert abs(got[(20, 2)][1] - score([(3, 4, 2)])) < 1e-9
     assert got[(20, 3)][0] == 1
     assert abs(got[(20, 3)][1] - score([(1, 3, 2)])) < 1e-9
+
+
+def test_pivot_unpivot_roundtrip(spark):
+    """groupBy().pivot(values).unpivot() round-trips to the plain
+    long-form aggregate, and the explicit value list keeps the plan
+    free of the eager distinct-scan pivot otherwise runs."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "g": ["a", "a", "b", "b", "b"],
+                "s": ["x", "y", "x", "x", "y"],
+                "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+            }
+        )
+    )
+    piv = df.groupBy("g").pivot("s", ["x", "y"]).agg(F.sum("v"))
+    back = (
+        piv.unpivot("g", ["x", "y"], "s", "v")
+        .filter(F.col("v").isNotNull())
+    )
+    long = df.groupBy("g", "s").agg(F.sum("v").alias("v"))
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, long.collect())
+    )
