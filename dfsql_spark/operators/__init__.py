@@ -2,4 +2,13 @@
 analysis, temporal joins, skew mitigation, multimodal plumbing
 (north-star capabilities beyond the reference's SQL surface)."""
 
-from . import checks, dedup, joins, multimodal, similarity, skew, text  # noqa: F401
+from . import (  # noqa: F401
+    checks,
+    dedup,
+    joins,
+    multimodal,
+    similarity,
+    skew,
+    text,
+    versioning,
+)

@@ -1106,3 +1106,67 @@ def test_pivot_unpivot_roundtrip(spark):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, long.collect())
     )
+
+
+def test_snapshot_diff_statuses(spark):
+    """added/removed/changed/unchanged classification, NULL-safe
+    hashing, and the schema-widening default (new columns outside the
+    shared set don't mark every row changed)."""
+    import pandas as pd
+
+    from dfsql_spark.operators.versioning import (
+        snapshot_diff,
+        snapshot_diff_summary,
+    )
+
+    old = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["a", "b", "c", None],
+                "source": ["s1", "s1", "s2", "s2"],
+            }
+        )
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 5, 4],
+                "text": ["a", "B", "e", None],
+                "source": ["s1", "s1", "s2", "s2"],
+                "extra": [9, 9, 9, 9],  # not shared: ignored
+            }
+        )
+    )
+    got = {
+        r.doc_id: r.status for r in snapshot_diff(old, new).collect()
+    }
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "unchanged",  # NULL text hashes equal on both sides
+        5: "added",
+    }
+    summ = {
+        (r.source, r.status): r.n
+        for r in snapshot_diff_summary(old, new, by="source").collect()
+    }
+    assert summ == {
+        ("s1", "unchanged"): 1,
+        ("s1", "changed"): 1,
+        ("s2", "removed"): 1,
+        ("s2", "unchanged"): 1,
+        ("s2", "added"): 1,
+    }
+
+
+def test_snapshot_diff_requires_compare_cols(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from dfsql_spark.operators.versioning import snapshot_diff
+
+    a = spark.createDataFrame(pd.DataFrame({"doc_id": [1]}))
+    with _pytest.raises(ValueError, match="no columns"):
+        snapshot_diff(a, a).collect()
