@@ -1454,19 +1454,20 @@ def d11_line_dedup(spark, sf):
     the dedup non-trivial (at sf0.01, 175 of 3609 lines are
     deleted).  Two line-volume shuffles, no winner-back join
     (the keeper of each line IS the groupBy output row); DuckDB
-    mirrors the synthesis and the first-occurrence window exactly."""
+    mirrors the synthesis and the first-occurrence window exactly.
+
+    The 8-token regrouping is ONE codegen'd ``regexp_replace``
+    (insert a newline after every 8th token): the corpus text is
+    strictly single-space separated (asserted by
+    tests/test_operators.py), so this is byte-identical to the
+    tokenize/slice/rejoin formulation but stays inside whole-stage
+    codegen — the nested higher-order-function form evaluated
+    interpreted and cost ~1 s per corpus scan at sf0.1, and the
+    dedup plan scans the corpus twice."""
     from dfsql_spark.operators.dedup import remove_duplicate_lines
 
     docs = _t(spark, sf, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    n_lines = F.ceil(F.size(toks) / F.lit(8)).cast("int")
-    ml = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), n_lines - 1),
-            lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
-        ),
-        "\n",
-    )
+    ml = F.regexp_replace(F.trim(F.col("text")), r"((?:\S+ ){7}\S+) ", "$1\n")
     deduped = remove_duplicate_lines(
         docs.select("doc_id", ml.alias("text")), min_line_chars=1
     )
@@ -3036,16 +3037,13 @@ def oracle_sql() -> dict[str, str]:
         # the u.i - 1.  (unnest ... WITH ORDINALITY is unsupported in
         # this DuckDB build — positions come from unnest(range).)
         "d11_line_dedup": """
-            WITH toks AS (
-                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-                FROM documents
-            ),
-            ml AS (
+            WITH ml AS (
                 SELECT doc_id,
-                       [ array_to_string(t[i * 8 + 1 : i * 8 + 8], ' ')
-                         for i in range(0, CAST(ceil(len(t) / 8.0) AS INT)) ]
-                       AS ls
-                FROM toks
+                       string_split(
+                           regexp_replace(trim(text),
+                               '((?:\\S+ ){7}\\S+) ', '\\1' || chr(10), 'g'),
+                           chr(10)) AS ls
+                FROM documents
             ),
             lines AS (
                 SELECT doc_id, u.i - 1 AS pos, ls[u.i] AS line

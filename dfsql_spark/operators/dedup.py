@@ -1095,17 +1095,22 @@ def remove_duplicate_lines(
     lines survive.  Documents whose every line is deleted come back
     with ``text`` = '' rather than disappearing.
 
-    Scale shape: two line-volume shuffles, no winner-back join.
-      1. explode to (id, pos, line), groupBy the line string,
-         ``min(struct(id, pos))`` — the keeper of each distinct line
-         IS the aggregate's output row, so no winner-back join is
-         needed.  Map-side partial aggregation absorbs within-
+    Scale shape: two line-volume shuffles, no winner-back join, and
+    exactly TWO scans of ``df`` (roster + lines — exempt and subject
+    lines share one groupBy instead of a union of two filtered
+    branches, which would rescan the corpus a third time).
+      1. explode to (id, pos, line), groupBy ``(line, occ)`` where
+         ``occ`` is NULL for subject lines (all occurrences collapse
+         into one global group) and ``struct(id, pos)`` for exempt
+         lines (every occurrence is its own singleton group, so all
+         survive); ``min(struct(id, pos))`` — the keeper of each
+         group IS the aggregate's output row, so no winner-back join
+         is needed.  Map-side partial aggregation absorbs within-
          partition repeats before the exchange; the shuffle key is
          the line text itself because the winning line must travel to
          the reducer anyway (an 8-byte hash key would not shrink the
          row, unlike :func:`ngram_decontaminate`'s ``hash_grams``).
-      2. reassembly: union exempt + winning lines, groupBy id,
-         ``array_join(sort by pos)``.
+      2. reassembly: groupBy id, ``array_join(sort by pos)``.
     The only join is the map-only doc roster (id + line count, ~12
     bytes/row) LEFT-joined to the rebuilt docs so fully-deleted
     documents still come back — the rebuilt side arrives already
@@ -1135,10 +1140,14 @@ def remove_duplicate_lines(
     lines = base.select(
         "_id", F.posexplode("_ls").alias("_pos", "_line")
     )
-    subject = lines.filter(F.length("_line") >= min_line_chars)
-    exempt = lines.filter(F.length("_line") < min_line_chars)
-    winners = (
-        subject.groupBy("_line")
+    # one groupBy covers both regimes: exempt lines get a unique
+    # per-occurrence key component (every occurrence is its own
+    # group and survives), subject lines get NULL (global collapse).
+    occ = F.when(
+        F.length("_line") < min_line_chars, F.struct("_id", "_pos")
+    ).alias("_occ")
+    kept = (
+        lines.groupBy(F.col("_line"), occ)
         .agg(F.min(F.struct("_id", "_pos")).alias("_w"))
         .select(
             F.col("_w._id").alias("_id"),
@@ -1146,7 +1155,6 @@ def remove_duplicate_lines(
             "_line",
         )
     )
-    kept = exempt.unionByName(winners)
     rebuilt = kept.groupBy("_id").agg(
         F.array_join(
             F.transform(

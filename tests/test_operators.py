@@ -1026,6 +1026,40 @@ def test_remove_duplicate_lines_within_doc_and_empty(spark):
     assert (out[8].n_lines, out[8].n_kept) == (1, 1)
 
 
+def test_d11_regex_synth_precondition_and_equivalence(spark):
+    """d11's 8-token line synthesis is one codegen'd regexp_replace;
+    that is byte-identical to tokenize/slice/rejoin ONLY for
+    single-space-separated text.  Pin both halves: (a) the test corpus
+    really is strictly single-space separated (no tabs/newlines/
+    doubled spaces/lead/trail), (b) the regex form equals the
+    array form on the corpus."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert (
+        docs.filter(
+            F.col("text").rlike(r"\s\s|\t|\n") | (F.col("text") != F.trim("text"))
+        ).count()
+        == 0
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.ceil(F.size(toks) / F.lit(8)).cast("int")
+    array_form = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+        ),
+        "\n",
+    )
+    regex_form = F.regexp_replace(
+        F.trim(F.col("text")), r"((?:\S+ ){7}\S+) ", "$1\n"
+    )
+    assert (
+        docs.select(array_form.alias("a"), regex_form.alias("b"))
+        .filter("a != b")
+        .count()
+        == 0
+    )
+
+
 def test_bm25_topk_matches_hand_formula(spark):
     """BM25 scores and ranking match a directly-computed Lucene-style
     formula on a tiny corpus; repeated query terms count once."""
