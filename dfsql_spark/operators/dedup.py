@@ -635,14 +635,37 @@ def minhash_lsh_pairs(
     # variance band, not the materialization strategy.  persist is the
     # default: same speed, and lineage survives executor loss.
     sigs = _materialize(sigs, materialize)
+    return _banded_lsh_pairs(sigs, num_perm, bands, verify_threshold)
+
+
+def _banded_lsh_pairs(
+    sigs: DataFrame,
+    num_perm: int,
+    bands: int,
+    verify_threshold: float | None,
+    flag_col: str | None = None,
+) -> DataFrame:
+    """Band self-join + signature verify over a (id, sig[, flag]) table.
+
+    Shared core of :func:`minhash_lsh_pairs` (whole-corpus pairs) and
+    :func:`incremental_minhash_dedup` (delta-vs-snapshot pairs).  When
+    ``flag_col`` is given the join drops pairs where BOTH sides carry
+    the flag — that is how the incremental path excludes base×base
+    candidates INSIDE the join, so a daily-delta run never pays for
+    pairs between two already-accepted snapshot docs (at scale those
+    dominate every band bucket).
+    """
+    r = num_perm // bands
     # The band self-join and the candidate dedup run on THIN rows —
     # (id, band, bh), 24 bytes — never the 8*num_perm-byte signature.
     # Carrying sig through the join multiplies every shuffled candidate
     # row by ~0.5 KB (a measured 10× slowdown at sf0.1: LSH at the
     # ~0.5 candidate threshold admits far more candidates than
     # survivors, so candidate-stage bytes dominate the operator).
+    extra = [flag_col] if flag_col else []
     banded = sigs.select(
         "id",
+        *extra,
         F.explode(
             F.array(
                 *[
@@ -667,11 +690,11 @@ def minhash_lsh_pairs(
     # scale: shuffle both sides on bh, AQE handles skewed bands.
     a = banded.hint("merge").alias("a")
     b = banded.hint("merge").alias("b")
+    cond = (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id"))
+    if flag_col:
+        cond = cond & ~(F.col(f"a.{flag_col}") & F.col(f"b.{flag_col}"))
     pairs = (
-        a.join(
-            b,
-            (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")),
-        )
+        a.join(b, cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -931,6 +954,103 @@ def dedup_by_components(
     comp = connected_components(pairs, **cc_kwargs)
     losers = comp.filter(F.col("id") != F.col("component")).select("id")
     return df.join(losers, df[id_col] == losers.id, "left_anti")
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    base_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    verify_threshold: float | None = 0.5,
+    base_sigs: DataFrame | None = None,
+    return_pairs: bool = False,
+    **cc_kwargs,
+) -> DataFrame:
+    """Dedup a NEW batch of documents against an already-accepted BASE
+    snapshot — the daily-increment shape of a crawl pipeline, where
+    re-running whole-corpus dedup over 100 TB for a 0.1 TB delta is
+    not an option.
+
+    A new doc is rejected if its near-dup cluster touches the base
+    snapshot (the content already exists) or if it is not the min-id
+    member of a pure-new cluster (arrival batch contains internal
+    dups).  Clusters are resolved by connected components over the
+    verified pair graph, so chains behave exactly like the batch path
+    (:func:`dedup_by_components`) — a greedy per-pair drop would both
+    over-delete chains and get arrival order wrong.
+
+    Scale shape: the delta and snapshot meet ONLY in the LSH band
+    join, with base×base pairs excluded inside the join predicate
+    (``_banded_lsh_pairs(flag_col=...)``) — cost scales with the
+    delta's band collisions, never with snapshot×snapshot.  Pass
+    ``base_sigs`` (the (id, sig) table from
+    :func:`minhash_signatures`, written once per snapshot) to skip
+    re-sketching the base corpus — the production posture; omitting
+    it re-computes base signatures from ``base_df`` for convenience.
+    The component graph is delta-driven: only ids that appear in some
+    verified pair enter the iteration, so CC state is bounded by the
+    delta's duplicate neighborhood, not the snapshot.
+
+    Ids must be unique ACROSS both sides (snapshot pipelines assign
+    globally unique doc ids); base rows are never returned.
+
+    ``return_pairs=True`` instead returns the verified pair table
+    (id_a, id_b, est_jaccard, vs_base) for auditing which delta docs
+    collided with the snapshot vs with each other.
+
+    Default output: the surviving subset of ``new_df``, unchanged
+    schema.
+    """
+    if base_sigs is None:
+        if base_df is None:
+            raise ValueError("pass base_df or base_sigs")
+        base_sigs = minhash_signatures(
+            base_df, text_col, id_col, k, num_perm, seed
+        )
+    new_sigs = minhash_signatures(new_df, text_col, id_col, k, num_perm, seed)
+    sigs = new_sigs.withColumn("_is_base", F.lit(False)).unionByName(
+        base_sigs.select("id", "sig").withColumn("_is_base", F.lit(True))
+    )
+    pairs = _banded_lsh_pairs(
+        sigs, num_perm, bands, verify_threshold, flag_col="_is_base"
+    )
+    base_ids = base_sigs.select(F.col("id").alias("_bid"))
+    if return_pairs:
+        ba = base_ids.select(F.col("_bid").alias("_ba"))
+        bb = base_ids.select(F.col("_bid").alias("_bb"))
+        return (
+            pairs.join(ba, pairs.id_a == ba._ba, "left")
+            .join(bb, pairs.id_b == bb._bb, "left")
+            .select(
+                "id_a",
+                "id_b",
+                "est_jaccard",
+                (F.col("_ba").isNotNull() | F.col("_bb").isNotNull()).alias(
+                    "vs_base"
+                ),
+            )
+        )
+    comp = connected_components(pairs, **cc_kwargs)
+    flagged = comp.join(base_ids, comp.id == base_ids._bid, "left").select(
+        "id", "component", F.col("_bid").isNotNull().alias("_is_base")
+    )
+    cluster_has_base = flagged.groupBy("component").agg(
+        F.max("_is_base").alias("_has_base"),
+        F.min(F.when(~F.col("_is_base"), F.col("id"))).alias("_min_new"),
+    )
+    losers = (
+        flagged.filter(~F.col("_is_base"))
+        .join(cluster_has_base, "component")
+        .filter(F.col("_has_base") | (F.col("id") != F.col("_min_new")))
+        .select("id")
+    )
+    return new_df.join(
+        losers, new_df[id_col] == losers.id, "left_anti"
+    )
 
 
 # ---------------------------------------------------------------------------

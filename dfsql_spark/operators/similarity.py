@@ -663,3 +663,101 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification
+# ---------------------------------------------------------------------------
+
+def mmr_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    score_col: str = "cos_sim",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking of a per-query candidate
+    shortlist (Carbonell & Goldstein, SIGIR 1998): greedily pick the
+    candidate maximizing ``lam * relevance - (1 - lam) * max_sim_to_
+    already_selected`` until ``k`` are chosen.  Pure relevance top-k
+    returns near-duplicate neighbors; retrieval-augmented sampling of
+    training data wants coverage, which MMR buys with one knob.
+
+    ``candidates`` is the output shape of :func:`cosine_topk` /
+    :func:`lsh_topk` / :func:`ivf_topk` (query id, neighbor id,
+    relevance score) — run one of those with a shortlist ``k' > k``
+    first.  The greedy argmax is inherently sequential, so it runs in
+    ``applyInPandas`` per query group — but only over the shortlist
+    (k' rows), never the corpus.  Deterministic: ties broken by
+    (mmr score desc, relevance desc, neighbor id asc) at every step.
+
+    Scale shape: ONE hash join attaches candidate embeddings
+    (candidate side is |queries| x k' rows — broadcast-eligible; the
+    corpus side is scanned, never shuffled), then ONE shuffle of the
+    slim (query, neighbor, score, vec) rows onto query_id for the
+    per-group greedy pass.  Candidate-to-candidate similarities are
+    computed inside the group (k'^2 dot products per query, in numpy)
+    and never materialized into a Spark plan, so there is no
+    candidate-pair shuffle at any scale.
+
+    Output: (query_id, neighbor_id, mmr_rank, mmr_score, cos_sim) —
+    ``mmr_score`` is the objective value at selection time
+    (``lam * cos_sim`` for the first pick).
+    """
+    cand = candidates.select(
+        F.col(query_id_col),
+        F.col(neighbor_col).alias("neighbor_id"),
+        F.col(score_col).cast("double").alias("cos_sim"),
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vec")
+    )
+    # candidates are |queries| x k' — the small side of the join by
+    # contract; broadcast so the corpus scan stays shuffle-free.
+    with_vec = vecs.join(broadcast(cand), "neighbor_id")
+
+    qid_type = candidates.schema[query_id_col].dataType.simpleString()
+    nid_type = candidates.schema[neighbor_col].dataType.simpleString()
+    out_schema = (
+        f"{query_id_col} {qid_type}, neighbor_id {nid_type}, "
+        "mmr_rank int, mmr_score double, cos_sim double"
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic candidate order: relevance desc, id asc
+        pdf = pdf.sort_values(
+            ["cos_sim", "neighbor_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        M = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        sims = M @ M.T  # (k', k') — shortlist-sized by contract
+        rel = pdf["cos_sim"].to_numpy()
+        n = len(pdf)
+        kk = min(k, n)
+        selected: list[int] = []
+        max_sim = np.full(n, -np.inf)
+        chosen_scores = []
+        remaining = np.ones(n, dtype=bool)
+        for _ in range(kk):
+            pen = np.where(np.isfinite(max_sim), max_sim, 0.0)
+            obj = lam * rel - (1.0 - lam) * pen
+            obj_masked = np.where(remaining, obj, -np.inf)
+            # argmax with (obj desc, rel desc, id asc) tie-break: the
+            # frame is already sorted rel desc / id asc, and argmax
+            # returns the FIRST maximal index.
+            i = int(np.argmax(obj_masked))
+            selected.append(i)
+            chosen_scores.append(obj_masked[i])
+            remaining[i] = False
+            max_sim = np.maximum(max_sim, sims[:, i])
+        out = pdf.iloc[selected][["neighbor_id", "cos_sim"]].copy()
+        out.insert(0, query_id_col, pdf[query_id_col].iloc[0])
+        out.insert(2, "mmr_rank", np.arange(1, len(selected) + 1, dtype="int32"))
+        out.insert(3, "mmr_score", np.asarray(chosen_scores, dtype=np.float64))
+        return out
+
+    return with_vec.groupBy(query_id_col).applyInPandas(pick, out_schema)

@@ -1204,3 +1204,174 @@ def test_snapshot_diff_requires_compare_cols(spark):
     a = spark.createDataFrame(pd.DataFrame({"doc_id": [1]}))
     with _pytest.raises(ValueError, match="no columns"):
         snapshot_diff(a, a).collect()
+
+
+def test_mmr_rerank_hand_example(spark):
+    """Greedy MMR on a hand-checkable 1-query shortlist: two
+    near-identical top candidates and one orthogonal one.  Pure
+    relevance would return the twins 1-2; MMR (lam=0.5) must demote
+    the second twin below the orthogonal candidate."""
+    import pandas as pd
+
+    from dfsql_spark.operators.similarity import mmr_rerank
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [1, 2, 3],
+                "embedding": [
+                    [1.0, 0.0],          # twin A
+                    [0.999, 0.01],       # twin B (near-dup of A)
+                    [0.0, 1.0],          # orthogonal
+                ],
+            }
+        )
+    )
+    cands = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [10, 10, 10],
+                "neighbor_id": [1, 2, 3],
+                "rank": [1, 2, 3],
+                "cos_sim": [0.99, 0.98, 0.50],
+            }
+        )
+    )
+    out = (
+        mmr_rerank(cands, corpus, k=3, lam=0.5)
+        .orderBy("mmr_rank")
+        .collect()
+    )
+    assert [r.neighbor_id for r in out] == [1, 3, 2]
+    # first pick scores lam * relevance exactly
+    assert abs(out[0].mmr_score - 0.5 * 0.99) < 1e-12
+    # second pick: orthogonal to A -> no penalty beyond its ~0 sim
+    assert out[1].mmr_score > out[2].mmr_score
+
+
+def test_mmr_rerank_lam1_is_pure_relevance(spark):
+    """lam=1 disables the diversity penalty: MMR order must equal the
+    relevance order of the shortlist, and composing with cosine_topk
+    round-trips ids/scores."""
+    import pandas as pd
+
+    from dfsql_spark.operators.similarity import cosine_topk, mmr_rerank
+
+    corpus = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = (
+        corpus.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    short = cosine_topk(corpus, queries, k=8)
+    out = mmr_rerank(short, corpus, k=5, lam=1.0).toPandas()
+    base = short.filter(F.col("rank") <= 5).toPandas()
+    key = ["query_id", "neighbor_id"]
+    merged = out.merge(
+        base, left_on=key + ["mmr_rank"], right_on=key + ["rank"]
+    )
+    assert len(merged) == len(out) == len(base)
+    assert (merged["cos_sim_x"] - merged["cos_sim_y"]).abs().max() < 1e-9
+
+
+def test_mmr_rerank_short_group_and_determinism(spark):
+    """Groups smaller than k return the whole group; two runs are
+    byte-identical (deterministic tie-breaks)."""
+    import pandas as pd
+
+    from dfsql_spark.operators.similarity import mmr_rerank
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": [1, 2], "embedding": [[1.0, 0.0], [1.0, 0.0]]}
+        )
+    )
+    cands = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [7, 7],
+                "neighbor_id": [1, 2],
+                "cos_sim": [0.9, 0.9],  # exact tie -> id asc wins
+            }
+        )
+    )
+    a = mmr_rerank(cands, corpus, k=10, lam=0.7).orderBy("mmr_rank").collect()
+    b = mmr_rerank(cands, corpus, k=10, lam=0.7).orderBy("mmr_rank").collect()
+    assert a == b
+    assert [r.neighbor_id for r in a] == [1, 2]
+    assert len(a) == 2
+
+
+def _inc_docs(spark, rows):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]})
+    )
+
+
+def test_incremental_dedup_vs_base_and_within_delta(spark):
+    """A delta doc duplicating the snapshot is rejected; a novel doc
+    survives; delta-internal dups keep the min id; base rows are never
+    returned."""
+    from dfsql_spark.operators.dedup import incremental_minhash_dedup
+
+    t_base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    t_new = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    t_other = "one two three four five six seven eight nine ten eleven twelve"
+    base = _inc_docs(spark, [(1, t_base), (2, t_other)])
+    new = _inc_docs(
+        spark,
+        [
+            (101, t_base),   # dup of base doc 1 -> rejected
+            (102, t_new),    # novel -> survives
+            (103, t_new),    # dup of 102 -> loses to min id
+        ],
+    )
+    kw = dict(num_perm=64, bands=32, verify_threshold=0.3)
+    out = sorted(
+        r.doc_id for r in incremental_minhash_dedup(new, base, **kw).collect()
+    )
+    assert out == [102]
+    pairs = incremental_minhash_dedup(new, base, return_pairs=True, **kw).collect()
+    flags = {(r.id_a, r.id_b): r.vs_base for r in pairs}
+    assert flags[(1, 101)] is True
+    assert flags[(102, 103)] is False
+
+
+def test_incremental_dedup_chain_through_base_kills_cluster(spark):
+    """CC semantics: new~new~base chains die entirely — the bridge doc
+    links the whole cluster to already-accepted content (greedy pair
+    drops would wrongly keep the far end)."""
+    from dfsql_spark.operators.dedup import incremental_minhash_dedup
+
+    t1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    t3 = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    base = _inc_docs(spark, [(1, t1)])
+    # 201 = t1+t3 bridges base(1) and 202(t3): one cluster, has base
+    new = _inc_docs(spark, [(201, t1 + " " + t3), (202, t3)])
+    kw = dict(num_perm=64, bands=32, verify_threshold=0.3)
+    out = [r.doc_id for r in incremental_minhash_dedup(new, base, **kw).collect()]
+    assert out == []
+
+
+def test_incremental_dedup_base_sigs_path_matches(spark):
+    """Precomputed snapshot signatures (the production posture) give
+    byte-identical survivors to recomputing from base_df."""
+    from dfsql_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    kw = dict(verify_threshold=0.5)
+    a = sorted(r.doc_id for r in incremental_minhash_dedup(new, base, **kw).collect())
+    sigs = minhash_signatures(base)
+    b = sorted(
+        r.doc_id
+        for r in incremental_minhash_dedup(new, base_sigs=sigs, **kw).collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="base_df or base_sigs"):
+        incremental_minhash_dedup(new)

@@ -263,3 +263,29 @@ def test_c4_filters_is_pure_map(spark):
     """t12 must stay a zero-shuffle per-row map."""
     df = em.queries()["t12_c4_filters"](spark, SF)
     assert plan_summary(df).n_exchanges == 0
+
+
+def test_incremental_dedup_band_join_shape(spark):
+    """Incremental (delta-vs-snapshot) LSH pairs: the band join carries
+    the combined corpus, so it must be a shuffle join (no broadcast),
+    and the base-x-base exclusion must sit INSIDE the join condition —
+    visible in the plan as a NOT(_is_base AND _is_base) predicate on
+    the join, not a post-join filter over snapshot-squared pairs."""
+    from pyspark.sql import functions as F
+
+    from dfsql_spark.operators.dedup import (
+        _banded_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    base = minhash_signatures(docs.filter("doc_id % 2 = 0"))
+    new = minhash_signatures(docs.filter("doc_id % 2 = 1"))
+    sigs = new.withColumn("_is_base", F.lit(False)).unionByName(
+        base.withColumn("_is_base", F.lit(True))
+    )
+    df = _banded_lsh_pairs(sigs, 64, 16, 0.5, flag_col="_is_base")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "_is_base" in plan, plan
