@@ -923,3 +923,85 @@ def bm25_topk(
             F.col("_score").alias("score"),
         )
     )
+
+
+def hashed_embeddings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    salt: str = "",
+    lowercase: bool = True,
+    normalize: bool = True,
+) -> DataFrame:
+    """Feature-hashing ("hashing trick") document embeddings: each
+    token adds ±1 to one of ``dim`` buckets, signed and bucketed by
+    md5, optionally L2-normalized.  Weinberger et al. (ICML 2009) —
+    the model-free way to get an ``embedding`` column out of raw text,
+    so the whole similarity stack (:mod:`~dfsql_spark.operators.
+    similarity`: cosine/LSH/IVF/PQ top-k, near-dup, SemDeDup, MMR)
+    composes with the ``documents`` table without an external encoder.
+
+    md5 (not xxhash64) is THE determinism contract, as in
+    :func:`deterministic_split` / :func:`stratified_sample`: both
+    halves live in one digest (bucket = first 8 hex chars mod dim,
+    sign = 9th hex char < '8'), portable to any engine with md5 — a
+    DuckDB oracle reproduces the vectors bit-for-bit.
+
+    Scale shape: explode to (id, bucket, ±1) — 16-byte rows — then
+    ONE map-side-combined groupBy (id, bucket) sums signs, and ONE
+    groupBy id assembles the dense array via ``map_from_entries`` +
+    ``dim`` codegen'd ``element_at`` lookups.  Shuffle volume is
+    ``min(n_tokens, dim)`` rows per doc, never the text.  A roster
+    left-join returns all-zero vectors for token-free docs instead of
+    dropping them.  All JVM expressions — no Python in the path.
+    """
+    tok = F.explode(tokens(text_col)).alias("_tok")
+    base = df.select(F.col(id_col).alias("_id"), tok).filter(
+        F.length("_tok") > 0
+    )
+    if lowercase:
+        base = base.select("_id", F.lower(F.col("_tok")).alias("_tok"))
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col("_tok")))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % dim).cast(
+        "int"
+    )
+    sign = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("int") < 8, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+    sums = (
+        base.select("_id", bucket.alias("_b"), sign.alias("_s"))
+        .groupBy("_id", "_b")
+        .agg(F.sum("_s").alias("_v"))
+    )
+    assembled = sums.groupBy("_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_b"), F.col("_v")))
+        ).alias("_m")
+    )
+    # element_at on the NULL map of a token-free doc yields NULL per
+    # slot, so the coalesce makes the roster left-join produce an
+    # all-zero vector with no special case.
+    vec = F.array(
+        *[
+            F.coalesce(F.element_at(F.col("_m"), F.lit(i)), F.lit(0.0))
+            for i in range(dim)
+        ]
+    )
+    roster = df.select(F.col(id_col).alias("_id"))
+    withvec = roster.join(assembled, "_id", "left").select(
+        "_id", vec.alias("_raw")
+    )
+    if normalize:
+        nrm = F.sqrt(
+            F.aggregate(F.col("_raw"), F.lit(0.0), lambda acc, v: acc + v * v)
+        )
+        withvec = withvec.select(
+            "_id",
+            F.when(nrm > 0, F.transform(F.col("_raw"), lambda v: v / nrm))
+            .otherwise(F.col("_raw"))
+            .alias("_raw"),
+        )
+    return withvec.select(
+        F.col("_id").alias(id_col), F.col("_raw").alias("embedding")
+    )

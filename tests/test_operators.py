@@ -1375,3 +1375,74 @@ def test_incremental_dedup_base_sigs_path_matches(spark):
     assert a == b
     with pytest.raises(ValueError, match="base_df or base_sigs"):
         incremental_minhash_dedup(new)
+
+
+def test_hashed_embeddings_cross_engine_and_unit_norm(spark):
+    """The md5 determinism contract: DuckDB reproduces every nonzero
+    bucket value bit-for-bit (this doubles as the round-7 oracle
+    design), and normalize=True yields unit vectors except for
+    token-free docs (all-zero)."""
+    import duckdb
+
+    from dfsql_spark.operators.text import hashed_embeddings
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    raw = hashed_embeddings(docs, dim=16, normalize=False).collect()
+    spark_triplets = {
+        (r.doc_id, i, round(v, 9))
+        for r in raw
+        for i, v in enumerate(r.embedding)
+        if v != 0.0
+    }
+    duck = duckdb.sql(
+        f"""
+        WITH toks AS (
+            SELECT doc_id, lower(t) AS t FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS t
+                FROM (SELECT * FROM '{SF_DIR}/documents.parquet' LIMIT 50))
+            WHERE length(t) > 0
+        )
+        SELECT doc_id,
+               CAST(CAST(('0x' || substr(md5(':' || t), 1, 8)) AS BIGINT)
+                    % 16 AS INT) AS b,
+               sum(CASE WHEN CAST(('0x' || substr(md5(':' || t), 9, 1))
+                             AS BIGINT) < 8
+                        THEN 1.0 ELSE -1.0 END) AS v
+        FROM toks GROUP BY 1, 2 HAVING sum(CASE WHEN CAST(('0x' ||
+             substr(md5(':' || t), 9, 1)) AS BIGINT) < 8
+             THEN 1.0 ELSE -1.0 END) != 0
+        """
+    ).fetchall()
+    duck_triplets = {(d, b, round(v, 9)) for d, b, v in duck}
+    assert spark_triplets == duck_triplets
+    normed = hashed_embeddings(docs, dim=16).collect()
+    import math
+
+    for r in normed:
+        n = math.sqrt(sum(v * v for v in r.embedding))
+        assert abs(n - 1.0) < 1e-9 or n == 0.0
+
+
+def test_hashed_embeddings_compose_with_ann_and_empty_doc(spark):
+    """Embeddings feed cosine_topk directly (a doc's own vector is its
+    rank-1 neighbor), and a token-free doc gets a zero vector instead
+    of vanishing."""
+    import pandas as pd
+
+    from dfsql_spark.operators.similarity import cosine_topk
+    from dfsql_spark.operators.text import hashed_embeddings
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+    emb = hashed_embeddings(docs, dim=32).withColumnRenamed("doc_id", "vec_id")
+    qs = emb.filter("vec_id < 5").selectExpr("vec_id as query_id", "embedding")
+    top = cosine_topk(emb, qs, k=3).filter("rank = 1").collect()
+    assert all(r.query_id == r.neighbor_id for r in top)
+
+    edge = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["hello world", "   "]})
+    )
+    out = {r.doc_id: r.embedding for r in hashed_embeddings(edge, dim=8).collect()}
+    assert len(out) == 2
+    assert all(v == 0.0 for v in out[2])
+    assert any(v != 0.0 for v in out[1])
