@@ -1676,6 +1676,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # (d03's zero-shuffle signatures) stay in the graded block regardless
 # of rotation age; d02 sits out with only a one-line PPJoin epsilon
 # change (1e-9 slack), pinned by the pytest mirror every run.
+# Round-7 contract candidates (library-complete + pytest-covered this
+# round, deliberately NOT added to queries() so the graded block stays
+# at 50 and every round-6 entry gets its first-round grade):
+# mmr_rerank (s06), incremental_minhash_dedup (d12, property oracle
+# like d03), hashed_embeddings (t17 — the DuckDB bit-for-bit
+# reproduction already exists as a pytest, ready to lift into
+# oracle_sql()).
 _SIT_OUT_THIS_ROUND = (
     # q05-q08 joined the sit-outs when d11/s05/q31/x04 (new, graded
     # first round) were added mid-round: twice-green (r4+r5),
