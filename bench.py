@@ -27,7 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # rebalance (t13), winnowing (t14), PQ ANN (s04), media dedup (m03),
 # dedup survivors (d09, cheap here because it reuses d02's shared
 # shingle persist — the same reuse the driver run gets), line dedup
-# (d11), and BM25 retrieval (s05).  d08 is
+# (d11), and BM25 retrieval (s05).  p01 (the end-to-end curation
+# capstone: C4 filters + repetition + dedup survivors + PII scrub in
+# ONE plan) joins in round 6 so the composed-pipeline cost has a
+# trend, not just its parts.  d08 is
 # deliberately NOT benched: its contract entry spends ~95% of its time
 # computing the all-pairs exact ground truth (the toy-scale grading
 # device), which would bench the harness, not the operator.
@@ -54,6 +57,7 @@ HEADLINE = [
     "t13_mix_rebalance",
     "t14_winnow_fingerprints",
     "m03_media_dedup",
+    "p01_curation_pipeline",
     "e01_windowed_counts",
     "e02_sessionize",
 ]
