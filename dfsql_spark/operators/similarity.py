@@ -761,3 +761,84 @@ def mmr_rerank(
         return out
 
     return with_vec.groupBy(query_id_col).applyInPandas(pick, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# semantic decontamination
+# ---------------------------------------------------------------------------
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "vec_id",
+    keep_all: bool = False,
+) -> DataFrame:
+    """Flag corpus docs whose embedding lies within cosine
+    ``threshold`` of ANY benchmark/eval item — the semantic
+    complement of :func:`~dfsql_spark.operators.dedup.
+    ngram_decontaminate`: paraphrased or re-worded eval leakage moves
+    every 13-gram but barely moves the embedding, so n-gram collision
+    misses exactly what this catches.
+
+    Scale shape: the eval set is small by definition (benchmarks are
+    10^3–10^5 items), so its normalized matrix broadcasts to every
+    executor and each corpus partition computes one BLAS matmul per
+    Arrow batch, emitting (id, max_sim, nearest eval id) — ONE corpus
+    scan, NO shuffle, corpus embeddings never leave their partition.
+    This is the transposed direction from :func:`cosine_topk` (max
+    over the broadcast side per corpus row, not top-k per query), so
+    no window merge is needed at all.
+
+    Default output: contaminated rows only (id, nearest_eval_id,
+    max_sim ≥ threshold) — anti-join these ids to clean the corpus.
+    ``keep_all=True`` returns every corpus row with a ``contaminated``
+    boolean for audit/threshold-tuning sweeps.
+    """
+    epd = eval_df.select(F.col(eval_id_col), F.col(vec_col)).toPandas()
+    eids = epd[eval_id_col].to_numpy()
+    em = np.stack(epd[vec_col].to_numpy()).astype(np.float64)
+    em /= np.maximum(np.linalg.norm(em, axis=1, keepdims=True), 1e-300)
+    # sort eval columns by id ONCE before broadcast: argmax returns
+    # the first maximal index, so ties deterministically resolve to
+    # the lowest eval id regardless of eval_df row order
+    order = np.lexsort((eids,))
+    eids, em = eids[order], em[order]
+    spark = corpus.sparkSession
+    b_e = spark.sparkContext.broadcast((eids, em))
+
+    def score(batches):
+        eids_, em_ = b_e.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+            cm /= np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-300)
+            sims = cm @ em_.T  # (batch, n_eval)
+            j = np.argmax(sims, axis=1)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"],
+                    "nearest_eval_id": eids_[j],
+                    "max_sim": sims[np.arange(len(j)), j],
+                }
+            )
+
+    cid_type = corpus.schema[id_col].dataType.simpleString()
+    eid_type = eval_df.schema[eval_id_col].dataType.simpleString()
+    scored = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).mapInPandas(
+        score,
+        f"_id {cid_type}, nearest_eval_id {eid_type}, max_sim double",
+    )
+    out = scored.select(
+        F.col("_id").alias(id_col), "nearest_eval_id", "max_sim"
+    )
+    if keep_all:
+        return out.withColumn(
+            "contaminated", F.col("max_sim") >= F.lit(float(threshold))
+        )
+    return out.filter(F.col("max_sim") >= F.lit(float(threshold)))

@@ -1005,3 +1005,62 @@ def hashed_embeddings(
     return withvec.select(
         F.col("_id").alias(id_col), F.col("_raw").alias("embedding")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    target_fraction: float | None = None,
+    scale: float | None = None,
+    text_col: str = "text",
+    buckets: int = 1_000_000,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic importance sampling: keep each row with
+    probability ``min(1, weight × scale)``, content-addressed like
+    :func:`stratified_sample` (md5 of the salted text decides, so a
+    row's fate survives re-runs, repartitioning, and dataset
+    versions).  The quality-weighted upsampling step of a data
+    recipe — keep high-:func:`quality_score` docs at full rate and
+    tail docs proportionally — without any RNG state.
+
+    Exactly one of ``scale`` / ``target_fraction``:
+
+    * ``scale`` — use as-is: p_row = clamp(weight × scale, 0, 1).
+    * ``target_fraction`` — derive scale from ONE count/sum
+      aggregate: ``scale = target_fraction × N / Σ weight``.  The
+      realized fraction then equals ``target_fraction`` in
+      expectation PROVIDED no row clips at p=1 (with clipping the
+      realized fraction falls short; callers wanting exactness under
+      clipping should iterate on ``scale`` — documented, not hidden).
+
+    Scale shape: the derivation aggregate reduces to one row
+    (map-side combined), broadcast back as a literal; the keep
+    decision is a pure per-row filter that pipelines into the scan —
+    no shuffle, no sampling state, binomial variance.  Negative
+    weights are rejected up front (one validation pass piggybacks on
+    the same aggregate — no extra scan).
+
+    Output: the surviving subset of ``df``, schema unchanged.
+    """
+    if (scale is None) == (target_fraction is None):
+        raise ValueError("pass exactly one of scale / target_fraction")
+    w = F.col(weight_col).cast("double")
+    if scale is None:
+        if not 0.0 <= target_fraction <= 1.0:
+            raise ValueError(
+                f"target_fraction must be in [0, 1], got {target_fraction}"
+            )
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(w).alias("s"),
+            F.min(w).alias("mn"),
+        ).collect()[0]
+        if agg["mn"] is not None and agg["mn"] < 0:
+            raise ValueError(f"negative weight found: {agg['mn']}")
+        if not agg["s"]:
+            return df.filter(F.lit(False))
+        scale = target_fraction * agg["n"] / agg["s"]
+    bucket = _salted_bucket(text_col, buckets, salt)
+    p = F.least(F.greatest(w * F.lit(float(scale)), F.lit(0.0)), F.lit(1.0))
+    return df.filter(bucket < p * buckets)

@@ -1446,3 +1446,125 @@ def test_hashed_embeddings_compose_with_ann_and_empty_doc(spark):
     assert len(out) == 2
     assert all(v == 0.0 for v in out[2])
     assert any(v != 0.0 for v in out[1])
+
+
+def test_semantic_decontaminate_flags_and_keep_all(spark):
+    """Corpus rows near an eval vector (cosine >= threshold) are
+    flagged with the right nearest id; keep_all returns every row
+    with the boolean; a DuckDB-style brute-force check on the same
+    data agrees exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from dfsql_spark.operators.similarity import semantic_decontaminate
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 8)
+    # corpus rows 0/1 are near-copies of eval items 100/101
+    corpus_m = base.copy()
+    eval_m = np.vstack([base[0] + 0.01 * rng.randn(8),
+                        base[1] + 0.01 * rng.randn(8),
+                        rng.randn(8)])
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(20), "embedding": list(map(list, corpus_m))})
+    )
+    ev = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [100, 101, 102], "embedding": list(map(list, eval_m))})
+    )
+    hits = {r.vec_id: r for r in semantic_decontaminate(corpus, ev, 0.99).collect()}
+    assert set(hits) == {0, 1}
+    assert hits[0].nearest_eval_id == 100 and hits[1].nearest_eval_id == 101
+
+    allrows = semantic_decontaminate(corpus, ev, 0.99, keep_all=True).collect()
+    assert len(allrows) == 20
+    assert sum(r.contaminated for r in allrows) == 2
+
+    # brute-force agreement on max_sim/nearest for every row
+    cn = corpus_m / np.linalg.norm(corpus_m, axis=1, keepdims=True)
+    en = eval_m / np.linalg.norm(eval_m, axis=1, keepdims=True)
+    sims = cn @ en.T
+    for r in allrows:
+        i = r.vec_id
+        assert abs(r.max_sim - sims[i].max()) < 1e-12
+        assert r.nearest_eval_id == 100 + int(np.argmax(sims[i]))
+
+
+def test_semantic_decontaminate_is_map_only(spark):
+    """One corpus scan, zero exchanges: the eval matrix broadcasts via
+    the SparkContext, so the plan must contain no shuffle at all."""
+    from dfsql_spark.operators.similarity import semantic_decontaminate
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ev = emb.filter("vec_id < 5")
+    df = semantic_decontaminate(emb, ev, 0.95)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_weighted_sample_determinism_and_monotonicity(spark):
+    """Same scale -> identical survivor set across runs; a row kept at
+    weight w is kept at any w' > w (keep decisions are monotone in
+    weight, content-addressed in text); weight 0 rows never survive."""
+    from dfsql_spark.operators.text import weighted_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "wt", (F.col("doc_id") % 10).cast("double")
+    )
+    a = sorted(r.doc_id for r in weighted_sample(docs, "wt", scale=0.08).collect())
+    b = sorted(r.doc_id for r in weighted_sample(docs, "wt", scale=0.08).collect())
+    assert a == b and a
+    bigger = set(
+        r.doc_id for r in weighted_sample(docs, "wt", scale=0.2).collect()
+    )
+    assert set(a) <= bigger
+    zeros = docs.filter("doc_id % 10 = 0")
+    assert weighted_sample(zeros, "wt", scale=0.5).count() == 0
+
+
+def test_weighted_sample_target_fraction_and_validation(spark):
+    """target_fraction derives the scale from one aggregate and lands
+    near the requested fraction (binomial variance; no clipping with
+    uniform weights); bad arguments raise."""
+    import pandas as pd
+
+    from dfsql_spark.operators.text import weighted_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "wt", F.lit(1.0)
+    )
+    n = docs.count()
+    kept = weighted_sample(docs, "wt", target_fraction=0.3).count()
+    assert abs(kept / n - 0.3) < 0.08
+
+    with pytest.raises(ValueError, match="exactly one"):
+        weighted_sample(docs, "wt")
+    with pytest.raises(ValueError, match="exactly one"):
+        weighted_sample(docs, "wt", scale=1.0, target_fraction=0.5)
+    with pytest.raises(ValueError, match="target_fraction"):
+        weighted_sample(docs, "wt", target_fraction=1.5)
+    neg = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["x"], "wt": [-1.0]})
+    )
+    with pytest.raises(ValueError, match="negative weight"):
+        weighted_sample(neg, "wt", target_fraction=0.5)
+    empty_w = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["x"], "wt": [0.0]})
+    )
+    assert weighted_sample(empty_w, "wt", target_fraction=0.5).count() == 0
+
+
+def test_weighted_sample_is_map_only_filter(spark):
+    """With an explicit scale the plan is a pure filter over the scan —
+    no exchange, no aggregate job."""
+    from dfsql_spark.operators.text import weighted_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "wt", F.lit(0.5)
+    )
+    plan = (
+        weighted_sample(docs, "wt", scale=0.4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
