@@ -1682,7 +1682,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # mmr_rerank (s06), incremental_minhash_dedup (d12, property oracle
 # like d03), hashed_embeddings (t17 — the DuckDB bit-for-bit
 # reproduction already exists as a pytest, ready to lift into
-# oracle_sql()).
+# oracle_sql()), semantic_decontaminate (d13, exact oracle via
+# cross-join max at sf0.01), weighted_sample (t18, exact md5 oracle
+# like t10).
 _SIT_OUT_THIS_ROUND = (
     # q05-q08 joined the sit-outs when d11/s05/q31/x04 (new, graded
     # first round) were added mid-round: twice-green (r4+r5),
