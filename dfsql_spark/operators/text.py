@@ -974,36 +974,38 @@ def hashed_embeddings(
         .groupBy("_id", "_b")
         .agg(F.sum("_s").alias("_v"))
     )
+    # the L2 norm rides the SAME aggregate as the map assembly (Σ v²
+    # over the nonzero buckets — zero slots contribute nothing), so
+    # normalization costs no extra pass and no interpreted
+    # aggregate/transform lambda over the dense array (higher-order
+    # functions evaluate outside whole-stage codegen — the repo-wide
+    # rule; see fingerprint()).
     assembled = sums.groupBy("_id").agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("_b"), F.col("_v")))
-        ).alias("_m")
+        ).alias("_m"),
+        F.sqrt(F.sum(F.col("_v") * F.col("_v"))).alias("_n"),
     )
     # element_at on the NULL map of a token-free doc yields NULL per
     # slot, so the coalesce makes the roster left-join produce an
     # all-zero vector with no special case.
+    denom = (
+        F.when(F.col("_n") > 0, F.col("_n")).otherwise(F.lit(1.0))
+        if normalize
+        else F.lit(1.0)
+    )
     vec = F.array(
         *[
-            F.coalesce(F.element_at(F.col("_m"), F.lit(i)), F.lit(0.0))
+            F.coalesce(
+                F.element_at(F.col("_m"), F.lit(i)) / denom, F.lit(0.0)
+            )
             for i in range(dim)
         ]
     )
     roster = df.select(F.col(id_col).alias("_id"))
-    withvec = roster.join(assembled, "_id", "left").select(
-        "_id", vec.alias("_raw")
-    )
-    if normalize:
-        nrm = F.sqrt(
-            F.aggregate(F.col("_raw"), F.lit(0.0), lambda acc, v: acc + v * v)
-        )
-        withvec = withvec.select(
-            "_id",
-            F.when(nrm > 0, F.transform(F.col("_raw"), lambda v: v / nrm))
-            .otherwise(F.col("_raw"))
-            .alias("_raw"),
-        )
-    return withvec.select(
-        F.col("_id").alias(id_col), F.col("_raw").alias("embedding")
+    return (
+        roster.join(assembled, "_id", "left")
+        .select(F.col("_id").alias(id_col), vec.alias("embedding"))
     )
 
 
@@ -1039,7 +1041,9 @@ def weighted_sample(
     decision is a pure per-row filter that pipelines into the scan —
     no shuffle, no sampling state, binomial variance.  Negative
     weights are rejected up front (one validation pass piggybacks on
-    the same aggregate — no extra scan).
+    the same aggregate — no extra scan).  NULL weights behave as
+    SQL filters do: the comparison is NULL, so the row is dropped
+    (same as weight 0).
 
     Output: the surviving subset of ``df``, schema unchanged.
     """

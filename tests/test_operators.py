@@ -1551,6 +1551,13 @@ def test_weighted_sample_target_fraction_and_validation(spark):
         pd.DataFrame({"doc_id": [1], "text": ["x"], "wt": [0.0]})
     )
     assert weighted_sample(empty_w, "wt", target_fraction=0.5).count() == 0
+    null_w = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["x", "y"], "wt": [None, 1.0]})
+    )
+    # NULL weight behaves as SQL filters do: dropped, like weight 0
+    assert [
+        r.doc_id for r in weighted_sample(null_w, "wt", scale=1.0).collect()
+    ] == [2]
 
 
 def test_weighted_sample_is_map_only_filter(spark):
