@@ -1575,3 +1575,77 @@ def test_weighted_sample_is_map_only_filter(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+class TestLineDedupProperties:
+    """Hypothesis invariants for the (round-6-rewritten) single-groupBy
+    remove_duplicate_lines: for ANY corpus built from a small line
+    alphabet (forcing collisions),
+
+    1. every distinct subject line survives exactly once corpus-wide,
+    2. every exempt (short) line occurrence survives,
+    3. each output doc's lines are a subsequence of its input lines,
+    4. the survivor of each subject line is its globally first
+       (doc_id, pos) occurrence.
+
+    One Spark job per example — keep max_examples small.
+    """
+
+    @staticmethod
+    def _check(spark, corpora):
+        import pandas as pd
+
+        from dfsql_spark.operators.dedup import remove_duplicate_lines
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": range(len(corpora)),
+                    "text": ["\n".join(ls) for ls in corpora],
+                }
+            )
+        )
+        out = {
+            r.doc_id: r
+            for r in remove_duplicate_lines(docs, min_line_chars=2).collect()
+        }
+        # expected: first-occurrence-wins replay in plain Python.
+        # A text field cannot represent "zero lines": '' round-trips
+        # through split as ONE empty (exempt) line, so normalize the
+        # model the same way.
+        seen: set[str] = set()
+        for did, lines in enumerate(corpora):
+            lines = lines or [""]
+            kept = []
+            for line in lines:
+                if len(line) < 2:
+                    kept.append(line)
+                elif line not in seen:
+                    seen.add(line)
+                    kept.append(line)
+            r = out[did]
+            assert r.text == "\n".join(kept), (did, corpora)
+            assert r.n_lines == len(lines)
+            assert r.n_kept == len(kept)
+
+    def test_property(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        alphabet = ["aa", "bb", "cc dd", "x", "", "long repeated banner"]
+        corpus = st.lists(
+            st.lists(st.sampled_from(alphabet), min_size=0, max_size=6),
+            min_size=1,
+            max_size=5,
+        )
+
+        @settings(
+            max_examples=12,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(corpus)
+        def inner(corpora):
+            self._check(spark, corpora)
+
+        inner()
