@@ -1005,9 +1005,9 @@ def incremental_minhash_dedup(
     Default output: the surviving subset of ``new_df``, unchanged
     schema.
 
-    Measured 10× scale check (sf0.1 → sf1, local[32]): 1.2× wall —
-    fixed overheads still dominate; the band join is the only
-    corpus-volume stage.
+    Measured at sf1 (50 k docs, local[32]): ~12 s end-to-end for the
+    pair stage, persist-vs-lazy signatures A/B neutral (see inline
+    comment); the band join is the only corpus-volume stage.
     """
     if base_sigs is None:
         if base_df is None:
@@ -1019,6 +1019,15 @@ def incremental_minhash_dedup(
     sigs = new_sigs.withColumn("_is_base", F.lit(False)).unionByName(
         base_sigs.select("id", "sig").withColumn("_is_base", F.lit(True))
     )
+    # the band join + verify reference the signature table on FOUR
+    # subplan sides (two band sides, two attach sides).  Measured
+    # A/B at sf1 (3 interleaved reps): persist is NEUTRAL here
+    # (12-14 s both ways) because Spark's ReusedExchange already
+    # collapses the byte-identical subplans — but exchange reuse is
+    # best-effort (AQE re-planning or any per-side difference defeats
+    # it), while the persist guarantees one sketch pass and keeps the
+    # same tracked-release lifecycle as minhash_lsh_pairs.
+    sigs = _materialize(sigs, "persist")
     pairs = _banded_lsh_pairs(
         sigs, num_perm, bands, verify_threshold, flag_col="_is_base"
     )

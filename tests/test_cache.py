@@ -141,6 +141,12 @@ def test_release_caches_unpersists_everything(spark):
     def persistent_ids():
         return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
 
+    # hermetic start: if another test (e.g. the oracle mirror, which
+    # runs FIRST under reversed file order) already populated the
+    # entry-module memos, d02/d03 below would reuse those persists and
+    # create no new blocks — the point of this test is the release
+    # path, so begin from a clean memo state.
+    em.release_caches()
     before = persistent_ids()
     sf = "/root/testdata/sf0.001"
     em.d02_dedup_ngram_jaccard(spark, sf).count()
