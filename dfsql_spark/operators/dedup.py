@@ -918,22 +918,23 @@ def connected_components(
             .groupBy(F.col("src").alias("nd"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = _truncate(
+        # Carry the pre-round label through the candidate pass so
+        # convergence is a filter over the just-materialized round
+        # output — the alternative (joining new labels back to old
+        # labels) costs an extra shuffle join per round for the same
+        # information.
+        cand = _truncate(
             labels.join(neighbor_min, labels.node == neighbor_min.nd, "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = cand.filter(F.col("label") != F.col("old_label")).count()
+        labels = cand.select("node", "label")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("id"), F.col("label").alias("component"))
