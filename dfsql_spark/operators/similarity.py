@@ -485,10 +485,14 @@ def _kmeans_np(X: np.ndarray, k: int, seed: int, iters: int = 20) -> np.ndarray:
     for _ in range(iters):
         d2 = xx - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
         assign = d2.argmin(axis=1)
-        for j in range(k):
-            pts = X[assign == j]
-            if len(pts):
-                C[j] = pts.mean(axis=0)
+        # vectorized centroid update: one scatter-add + bincount beats a
+        # k-wide Python mask loop (the loop dominated training time at
+        # n_codes=128: 128 masks x iters x subspaces of pure overhead)
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, X)
+        counts = np.bincount(assign, minlength=k)
+        nonempty = counts > 0
+        C[nonempty] = sums[nonempty] / counts[nonempty, None]
     return C
 
 
@@ -588,18 +592,17 @@ def pq_topk(
     def encode(vecs: pd.Series) -> pd.Series:
         cb = b_cb.value
         mm, _, sb = cb.shape
-        out = []
-        for v in vecs:
-            x = np.asarray(v, dtype=np.float64)
-            x /= np.linalg.norm(x)
-            code = [
-                int(
-                    (((cb[j] - x[j * sb : (j + 1) * sb]) ** 2).sum(axis=1)).argmin()
-                )
-                for j in range(mm)
-            ]
-            out.append(code)
-        return pd.Series(out)
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        Xs = X.reshape(len(X), mm, sb)
+        # argmin_c ||x_j - c||^2 = argmin_c (||c||^2 - 2 x_j . c):
+        # one einsum for all rows x subspaces instead of a per-row loop
+        dots = np.einsum("nms,mcs->nmc", Xs, cb)
+        c_norm2 = (cb * cb).sum(axis=2)  # (m, c)
+        code_mat = (c_norm2[None, :, :] - 2.0 * dots).argmin(axis=2)
+        return pd.Series(code_mat.astype(np.int32).tolist())
 
     codes = corpus.select(
         F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("code")

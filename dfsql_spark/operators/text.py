@@ -1071,3 +1071,118 @@ def weighted_sample(
     bucket = _salted_bucket(text_col, buckets, salt)
     p = F.least(F.greatest(w * F.lit(float(scale)), F.lit(0.0)), F.lit(1.0))
     return df.filter(bucket < p * buckets)
+
+
+def _lower_tokens(text_col: str) -> Column:
+    """Lowercased whitespace tokens — the :func:`lm_score` tokenizer.
+    ``split(trim(lower(text)), '\\s+')`` yields no empty tokens except
+    the single ``['']`` of an all-whitespace document (which produces
+    no bigrams), so no filter pass is needed; the DuckDB mirror
+    (``regexp_split_to_array(trim(lower(text)), '\\s+')``) has the
+    identical edge behavior."""
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def lm_score(
+    df: DataFrame,
+    train_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Bigram-LM fluency scoring with Stupid Backoff (Brants et al.,
+    EMNLP 2007) — the CCNet / KenLM-style quality signal: train token
+    statistics on a curated reference slice (``train_df``), score every
+    document by its average per-bigram log-probability under that
+    model.  Low scores flag boilerplate, gibberish, and
+    out-of-distribution text; the score feeds :func:`weighted_sample`
+    or a threshold filter.
+
+    Semantics (deterministic, engine-portable — a DuckDB oracle
+    reproduces it): tokens are lowercased whitespace tokens; for each
+    adjacent pair ``(w1, w2)`` in a document::
+
+        P(w2|w1) = count(w1 w2) / count(w1)        if the bigram was seen
+                 = alpha * count(w2) / N           else (count(w2)=1 if OOV)
+
+    and the score is ``round(avg(log10 P), round_to)`` over the doc's
+    bigrams (rounded so the float survives cross-engine hashing).
+    Stupid Backoff's unnormalized form is exactly why it's the
+    web-scale choice: pure count ratios, no discounting state, models
+    merge by adding counts.
+
+    Scale shape: the model is TRAIN-corpus-sized (a curated slice —
+    Wikipedia-sized, not crawl-sized, by construction), so the unigram
+    and bigram tables broadcast; the corpus-sized exploded bigram
+    stream then never shuffles — three broadcast-hash lookups ride the
+    scan, and the per-doc aggregate is map-side combined down to one
+    row per document before the only shuffle (explode keeps a doc's
+    bigrams inside one partition).  Train-side cost is two aggregates
+    over the slice.  Bigrams are built with ``slice``+``arrays_zip``
+    (codegen'd array ops), not a per-token window or self-join.
+
+    Output: ``(id_col, n_bigrams, avg_logp)``; docs with < 2 tokens
+    keep ``n_bigrams = 0`` and NULL ``avg_logp`` via the roster join
+    (dropping them would make the filter step lose track of them).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    toks = _lower_tokens(text_col)
+    n = F.size(toks)
+    bigrams = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("w1"), F.slice(toks, 2, n - 1).alias("w2")
+    )
+
+    uni = (
+        train_df.select(F.explode(toks).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    total = uni.agg(F.sum("cu").alias("n_total"))
+    bi = (
+        train_df.select(F.explode(bigrams).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+
+    ex = df.select(F.col(id_col).alias("_id"), F.explode(bigrams).alias("p")).select(
+        "_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    logp = F.when(
+        F.col("cb").isNotNull(),
+        F.log10(F.col("cb").cast("double") / F.col("cu1")),
+    ).otherwise(
+        F.log10(
+            F.lit(alpha)
+            * F.coalesce(F.col("cu2"), F.lit(1)).cast("double")
+            / F.col("n_total")
+        )
+    )
+    scored = (
+        ex.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("cu").alias("cu1"))),
+            ["w1"],
+            "left",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2"))),
+            ["w2"],
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), round_to).alias("avg_logp"),
+        )
+    )
+    roster = df.select(F.col(id_col).alias("_id"))
+    return roster.join(scored, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.col("avg_logp"),
+    )

@@ -1649,3 +1649,122 @@ class TestLineDedupProperties:
             self._check(spark, corpora)
 
         inner()
+
+
+def test_lm_score_matches_duckdb_mirror(spark):
+    """Stupid-backoff bigram LM scoring: DuckDB reproduces every
+    (n_bigrams, avg_logp) pair exactly (this doubles as the round-7
+    oracle design — DuckDB's log() IS log10, and both engines round
+    to 6 dp before comparison)."""
+    import duckdb
+
+    from dfsql_spark.operators.text import lm_score
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    train = docs.filter("source IN ('src0', 'src1')")
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_logp)
+        for r in lm_score(docs, train).collect()
+    }
+    want = {
+        d: (n, lp)
+        for d, n, lp in duckdb.sql(
+            f"""
+        WITH d AS (
+          SELECT doc_id, source,
+                 regexp_split_to_array(trim(lower(text)), '\\s+') AS l
+          FROM '{SF_DIR}/documents.parquet'
+        ),
+        uni AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM (
+            SELECT unnest(l) AS w FROM d WHERE source IN ('src0', 'src1')
+          ) WHERE w <> '' GROUP BY w
+        ),
+        tot AS (SELECT SUM(cu) AS n_total FROM uni),
+        bi AS (
+          SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM (
+            SELECT l[i] AS w1, l[i+1] AS w2
+            FROM d, UNNEST(generate_series(1, len(l)-1)) AS t(i)
+            WHERE source IN ('src0', 'src1')
+          ) GROUP BY w1, w2
+        ),
+        ex AS (
+          SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+          FROM d, UNNEST(generate_series(1, len(l)-1)) AS t(i)
+        ),
+        scored AS (
+          SELECT e.doc_id,
+                 CASE WHEN bi.cb IS NOT NULL
+                      THEN log(CAST(bi.cb AS DOUBLE) / u1.cu)
+                      ELSE log(0.4 * CAST(COALESCE(u2.cu, 1) AS DOUBLE)
+                               / tot.n_total) END AS logp
+          FROM ex e
+          LEFT JOIN bi ON e.w1 = bi.w1 AND e.w2 = bi.w2
+          LEFT JOIN uni u1 ON e.w1 = u1.w
+          LEFT JOIN uni u2 ON e.w2 = u2.w
+          CROSS JOIN tot
+        ),
+        agg AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                 ROUND(AVG(logp), 6) AS avg_logp
+          FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id, COALESCE(a.n_bigrams, 0), a.avg_logp
+        FROM (SELECT DISTINCT doc_id FROM d) d LEFT JOIN agg a USING (doc_id)
+        """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_lm_score_backoff_semantics(spark):
+    """Hand-checked probabilities on a 4-token model: seen bigram =
+    count ratio, unseen bigram backs off to alpha * unigram, OOV
+    backs off to alpha * 1/N; short and whitespace-only docs keep a
+    row with n_bigrams=0 and NULL score."""
+    import math
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from dfsql_spark.operators.text import lm_score
+
+    train = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["a b a c"]})
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": ["a b", "b c", "z z", "a", "   "],
+            }
+        )
+    )
+    out = {r.doc_id: r for r in lm_score(docs, train).collect()}
+    # uni: a=2 b=1 c=1, N=4; bigrams: (a,b)=1 (b,a)=1 (a,c)=1
+    assert out[1].n_bigrams == 1
+    assert out[1].avg_logp == round(math.log10(1 / 2), 6)  # cb=1 / cu(a)=2
+    assert out[2].avg_logp == round(math.log10(0.4 * 1 / 4), 6)  # unseen bigram
+    assert out[3].avg_logp == round(math.log10(0.4 * 1 / 4), 6)  # OOV token
+    assert out[4].n_bigrams == 0 and out[4].avg_logp is None
+    assert out[5].n_bigrams == 0 and out[5].avg_logp is None
+    with _pytest.raises(ValueError, match="alpha"):
+        lm_score(docs, train, alpha=0.0)
+
+
+def test_lm_score_plan_is_broadcast_only(spark):
+    """The corpus-sized exploded bigram stream must never shuffle into
+    a sort-merge join: the model is train-slice-sized by construction
+    and broadcasts; the only shuffle is the per-doc aggregate."""
+    from dfsql_spark.operators.text import lm_score
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    train = docs.filter("source IN ('src0', 'src1')")
+    plan = (
+        lm_score(docs, train)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
