@@ -1685,7 +1685,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle_sql()), semantic_decontaminate (d13, exact oracle via
 # cross-join max at sf0.01), weighted_sample (t18, exact md5 oracle
 # like t10), lm_score (t19, stupid-backoff bigram LM scoring — the
-# exact DuckDB mirror already exists as a pytest, ready to lift).
+# exact DuckDB mirror already exists as a pytest, ready to lift),
+# dedup_keep_best (d14, quality-aware survivor selection — recursive
+# CTE closure + per-cluster argmax oracle, mirror exists as a pytest).
 _SIT_OUT_THIS_ROUND = (
     # q05-q08 joined the sit-outs when d11/s05/q31/x04 (new, graded
     # first round) were added mid-round: twice-green (r4+r5),

@@ -957,6 +957,46 @@ def dedup_by_components(
     return df.join(losers, df[id_col] == losers.id, "left_anti")
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    **cc_kwargs,
+) -> DataFrame:
+    """Keep the HIGHEST-``score_col`` row per duplicate cluster (ties
+    broken by min id) — the survivor policy a curation pipeline
+    actually wants: near-dup copies differ (truncation, boilerplate,
+    OCR noise), so keep the best copy, not the arbitrary min-id one.
+    Compose with :func:`~dfsql_spark.operators.text.quality_score` /
+    ``lm_score`` for the score.
+
+    Scale shape: cluster labels exist only for docs that appear in
+    ``pairs`` (dup-cluster members — a small fraction of any corpus
+    worth keeping), so the winner window runs over the cluster-member
+    subset alone, never the corpus: the corpus-sized operations are
+    the inner join attaching scores to members and the final
+    loser anti-join (both with the small side as build side).  A
+    corpus-wide ``Window.partitionBy(component)`` — every non-dup doc
+    a singleton partition — would shuffle everything instead.
+    """
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, **cc_kwargs)
+    members = df.select(
+        F.col(id_col).alias("id"), F.col(score_col).alias("_score")
+    ).join(comp, "id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("_score").desc(), F.col("id").asc()
+    )
+    losers = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select("id")
+    )
+    return df.join(losers, df[id_col] == losers.id, "left_anti")
+
+
 def incremental_minhash_dedup(
     new_df: DataFrame,
     base_df: DataFrame | None = None,

@@ -1768,3 +1768,90 @@ def test_lm_score_plan_is_broadcast_only(spark):
     )
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_keep_best_prefers_score_over_min_id(spark):
+    """Chain a~b~c keeps the highest-scoring member (not min id); ties
+    break to min id; docs outside any pair always survive; and the
+    survivor count matches dedup_by_components (same clusters, same
+    one-per-cluster contract)."""
+    import pandas as pd
+
+    from dfsql_spark.operators.dedup import dedup_by_components, dedup_keep_best
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 10, 11, 20, 30, 31],
+                "score": [0.1, 0.9, 0.5, 0.7, 0.7, 0.3, 0.2, 0.8],
+            }
+        )
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id_a": [1, 2, 10, 30],
+                "id_b": [2, 3, 11, 31],
+            }
+        )
+    )
+    kept = sorted(
+        r.doc_id for r in dedup_keep_best(docs, pairs, "score").collect()
+    )
+    # cluster {1,2,3}: best score 0.9 -> 2; {10,11}: tie 0.7 -> min id 10;
+    # {30,31}: best 0.8 -> 31; 20 untouched
+    assert kept == [2, 10, 20, 31]
+    n_minid = dedup_by_components(docs, pairs).count()
+    assert len(kept) == n_minid
+
+
+def test_dedup_keep_best_matches_duckdb_closure(spark):
+    """On the real corpus pair graph: DuckDB independently recomputes
+    the transitive closure (recursive CTE) and the per-cluster argmax
+    over the SAME pair/score inputs; survivor sets must match exactly.
+    This doubles as the round-7 oracle design (the contract query
+    would inline the d02 pair SQL and t02 score SQL here)."""
+    import duckdb
+
+    from dfsql_spark.operators.dedup import dedup_keep_best, ngram_jaccard_pairs
+    from dfsql_spark.operators.text import quality_score
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, k=5, threshold=0.6)
+    scored = docs.join(
+        quality_score(docs).selectExpr("doc_id", "quality AS score"), "doc_id"
+    )
+    got = sorted(
+        r.doc_id
+        for r in dedup_keep_best(scored, pairs, "score").select("doc_id").collect()
+    )
+
+    pairs_pd = pairs.select("id_a", "id_b").toPandas()  # noqa: F841
+    scores_pd = scored.select("doc_id", "score").toPandas()  # noqa: F841
+    want = sorted(
+        r[0]
+        for r in duckdb.sql(
+            """
+        WITH RECURSIVE edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs_pd
+            UNION SELECT id_b, id_a FROM pairs_pd
+        ),
+        reach AS (
+            SELECT src AS node, src AS lbl FROM edges
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+        ),
+        comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+        losers AS (
+            SELECT c.node
+            FROM comp c JOIN scores_pd q ON q.doc_id = c.node
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY c.component
+                ORDER BY q.score DESC, c.node ASC) > 1
+        )
+        SELECT doc_id FROM scores_pd
+        WHERE doc_id NOT IN (SELECT node FROM losers)
+        """
+        ).fetchall()
+    )
+    assert got == want
