@@ -4,6 +4,7 @@ analysis, temporal joins, skew mitigation, multimodal plumbing
 
 from . import (  # noqa: F401
     checks,
+    classify,
     dedup,
     joins,
     multimodal,

