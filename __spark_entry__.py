@@ -1687,7 +1687,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # like t10), lm_score (t19, stupid-backoff bigram LM scoring — the
 # exact DuckDB mirror already exists as a pytest, ready to lift),
 # dedup_keep_best (d14, quality-aware survivor selection — recursive
-# CTE closure + per-cluster argmax oracle, mirror exists as a pytest).
+# CTE closure + per-cluster argmax oracle, mirror exists as a pytest),
+# ngram_overlap_fraction (d15, per-doc contamination severity — exact
+# DuckDB mirror exists as a pytest).
 _SIT_OUT_THIS_ROUND = (
     # q05-q08 joined the sit-outs when d11/s05/q31/x04 (new, graded
     # first round) were added mid-round: twice-green (r4+r5),

@@ -1197,6 +1197,62 @@ def ngram_decontaminate(
     )
 
 
+def ngram_overlap_fraction(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Per-document contamination SEVERITY: the fraction of a corpus
+    doc's distinct ``n``-grams that appear anywhere in the eval set.
+    :func:`ngram_decontaminate` answers "which docs collide";
+    pipelines then drop or keep by HOW MUCH they collide (a quoted
+    benchmark question inside a long article is not the benchmark
+    itself) — this emits that decision variable.
+
+    Shape at scale: per-doc gram dedup happens inside the row
+    (``array_distinct`` before the explode — no shuffle); the eval
+    gram set is one benchmark-sized distinct; the membership test is
+    a single left join against it (broadcast-eligible, deliberately
+    un-hinted like :func:`ngram_decontaminate`) feeding ONE map-side-
+    combined per-doc aggregate — a doc's exploded grams stay in one
+    partition, so the shuffle carries one row per doc.  The fraction
+    is int/int (bit-exact cross-engine, no rounding).  Docs with
+    < ``n`` tokens keep a row with ``n_grams = 0`` and NULL fraction
+    via the roster join.  ``hash_grams=True`` is the same 8-byte
+    shuffle-key path as :func:`ngram_decontaminate`.
+    """
+    cg = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(_word_ngrams_expr(text_col, n))).alias("g"),
+    )
+    eg = eval_df.select(
+        F.explode(_word_ngrams_expr(text_col, n)).alias("g")
+    ).distinct()
+    if hash_grams:
+        cg = cg.select("doc_id", F.xxhash64("g").alias("g"))
+        eg = eg.select(F.xxhash64("g").alias("g")).distinct()
+    agg = (
+        cg.join(eg.withColumn("_hit", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    roster = corpus.select(F.col(id_col).alias("doc_id"))
+    return roster.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        F.when(
+            F.col("n_grams") > 0, F.col("n_hit") / F.col("n_grams")
+        ).alias("overlap_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # winnowing overlap (partial-overlap / containment candidates)
 # ---------------------------------------------------------------------------

@@ -1914,3 +1914,63 @@ def test_classifier_score_fixed_weights_exact_and_no_python(spark):
 
     with _pytest.raises(ValueError, match="weights"):
         classifier_score(docs, [], 0.0)
+
+
+def test_ngram_overlap_fraction_matches_duckdb(spark):
+    """Contamination severity: DuckDB recomputes every per-doc
+    (n_grams, n_hit, overlap_frac) triple from the same gram
+    definition (round-7 oracle design, d15); hash_grams must not
+    change the output; short docs keep a NULL-fraction row."""
+    import duckdb
+
+    from dfsql_spark.operators.dedup import ngram_overlap_fraction
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.filter("source <> 'src0'")
+    eval_set = docs.filter("source = 'src0'")
+    got = {
+        r.doc_id: (r.n_grams, r.n_hit, r.overlap_frac)
+        for r in ngram_overlap_fraction(corpus, eval_set, n=13).collect()
+    }
+    hashed = {
+        r.doc_id: (r.n_grams, r.n_hit, r.overlap_frac)
+        for r in ngram_overlap_fraction(
+            corpus, eval_set, n=13, hash_grams=True
+        ).collect()
+    }
+    assert got == hashed
+    want = {
+        d: (n, h, f)
+        for d, n, h, f in duckdb.sql(
+            f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   string_split_regex(trim(text), '\\s+') AS t
+            FROM '{SF_DIR}/documents.parquet'
+        ), grams AS (
+            SELECT DISTINCT doc_id, source,
+                   array_to_string(t[u.i : u.i + 12], ' ') AS g
+            FROM toks, unnest(range(1, len(t) - 11)) u(i)
+            WHERE len(t) >= 13
+        ), eg AS (
+            SELECT DISTINCT g FROM grams WHERE source = 'src0'
+        ), agg AS (
+            SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hit
+            FROM (SELECT * FROM grams WHERE source <> 'src0') c
+            LEFT JOIN eg e ON c.g = e.g
+            GROUP BY c.doc_id
+        )
+        SELECT t.doc_id, COALESCE(a.n_grams, 0), COALESCE(a.n_hit, 0),
+               CASE WHEN a.n_grams > 0
+                    THEN a.n_hit / a.n_grams END AS overlap_frac
+        FROM (SELECT DISTINCT doc_id FROM toks WHERE source <> 'src0') t
+        LEFT JOIN agg a USING (doc_id)
+        """
+        ).fetchall()
+    }
+    assert got == want
+    # the planted cross-source near-dups give real signal at both ends
+    fracs = [f for _, _, f in got.values() if f is not None]
+    assert any(f > 0 for f in fracs) and any(f == 0 for f in fracs)
