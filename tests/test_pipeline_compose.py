@@ -72,3 +72,48 @@ def test_filter_dedup_split_pack_composes_lazily(spark, docs):
         assert packed.select("doc_id").distinct().count() == len(rows)
     finally:
         release_persists()
+
+
+def test_chunk_embed_retrieve_rerank_composes(spark, docs):
+    """The retrieval-indexing capstone: chunk long docs → hashed
+    embeddings per chunk → cosine shortlist → MMR-diversified top-k,
+    all as one lazy DAG.  Pins the column contracts between the four
+    stages, provenance back to (doc_id, chunk_idx), and that MMR
+    returns each query's own chunk first with diversified follow-ups.
+    """
+    from dfsql_spark.operators.similarity import cosine_topk, mmr_rerank
+    from dfsql_spark.operators.text import chunk_documents, hashed_embeddings
+
+    # 1. chunk with provenance; synthetic docs are short, so a small
+    #    budget still yields multi-chunk docs
+    chunks = chunk_documents(docs, max_chars=200, overlap=50).withColumn(
+        "chunk_id", F.col("doc_id") * 1000 + F.col("chunk_idx")
+    )
+
+    # 2. model-free embeddings over the chunk text
+    emb = hashed_embeddings(
+        chunks, text_col="chunk", id_col="chunk_id", dim=32
+    ).withColumnRenamed("chunk_id", "vec_id")
+
+    # 3. shortlist then 4. diversify
+    qs = emb.filter("vec_id % 1000 == 0").limit(5).selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    shortlist = cosine_topk(emb, qs, k=12)
+    final = mmr_rerank(shortlist, emb, k=5, lam=0.7)
+
+    rows = final.collect()  # the single action
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        assert len(rs) == 5
+        ranked = sorted(rs, key=lambda r: r.mmr_rank)
+        # self-retrieval: the query IS a corpus chunk, so rank 1 = itself
+        assert ranked[0].neighbor_id == qid
+        assert len({r.neighbor_id for r in rs}) == 5
+    # provenance survives: every retrieved chunk joins back to its doc
+    hits = final.selectExpr("neighbor_id AS chunk_id").distinct()
+    back = hits.join(chunks, "chunk_id").select("doc_id", "chunk_idx")
+    assert back.count() == hits.count()
