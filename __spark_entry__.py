@@ -1656,7 +1656,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Every oracle-backed query should carry a recent driver CORRECTNESS
 # row, but the driver grades at most ~50 entries per round and there
-# are more oracle-backed queries than slots (72 as of round 6) — a
+# are more oracle-backed queries than slots (87 as of round 6) — a
 # limitation worth fixing driver-side (see README "Driver contract").
 # Until then the overflow is managed by ROTATION, not by arranging
 # favourites: the entries listed here sit at the END of the
