@@ -1157,6 +1157,13 @@ def lm_score(
     bigrams = F.arrays_zip(
         F.slice(toks, 1, n - 1).alias("w1"), F.slice(toks, 2, n - 1).alias("w2")
     )
+    # a token-free model (empty/whitespace-only/misfiltered train_df)
+    # would propagate a NULL n_total into every backoff branch and NULL
+    # out every score downstream — fail loudly instead.  explode +
+    # limit(1) short-circuits without a shuffle, and the train slice
+    # is curated-small by contract, so the probe is cheap.
+    if train_df.select(F.explode(toks)).filter(F.col("col") != "").limit(1).isEmpty():
+        raise ValueError("train_df has no tokens — check the train-slice filter")
 
     uni = (
         train_df.select(F.explode(toks).alias("w"))
@@ -1185,15 +1192,21 @@ def lm_score(
             / F.col("n_total")
         )
     )
+    # model joins are deliberately UN-hinted (same reasoning as
+    # ngram_decontaminate): a curated train slice usually fits the
+    # broadcast threshold and the planner broadcasts it, but a forced
+    # F.broadcast would hard-fail past Spark's 8 GB broadcast limit on
+    # a genuinely large model, where the shuffle-join fallback is the
+    # correct plan.  Only the one-row total keeps the hint.
     scored = (
-        ex.join(F.broadcast(bi), ["w1", "w2"], "left")
+        ex.join(bi, ["w1", "w2"], "left")
         .join(
-            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("cu").alias("cu1"))),
+            uni.select(F.col("w").alias("w1"), F.col("cu").alias("cu1")),
             ["w1"],
             "left",
         )
         .join(
-            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2"))),
+            uni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2")),
             ["w2"],
             "left",
         )

@@ -12,24 +12,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import SparkSession  # noqa: E402
-
 import __spark_entry__ as entry  # noqa: E402
+from dfsql_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
     name = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.driver.memory", "16g")
-        .config("spark.sql.adaptive.enabled", "true")
-        .appName("profile_one")
-        .getOrCreate()
-    )
+    # the engine's session factory — the SAME dialect + scale confs
+    # bench.py and the driver run with (ansi off, UTC, 64MB broadcast
+    # threshold, AQE); a hand-built session profiles different plans.
+    spark = get_spark(app_name="profile_one")
     spark.sparkContext.setLogLevel("ERROR")
     q = entry.queries()[name]
     for i in range(reps):

@@ -1974,3 +1974,40 @@ def test_ngram_overlap_fraction_matches_duckdb(spark):
     # the planted cross-source near-dups give real signal at both ends
     fracs = [f for _, _, f in got.values() if f is not None]
     assert any(f > 0 for f in fracs) and any(f == 0 for f in fracs)
+
+
+def test_dedup_keep_best_duplicate_id_rows_survive(spark):
+    """Duplicate copies of the winning id must not delete the cluster:
+    the members table aggregates to one row per id before the winner
+    window, matching dedup_by_components' behavior on non-unique ids."""
+    import pandas as pd
+
+    from dfsql_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 1, 2], "score": [0.9, 0.9, 0.1]}
+        )
+    )
+    pairs = spark.createDataFrame(pd.DataFrame({"id_a": [1], "id_b": [2]}))
+    kept = sorted(r.doc_id for r in dedup_keep_best(docs, pairs, "score").collect())
+    assert kept == [1, 1]
+
+
+def test_lm_score_empty_train_raises(spark):
+    """A train slice with no tokens (misfiltered or whitespace-only)
+    must fail loudly, not NULL out every score."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from dfsql_spark.operators.text import lm_score
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["a b"]})
+    )
+    empty = docs.filter("doc_id < 0")
+    with _pytest.raises(ValueError, match="train_df has no tokens"):
+        lm_score(docs, empty)
+    ws = spark.createDataFrame(pd.DataFrame({"doc_id": [9], "text": ["   "]}))
+    with _pytest.raises(ValueError, match="train_df has no tokens"):
+        lm_score(docs, ws)
