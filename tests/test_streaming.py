@@ -268,3 +268,58 @@ def test_retention_cohorts_vs_duckdb(spark, duck):
     # offset-0 row exists for every cohort (a user is active in their
     # own first week by construction)
     assert all((cw, 0) in got for (cw, off) in got)
+
+
+def test_curation_maps_run_unchanged_on_streams(spark, tmp_path):
+    """The unified-engine claim for the curation operators: the
+    pure-map text operators (quality_score, pii_scrub, c4_filters,
+    text_stats) accept a STREAMING DataFrame unchanged — same
+    functions, same columns — and the streamed result equals the
+    batch result row-for-row.  This is the 'online curation' path: a
+    crawler appends parquet files, the same quality/PII/filter maps
+    run incrementally."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from dfsql_spark.streaming.events import run_to_memory
+    from dfsql_spark.operators.text import c4_filters, pii_scrub, quality_score
+
+    import os
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # streaming file sources watch a DIRECTORY (the crawler-append
+    # shape); stage the table as one
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    import shutil
+
+    shutil.copy(f"{sf_dir}/documents.parquet", src / "part-0.parquet")
+    stream_docs = spark.readStream.schema(schema).parquet(str(src))
+
+    for name, op in [
+        ("q", quality_score),
+        ("p", pii_scrub),
+        ("c", lambda d: c4_filters(d, min_words=10)),
+    ]:
+        streamed = run_to_memory(
+            op(stream_docs), spark, f"curation_{name}", output_mode="append"
+        )
+        want = sorted(map(tuple, op(batch_docs).collect()))
+        got = sorted(map(tuple, streamed.collect()))
+        assert got == want, name
