@@ -1689,7 +1689,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # dedup_keep_best (d14, quality-aware survivor selection — recursive
 # CTE closure + per-cluster argmax oracle, mirror exists as a pytest),
 # ngram_overlap_fraction (d15, per-doc contamination severity — exact
-# DuckDB mirror exists as a pytest).
+# DuckDB mirror exists as a pytest), epoch_shuffle (t20, deterministic
+# training order — exact md5 order-key oracle, mirror exists).
 _SIT_OUT_THIS_ROUND = (
     # q05-q08 joined the sit-outs when d11/s05/q31/x04 (new, graded
     # first round) were added mid-round: twice-green (r4+r5),

@@ -1223,3 +1223,31 @@ def lm_score(
         F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
         F.col("avg_logp"),
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    id_col: str = "doc_id",
+    salt: str = "epoch",
+    key_col: str = "shuffle_key",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle order for training data:
+    rows sorted by ``md5(salt:epoch:id)``.  Every epoch is a fresh,
+    uniform, REPRODUCIBLE permutation — rerunning the job, resuming a
+    crashed write, or regenerating epoch 3 months later yields the
+    identical order, with no RNG state to checkpoint.  The same
+    content-addressed contract as :func:`deterministic_split` /
+    :func:`stratified_sample`, portable to any engine with md5.
+
+    Scale shape: a global ``orderBy`` is Spark's range-partition +
+    per-partition sort — the standard way to WRITE a shuffled epoch
+    (downstream shard files come out in shuffled order, shard i
+    wholly before shard i+1).  The order key rides along in
+    ``key_col`` so a written dataset can be verified or resumed by
+    key range.
+    """
+    key = F.md5(
+        F.concat(F.lit(f"{salt}:{epoch}:"), F.col(id_col).cast("string"))
+    )
+    return df.withColumn(key_col, key).orderBy(key_col)

@@ -23,6 +23,7 @@ _FORMAT_BY_EXT = {
     ".json": "json",
     ".jsonl": "json",
     ".ndjson": "json",
+    ".orc": "orc",
 }
 
 

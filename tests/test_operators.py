@@ -2011,3 +2011,32 @@ def test_lm_score_empty_train_raises(spark):
     ws = spark.createDataFrame(pd.DataFrame({"doc_id": [9], "text": ["   "]}))
     with _pytest.raises(ValueError, match="train_df has no tokens"):
         lm_score(docs, ws)
+
+
+def test_epoch_shuffle_deterministic_and_uniform(spark):
+    """Content-addressed epoch shuffling: identical order on re-run,
+    different order per epoch, a permutation (no rows lost), and the
+    key matches DuckDB's md5 exactly (round-7 oracle design)."""
+    import duckdb
+
+    from dfsql_spark.operators.text import epoch_shuffle
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    e1 = [r.doc_id for r in epoch_shuffle(docs, epoch=1).collect()]
+    e1_again = [r.doc_id for r in epoch_shuffle(docs, epoch=1).collect()]
+    e2 = [r.doc_id for r in epoch_shuffle(docs, epoch=2).collect()]
+    assert e1 == e1_again
+    assert e1 != e2
+    assert sorted(e1) == sorted(e2)
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            f"""
+        SELECT doc_id FROM '{SF_DIR}/documents.parquet'
+        ORDER BY md5('epoch:1:' || CAST(doc_id AS VARCHAR))
+        """
+        ).fetchall()
+    ]
+    assert e1 == want
