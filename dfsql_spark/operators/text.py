@@ -1251,3 +1251,133 @@ def epoch_shuffle(
         F.concat(F.lit(f"{salt}:{epoch}:"), F.col(id_col).cast("string"))
     )
     return df.withColumn(key_col, key).orderBy(key_col)
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    thresholds: "list[float]",
+    epoch: int = 0,
+    id_col: str = "doc_id",
+    salt: str = "curriculum",
+    stage_col: str = "stage",
+    key_col: str = "order_key",
+) -> DataFrame:
+    """Deterministic curriculum ordering: rows sorted by (difficulty
+    stage, per-epoch shuffle key) — easy documents first, shuffled
+    uniformly WITHIN each stage.
+
+    ``thresholds`` are ascending difficulty cut points over
+    ``score_col``; a row's ``stage`` is the number of thresholds at or
+    below its score (0 = easiest block).  At 100 TB the thresholds come
+    from a quantile sketch (``percentile_approx`` — see the x02 contract
+    query) so the stage assignment stays a pure broadcast-free map;
+    passing them as literals here keeps the operator deterministic and
+    engine-portable.  The intra-stage order is :func:`epoch_shuffle`'s
+    content-addressed md5 key — re-running epoch N months later yields
+    the identical order with no RNG state.
+
+    Scale shape: stage assignment is codegen'd per-row arithmetic; the
+    global ``orderBy(stage, key)`` is Spark's range-partition + sort,
+    exactly the plan that writes the curriculum out in order (shard i
+    wholly before shard i+1).  Rows with a NULL score sort after every
+    numbered stage (stage = len(thresholds) + 1) rather than silently
+    interleaving.
+    """
+    if sorted(thresholds) != list(thresholds):
+        raise ValueError("thresholds must be ascending")
+    score = F.col(score_col)
+    stage = sum(
+        (score >= F.lit(t)).cast("int") for t in thresholds
+    ) if thresholds else F.lit(0)
+    stage = F.when(score.isNull(), F.lit(len(thresholds) + 1)).otherwise(stage)
+    key = F.md5(
+        F.concat(F.lit(f"{salt}:{epoch}:"), F.col(id_col).cast("string"))
+    )
+    return (
+        df.withColumn(stage_col, stage)
+        .withColumn(key_col, key)
+        .orderBy(stage_col, key_col)
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: "int | None" = None,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies — ONE merge round
+    of byte-pair-encoding tokenizer training (the highest-count pair is
+    the pair BPE would merge next).  Returns ``(pair, n)``; ``top_k``
+    keeps the most frequent pairs (ties broken by pair text, so the
+    result is deterministic).
+
+    Words are whitespace tokens (lowercased by default, matching the
+    engine's token contract); single-character words contribute no
+    pairs.  Pair extraction is a per-row generator (``transform`` over
+    ``sequence``) — a higher-order function, interpreted, but it only
+    RUNS once per word to emit substrings; the hot comparisons all
+    happen in the codegen'd hash aggregate that follows.  Shuffle
+    volume is pair-vocabulary-sized (≤ |alphabet|², thousands of rows)
+    after map-side partial aggregation, no matter how large the corpus
+    — the same shape as :func:`vocab_topk`.  The top-k sort runs on the
+    aggregated vocabulary, not the corpus.
+    """
+    txt = F.trim(F.col(text_col))
+    if lowercase:
+        txt = F.lower(txt)
+    words = F.explode(F.split(txt, r"\s+")).alias("w")
+    # sequence(1, n) with n < 1 generates a DESCENDING sequence in
+    # Spark, so length-1 words must be filtered out, not relied on to
+    # produce an empty pair list.
+    pairs = (
+        df.select(words)
+        .filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                )
+            ).alias("pair")
+        )
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    if top_k is not None:
+        counts = counts.orderBy(F.col("n").desc(), F.col("pair")).limit(top_k)
+    return counts
+
+
+def normalize_nfc(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: "str | None" = None,
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode-normalize a text column (default NFC) — the standard
+    first step before any hash-based dedup, so that 'é' (U+00E9) and
+    'e'+COMBINING ACUTE hash identically.
+
+    Spark SQL has no Unicode-normalization builtin, so this is an
+    Arrow-batched pandas UDF over ``unicodedata.normalize`` — a pure
+    per-row map (zero shuffle, pipelines into whatever scan or map
+    precedes it).  The CPython normalizer is table-driven C, so the
+    UDF cost is Arrow transfer, not the transform.  Output is
+    bit-identical to DuckDB's ``nfc_normalize`` for ``form="NFC"``
+    (pinned by tests), making NFC-normalized hashes portable across
+    engines.  ``form`` accepts NFC/NFD/NFKC/NFKD.
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None
+        )
+
+    return df.withColumn(out_col or text_col, _norm(F.col(text_col)))

@@ -2040,3 +2040,137 @@ def test_epoch_shuffle_deterministic_and_uniform(spark):
         ).fetchall()
     ]
     assert e1 == want
+
+
+def test_curriculum_order_matches_duckdb(spark):
+    """Curriculum ordering: stage via ascending thresholds, md5 shuffle
+    within stage — DuckDB reproduces the full (doc_id, stage) sequence
+    exactly (round-7 oracle design, same md5 contract as t20)."""
+    import duckdb
+
+    from dfsql_spark.operators.text import curriculum_order
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    got = [
+        (r.doc_id, r.stage)
+        for r in curriculum_order(
+            docs, "n_chars", thresholds=[200.0, 400.0], epoch=3
+        ).collect()
+    ]
+    want = duckdb.sql(
+        f"""
+        SELECT doc_id,
+               CASE WHEN n_chars IS NULL THEN 3
+                    ELSE CAST(n_chars >= 200.0 AS INT)
+                       + CAST(n_chars >= 400.0 AS INT) END AS stage
+        FROM '{SF_DIR}/documents.parquet'
+        ORDER BY stage, md5('curriculum:3:' || CAST(doc_id AS VARCHAR))
+        """
+    ).fetchall()
+    assert got == want
+    # easy-first invariant: stages are non-decreasing down the output
+    stages = [s for _, s in got]
+    assert stages == sorted(stages)
+
+
+def test_curriculum_order_nulls_last_and_validation(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from dfsql_spark.operators.text import curriculum_order
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3, 4], "score": [0.1, None, 5.0, 0.9]}
+        ).astype({"score": "float64"})
+    )
+    out = curriculum_order(df, "score", thresholds=[0.5, 2.0]).collect()
+    by_id = {r.doc_id: r.stage for r in out}
+    assert by_id == {1: 0, 4: 1, 3: 2, 2: 3}  # NULL score → sentinel last stage
+    assert out[-1].doc_id == 2
+    with _pytest.raises(ValueError, match="ascending"):
+        curriculum_order(df, "score", thresholds=[2.0, 0.5])
+
+
+def test_bpe_pair_counts_matches_duckdb(spark):
+    """One BPE merge round (adjacent char-pair counts): DuckDB
+    reproduces every (pair, n) row and the deterministic top-k order
+    (round-7 oracle design)."""
+    import duckdb
+
+    from dfsql_spark.operators.text import bpe_pair_counts
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = [(r.pair, r.n) for r in bpe_pair_counts(docs, top_k=50).collect()]
+    want = duckdb.sql(
+        f"""
+        WITH w AS (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+          FROM '{SF_DIR}/documents.parquet'
+        ), p AS (
+          SELECT substr(w, CAST(i AS INT), 2) AS pair
+          FROM w, UNNEST(generate_series(1, length(w) - 1)) AS t(i)
+          WHERE length(w) >= 2
+        )
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+        FROM p GROUP BY pair
+        ORDER BY n DESC, pair
+        LIMIT 50
+        """
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
+def test_bpe_pair_counts_handcheck(spark):
+    """'aaab aaab c' → pairs aa,aa,ab per word ×2 words; single-char
+    words contribute nothing; the max-count pair is the BPE merge."""
+    import pandas as pd
+
+    from dfsql_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["aaab aaab c", "  ab  "]})
+    )
+    got = {r.pair: r.n for r in bpe_pair_counts(df).collect()}
+    assert got == {"aa": 4, "ab": 3}
+    top = bpe_pair_counts(df, top_k=1).collect()
+    assert (top[0].pair, top[0].n) == ("aa", 4)
+
+
+def test_normalize_nfc_matches_duckdb(spark):
+    """NFC normalization is bit-identical to DuckDB's nfc_normalize:
+    composed/decomposed forms collapse, so downstream hashes agree
+    across engines."""
+    import duckdb
+    import pandas as pd
+
+    from dfsql_spark.operators.text import normalize_nfc
+
+    texts = [
+        "café",            # precomposed é
+        "café",           # e + combining acute → composes to é
+        "Å ring",          # ANGSTROM SIGN → Å under NFC
+        "plain ascii",
+        None,
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = {
+        r.doc_id: r.text for r in normalize_nfc(df, out_col="text").collect()
+    }
+    want = {
+        i: duckdb.sql("SELECT nfc_normalize(?)", params=[t]).fetchone()[0]
+        if t is not None
+        else None
+        for i, t in enumerate(texts)
+    }
+    assert got == want
+    assert got[0] == got[1]  # composed == decomposed after NFC
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="normalization form"):
+        normalize_nfc(df, form="NFX")
