@@ -1690,7 +1690,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # CTE closure + per-cluster argmax oracle, mirror exists as a pytest),
 # ngram_overlap_fraction (d15, per-doc contamination severity — exact
 # DuckDB mirror exists as a pytest), epoch_shuffle (t20, deterministic
-# training order — exact md5 order-key oracle, mirror exists).
+# training order — exact md5 order-key oracle, mirror exists),
+# curriculum_order (t21, staged easy-first training order — exact
+# DuckDB full-sequence mirror exists), bpe_pair_counts (t22, one BPE
+# merge round — exact DuckDB mirror exists).
 _SIT_OUT_THIS_ROUND = (
     # q05-q08 joined the sit-outs when d11/s05/q31/x04 (new, graded
     # first round) were added mid-round: twice-green (r4+r5),
