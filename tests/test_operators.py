@@ -2174,3 +2174,34 @@ def test_normalize_nfc_matches_duckdb(spark):
 
     with _pytest.raises(ValueError, match="normalization form"):
         normalize_nfc(df, form="NFX")
+
+
+def test_repetition_ratio_struct_form_matches_gram_udf(spark):
+    """t11's JVM arrays_zip struct form must stay bit-identical to the
+    Arrow word-n-gram UDF it replaced (struct equality == space-joined
+    string equality because whitespace tokens cannot contain spaces) —
+    for the default bigrams AND a wider n."""
+    from dfsql_spark.operators.dedup import _word_ngrams_expr
+    from dfsql_spark.operators.text import repetition_ratio
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for n in (2, 3):
+        got = {
+            r.doc_id: (r.rep_ratio, r.n_grams)
+            for r in repetition_ratio(docs, n=n).collect()
+        }
+        grams = _word_ngrams_expr("text", n)
+        want = {
+            r.doc_id: (r.rep_ratio, r.n_grams)
+            for r in docs.select(
+                "doc_id",
+                F.when(
+                    F.size(grams) > 0,
+                    1.0 - F.size(F.array_distinct(grams)) / F.size(grams),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("rep_ratio"),
+                F.size(grams).alias("n_grams"),
+            ).collect()
+        }
+        assert got == want

@@ -289,3 +289,40 @@ def test_incremental_dedup_band_join_shape(spark):
     assert "BroadcastHashJoin" not in plan, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
     assert "_is_base" in plan, plan
+
+
+def test_bm25_two_scan_build_query_side_broadcast(spark):
+    """s05's build pass costs exactly two corpus scans — one full-width
+    for postings, one TEXT-ONLY for the (N, avgdl) stats row (doc_id
+    must be pruned away there) — and everything query-side stays
+    broadcast.  Anything beyond that (a third scan, a vocabulary-wide
+    aggregate) is a regression."""
+    df = em.queries()["s05_bm25"](spark, SF)
+    s = plan_summary(df)
+    full = [r for r in s.read_schemas if "text" in r]
+    assert len(full) == 2, s.read_schemas
+    assert "struct<text:string>" in full, s.read_schemas  # stats scan pruned
+    assert_broadcast_join(df)
+
+
+def test_line_dedup_two_corpus_scans_no_python(spark):
+    """d11 promises exactly TWO corpus scans (roster + lines, the
+    exempt/subject branches share one groupBy) and an all-codegen
+    pipeline — no Python eval anywhere in the plan."""
+    df = em.queries()["d11_line_dedup"](spark, SF)
+    s = plan_summary(df)
+    full = [r for r in s.read_schemas if "text" in r]
+    assert len(full) == 2, s.read_schemas
+    assert "EvalPython" not in s.text  # neither Batch- nor Arrow-
+
+
+def test_curation_capstone_is_python_free(spark):
+    """p01 composes c4_filters + repetition_ratio + dedup survivors +
+    pii_scrub: every per-row signal is built-in SQL expressions (t11's
+    n-gram counting is the arrays_zip struct form, not the Arrow gram
+    UDF), so the composed plan must contain zero Python eval nodes —
+    the property that lets the three signals fuse into one projection
+    over the scan at 100 TB with no Python workers in the hot path."""
+    df = em.queries()["p01_curation_pipeline"](spark, SF)
+    s = plan_summary(df)
+    assert "EvalPython" not in s.text
