@@ -1693,7 +1693,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # training order — exact md5 order-key oracle, mirror exists),
 # curriculum_order (t21, staged easy-first training order — exact
 # DuckDB full-sequence mirror exists), bpe_pair_counts (t22, one BPE
-# merge round — exact DuckDB mirror exists).
+# merge round — exact DuckDB mirror exists), char_entropy (t23,
+# keyboard-mash detector — DuckDB mirror at the lm_score 6 dp
+# comparison precision exists).
 _SIT_OUT_THIS_ROUND = (
     # q05-q08 joined the sit-outs when d11/s05/q31/x04 (new, graded
     # first round) were added mid-round: twice-green (r4+r5),

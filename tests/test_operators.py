@@ -2205,3 +2205,101 @@ def test_repetition_ratio_struct_form_matches_gram_udf(spark):
             ).collect()
         }
         assert got == want
+
+
+def test_char_entropy_matches_duckdb(spark):
+    """Per-doc Shannon entropy: DuckDB's unnest-chars → group → sum
+    mirror agrees at the 6 dp comparison precision on the whole test
+    corpus (the lm_score float-comparison contract)."""
+    import duckdb
+
+    from dfsql_spark.operators.text import char_entropy
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {
+        r.doc_id: (r.entropy_bits, r.n_chars)
+        for r in char_entropy(docs).collect()
+    }
+    want = {
+        d: (e, n)
+        for d, e, n in duckdb.sql(
+            f"""
+        WITH c AS (
+          SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+          FROM '{SF_DIR}/documents.parquet',
+               UNNEST(generate_series(1, length(text))) AS t(i)
+        ), h AS (
+          SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS c
+          FROM c GROUP BY doc_id, ch
+        ), n AS (
+          SELECT doc_id, SUM(c) AS n FROM h GROUP BY doc_id
+        )
+        SELECT h.doc_id,
+               ROUND(-SUM((c/n.n)*log2(c/n.n)), 6) AS e,
+               CAST(ANY_VALUE(n.n) AS BIGINT) AS nc
+        FROM h JOIN n USING (doc_id) GROUP BY h.doc_id
+        """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_char_entropy_handchecked(spark):
+    import pandas as pd
+
+    from dfsql_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3, 4, 5], "text": ["aaaa", "ab", "abcd", "", None]}
+        )
+    )
+    got = {r.doc_id: (r.entropy_bits, r.n_chars) for r in char_entropy(df).collect()}
+    assert got == {
+        1: (0.0, 4),
+        2: (1.0, 2),
+        3: (2.0, 4),
+        4: (0.0, 0),
+        5: (0.0, 0),
+    }
+
+
+def test_compression_ratio_properties(spark):
+    """No SQL engine mirrors zlib, so the grade is by property:
+    repetitive template text compresses far below natural prose,
+    ratios are deterministic across runs, and empty/NULL text gets a
+    NULL ratio (never a keep-filter-fooling 0)."""
+    import pandas as pd
+
+    from dfsql_spark.operators.text import compression_ratio
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "wizards brew quirky potions of xylophone juice and every "
+        "sentence keeps introducing new words to defeat the compressor"
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["spam ham " * 100, prose, "", None],
+            }
+        )
+    )
+    got = {r.doc_id: (r.compression_ratio, r.n_bytes) for r in compression_ratio(df).collect()}
+    assert got[1][0] < 0.1 < got[2][0] < 1.0
+    assert got[1][1] == 900 and got[2][1] == len(prose.encode())
+    assert got[3] == (None, 0) and got[4] == (None, 0)
+    again = {r.doc_id: (r.compression_ratio, r.n_bytes) for r in compression_ratio(df).collect()}
+    assert got == again
+
+
+def test_signal_ops_are_pure_maps(spark):
+    """char_entropy and compression_ratio must stay zero-exchange
+    per-row maps at any scale."""
+    from dfsql_spark.operators.text import char_entropy, compression_ratio
+    from dfsql_spark.plans.audit import plan_summary
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert plan_summary(char_entropy(docs)).n_exchanges == 0
+    assert plan_summary(compression_ratio(docs)).n_exchanges == 0
