@@ -286,7 +286,14 @@ def test_curation_maps_run_unchanged_on_streams(spark, tmp_path):
     )
 
     from dfsql_spark.streaming.events import run_to_memory
-    from dfsql_spark.operators.text import c4_filters, pii_scrub, quality_score
+    from dfsql_spark.operators.text import (
+        c4_filters,
+        char_entropy,
+        compression_ratio,
+        normalize_nfc,
+        pii_scrub,
+        quality_score,
+    )
 
     import os
 
@@ -316,6 +323,9 @@ def test_curation_maps_run_unchanged_on_streams(spark, tmp_path):
         ("q", quality_score),
         ("p", pii_scrub),
         ("c", lambda d: c4_filters(d, min_words=10)),
+        ("e", char_entropy),
+        ("z", compression_ratio),
+        ("n", normalize_nfc),
     ]:
         streamed = run_to_memory(
             op(stream_docs), spark, f"curation_{name}", output_mode="append"
