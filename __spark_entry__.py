@@ -588,7 +588,7 @@ def sk02_salted_join(spark, sf):
     j = salted_skew_join(orders, cust, on="o_custkey", num_salts=8, pin_sort_merge=True)
     return j.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_orders"),
-        F.sum("o_totalprice").alias("sum_price"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
 
 
@@ -2093,7 +2093,7 @@ def oracle_sql() -> dict[str, str]:
         "sk02_salted_join": """
             SELECT c_mktsegment,
                    CAST(COUNT(*) AS BIGINT) AS n_orders,
-                   SUM(o_totalprice) AS sum_price
+                   ROUND(SUM(o_totalprice), 2) AS sum_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
@@ -2712,7 +2712,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "t11_repetition": """
             WITH toks AS (
-                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x != '') AS t
                 FROM documents
             ), grams AS (
                 SELECT doc_id, array_to_string(t[u.i : u.i + 1], ' ') AS g
@@ -2726,7 +2728,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id,
                    COALESCE(a.rep_ratio, 0.0) AS rep_ratio,
-                   COALESCE(a.n_grams, GREATEST(len(string_split_regex(trim(d.text), '\\s+')) - 1, 0)) AS n_grams
+                   COALESCE(a.n_grams,
+                            GREATEST(len(list_filter(string_split_regex(d.text, '\\s+'),
+                                                     x -> x != '')) - 1, 0)) AS n_grams
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         """,
         "d07_decontaminate": """

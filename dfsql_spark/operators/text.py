@@ -785,7 +785,13 @@ def repetition_ratio(
     integer-quotient output, bit-identical across engines (pinned
     against the UDF form and the DuckDB oracle by tests).
     """
-    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    # array_remove("") reproduces Python strip-then-split exactly:
+    # F.trim strips only spaces, so tab/newline-edged text would
+    # otherwise gain empty edge tokens (internal \s+ splits never
+    # produce empty tokens, so only edge empties are removed).
+    toks = F.array_remove(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"), ""
+    )
     m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     grams = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(n)])
     total = m

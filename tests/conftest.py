@@ -51,6 +51,40 @@ def spark():
     yield spark
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _cache_clean_between_modules(request):
+    """Every module must leave the Spark cache empty: a leaked cached
+    plan gets substituted (as an unpruned InMemoryRelation) into any
+    later plan over the same file, breaking pushdown/pruning audits in
+    OTHER files (round 6's default-order failure)."""
+    yield
+    import sys as _sys
+
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is None:
+        return
+    # Operator-internal persists are a tracked, releasable mechanism —
+    # drain them first so only untracked leaks (fixtures, ad-hoc
+    # .cache() calls) trip the assert.
+    entry = _sys.modules.get("__spark_entry__")
+    if entry is not None and hasattr(entry, "release_caches"):
+        entry.release_caches()
+    else:
+        from dfsql_spark.operators.dedup import release_persists
+
+        release_persists()
+    try:
+        empty = active._jsparkSession.sharedState().cacheManager().isEmpty()
+    except Exception:
+        return
+    assert empty, (
+        f"module {request.module.__name__} left cached plans behind; "
+        "add `yield df; df.unpersist()` to its cache fixtures"
+    )
+
+
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()

@@ -12,12 +12,20 @@ from .conftest import SF_DIR
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    # Unpersist on teardown: a cached plan over documents.parquet would
+    # otherwise be substituted (as an unpruned InMemoryRelation) into
+    # later plan-audit reads of the same file, breaking their
+    # pushdown/pruning asserts (see test_plan_audit.py:56).
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def emb(spark):
-    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 def test_exact_dedup_hash_and_text_keys_agree(docs):

@@ -16,7 +16,11 @@ from .conftest import SF_DIR
 def batch_events(spark):
     from dfsql_spark.streaming.events import read_events_batch
 
-    return read_events_batch(spark, SF_DIR).cache()
+    # Unpersist on teardown so the cached plan can't be substituted into
+    # later plan audits over the same file (test_plan_audit.py:56).
+    df = read_events_batch(spark, SF_DIR).cache()
+    yield df
+    df.unpersist()
 
 
 def _stream(spark):
