@@ -406,15 +406,20 @@ def q27_window_topk(spark, sf):
 
 def q22_flagship_revenue(spark, sf):
     """Flagship: revenue by nation (reference testdrive.ipynb cell 19
-    pattern recast on testdata).  lineitem⨝orders shuffles on orderkey;
-    customer/nation are broadcast — the plan that survives 100 TB."""
+    pattern recast on testdata).  lineitem⨝orders shuffles on orderkey,
+    then shuffles on custkey to meet customer — customer is sf-scaled
+    (TPC-H 150k×sf rows), so it is NOT broadcast: at 100 TB it would
+    blow the driver/executors, and AQE can still locally convert the
+    join if a filtered side turns out small.  nation (25 rows, fixed
+    size at every sf) is the only explicit broadcast — the plan that
+    survives 100 TB."""
     li = _t(spark, sf, "lineitem")
     o = _t(spark, sf, "orders")
     c = _t(spark, sf, "customer")
     n = _t(spark, sf, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
@@ -586,9 +591,16 @@ def sk02_salted_join(spark, sf):
         F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
     )
     j = salted_skew_join(orders, cust, on="o_custkey", num_salts=8, pin_sort_merge=True)
+    # Sum in DECIMAL, not double: a double sum is order-dependent and
+    # ROUND(double, 2) can land on opposite sides of a .005 boundary on
+    # different engines.  o_totalprice values are 2-dp, so decimal(18,2)
+    # is exact; the exact total fits a double mantissa at bench sf, so
+    # the final cast is deterministic on both engines.
     return j.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
     )
 
 
@@ -2093,7 +2105,7 @@ def oracle_sql() -> dict[str, str]:
         "sk02_salted_join": """
             SELECT c_mktsegment,
                    CAST(COUNT(*) AS BIGINT) AS n_orders,
-                   ROUND(SUM(o_totalprice), 2) AS sum_price
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
@@ -2108,7 +2120,8 @@ def oracle_sql() -> dict[str, str]:
         "t12_c4_filters": """
             WITH base AS (
                 SELECT doc_id, text,
-                       len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+                       len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                       x -> x <> '')) AS n_words,
                        string_split(text, chr(10)) AS lines,
                        length(regexp_replace(text, '\\s+', '', 'g')) AS n_wchars
                 FROM documents
@@ -2403,7 +2416,8 @@ def oracle_sql() -> dict[str, str]:
         "t01_text_stats": """
             WITH t AS (
                 SELECT doc_id, text,
-                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                       list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                   x -> x <> '') AS toks
                 FROM documents
             )
             SELECT doc_id,
@@ -2420,10 +2434,13 @@ def oracle_sql() -> dict[str, str]:
         "t02_quality_score": """
             WITH s AS (
                 SELECT doc_id,
-                       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                       len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                       x -> x <> '')) AS n_tokens,
                        length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) AS alpha_ratio,
-                       len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
-                           / len(regexp_split_to_array(trim(text), '\\s+')) AS ttr,
+                       len(list_distinct(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                                     x -> x <> '')))
+                           / len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                             x -> x <> '')) AS ttr,
                        (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
                            / length(text) AS punct_ratio
                 FROM documents
@@ -2522,7 +2539,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "t05_token_count": """
             SELECT doc_id,
-                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS ws_tokens,
+                   CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                        x -> x <> '')) AS INT) AS ws_tokens,
                    CAST(len(regexp_extract_all(text, '''[a-z]+|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+', 0)) AS INT) AS bpe_pieces,
                    length(text) * 1.0 / greatest(len(regexp_extract_all(text, '''[a-z]+|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+', 0)), 1) AS chars_per_piece
             FROM documents
@@ -2553,7 +2571,8 @@ def oracle_sql() -> dict[str, str]:
         "t09_pack_sequences": """
             WITH RECURSIVE d AS (
                 SELECT doc_id, source,
-                       CAST(least(len(regexp_split_to_array(trim(text), '\\s+')), 512) AS INT) AS doc_tokens,
+                       CAST(least(len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                                  x -> x <> '')), 512) AS INT) AS doc_tokens,
                        ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents
             ), pack AS (

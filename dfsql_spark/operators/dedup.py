@@ -195,7 +195,11 @@ def _shingles_expr(text_col: str, k: int) -> Column:
         def _sh(texts: pd.Series) -> pd.Series:
             out = []
             for t in texts:
-                norm = ws.sub(" ", (t or "").lower()).strip()
+                # .strip(" ") not .strip(): bare strip removes Unicode
+                # whitespace (NBSP etc.) that the ASCII `ws` regex left
+                # in place, diverging from the Spark-native normalize
+                # (F.trim strips 0x20 only) on NBSP-edged text.
+                norm = ws.sub(" ", (t or "").lower()).strip(" ")
                 if len(norm) < k:
                     out.append([norm])
                 else:
@@ -1151,7 +1155,14 @@ def _word_ngrams_expr(text_col: str, n: int) -> Column:
         def _ng(texts: pd.Series) -> pd.Series:
             out = []
             for t in texts:
-                toks = ws.split((t or "").strip())
+                # Filter empties instead of .strip(): Python str.strip()
+                # strips Unicode whitespace (NBSP, \x85, \x1c-\x1f) that
+                # the ASCII `ws` split does not, which would diverge
+                # from the expression-form tokenizer (text.py ws_tokens)
+                # on e.g. NBSP-edged text.  Splitting unstripped text
+                # yields empty edge tokens only; dropping empties is
+                # exactly the shared ASCII-whitespace token definition.
+                toks = [x for x in ws.split(t or "") if x]
                 out.append(
                     [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
                 )

@@ -56,9 +56,33 @@ def _salted_bucket(
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % buckets
 
 
+def ws_tokens(text_col: str = "text", lower: bool = False) -> Column:
+    """THE whitespace-token definition, shared module-wide: ASCII
+    ``\\s+`` split of the raw (un-trimmed) text with empty tokens
+    removed.  One definition everywhere so e.g. ``token_count`` and
+    ``repetition_ratio`` can never disagree on a tab/newline-edged or
+    empty document (they did, pre round 8).  Properties:
+
+    * NULL text and all-whitespace text → ``[]`` (size 0), never
+      ``['']`` (size 1) — the trim-then-split form got this wrong.
+    * internal ``\\s+`` runs never produce empty tokens, so the
+      ``array_remove`` only ever drops edge empties.
+    * DuckDB mirror (both RE2-ASCII ``\\s``):
+      ``list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+      x -> x <> '')``.
+    * Python mirror (dedup._word_ngrams_expr pinned UDF):
+      ``[x for x in re.compile(r'\\s+', re.ASCII).split(t or '') if x]``.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    if lower:
+        c = F.lower(c)
+    return F.array_remove(F.split(c, r"\s+"), "")
+
+
 def tokens(text_col: str = "text") -> Column:
-    """Whitespace tokens of the trimmed text (array<string>)."""
-    return F.split(F.trim(F.col(text_col)), r"\s+")
+    """Whitespace tokens of the text (array<string>); see
+    :func:`ws_tokens` for the exact token definition."""
+    return ws_tokens(text_col)
 
 
 def token_count(text_col: str = "text") -> Column:
@@ -262,7 +286,7 @@ def token_counts(
     Both are ``regexp_count``-style native expressions — a pure map
     over the scan, no shuffle, codegen'd.
     """
-    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    ws = F.size(ws_tokens(text_col))
     # pattern as a Column literal: embedding it in an expr() string
     # would put it through SQL string-literal escaping, mangling \s
     pieces = F.size(
@@ -337,12 +361,10 @@ def vocab_topk(
     knob that matters is vocabulary cardinality; token skew ("the") is
     absorbed by the map-side partial aggregation, not a hot reducer.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    tok = F.explode(toks).alias("token")
+    tok = F.explode(ws_tokens(text_col)).alias("token")
     src = df.select(tok)
     if normalize:
         src = src.select(F.lower(F.col("token")).alias("token"))
-    src = src.filter(F.col("token") != "")
     return (
         src.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -434,10 +456,9 @@ def unigram_familiarity(
     toks = (
         df.select(
             F.col(id_col),
-            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("raw"),
+            F.explode(ws_tokens(text_col)).alias("raw"),
         )
         .select(F.col(id_col), F.lower(F.col("raw")).alias("token"))
-        .filter(F.col("token") != "")
     )
     vocab = (
         toks.groupBy("token")
@@ -603,9 +624,7 @@ def pack_sequences(
     (each bucket emits at most ``max_docs_per_task`` sequences), but is
     no longer contiguous.
     """
-    toks = F.least(
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")), F.lit(budget)
-    )
+    toks = F.least(F.size(ws_tokens(text_col)), F.lit(budget))
     thin = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(shard_col).alias("source"),
@@ -785,13 +804,7 @@ def repetition_ratio(
     integer-quotient output, bit-identical across engines (pinned
     against the UDF form and the DuckDB oracle by tests).
     """
-    # array_remove("") reproduces Python strip-then-split exactly:
-    # F.trim strips only spaces, so tab/newline-edged text would
-    # otherwise gain empty edge tokens (internal \s+ splits never
-    # produce empty tokens, so only edge empties are removed).
-    toks = F.array_remove(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"), ""
-    )
+    toks = ws_tokens(text_col)
     m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     grams = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(n)])
     total = m
@@ -857,10 +870,7 @@ def bm25_topk(
     """
     from pyspark.sql import Window
 
-    toks = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
-        lambda x: x != F.lit(""),
-    )
+    toks = ws_tokens(text_col, lower=True)
     docs = df.select(
         F.col(id_col).alias("_doc"), toks.alias("_toks")
     ).withColumn("_dl", F.size("_toks"))
@@ -872,14 +882,7 @@ def bm25_topk(
     qterms = (
         queries.select(
             F.col(query_id_col).alias("_qid"),
-            F.explode(
-                F.filter(
-                    F.split(
-                        F.trim(F.lower(F.col(query_text_col))), r"\s+"
-                    ),
-                    lambda x: x != F.lit(""),
-                )
-            ).alias("_term"),
+            F.explode(ws_tokens(query_text_col, lower=True)).alias("_term"),
         )
         .distinct()
     )
@@ -1112,13 +1115,11 @@ def weighted_sample(
 
 
 def _lower_tokens(text_col: str) -> Column:
-    """Lowercased whitespace tokens — the :func:`lm_score` tokenizer.
-    ``split(trim(lower(text)), '\\s+')`` yields no empty tokens except
-    the single ``['']`` of an all-whitespace document (which produces
-    no bigrams), so no filter pass is needed; the DuckDB mirror
-    (``regexp_split_to_array(trim(lower(text)), '\\s+')``) has the
-    identical edge behavior."""
-    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    """Lowercased whitespace tokens — the :func:`lm_score` tokenizer;
+    delegates to the module-wide :func:`ws_tokens` definition (DuckDB
+    mirror: ``list_filter(regexp_split_to_array(coalesce(lower(text),
+    ''), '\\s+'), x -> x <> '')``)."""
+    return ws_tokens(text_col, lower=True)
 
 
 def lm_score(
@@ -1171,8 +1172,12 @@ def lm_score(
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     toks = _lower_tokens(text_col)
     n = F.size(toks)
+    # greatest(n-1, 0): ws_tokens yields [] (n=0) for empty/NULL text,
+    # and slice rejects a negative length — 0-/1-token docs produce no
+    # bigrams either way.
+    m = F.greatest(n - 1, F.lit(0))
     bigrams = F.arrays_zip(
-        F.slice(toks, 1, n - 1).alias("w1"), F.slice(toks, 2, n - 1).alias("w2")
+        F.slice(toks, 1, m).alias("w1"), F.slice(toks, 2, m).alias("w2")
     )
     # a token-free model (empty/whitespace-only/misfiltered train_df)
     # would propagate a NULL n_total into every backoff branch and NULL
@@ -1297,19 +1302,32 @@ def curriculum_order(
     Scale shape: stage assignment is codegen'd per-row arithmetic; the
     global ``orderBy(stage, key)`` is Spark's range-partition + sort,
     exactly the plan that writes the curriculum out in order (shard i
-    wholly before shard i+1).  Rows with a NULL score sort after every
-    numbered stage (stage = len(thresholds) + 1) rather than silently
-    interleaving.  Measured sf0.01 → sf0.1 (10× rows, local[32]):
+    wholly before shard i+1).  Rows with a NULL or NaN score sort after
+    every numbered stage (stage = len(thresholds) + 1) rather than
+    silently interleaving (NaN would otherwise compare greater than
+    every threshold and land in the hardest real stage).  ``thresholds``
+    must be STRICTLY ascending — a duplicate would double-increment its
+    stage.  Measured sf0.01 → sf0.1 (10× rows, local[32]):
     0.22 s → 0.20 s — fixed overhead dominates; the per-row cost is a
     hash + comparison chain.
     """
-    if sorted(thresholds) != list(thresholds):
-        raise ValueError("thresholds must be ascending")
+    if any(b <= a for a, b in zip(thresholds, thresholds[1:])) or (
+        sorted(thresholds) != list(thresholds)
+    ):
+        # strictly ascending: a duplicated threshold would silently
+        # double-increment its stage, leaving an unreachable stage id
+        raise ValueError(
+            f"thresholds must be strictly ascending, got {thresholds}"
+        )
     score = F.col(score_col)
     stage = sum(
         (score >= F.lit(t)).cast("int") for t in thresholds
     ) if thresholds else F.lit(0)
-    stage = F.when(score.isNull(), F.lit(len(thresholds) + 1)).otherwise(stage)
+    # NaN compares greater than every literal in Spark SQL, so without
+    # this guard a NaN score lands in the hardest REAL stage instead of
+    # the NULL/unscored sentinel stage it belongs in.
+    unscored = score.isNull() | F.isnan(score)
+    stage = F.when(unscored, F.lit(len(thresholds) + 1)).otherwise(stage)
     key = F.md5(
         F.concat(F.lit(f"{salt}:{epoch}:"), F.col(id_col).cast("string"))
     )
@@ -1345,10 +1363,7 @@ def bpe_pair_counts(
     (10× rows, local[32]): 0.24 s → 0.51 s — 2.1× for 10× data, the
     partial agg absorbing the rest.
     """
-    txt = F.trim(F.col(text_col))
-    if lowercase:
-        txt = F.lower(txt)
-    words = F.explode(F.split(txt, r"\s+")).alias("w")
+    words = F.explode(ws_tokens(text_col, lower=lowercase)).alias("w")
     # sequence(1, n) with n < 1 generates a DESCENDING sequence in
     # Spark, so length-1 words must be filtered out, not relied on to
     # produce an empty pair list.
@@ -1424,7 +1439,11 @@ def char_entropy(
     reduction is deterministic across runs and partitionings; results
     round to ``round_to`` dp, and the DuckDB mirror (unnest chars →
     group → sum) agrees at that precision (the lm_score comparison
-    contract).  Empty/NULL text scores 0.0 with n_chars 0.
+    contract).  Empty/NULL text scores NULL with n_chars 0 — there is
+    no character distribution to measure, and NULL keeps it out of
+    entropy-band keep-filters, matching :func:`compression_ratio`'s
+    sibling policy (a 0.0 would mimic a real degenerate single-char
+    document).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -1435,13 +1454,13 @@ def char_entropy(
         out = []
         for t in s:
             if not t:
-                out.append(0.0)
+                out.append(None)
                 continue
             # unique() sorts by codepoint → deterministic sum order
             _, counts = np.unique(np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32), return_counts=True)
             p = counts / counts.sum()
             out.append(round(float(-(p * np.log2(p)).sum()), round_to))
-        return pd.Series(out)
+        return pd.Series(out, dtype="float64")
 
     return df.select(
         F.col(id_col),

@@ -2100,6 +2100,23 @@ def test_curriculum_order_nulls_last_and_validation(spark):
     assert out[-1].doc_id == 2
     with _pytest.raises(ValueError, match="ascending"):
         curriculum_order(df, "score", thresholds=[2.0, 0.5])
+    # a duplicated threshold would silently double-increment its stage
+    with _pytest.raises(ValueError, match="strictly ascending"):
+        curriculum_order(df, "score", thresholds=[0.5, 0.5, 2.0])
+    # NaN compares greater than every literal in Spark SQL — it must
+    # land in the NULL/unscored sentinel stage, not the hardest real
+    # one.  Built via SQL CAST: pandas->Spark conversion would turn a
+    # float NaN into NULL and never exercise the NaN path.
+    nan_df = spark.sql(
+        "SELECT 1 AS doc_id, CAST(0.1 AS DOUBLE) AS score "
+        "UNION ALL SELECT 2, CAST('NaN' AS DOUBLE) "
+        "UNION ALL SELECT 3, CAST(5.0 AS DOUBLE)"
+    )
+    nan_stages = {
+        r.doc_id: r.stage
+        for r in curriculum_order(nan_df, "score", thresholds=[0.5, 2.0]).collect()
+    }
+    assert nan_stages == {1: 0, 3: 2, 2: 3}
 
 
 def test_bpe_pair_counts_matches_duckdb(spark):
@@ -2263,12 +2280,15 @@ def test_char_entropy_handchecked(spark):
         )
     )
     got = {r.doc_id: (r.entropy_bits, r.n_chars) for r in char_entropy(df).collect()}
+    # empty/NULL text → NULL entropy (no distribution to measure),
+    # matching compression_ratio's sibling policy; a 0.0 would be
+    # indistinguishable from a genuinely degenerate single-char doc
     assert got == {
         1: (0.0, 4),
         2: (1.0, 2),
         3: (2.0, 4),
-        4: (0.0, 0),
-        5: (0.0, 0),
+        4: (None, 0),
+        5: (None, 0),
     }
 
 

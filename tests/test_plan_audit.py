@@ -18,6 +18,13 @@ SF = "/root/testdata/sf0.001"
 def test_flagship_broadcasts_dims_and_prunes(spark):
     df = em.queries()["q22_flagship_revenue"](spark, SF)
     assert_broadcast_join(df)
+    # Only fixed-size dims may carry an EXPLICIT broadcast hint: nation
+    # (25 rows at every sf).  customer is sf-scaled and must NOT be
+    # hinted — at test sf AQE/size heuristics may still broadcast it,
+    # which is fine (runtime-sized), but a hint would pin the broadcast
+    # at 100 TB too.
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, analyzed
     # lineitem has 11 columns; the query needs 3
     assert_max_read_columns(df, 4)
     s = plan_summary(df, execute=True)  # audit AQE's FINAL plan

@@ -33,7 +33,14 @@ def ds(spark):
     )
     ds.add_table("crew", crew)
     ds.add_table("crew2", crew.copy())
-    return ds
+    yield ds
+    # Every ds.query() auto-pins referenced tables in the Spark cache
+    # (DataSource._touch_referenced -> MemoryCache.touch); drain them so
+    # the module leaves the shared session's cache empty (the conftest
+    # module-teardown assert enforces this for every test module).
+    ds.cache.clear(spark)
+    for t in ("crew", "crew2"):
+        spark.catalog.dropTempView(t)
 
 
 # ---------------------------------------------------------------- basics
