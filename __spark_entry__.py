@@ -1635,6 +1635,244 @@ def e09_stream_upsert_sink(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# round-8 contract promotions: the library operators added in rounds
+# 6-7 (pytest-mirrored since then) get first-class oracle rows.
+# ---------------------------------------------------------------------------
+
+def d12_incremental_dedup(spark, sf):
+    """Incremental MinHash dedup of a delta batch against an accepted
+    snapshot (operators/dedup.py:1018) — base = even doc_ids, delta =
+    odd.  Graded as a PROPERTY like d03 (hash permutations aren't
+    portable SQL): DuckDB independently recomputes (a) the delta size
+    and (b) the number of delta docs with an exact 5-gram-Jaccard
+    ≥ 0.7 neighbor in the base snapshot; the engine-side claim — every
+    one of those contaminated delta docs was rejected (measured 100%
+    at sf0.001 AND sf0.01; verify_threshold 0.5 ≪ 0.7 makes the
+    verified-pair graph a superset of the ground-truth graph) — is
+    pinned TRUE."""
+    from dfsql_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = _t(spark, sf, "documents")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    survivors = incremental_minhash_dedup(new, base, verify_threshold=0.5)
+    exact = _exact_jaccard_pairs(spark, sf).filter(F.col("jaccard") >= 0.7)
+    contaminated = (
+        exact.filter((F.col("id_a") % 2) != (F.col("id_b") % 2))
+        .select(
+            F.when(F.col("id_a") % 2 == 1, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+    surv_ids = survivors.select("doc_id")
+    dropped = contaminated.join(surv_ids, "doc_id", "left_anti")
+    return (
+        new.agg(F.count("*").alias("n_new"))
+        .crossJoin(contaminated.agg(F.count("*").alias("n_contaminated")))
+        .crossJoin(dropped.agg(F.count("*").alias("_n_dropped")))
+        .select(
+            "n_new",
+            "n_contaminated",
+            (F.col("_n_dropped") >= F.col("n_contaminated")).alias(
+                "all_contaminated_dropped"
+            ),
+        )
+    )
+
+
+def d13_semantic_decontaminate(spark, sf):
+    """Embedding-space decontamination (operators/similarity.py:773):
+    corpus rows whose cosine to ANY eval vector (vec_id < 20) clears
+    0.3 are flagged with the nearest eval id.  The eval matrix is a
+    driver broadcast — ONE corpus scan, zero shuffles (plan-audited).
+    max_sim rounds to 6 dp on both engines (float dot-product ulp)."""
+    from dfsql_spark.operators.similarity import semantic_decontaminate
+
+    emb = _t(spark, sf, "embeddings")
+    ev = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    return semantic_decontaminate(corpus, ev, threshold=0.3).select(
+        "vec_id",
+        "nearest_eval_id",
+        F.round("max_sim", 6).alias("max_sim"),
+    )
+
+
+def d14_dedup_keep_best(spark, sf):
+    """Quality-aware survivor selection (operators/dedup.py:970): keep
+    the highest-quality_score member of each near-dup cluster (5-gram
+    Jaccard ≥ 0.6 pairs, connected components), not the arbitrary
+    min-id one.  DuckDB recomputes the whole thing independently:
+    pair graph → recursive-CTE transitive closure → per-cluster argmax
+    (score DESC, id ASC) — quality is a quotient of integer counts, so
+    the argmax is bit-exact cross-engine."""
+    from dfsql_spark.operators.dedup import dedup_keep_best, ngram_jaccard_pairs
+    from dfsql_spark.operators.text import quality_score
+
+    docs = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=5, threshold=0.6)
+    scored = docs.join(
+        quality_score(docs).selectExpr("doc_id", "quality AS score"), "doc_id"
+    )
+    return dedup_keep_best(scored, pairs, "score").select("doc_id", "source")
+
+
+def d15_ngram_overlap(spark, sf):
+    """Per-document contamination severity (operators/dedup.py:1225):
+    fraction of each corpus doc's distinct 13-grams that appear in the
+    eval slice (source = 'src0').  int/int output — bit-exact; short
+    docs keep a NULL-fraction roster row."""
+    from dfsql_spark.operators.dedup import ngram_overlap_fraction
+
+    docs = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    eval_set = docs.filter(F.col("source") == "src0")
+    return ngram_overlap_fraction(corpus, eval_set, n=13)
+
+
+def s06_mmr_rerank(spark, sf):
+    """Maximal-marginal-relevance diversification of a cosine-top-k
+    shortlist (operators/similarity.py:675): greedy pick maximizing
+    lam*relevance − (1−lam)*max-sim-to-selected.  DuckDB replays the
+    same greedy selection as 5 chained argmax CTEs over the identical
+    shortlist (ranks only — scores differ in the last ulp)."""
+    from dfsql_spark.operators.similarity import cosine_topk, mmr_rerank
+
+    emb = _t(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    short = cosine_topk(emb, qs, k=8)
+    return mmr_rerank(short, emb, k=5, lam=0.7).select(
+        "query_id", "mmr_rank", "neighbor_id"
+    )
+
+
+def t17_hashed_embeddings(spark, sf):
+    """Feature-hashing embeddings (operators/text.py:983): each token
+    adds ±1 to one of 16 md5-addressed buckets.  Graded as the exploded
+    NONZERO (doc_id, bucket, val) triplets — flat exact integers-in-
+    doubles, so the oracle is bit-for-bit (md5 both halves: bucket =
+    first 8 hex chars mod dim, sign = 9th hex char)."""
+    from dfsql_spark.operators.text import hashed_embeddings
+
+    docs = _t(spark, sf, "documents")
+    emb = hashed_embeddings(docs, dim=16, normalize=False)
+    return (
+        emb.select("doc_id", F.posexplode("embedding").alias("bucket", "val"))
+        .filter(F.col("val") != 0.0)
+        .select("doc_id", F.col("bucket").cast("int").alias("bucket"), "val")
+    )
+
+
+def t18_weighted_sample(spark, sf):
+    """Deterministic importance sampling (operators/text.py:1056):
+    keep probability min(1, weight*scale), content-addressed via
+    md5('wsample:' || text) — the fate of a row survives re-runs and
+    repartitioning, no RNG state.  The oracle replays the identical
+    md5-bucket filter."""
+    from dfsql_spark.operators.text import weighted_sample
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "wt", (F.col("doc_id") % 10).cast("double")
+    )
+    return weighted_sample(docs, "wt", scale=0.08).select(
+        "doc_id", "source", "wt"
+    )
+
+
+def t19_lm_score(spark, sf):
+    """Stupid-backoff bigram LM scoring (operators/text.py:1125):
+    train on the curated slice (source src0/src1), score every doc by
+    avg per-bigram log10-prob.  Model tables broadcast (train-sized);
+    corpus side is one exploded-bigram map.  avg rounds to 6 dp on
+    both engines (DuckDB's log() IS log10)."""
+    from dfsql_spark.operators.text import lm_score
+
+    docs = _t(spark, sf, "documents")
+    train = docs.filter(F.col("source").isin("src0", "src1"))
+    return lm_score(docs, train)
+
+
+def t20_epoch_shuffle(spark, sf):
+    """Deterministic per-epoch shuffle order (operators/text.py:1250):
+    order key md5('epoch:1:' || doc_id) — reproducible permutation,
+    no RNG state; DuckDB reproduces every key bit-for-bit.  (The
+    driver's value-hash is order-insensitive; the KEY COLUMN is the
+    graded determinism contract, pytest pins the realized order.)"""
+    from dfsql_spark.operators.text import epoch_shuffle
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    return epoch_shuffle(docs, epoch=1)
+
+
+def t21_curriculum_order(spark, sf):
+    """Staged easy-first curriculum (operators/text.py:1278): stage =
+    #thresholds ≤ n_chars (NULL/NaN → sentinel last stage), md5 shuffle
+    key within stage.  Stage and key are both exact cross-engine."""
+    from dfsql_spark.operators.text import curriculum_order
+
+    docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    return curriculum_order(
+        docs, "n_chars", thresholds=[200.0, 400.0], epoch=3
+    ).select("doc_id", F.col("stage").cast("int").alias("stage"), "order_key")
+
+
+def t22_bpe_pair_counts(spark, sf):
+    """One BPE tokenizer-training merge round (operators/text.py:1330):
+    corpus-wide adjacent char-pair counts, top-50 by (count desc, pair
+    asc).  Pair-vocabulary-sized shuffle after map-side combine."""
+    from dfsql_spark.operators.text import bpe_pair_counts
+
+    docs = _t(spark, sf, "documents")
+    return bpe_pair_counts(docs, top_k=50)
+
+
+def t23_char_entropy(spark, sf):
+    """Per-doc Shannon character entropy (operators/text.py:1426) —
+    the keyboard-mash / binary-junk detector.  Codepoint-ordered float
+    sum, rounded 6 dp; DuckDB's unnest-chars mirror agrees exactly at
+    that precision."""
+    from dfsql_spark.operators.text import char_entropy
+
+    docs = _t(spark, sf, "documents")
+    return char_entropy(docs)
+
+
+def x05_quality_checks(spark, sf):
+    """Declarative data-quality suite (operators/checks.py:104): six
+    deequ-style checks over lineitem compiled into ONE groupless
+    aggregation + codegen'd stack unpivot — N checks, one scan, one
+    job (plan-audited).  Includes a deliberately failing check
+    (l_orderkey is not unique in lineitem) so both outcomes are
+    value-graded."""
+    from dfsql_spark.operators.checks import (
+        in_range,
+        matches_regex,
+        not_null,
+        row_count_at_least,
+        run_checks,
+        unique,
+        values_in,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    return run_checks(
+        li,
+        [
+            row_count_at_least(1000),
+            not_null("l_orderkey"),
+            unique("l_orderkey"),
+            in_range("l_discount", 0.0, 0.1),
+            values_in("l_returnflag", ["A", "N", "R"]),
+            matches_regex("l_returnflag", "^[ANR]$", min_frac=1.0),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -1688,67 +1926,77 @@ def entry(spark: SparkSession) -> DataFrame:
 # (d03's zero-shuffle signatures) stay in the graded block regardless
 # of rotation age; d02 sits out with only a one-line PPJoin epsilon
 # change (1e-9 slack), pinned by the pytest mirror every run.
-# Round-7 contract candidates (library-complete + pytest-covered this
-# round, deliberately NOT added to queries() so the graded block stays
-# at 50 and every round-6 entry gets its first-round grade):
-# mmr_rerank (s06), incremental_minhash_dedup (d12, property oracle
-# like d03), hashed_embeddings (t17 — the DuckDB bit-for-bit
-# reproduction already exists as a pytest, ready to lift into
-# oracle_sql()), semantic_decontaminate (d13, exact oracle via
-# cross-join max at sf0.01), weighted_sample (t18, exact md5 oracle
-# like t10), lm_score (t19, stupid-backoff bigram LM scoring — the
-# exact DuckDB mirror already exists as a pytest, ready to lift),
-# dedup_keep_best (d14, quality-aware survivor selection — recursive
-# CTE closure + per-cluster argmax oracle, mirror exists as a pytest),
-# ngram_overlap_fraction (d15, per-doc contamination severity — exact
-# DuckDB mirror exists as a pytest), epoch_shuffle (t20, deterministic
-# training order — exact md5 order-key oracle, mirror exists),
-# curriculum_order (t21, staged easy-first training order — exact
-# DuckDB full-sequence mirror exists), bpe_pair_counts (t22, one BPE
-# merge round — exact DuckDB mirror exists), char_entropy (t23,
-# keyboard-mash detector — DuckDB mirror at the lm_score 6 dp
-# comparison precision exists).
+# Round 8 promotes the queued library operators into the contract:
+# d12-d15, s06, t17-t23, x05 (13 new oracle-backed entries; total
+# 100).  The graded window (first ~50) this round = the 37 round-7
+# sit-outs (back per the rotation promise — d04/s02/s03 among them,
+# per the round-7 verdict's staleness ask) + 12 of the 13 new entries
+# + sk02 (its sum expression changed to exact DECIMAL this round, and
+# CHANGED operators stay graded regardless of rotation age).  To hold
+# the window at 50, t18 (weighted_sample — the same md5-bucket filter
+# contract as the already-twice-green t10) starts in the tail and
+# gets its first grade in round 9, exactly like x02 did in round 6.
+# The round-8 sit-outs are otherwise precisely the round-7 graded
+# block — every one driver-green in CORRECTNESS_r07 — so the hard
+# invariant (nothing green-less two rounds running) holds; all return
+# in round 9.  With 100 entries and a 50-slot window the rotation is
+# a stable 2-round alternation from here on — and therefore SATURATED:
+# the remaining library-only operators (normalize_nfc — DuckDB
+# nfc_normalize mirror ready; compression_ratio — property-only, no
+# SQL zlib; train_text_classifier/classifier_score — property-graded
+# accuracy) stay pytest-covered until the driver's grading cap rises
+# above 100 (see README "Driver contract note").
 _SIT_OUT_THIS_ROUND = (
-    # q05-q08 joined the sit-outs when d11/s05/q31/x04 (new, graded
-    # first round) were added mid-round: twice-green (r4+r5),
-    # pytest-mirrored, back in round 7 with the rest.
-    "q05_orderby_limit_offset",
-    "q06_groupby_agg",
-    "q07_groupby_expr",
-    "q08_implicit_agg",
-    "a01_asof_join",
-    "a02_range_join",
-    "d01_dedup_exact",
-    "d02_dedup_ngram_jaccard",
-    "d04_dedup_simhash",
-    "d05_embedding_neardup",
-    "d06_dedup_connected",
-    "s01_sim_topk",
-    "s02_sim_topk_lsh",
-    "s03_sim_ivf",
-    "sk01_salted_agg",
-    "t01_text_stats",
-    "t02_quality_score",
-    "t03_lang_id",
-    "t04_fingerprint",
-    "t05_token_count",
-    "e01_windowed_counts",
-    "e02_sessionize",
-    "e04_stream_windowed_counts",
-    "e05_stream_stateful",
-    "e06_stream_dedupe",
-    "e07_interval_join",
-    "e08_stream_interval_join",
-    "e09_stream_upsert_sink",
-    "m01_media_stats",
-    "q01_projection",
-    "q02_filter",
-    "q03_cast",
-    "q04_distinct",
-    "q22_flagship_revenue",
-    "q27_window_topk",
-    "x01_approx_distinct_pruned",
-    "x02_approx_quantiles",
+    "d03_dedup_minhash_lsh",
+    "d07_decontaminate",
+    "d08_semantic_dedup",
+    "d09_dedup_survivors",
+    "d10_winnow_overlap",
+    "d11_line_dedup",
+    "e03_json_props",
+    "f01_custom_agg_sql",
+    "f02_custom_scalar_sql",
+    "m02_media_decode",
+    "m03_media_dedup",
+    "m04_media_sim",
+    "p01_curation_pipeline",
+    "q09_count_distinct",
+    "q10_having_alias",
+    "q11_join_inner",
+    "q12_join_left",
+    "q13_join_right",
+    "q14_join_full",
+    "q15_self_join",
+    "q16_in_subquery",
+    "q17_scalar_subquery",
+    "q18_from_subquery",
+    "q19_like_regex",
+    "q20_string_funcs",
+    "q21_power",
+    "q23_case_when",
+    "q24_union",
+    "q25_except_intersect",
+    "q26_anti_join",
+    "q28_rollup",
+    "q29_exists_correlated",
+    "q30_grouping_sets",
+    "q31_pivot",
+    "s04_sim_pq",
+    "s05_bm25",
+    "t06_deterministic_split",
+    "t07_vocab_topk",
+    "t08_pii_scrub",
+    "t09_pack_sequences",
+    "t10_stratified_sample",
+    "t11_repetition",
+    "t12_c4_filters",
+    "t13_mix_rebalance",
+    "t14_winnow_fingerprints",
+    "t15_unigram_familiarity",
+    "t16_chunk_documents",
+    "t18_weighted_sample",
+    "x03_hll_sketch_rollup",
+    "x04_snapshot_diff",
 )
 
 # rows-only sketch queries (``no_oracle``); always last.  Empty since
@@ -1852,6 +2100,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s03_sim_ivf": s03_sim_ivf,
         "m02_media_decode": m02_media_decode,
         "m03_media_dedup": m03_media_dedup,
+        "d12_incremental_dedup": d12_incremental_dedup,
+        "d13_semantic_decontaminate": d13_semantic_decontaminate,
+        "d14_dedup_keep_best": d14_dedup_keep_best,
+        "d15_ngram_overlap": d15_ngram_overlap,
+        "s06_mmr_rerank": s06_mmr_rerank,
+        "t17_hashed_embeddings": t17_hashed_embeddings,
+        "t18_weighted_sample": t18_weighted_sample,
+        "t19_lm_score": t19_lm_score,
+        "t20_epoch_shuffle": t20_epoch_shuffle,
+        "t21_curriculum_order": t21_curriculum_order,
+        "t22_bpe_pair_counts": t22_bpe_pair_counts,
+        "t23_char_entropy": t23_char_entropy,
+        "x05_quality_checks": x05_quality_checks,
     }
     tail = set(_SIT_OUT_THIS_ROUND) | set(_ROWS_ONLY)
     ordered = [n for n in all_queries if n not in tail]
@@ -3112,5 +3373,398 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT count(*) FROM kept k
                          WHERE k.doc_id = m.doc_id) AS BIGINT) AS n_kept
             FROM ml m
+        """,
+        # d12: property oracle (d03 pattern) — DuckDB recomputes the
+        # delta size and the exact-Jaccard ground-truth contamination
+        # count; the all-dropped claim is the engine-side pin.
+        "d12_incremental_dedup": """
+            WITH n AS (
+                SELECT doc_id AS id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT id,
+                       UNNEST(list_distinct(list_transform(
+                           range(1, greatest(length(nt), 5) - 3),
+                           i -> substring(nt, i, 5)))) AS sh
+                FROM n
+            ),
+            sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+            common AS (
+                SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS nc
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+                GROUP BY a.id, b.id
+            ),
+            ex AS (
+                SELECT id_a, id_b FROM common
+                JOIN sizes sa ON sa.id = id_a
+                JOIN sizes sb ON sb.id = id_b
+                WHERE nc / (sa.sz + sb.sz - nc) >= 0.7
+            ),
+            cont AS (
+                SELECT DISTINCT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS d
+                FROM ex WHERE (id_a % 2) != (id_b % 2)
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents
+                    WHERE doc_id % 2 = 1) AS n_new,
+                   (SELECT CAST(count(*) AS BIGINT) FROM cont) AS n_contaminated,
+                   TRUE AS all_contaminated_dropped
+        """,
+        "d13_semantic_decontaminate": """
+            WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+            c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
+            sims AS (
+                SELECT c.vec_id, ev.vec_id AS eid,
+                       list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                              CAST(ev.embedding AS DOUBLE[])) AS s
+                FROM c, ev
+            ),
+            best AS (
+                SELECT vec_id, eid, s,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, eid ASC) AS rn
+                FROM sims
+            )
+            SELECT vec_id, eid AS nearest_eval_id, ROUND(s, 6) AS max_sim
+            FROM best WHERE rn = 1 AND s >= 0.3
+        """,
+        # d14: full independent replay — pair graph (d02's shingle SQL
+        # at 0.6) -> recursive-CTE closure -> per-cluster argmax by
+        # (quality DESC, id ASC); quality is t02's integer-quotient
+        # formula, bit-exact cross-engine.
+        "d14_dedup_keep_best": """
+            WITH RECURSIVE n AS (
+                SELECT doc_id AS id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT id,
+                       UNNEST(list_distinct(list_transform(
+                           range(1, greatest(length(nt), 5) - 3),
+                           i -> substring(nt, i, 5)))) AS sh
+                FROM n
+            ),
+            sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+            common AS (
+                SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS nc
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+                GROUP BY a.id, b.id
+            ),
+            p AS (
+                SELECT id_a, id_b FROM common
+                JOIN sizes sa ON sa.id = id_a
+                JOIN sizes sb ON sb.id = id_b
+                WHERE nc / (sa.sz + sb.sz - nc) >= 0.6
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM p
+                UNION SELECT id_b, id_a FROM p
+            ),
+            reach AS (
+                SELECT src AS node, src AS lbl FROM edges
+                UNION
+                SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+            ),
+            comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+            qs AS (
+                SELECT doc_id,
+                       len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                       x -> x <> '')) AS n_tokens,
+                       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) AS alpha_ratio,
+                       len(list_distinct(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                                     x -> x <> '')))
+                           / len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                             x -> x <> '')) AS ttr,
+                       (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+                           / length(text) AS punct_ratio
+                FROM documents
+            ),
+            q AS (
+                SELECT doc_id,
+                       0.35 * alpha_ratio + 0.25 * ttr
+                       + 0.25 * least(n_tokens / 64.0, 1.0)
+                       + 0.15 * (1.0 - least(punct_ratio * 4, 1.0)) AS quality
+                FROM qs
+            ),
+            losers AS (
+                SELECT c.node
+                FROM comp c JOIN q ON q.doc_id = c.node
+                QUALIFY ROW_NUMBER() OVER (
+                    PARTITION BY c.component
+                    ORDER BY q.quality DESC, c.node ASC) > 1
+            )
+            SELECT doc_id, source FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM losers)
+        """,
+        "d15_ngram_overlap": """
+            WITH toks AS (
+                SELECT doc_id, source,
+                       list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), grams AS (
+                SELECT DISTINCT doc_id, source,
+                       array_to_string(t[u.i : u.i + 12], ' ') AS g
+                FROM toks, unnest(range(1, len(t) - 11)) u(i)
+                WHERE len(t) >= 13
+            ), eg AS (
+                SELECT DISTINCT g FROM grams WHERE source = 'src0'
+            ), agg AS (
+                SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                       CAST(SUM(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_hit
+                FROM (SELECT * FROM grams WHERE source <> 'src0') c
+                LEFT JOIN eg e ON c.g = e.g
+                GROUP BY c.doc_id
+            )
+            SELECT t.doc_id, COALESCE(a.n_grams, 0) AS n_grams,
+                   COALESCE(a.n_hit, 0) AS n_hit,
+                   CASE WHEN a.n_grams > 0
+                        THEN a.n_hit / a.n_grams END AS overlap_frac
+            FROM (SELECT DISTINCT doc_id FROM toks WHERE source <> 'src0') t
+            LEFT JOIN agg a USING (doc_id)
+        """,
+        # s06: the greedy MMR selection replayed as 5 chained argmax
+        # CTEs (k=5, lam=0.7) over the identical top-8 shortlist; ranks
+        # only — mmr scores differ in the last ulp across engines.
+        "s06_mmr_rerank": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+            sims AS (
+                SELECT q.query_id, e.vec_id AS cid,
+                       list_cosine_similarity(q.qv, e.v) AS rel
+                FROM q, e
+            ),
+            ce AS (
+                SELECT s.query_id, s.cid, s.rel, e.v FROM (
+                    SELECT query_id, cid, rel,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                                              ORDER BY rel DESC, cid ASC) AS rk
+                    FROM sims
+                ) s JOIN e ON e.vec_id = s.cid
+                WHERE s.rk <= 8
+            ),
+            p1 AS (
+                SELECT query_id, cid, v FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY rel DESC, cid ASC) AS rk FROM ce
+                ) WHERE rk = 1
+            ),
+            p2 AS (
+                SELECT query_id, cid, v FROM (
+                    SELECT c.query_id, c.cid, c.v,
+                           ROW_NUMBER() OVER (PARTITION BY c.query_id
+                               ORDER BY 0.7 * c.rel
+                                   - 0.3 * list_cosine_similarity(c.v, p1.v) DESC,
+                                   c.cid ASC) AS rk
+                    FROM ce c JOIN p1 ON c.query_id = p1.query_id
+                    WHERE c.cid <> p1.cid
+                ) WHERE rk = 1
+            ),
+            p3 AS (
+                SELECT query_id, cid, v FROM (
+                    SELECT c.query_id, c.cid, c.v,
+                           ROW_NUMBER() OVER (PARTITION BY c.query_id
+                               ORDER BY 0.7 * c.rel - 0.3 * greatest(
+                                   list_cosine_similarity(c.v, p1.v),
+                                   list_cosine_similarity(c.v, p2.v)) DESC,
+                                   c.cid ASC) AS rk
+                    FROM ce c
+                    JOIN p1 ON c.query_id = p1.query_id
+                    JOIN p2 ON c.query_id = p2.query_id
+                    WHERE c.cid <> p1.cid AND c.cid <> p2.cid
+                ) WHERE rk = 1
+            ),
+            p4 AS (
+                SELECT query_id, cid, v FROM (
+                    SELECT c.query_id, c.cid, c.v,
+                           ROW_NUMBER() OVER (PARTITION BY c.query_id
+                               ORDER BY 0.7 * c.rel - 0.3 * greatest(
+                                   list_cosine_similarity(c.v, p1.v),
+                                   list_cosine_similarity(c.v, p2.v),
+                                   list_cosine_similarity(c.v, p3.v)) DESC,
+                                   c.cid ASC) AS rk
+                    FROM ce c
+                    JOIN p1 ON c.query_id = p1.query_id
+                    JOIN p2 ON c.query_id = p2.query_id
+                    JOIN p3 ON c.query_id = p3.query_id
+                    WHERE c.cid <> p1.cid AND c.cid <> p2.cid AND c.cid <> p3.cid
+                ) WHERE rk = 1
+            ),
+            p5 AS (
+                SELECT query_id, cid, v FROM (
+                    SELECT c.query_id, c.cid, c.v,
+                           ROW_NUMBER() OVER (PARTITION BY c.query_id
+                               ORDER BY 0.7 * c.rel - 0.3 * greatest(
+                                   list_cosine_similarity(c.v, p1.v),
+                                   list_cosine_similarity(c.v, p2.v),
+                                   list_cosine_similarity(c.v, p3.v),
+                                   list_cosine_similarity(c.v, p4.v)) DESC,
+                                   c.cid ASC) AS rk
+                    FROM ce c
+                    JOIN p1 ON c.query_id = p1.query_id
+                    JOIN p2 ON c.query_id = p2.query_id
+                    JOIN p3 ON c.query_id = p3.query_id
+                    JOIN p4 ON c.query_id = p4.query_id
+                    WHERE c.cid <> p1.cid AND c.cid <> p2.cid
+                      AND c.cid <> p3.cid AND c.cid <> p4.cid
+                ) WHERE rk = 1
+            )
+            SELECT query_id, CAST(1 AS INT) AS mmr_rank, cid AS neighbor_id FROM p1
+            UNION ALL SELECT query_id, 2, cid FROM p2
+            UNION ALL SELECT query_id, 3, cid FROM p3
+            UNION ALL SELECT query_id, 4, cid FROM p4
+            UNION ALL SELECT query_id, 5, cid FROM p5
+        """,
+        "t17_hashed_embeddings": """
+            WITH toks AS (
+                SELECT doc_id, lower(t) AS t FROM (
+                    SELECT doc_id,
+                           unnest(list_filter(
+                               regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                               x -> x <> '')) AS t
+                    FROM documents)
+            )
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substr(md5(':' || t), 1, 8)) AS BIGINT)
+                        % 16 AS INT) AS bucket,
+                   sum(CASE WHEN CAST(('0x' || substr(md5(':' || t), 9, 1))
+                                 AS BIGINT) < 8
+                            THEN 1.0 ELSE -1.0 END) AS val
+            FROM toks GROUP BY 1, 2
+            HAVING sum(CASE WHEN CAST(('0x' || substr(md5(':' || t), 9, 1))
+                            AS BIGINT) < 8 THEN 1.0 ELSE -1.0 END) != 0
+        """,
+        "t18_weighted_sample": """
+            SELECT doc_id, source, CAST(doc_id % 10 AS DOUBLE) AS wt
+            FROM documents
+            WHERE CAST(('0x' || substr(md5('wsample:' || text), 1, 8)) AS BIGINT)
+                      % 1000000
+                  < least(greatest(CAST(doc_id % 10 AS DOUBLE) * 0.08, 0.0), 1.0)
+                      * 1000000
+        """,
+        "t19_lm_score": """
+            WITH d AS (
+              SELECT doc_id, source,
+                     list_filter(regexp_split_to_array(coalesce(lower(text), ''), '\\s+'),
+                                 x -> x <> '') AS l
+              FROM documents
+            ),
+            uni AS (
+              SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM (
+                SELECT unnest(l) AS w FROM d WHERE source IN ('src0', 'src1')
+              ) GROUP BY w
+            ),
+            tot AS (SELECT SUM(cu) AS n_total FROM uni),
+            bi AS (
+              SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM (
+                SELECT l[i] AS w1, l[i+1] AS w2
+                FROM d, UNNEST(generate_series(1, len(l)-1)) AS t(i)
+                WHERE source IN ('src0', 'src1')
+              ) GROUP BY w1, w2
+            ),
+            ex AS (
+              SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+              FROM d, UNNEST(generate_series(1, len(l)-1)) AS t(i)
+            ),
+            scored AS (
+              SELECT e.doc_id,
+                     CASE WHEN bi.cb IS NOT NULL
+                          THEN log(CAST(bi.cb AS DOUBLE) / u1.cu)
+                          ELSE log(0.4 * CAST(COALESCE(u2.cu, 1) AS DOUBLE)
+                                   / tot.n_total) END AS logp
+              FROM ex e
+              LEFT JOIN bi ON e.w1 = bi.w1 AND e.w2 = bi.w2
+              LEFT JOIN uni u1 ON e.w1 = u1.w
+              LEFT JOIN uni u2 ON e.w2 = u2.w
+              CROSS JOIN tot
+            ),
+            agg AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                     ROUND(AVG(logp), 6) AS avg_logp
+              FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.avg_logp
+            FROM (SELECT DISTINCT doc_id FROM d) d LEFT JOIN agg a USING (doc_id)
+        """,
+        "t20_epoch_shuffle": """
+            SELECT doc_id, source,
+                   md5('epoch:1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+            FROM documents
+        """,
+        "t21_curriculum_order": """
+            SELECT doc_id,
+                   CAST(CASE WHEN n_chars IS NULL THEN 3
+                        ELSE CAST(n_chars >= 200.0 AS INT)
+                           + CAST(n_chars >= 400.0 AS INT) END AS INT) AS stage,
+                   md5('curriculum:3:' || CAST(doc_id AS VARCHAR)) AS order_key
+            FROM documents
+        """,
+        "t22_bpe_pair_counts": """
+            WITH w AS (
+              SELECT unnest(list_filter(
+                  regexp_split_to_array(coalesce(lower(text), ''), '\\s+'),
+                  x -> x <> '')) AS w
+              FROM documents
+            ), p AS (
+              SELECT substr(w, CAST(i AS INT), 2) AS pair
+              FROM w, UNNEST(generate_series(1, length(w) - 1)) AS t(i)
+              WHERE length(w) >= 2
+            )
+            SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+            FROM p GROUP BY pair
+            ORDER BY n DESC, pair
+            LIMIT 50
+        """,
+        "t23_char_entropy": """
+            WITH c AS (
+              SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+              FROM documents, UNNEST(generate_series(1, length(text))) AS t(i)
+            ), h AS (
+              SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS c
+              FROM c GROUP BY doc_id, ch
+            ), n AS (
+              SELECT doc_id, SUM(c) AS n FROM h GROUP BY doc_id
+            ), e AS (
+              SELECT h.doc_id,
+                     ROUND(-SUM((c/n.n)*log2(c/n.n)), 6) AS entropy_bits,
+                     CAST(ANY_VALUE(n.n) AS BIGINT) AS nch
+              FROM h JOIN n USING (doc_id) GROUP BY h.doc_id
+            )
+            SELECT d.doc_id, e.entropy_bits,
+                   CAST(COALESCE(e.nch, 0) AS INT) AS n_chars
+            FROM (SELECT doc_id FROM documents) d LEFT JOIN e USING (doc_id)
+        """,
+        "x05_quality_checks": """
+            WITH s AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS cnt,
+                     CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                          AS DOUBLE) AS n_null,
+                     CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_dist,
+                     CAST(COUNT(l_orderkey) AS DOUBLE) AS n_nonnull,
+                     CAST(SUM(CASE WHEN l_discount IS NULL
+                                   OR l_discount < 0.0 OR l_discount > 0.1
+                              THEN 1 ELSE 0 END) AS DOUBLE) AS bad_disc,
+                     CAST(SUM(CASE WHEN l_returnflag IS NULL
+                                   OR l_returnflag NOT IN ('A', 'N', 'R')
+                              THEN 1 ELSE 0 END) AS DOUBLE) AS bad_rf,
+                     CAST(SUM(CASE WHEN regexp_matches(l_returnflag, '^[ANR]$')
+                              THEN 1 ELSE 0 END) AS DOUBLE) AS rx_ok
+              FROM lineitem
+            )
+            SELECT 'row_count_at_least(1000)' AS "check",
+                   cnt >= 1000 AS passed, cnt AS observed FROM s
+            UNION ALL SELECT 'not_null(l_orderkey)',
+                   (n_null / cnt) <= 0.0, n_null / cnt FROM s
+            UNION ALL SELECT 'unique(l_orderkey)',
+                   n_dist = n_nonnull, n_dist FROM s
+            UNION ALL SELECT 'in_range(l_discount,0.0,0.1)',
+                   (bad_disc / cnt) = 0.0, bad_disc / cnt FROM s
+            UNION ALL SELECT 'values_in(l_returnflag)',
+                   (bad_rf / cnt) = 0.0, bad_rf / cnt FROM s
+            UNION ALL SELECT 'matches_regex(l_returnflag)',
+                   (rx_ok / cnt) >= 1.0, rx_ok / cnt FROM s
         """,
     }

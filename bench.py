@@ -97,12 +97,32 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        run(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # Median of 3 INTERLEAVED suite passes: single-shot timings showed
+    # ±3-4x swings on untouched code (round 7), too noisy to gate on.
+    # release_caches() between passes drops the entry module's shared
+    # persists (shingle sets, exact-pair ground truth) so every pass
+    # pays the same cold cost a driver run pays — within a pass the
+    # d02->d09 persist reuse is preserved, exactly like the driver.
+    REPS = 3
+    per_rep: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    d02_strategies: list = []
+    from dfsql_spark.operators.dedup import LAST_NGRAM_STRATEGY
 
+    for _ in range(REPS):
+        em.release_caches()
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            run(qs[name](spark, sf_dir))
+            per_rep[name].append(time.perf_counter() - t0)
+            if name == "d02_dedup_ngram_jaccard":
+                d02_strategies.append(
+                    LAST_NGRAM_STRATEGY.get("strategy", "unknown")
+                )
+
+    def median3(xs: list[float]) -> float:
+        return sorted(xs)[len(xs) // 2]
+
+    timings = {n: round(median3(ts), 3) for n, ts in per_rep.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -112,6 +132,17 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": REPS,
+                "aggregate": "median",
+                "d02_strategy": (
+                    d02_strategies[0]
+                    if len(set(d02_strategies)) == 1
+                    else d02_strategies
+                ),
+                "spread": {
+                    n: round(max(ts) - min(ts), 3)
+                    for n, ts in per_rep.items()
+                },
             }
         )
     )

@@ -250,6 +250,14 @@ def exact_dedup(
 # exact n-gram Jaccard (inverted-index self-join)
 # ---------------------------------------------------------------------------
 
+# Observability for the auto strategy gate below: the last resolved
+# choice and its inputs.  bench.py reports this next to the d02 timing
+# so a slow run is attributable to the physical path that actually ran
+# (the gate sits near the prefix/dense boundary at small sf and
+# approx_count_distinct noise can flip it between runs).
+LAST_NGRAM_STRATEGY: dict = {}
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -296,6 +304,8 @@ def ngram_jaccard_pairs(
     auto gate skips its counting job.
     """
     pre_shingled = sets is not None
+    requested = strategy
+    LAST_NGRAM_STRATEGY.clear()
     if not pre_shingled:
         sets = shingle_sets(df, text_col, id_col, k)
     materialized = pre_shingled  # caller materialized before sharing
@@ -339,6 +349,9 @@ def ngram_jaccard_pairs(
                 and (docs * docs / 2) * row_bytes <= dense_max_ops
                 else "prefix"
             )
+            LAST_NGRAM_STRATEGY.update(vocab=vocab)
+        LAST_NGRAM_STRATEGY.update(n_docs=docs)
+    LAST_NGRAM_STRATEGY.update(strategy=strategy, requested=requested)
     if strategy == "dense":
         if not materialized:
             sets = _materialize(sets, "local")

@@ -109,26 +109,68 @@ def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, feats
 
 
+def _pil_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """REAL image decoder (used when PIL is importable and the caller
+    asks for it): true (width, height) plus an 8-dim feature vector —
+    mean grayscale intensity of 8 vertical bands of a 16×16 thumbnail.
+    Deterministic for a given PIL build (resize uses a fixed filter)."""
+    import io
+
+    import numpy as np
+    import PIL.Image
+
+    img = PIL.Image.open(io.BytesIO(payload)).convert("L")
+    width, height = img.size
+    thumb = np.asarray(
+        img.resize((16, 16), PIL.Image.BILINEAR), dtype=np.float64
+    ) / 255.0
+    feats = [
+        round(float(thumb[:, 2 * i : 2 * i + 2].mean()), 6) for i in range(8)
+    ]
+    return width, height, feats
+
+
 def decode_and_featurize(
-    media: DataFrame, batch_hint: int | None = None, strict: bool = False
+    media: DataFrame,
+    batch_hint: int | None = None,
+    strict: bool = False,
+    decoder: str = "stub",
 ) -> DataFrame:
     """Decode payloads and extract features via Arrow-batched
     ``mapInPandas``.
 
-    ``strict=True`` raises ``NotImplementedError`` at the decode site
-    when no real decoder library is present (the honest production
-    behavior); default uses the deterministic stub so the pipeline is
-    testable here.
+    ``decoder`` selects the decode implementation:
+
+    * ``"stub"`` (default) — the deterministic SHA-256 fake, the
+      engine-portable contract the m02 oracle pins (payloads here are
+      UTF-8 text stand-ins, not decodable images).
+    * ``"pil"`` — the REAL :func:`_pil_decode` (raises
+      ``NotImplementedError`` if PIL is absent).  The swap-in is a
+      per-batch function choice; schema, batching, and plan shape are
+      identical — pinned by the skip-gated real-decoder test.
+    * ``"auto"`` — ``"pil"`` when PIL is importable, else the stub.
+
+    ``strict=True`` additionally refuses to fake: it raises at the
+    decode site whenever the effective decoder is the stub (the honest
+    production behavior).
     """
+    if decoder not in ("stub", "pil", "auto"):
+        raise ValueError(f"decoder must be stub|pil|auto, got {decoder!r}")
+    effective = decoder if decoder != "auto" else ("pil" if HAVE_PIL else "stub")
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict and not HAVE_PIL:
+            if effective == "pil" and not HAVE_PIL:
+                raise NotImplementedError(
+                    "decoder='pil' requires PIL, which is not installed"
+                )
+            if strict and effective == "stub":
                 raise NotImplementedError(
                     "media decode requires an image/audio library not present "
                     "in this environment; install PIL/ffmpeg or use the stub"
                 )
-            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            decode = _pil_decode if effective == "pil" else _fake_decode
+            decoded = [decode(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -196,6 +196,58 @@ def test_multimodal_plumbing(docs):
 
 def test_multimodal_strict_raises(docs):
     from dfsql_spark.operators.multimodal import (
+        attach_fake_media,
+        decode_and_featurize,
+    )
+
+    # strict refuses to fake: the default decoder is the stub, so this
+    # raises whether or not a real decoder library is installed
+    media = attach_fake_media(docs).limit(2)
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        decode_and_featurize(media, strict=True).collect()
+    with pytest.raises(ValueError, match="decoder"):
+        decode_and_featurize(media, decoder="ffmpeg")
+
+
+def test_multimodal_real_decoder_swap_in(spark):
+    """Skip-gated proof of the stub/real boundary: wherever PIL exists,
+    a REAL 2x2 PNG round-trips through decode_and_featurize(decoder=
+    'pil') with true dimensions and an 8-dim feature vector — same
+    schema, same Arrow batching, same plan shape as the stub path."""
+    from dfsql_spark.operators.multimodal import HAVE_PIL, decode_and_featurize
+
+    if not HAVE_PIL:
+        pytest.skip("PIL not installed in this environment")
+    import io
+
+    import pandas as pd
+    import PIL.Image
+
+    img = PIL.Image.new("RGB", (2, 2))
+    img.putpixel((0, 0), (255, 255, 255))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    payload = buf.getvalue()
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1],
+                "media_type": ["image"],
+                "payload": [payload],
+                "mime": ["image/png"],
+                "n_bytes": [len(payload)],
+            }
+        )
+    )
+    row = decode_and_featurize(media, decoder="pil").collect()[0]
+    assert (row.width, row.height) == (2, 2)
+    assert len(row.features) == 8
+    assert all(0.0 <= v <= 1.0 for v in row.features)
+    assert any(v > 0.0 for v in row.features)  # the white pixel shows up
+
+
+def test_multimodal_pil_decoder_requires_pil(docs):
+    from dfsql_spark.operators.multimodal import (
         HAVE_PIL,
         attach_fake_media,
         decode_and_featurize,
@@ -203,9 +255,9 @@ def test_multimodal_strict_raises(docs):
 
     if HAVE_PIL:
         pytest.skip("real decoder present")
-    media = attach_fake_media(docs).limit(2)
-    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
-        decode_and_featurize(media, strict=True).collect()
+    media = attach_fake_media(docs).limit(1)
+    with pytest.raises(Exception):  # NotImplementedError inside the worker
+        decode_and_featurize(media, decoder="pil").collect()
 
 
 def test_fingerprint_order_sensitive(spark):
