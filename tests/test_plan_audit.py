@@ -333,3 +333,42 @@ def test_curation_capstone_is_python_free(spark):
     df = em.queries()["p01_curation_pipeline"](spark, SF)
     s = plan_summary(df)
     assert "EvalPython" not in s.text
+
+
+def test_hashed_embeddings_contract_is_python_free(spark):
+    """t17 (feature-hashing embeddings, exploded triplets): every stage
+    — tokenize, md5 bucket/sign, the two map-side-combined aggregates,
+    the posexplode — is built-in expressions, zero Python eval nodes,
+    so the embedding build scans 100 TB with no Python workers."""
+    df = em.queries()["t17_hashed_embeddings"](spark, SF)
+    s = plan_summary(df)
+    assert "EvalPython" not in s.text
+
+
+def test_semantic_decontaminate_contract_single_scan_no_exchange(spark):
+    """d13: the eval matrix rides a SparkContext broadcast, so the
+    corpus side must be ONE scan with NO exchange at all — the shape
+    that lets decontamination stream over 100 TB map-only."""
+    df = em.queries()["d13_semantic_decontaminate"](spark, SF)
+    s = plan_summary(df)
+    assert s.n_exchanges == 0, s.text
+    full = [r for r in s.read_schemas if "embedding" in r]
+    assert len(full) == 1, s.read_schemas
+
+
+def test_quality_checks_contract_single_scan(spark):
+    """x05: six checks, ONE lineitem scan (single groupless agg +
+    codegen stack unpivot) — N checks must never become N jobs."""
+    df = em.queries()["x05_quality_checks"](spark, SF)
+    s = plan_summary(df)
+    assert len(s.read_schemas) == 1, s.read_schemas
+
+
+def test_weighted_sample_contract_is_pure_filter(spark):
+    """t18 (explicit scale): the keep decision is a content-addressed
+    md5 filter that pipelines into the scan — zero exchanges, zero
+    Python, no derivation aggregate in the plan."""
+    df = em.queries()["t18_weighted_sample"](spark, SF)
+    s = plan_summary(df)
+    assert s.n_exchanges == 0, s.text
+    assert "EvalPython" not in s.text
