@@ -2284,6 +2284,70 @@ def test_repetition_ratio_struct_form_matches_gram_udf(spark):
         assert got == want
 
 
+def test_ws_tokens_one_definition_across_mirrors(spark):
+    """The shared whitespace-token definition (text.ws_tokens) must
+    agree on EDGE inputs across all three implementations: the Spark
+    expression form, the pinned Python UDF (dedup._word_ngrams_expr,
+    re.ASCII split + drop empties), and the DuckDB list_filter mirror.
+    Edge corpus: tab/newline edges (the old trim-then-split form
+    counted empty edge tokens here), NBSP edge (Python .strip() used
+    to strip it, ASCII \\s does not — round-8 ADVICE scenario), empty,
+    NULL, and all-whitespace text."""
+    import duckdb
+    import pandas as pd
+
+    from dfsql_spark.operators.dedup import _word_ngrams_expr
+    from dfsql_spark.operators.text import token_count, ws_tokens
+
+    texts = [
+        "a b c",        # plain
+        "\ta b\n",      # ASCII-ws edges: no empty edge tokens
+        "a b\xa0",   # NBSP edge: part of the last token (ASCII \s)
+        "a  b",         # internal run: one split, no empties
+        "",             # -> []
+        None,           # -> []
+        " \t\n ",       # all-whitespace -> []
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    expr_toks = {
+        r.doc_id: r.toks
+        for r in df.select("doc_id", ws_tokens("text").alias("toks")).collect()
+    }
+    assert expr_toks[0] == ["a", "b", "c"]
+    assert expr_toks[1] == ["a", "b"]
+    assert expr_toks[2] == ["a", "b\xa0"]  # NBSP is NOT whitespace here
+    assert expr_toks[3] == ["a", "b"]
+    assert expr_toks[4] == expr_toks[5] == expr_toks[6] == []
+    # token_count agrees with the array sizes (no separate definition)
+    counts = {
+        r.doc_id: r.n
+        for r in df.select("doc_id", token_count("text").alias("n")).collect()
+    }
+    assert counts == {d: len(t) for d, t in expr_toks.items()}
+    # Python-UDF 1-gram form == the expression tokens on every edge doc
+    udf_toks = {
+        r.doc_id: r.toks
+        for r in df.select(
+            "doc_id", _word_ngrams_expr("text", 1).alias("toks")
+        ).collect()
+    }
+    assert udf_toks == expr_toks
+    # DuckDB mirror (the documented oracle form) == the same tokens
+    duck = {
+        d: t
+        for d, t in duckdb.sql(
+            """
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM pdf
+        """
+        ).fetchall()
+    }
+    assert duck == expr_toks
+
+
 def test_char_entropy_matches_duckdb(spark):
     """Per-doc Shannon entropy: DuckDB's unnest-chars → group → sum
     mirror agrees at the 6 dp comparison precision on the whole test
