@@ -60,6 +60,18 @@ HEADLINE = [
     "p01_curation_pipeline",
     "e01_windowed_counts",
     "e02_sessionize",
+    # round-8 contract promotions with a meaningful per-round perf
+    # trend: hashed embeddings (two combined shuffles), LM scoring
+    # (broadcast model + exploded bigram map), BPE pair counts
+    # (pair-vocabulary shuffle), quality checks (single-scan suite).
+    # d12/d14 are deliberately NOT benched: at bench sf their wall is
+    # dominated by the shared exact-pair ground truth and fixed
+    # CC/sketch overhead (the toy-scale grading device), which would
+    # bench the harness, not the operator — same reasoning as d08.
+    "t17_hashed_embeddings",
+    "t19_lm_score",
+    "t22_bpe_pair_counts",
+    "x05_quality_checks",
 ]
 
 
