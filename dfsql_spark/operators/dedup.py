@@ -252,9 +252,15 @@ def exact_dedup(
 
 # Observability for the auto strategy gate below: the last resolved
 # choice and its inputs.  bench.py reports this next to the d02 timing
-# so a slow run is attributable to the physical path that actually ran
-# (the gate sits near the prefix/dense boundary at small sf and
-# approx_count_distinct noise can flip it between runs).
+# so a slow run is attributable to the physical path that actually
+# ran.  Measured on the synthetic test corpus at sf0.1 (5k docs,
+# ~2k-shingle vocabulary, 3 interleaved A/B reps): dense 2.6-25 s vs
+# prefix 66-212 s — every shingle is hot in a 2k vocabulary, so the
+# prefix join explodes quadratically, exactly the regime the dense
+# gate exists for; the gate's approx_count_distinct lands at 2087
+# every run (deterministic sketch), far from the 64k boundary, so the
+# choice is stable here.  Real web corpora sit on the other side
+# (vocabulary ≫ 64k) and take the prefix path.
 LAST_NGRAM_STRATEGY: dict = {}
 
 
