@@ -2348,6 +2348,46 @@ def test_ws_tokens_one_definition_across_mirrors(spark):
     assert duck == expr_toks
 
 
+def test_ws_tokens_property_matches_python_reference(spark):
+    """Hypothesis: for random text over a whitespace-rich alphabet
+    (ASCII spaces/tabs/newlines, NBSP, carriage returns, letters), the
+    Spark expression form equals the Python reference tokenizer
+    ``[x for x in re.split(r'\\s+', t, re.ASCII) if x]`` — the
+    definition every mirror documents."""
+    import re
+
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dfsql_spark.operators.text import ws_tokens
+
+    ws_re = re.compile(r"\s+", re.ASCII)
+    chars = st.sampled_from(list("ab \t\n\r\x0b\x0c\xa0\x85."))
+    texts = st.lists(st.text(chars, max_size=12), min_size=1, max_size=8)
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts)
+    def inner(ts):
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(ts)), "text": ts})
+        )
+        got = {
+            r.doc_id: r.toks
+            for r in df.select(
+                "doc_id", ws_tokens("text").alias("toks")
+            ).collect()
+        }
+        want = {i: [x for x in ws_re.split(t) if x] for i, t in enumerate(ts)}
+        assert got == want
+
+    inner()
+
+
 def test_char_entropy_matches_duckdb(spark):
     """Per-doc Shannon entropy: DuckDB's unnest-chars → group → sum
     mirror agrees at the 6 dp comparison precision on the whole test
