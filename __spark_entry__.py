@@ -1641,7 +1641,7 @@ def e09_stream_upsert_sink(spark, sf):
 
 def d12_incremental_dedup(spark, sf):
     """Incremental MinHash dedup of a delta batch against an accepted
-    snapshot (operators/dedup.py:1018) — base = even doc_ids, delta =
+    snapshot (operators/dedup.py:1037) — base = even doc_ids, delta =
     odd.  Graded as a PROPERTY like d03 (hash permutations aren't
     portable SQL): DuckDB independently recomputes (a) the delta size
     and (b) the number of delta docs with an exact 5-gram-Jaccard
@@ -1705,7 +1705,7 @@ def d13_semantic_decontaminate(spark, sf):
 
 
 def d14_dedup_keep_best(spark, sf):
-    """Quality-aware survivor selection (operators/dedup.py:970): keep
+    """Quality-aware survivor selection (operators/dedup.py:989): keep
     the highest-quality_score member of each near-dup cluster (5-gram
     Jaccard ≥ 0.6 pairs, connected components), not the arbitrary
     min-id one.  DuckDB recomputes the whole thing independently:
@@ -1727,7 +1727,7 @@ def d14_dedup_keep_best(spark, sf):
 
 
 def d15_ngram_overlap(spark, sf):
-    """Per-document contamination severity (operators/dedup.py:1225):
+    """Per-document contamination severity (operators/dedup.py:1244):
     fraction of each corpus doc's distinct 13-grams that appear in the
     eval slice (source = 'src0').  int/int output — bit-exact; short
     docs keep a NULL-fraction roster row."""
@@ -1830,7 +1830,7 @@ def t21_curriculum_order(spark, sf):
 
 
 def t22_bpe_pair_counts(spark, sf):
-    """One BPE tokenizer-training merge round (operators/text.py:1330):
+    """One BPE tokenizer-training merge round (operators/text.py:1341):
     corpus-wide adjacent char-pair counts, top-50 by (count desc, pair
     asc).  Pair-vocabulary-sized shuffle after map-side combine.
     Measured sf0.01 → sf0.1 (10× docs): 0.40 → 0.79 s — 2.0× for 10×
@@ -1842,7 +1842,7 @@ def t22_bpe_pair_counts(spark, sf):
 
 
 def t23_char_entropy(spark, sf):
-    """Per-doc Shannon character entropy (operators/text.py:1426) —
+    """Per-doc Shannon character entropy (operators/text.py:1424) —
     the keyboard-mash / binary-junk detector.  Codepoint-ordered float
     sum, rounded 6 dp; DuckDB's unnest-chars mirror agrees exactly at
     that precision.  Measured sf0.01 → sf0.1 (10× docs): 0.30 → 0.48 s
