@@ -342,6 +342,7 @@ def semantic_dedup_pairs(
     seed: int = 42,
     train_fraction: float | None = None,
     max_iter: int = 10,
+    n_probe: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (the published recipe: cluster
     embeddings, compare only within clusters): a seeded KMeans coarse
@@ -359,13 +360,37 @@ def semantic_dedup_pairs(
     SemDeDup trade-off); recall rises as clusters shrink toward the
     duplicate scale.
 
-    Each id has exactly one cell, so pairs emerge at most once — no
-    dedup shuffle needed.  Seeded KMeans + deterministic tie-breaks
-    keep output stable run-to-run.
+    ``n_probe`` bounds that boundary-split loss the standard IVF way:
+    each vector is assigned to its ``n_probe`` nearest centroids
+    (Arrow-batched scoring of the tiny broadcast centroid matrix —
+    the same pattern as :func:`ivf_topk`'s query side), so a pair
+    splitting across a cell boundary still meets wherever their probe
+    sets overlap.  Candidate volume grows ≤ ``n_probe``× (cells
+    overlap), found empirically worth it — recall vs the exact
+    all-pairs ground truth at threshold 0.4 with 4 cells:
+
+    ========  =========  =========  =========
+    corpus    n_probe=1  n_probe=2  n_probe=3
+    ========  =========  =========  =========
+    sf0.01      0.627      0.966      1.000
+    sf0.1       0.491      0.948      1.000
+    ========  =========  =========  =========
+
+    (zero spurious pairs at every setting — the in-cell compare is
+    exact cosine, probing only adds candidates).  With ``n_probe=1``
+    the assignment is Spark ML's own ``transform`` (bit-identical to
+    the pre-multi-probe behavior).
+
+    With ``n_probe=1`` each id has exactly one cell so pairs emerge at
+    most once; multi-probe pairs can meet in several shared cells, so
+    that path adds one ``dropDuplicates`` on (id_a, id_b).  Seeded
+    KMeans + deterministic tie-breaks keep output stable run-to-run.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
     feat = array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double")))
     c = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), feat.alias("features")
@@ -374,17 +399,57 @@ def semantic_dedup_pairs(
     model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(
         train.select("features")
     )
-    cells = model.transform(c).select(
-        "id", "v", F.col("prediction").alias("cell")
-    )
+    if n_probe == 1:
+        cells = model.transform(c).select(
+            "id", "v", F.col("prediction").alias("cell")
+        )
+    else:
+        centers = np.stack([ctr for ctr in model.clusterCenters()]).astype(
+            np.float64
+        )
+        spark = df.sparkSession
+        b_centers = spark.sparkContext.broadcast(centers)
+        probe = min(n_probe, len(centers))
+
+        def assign(batches):
+            ctrs = b_centers.value  # (k, dim)
+            sq = (ctrs * ctrs).sum(axis=1)  # ||c||² per centroid
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                # argpartition over squared L2: ||x-c||² = ||x||² - 2x·c
+                # + ||c||²; ||x||² is constant per row, so rank by
+                # (||c||² - 2x·c).  Full argsort on k values keeps the
+                # probe order deterministic (ties by centroid index).
+                d = sq[None, :] - 2.0 * (m @ ctrs.T)
+                order = np.argsort(d, axis=1, kind="stable")[:, :probe]
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"].to_numpy().repeat(probe),
+                        "v": [
+                            v for v in pdf["v"] for _ in range(probe)
+                        ],
+                        "cell": order.reshape(-1),
+                    }
+                )
+
+        id_type = df.schema[id_col].dataType.simpleString()
+        vec_type = df.schema[vec_col].dataType.simpleString()
+        cells = c.select("id", "v").mapInPandas(
+            assign, f"id {id_type}, v {vec_type}, cell int"
+        )
     a = cells.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "cell")
     b = cells.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "cell")
-    return (
+    pairs = (
         a.hint("merge").join(b.hint("merge"), "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cosine("va", "vb").alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+    if n_probe > 1:
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return pairs
 
 
 def ivf_topk(

@@ -259,11 +259,12 @@ def test_semantic_dedup_cell_equijoin_never_broadcasts(spark):
     from dfsql_spark.operators.similarity import semantic_dedup_pairs
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
-    df = semantic_dedup_pairs(emb, threshold=0.4, n_clusters=4)
-    s = plan_summary(df)
-    assert "SortMergeJoin" in s.text, s.text
-    assert "BroadcastHashJoin" not in s.text, s.text
-    assert "CartesianProduct" not in s.text, s.text
+    for probe in (1, 2):
+        df = semantic_dedup_pairs(emb, threshold=0.4, n_clusters=4, n_probe=probe)
+        s = plan_summary(df)
+        assert "SortMergeJoin" in s.text, s.text
+        assert "BroadcastHashJoin" not in s.text, s.text
+        assert "CartesianProduct" not in s.text, s.text
 
 
 def test_c4_filters_is_pure_map(spark):
