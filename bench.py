@@ -30,10 +30,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # (d11), and BM25 retrieval (s05).  p01 (the end-to-end curation
 # capstone: C4 filters + repetition + dedup survivors + PII scrub in
 # ONE plan) joins in round 6 so the composed-pipeline cost has a
-# trend, not just its parts.  d08 is
-# deliberately NOT benched: its contract entry spends ~95% of its time
-# computing the all-pairs exact ground truth (the toy-scale grading
-# device), which would bench the harness, not the operator.
+# trend, not just its parts.  d08's CONTRACT entry is deliberately
+# NOT benched (its wall is ~95% the all-pairs exact ground truth, a
+# toy-scale grading device); round 9 adds b_d08_semantic_dedup_op, a
+# bench-only run of the operator alone, so the operator has a trend
+# without timing the harness.
 HEADLINE = [
     "q06_groupby_agg",
     "q22_flagship_revenue",
@@ -72,6 +73,11 @@ HEADLINE = [
     "t19_lm_score",
     "t22_bpe_pair_counts",
     "x05_quality_checks",
+    # bench-only variants (em.bench_extras(), not contract queries):
+    # the semantic-dedup OPERATOR without d08's exact ground-truth
+    # grading device (round-8 verdict ask — the operator finally has a
+    # perf trend while the contract entry stays correctness-only).
+    "b_d08_semantic_dedup_op",
 ]
 
 
@@ -84,7 +90,7 @@ def main() -> None:
     from dfsql_spark.session import get_spark
 
     spark = get_spark(app_name="dfsql-spark-bench")
-    qs = em.queries()
+    qs = {**em.queries(), **em.bench_extras()}
 
     def run(df):
         df.write.format("noop").mode("overwrite").save()

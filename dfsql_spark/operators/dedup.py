@@ -261,6 +261,15 @@ def exact_dedup(
 # every run (deterministic sketch), far from the 64k boundary, so the
 # choice is stable here.  Real web corpora sit on the other side
 # (vocabulary ≫ 64k) and take the prefix path.
+#
+# Concurrency contract (round-8 advice): the resolution is built in a
+# per-call local dict; callers needing exact per-call attribution pass
+# ``strategy_out={}`` and read THAT.  This module-level mirror is
+# published atomically (single clear+update of the fully-built dict)
+# at the end of each call purely as a convenience for sequential
+# drivers like bench.py, which read it immediately after the call they
+# timed — a partially-built state is never visible, but interleaved
+# callers on one driver should use ``strategy_out``.
 LAST_NGRAM_STRATEGY: dict = {}
 
 
@@ -278,6 +287,7 @@ def ngram_jaccard_pairs(
     dense_max_ops: float = 2e10,
     sets: DataFrame | None = None,
     n_docs: int | None = None,
+    strategy_out: dict | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
     Exact result, computed with AllPairs/PPJoin-style prefix filtering
@@ -307,11 +317,14 @@ def ngram_jaccard_pairs(
     ``sets=`` accepts a pre-materialized :func:`shingle_sets` DataFrame
     (so n-gram Jaccard and MinHash LSH over the same corpus shingle
     once); ``n_docs=`` supplies the row count from catalog stats so the
-    auto gate skips its counting job.
+    auto gate skips its counting job.  ``strategy_out=`` (a dict the
+    caller owns) receives this call's resolved strategy and gate
+    inputs — the race-free per-call alternative to the module-level
+    ``LAST_NGRAM_STRATEGY`` mirror.
     """
     pre_shingled = sets is not None
     requested = strategy
-    LAST_NGRAM_STRATEGY.clear()
+    _info: dict = {}
     if not pre_shingled:
         sets = shingle_sets(df, text_col, id_col, k)
     materialized = pre_shingled  # caller materialized before sharing
@@ -355,9 +368,14 @@ def ngram_jaccard_pairs(
                 and (docs * docs / 2) * row_bytes <= dense_max_ops
                 else "prefix"
             )
-            LAST_NGRAM_STRATEGY.update(vocab=vocab)
-        LAST_NGRAM_STRATEGY.update(n_docs=docs)
-    LAST_NGRAM_STRATEGY.update(strategy=strategy, requested=requested)
+            _info["vocab"] = vocab
+        _info["n_docs"] = docs
+    _info.update(strategy=strategy, requested=requested)
+    if strategy_out is not None:
+        strategy_out.update(_info)
+    # atomic publish of the fully-built dict (never a partial state)
+    LAST_NGRAM_STRATEGY.clear()
+    LAST_NGRAM_STRATEGY.update(_info)
     if strategy == "dense":
         if not materialized:
             sets = _materialize(sets, "local")

@@ -67,11 +67,21 @@ def ws_tokens(text_col: str = "text", lower: bool = False) -> Column:
       ``['']`` (size 1) — the trim-then-split form got this wrong.
     * internal ``\\s+`` runs never produce empty tokens, so the
       ``array_remove`` only ever drops edge empties.
-    * DuckDB mirror (both RE2-ASCII ``\\s``):
+    * DuckDB mirror:
       ``list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
       x -> x <> '')``.
     * Python mirror (dedup._word_ngrams_expr pinned UDF):
       ``[x for x in re.compile(r'\\s+', re.ASCII).split(t or '') if x]``.
+
+    KNOWN ``\\x0B`` DIVERGENCE (round-8 advice): Java's ``\\s`` (this
+    expression) and Python's ``re.ASCII \\s`` both include vertical
+    tab ``\\x0B``; DuckDB's RE2 ``\\s`` is ``[ \\t\\n\\f\\r]`` only —
+    text containing ``\\x0B`` tokenizes differently in the DuckDB
+    oracle mirror.  Pinned explicitly (Spark+Python agree, DuckDB
+    documented-divergent) in
+    tests/test_operators.py::test_ws_tokens_one_definition_across_mirrors;
+    the synthetic corpus contains no ``\\x0B``, and real-corpus callers
+    who care should pre-normalize ``\\x0B`` → `` `` before tokenizing.
     """
     c = F.coalesce(F.col(text_col), F.lit(""))
     if lower:

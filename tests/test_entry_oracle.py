@@ -31,6 +31,18 @@ def test_oracle_keys_subset_of_queries():
     assert not missing, f"oracle_sql keys without queries(): {missing}"
 
 
+def test_bench_extras_stay_out_of_the_contract(spark):
+    """bench_extras() entries are timing-only: they must never leak
+    into queries()/oracle_sql() (the driver would grade them without
+    an oracle), and each must still run."""
+    extras = entry_mod.bench_extras()
+    assert extras
+    overlap = set(extras) & (set(QUERIES) | set(ORACLES))
+    assert not overlap, f"bench-only names inside the contract: {overlap}"
+    for name, fn in extras.items():
+        assert fn(spark, SF_DIR).count() >= 0, name
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, duck, name):
     spark_df = QUERIES[name](spark, SF_DIR)

@@ -61,6 +61,30 @@ def test_ngram_jaccard_dense_and_prefix_paths_agree(docs):
     assert dense
 
 
+def test_ngram_strategy_out_is_per_call(docs):
+    """Round-8 advice: strategy attribution must be capturable per
+    call via ``strategy_out`` — two calls resolving to different
+    strategies each keep their own record even though the module-level
+    convenience mirror only holds the latest."""
+    from dfsql_spark.operators.dedup import (
+        LAST_NGRAM_STRATEGY,
+        ngram_jaccard_pairs,
+    )
+
+    first: dict = {}
+    second: dict = {}
+    ngram_jaccard_pairs(docs, threshold=0.6, strategy_out=first)
+    ngram_jaccard_pairs(
+        docs, threshold=0.6, dense_max_ops=0, strategy_out=second
+    )
+    assert first["requested"] == second["requested"] == "auto"
+    assert first["strategy"] == "dense"      # tiny vocab → dense gate
+    assert second["strategy"] == "prefix"    # ops gate forces prefix
+    assert first["strategy"] != second["strategy"]  # no shared clobber
+    # the module mirror reflects the LAST call only (documented)
+    assert LAST_NGRAM_STRATEGY["strategy"] == "prefix"
+
+
 def test_minhash_recall_vs_exact_jaccard(docs):
     """MinHash-LSH candidates must recover (almost) all exact-Jaccard
     pairs at a threshold above the banding threshold (~0.5)."""
@@ -2324,6 +2348,8 @@ def test_ws_tokens_one_definition_across_mirrors(spark):
         "",             # -> []
         None,           # -> []
         " \t\n ",       # all-whitespace -> []
+        "a\x0bb",       # vertical tab: Java/Python \s split; RE2 does NOT
+        "\x0ba b\x0b",  # \x0B edges: dropped by Java/Python, kept by RE2
     ]
     pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
     df = spark.createDataFrame(pdf)
@@ -2336,6 +2362,8 @@ def test_ws_tokens_one_definition_across_mirrors(spark):
     assert expr_toks[2] == ["a", "b\xa0"]  # NBSP is NOT whitespace here
     assert expr_toks[3] == ["a", "b"]
     assert expr_toks[4] == expr_toks[5] == expr_toks[6] == []
+    assert expr_toks[7] == ["a", "b"]       # Java \s includes \x0B
+    assert expr_toks[8] == ["a", "b"]
     # token_count agrees with the array sizes (no separate definition)
     counts = {
         r.doc_id: r.n
@@ -2350,7 +2378,12 @@ def test_ws_tokens_one_definition_across_mirrors(spark):
         ).collect()
     }
     assert udf_toks == expr_toks
-    # DuckDB mirror (the documented oracle form) == the same tokens
+    # DuckDB mirror (the documented oracle form) == the same tokens on
+    # every doc WITHOUT \x0B; on the \x0B docs the mirrors diverge by
+    # design — RE2's \s is [ \t\n\f\r] (no vertical tab), Java's and
+    # Python-ASCII's include it.  The divergence is pinned here so it
+    # can never drift silently (ws_tokens docstring documents it; the
+    # synthetic corpus contains no \x0B).
     duck = {
         d: t
         for d, t in duckdb.sql(
@@ -2362,7 +2395,12 @@ def test_ws_tokens_one_definition_across_mirrors(spark):
         """
         ).fetchall()
     }
-    assert duck == expr_toks
+    vtab_docs = {7, 8}
+    assert {d: t for d, t in duck.items() if d not in vtab_docs} == {
+        d: t for d, t in expr_toks.items() if d not in vtab_docs
+    }
+    assert duck[7] == ["a\x0bb"]            # RE2: \x0B is NOT whitespace
+    assert duck[8] == ["\x0ba", "b\x0b"]
 
 
 def test_ws_tokens_property_matches_python_reference(spark):

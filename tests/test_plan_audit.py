@@ -365,6 +365,63 @@ def test_quality_checks_contract_single_scan(spark):
     assert len(s.read_schemas) == 1, s.read_schemas
 
 
+# Queries allowed to carry EXPLICIT broadcast hints, with the bound
+# that justifies each: every hinted side is sized by a query set or a
+# parameter, never by the corpus sf.  Anything else in the contract
+# must be hint-free — AQE converts shuffled joins to broadcast at
+# runtime when a side is genuinely small, so a pinned hint only ever
+# *adds* the risk of broadcasting an sf-scaled table at 100 TB (the
+# q22-r8 / q11-r9 defect class).  merge/shuffle_hash hints are exempt:
+# they pin AWAY from broadcast, which is always scale-safe.
+_ALLOWED_BROADCAST_HINTS = {
+    "q17_scalar_subquery": (1, "one-row global-average aggregate"),
+    "q22_flagship_revenue": (1, "nation: 25 rows at every sf"),
+    "s02_sim_topk_lsh": (1, "query buckets: n_queries x num_tables rows"),
+    "s03_sim_ivf": (1, "query+probe cells: n_queries x n_probe rows"),
+    "s04_sim_pq": (1, "raw query vectors: n_queries rows"),
+    "s05_bm25": (3, "query terms (x2) + one-row corpus stats"),
+    "s06_mmr_rerank": (1, "candidate pool: k x n_queries rows"),
+    "t13_mix_rebalance": (2, "per-stratum targets/rates: <= #strata rows"),
+    "t15_unigram_familiarity": (1, "top-V vocab: bounded by vocab_size"),
+    "t19_lm_score": (1, "bigram LM table: bounded by model vocab"),
+}
+
+# Streaming executors run availableNow-to-memory on invocation and
+# return a memory-sink read whose plan says nothing about the
+# streaming transforms; their (hint-free) shapes are pinned by the
+# streaming tests instead.
+_STREAMING_EXECUTORS = {
+    "e04_stream_windowed_counts",
+    "e05_stream_stateful",
+    "e06_stream_dedupe",
+    "e08_stream_interval_join",
+    "e09_stream_upsert_sink",
+}
+
+
+def test_no_unjustified_broadcast_hints_anywhere(spark):
+    """Fleet-wide audit (round-8 verdict ask): walk EVERY contract
+    query's analyzed plan and fail on any explicit broadcast hint not
+    on the bounded-side allowlist above.  This is the structural
+    guarantee that the q22/q11 pinned-broadcast defect class cannot
+    re-enter through any of the 100 entries."""
+    import re
+
+    sf = SF
+    offenders = {}
+    for name, fn in em.queries().items():
+        if name in _STREAMING_EXECUTORS:
+            continue
+        analyzed = fn(spark, sf)._jdf.queryExecution().analyzed().toString()
+        n_bcast = len(re.findall(r"ResolvedHint \(strategy=broadcast\)", analyzed))
+        allowed = _ALLOWED_BROADCAST_HINTS.get(name, (0, "no hints allowed"))[0]
+        if n_bcast > allowed:
+            offenders[name] = (n_bcast, allowed)
+    assert not offenders, (
+        f"explicit broadcast hints beyond the bounded-side allowlist: {offenders}"
+    )
+
+
 def test_weighted_sample_contract_is_pure_filter(spark):
     """t18 (explicit scale): the keep decision is a content-addressed
     md5 filter that pipelines into the scan — zero exchanges, zero
