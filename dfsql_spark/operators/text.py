@@ -789,6 +789,72 @@ def rebalance_mix(
     )
 
 
+def cap_per_key(
+    df: DataFrame,
+    key_col: str = "source",
+    cap: int = 100,
+    id_col: str = "doc_id",
+    priority: Column | None = None,
+    salt_partitions: int | None = 32,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per key — the RefinedWeb/CCNet-style
+    per-domain cap that stops a handful of giant hosts from dominating
+    a training mix.  Survivors are the ``cap`` best rows per key under
+    ``priority`` ascending (default: ``md5('cap:' || id)``, a
+    content-addressed coin flip — deterministic across runs,
+    partitionings, and engines, and unbiased w.r.t. document order);
+    ties break on ``id_col`` so the result is a function of the data
+    alone.  Rows keep their original columns.
+
+    Scale shape — the naive single window
+    (``row_number() OVER (PARTITION BY key ORDER BY pr)``) shuffles
+    the WHOLE corpus by key, and per-domain corpora are exactly the
+    skewed case (one host can be percents of the crawl), so that plan
+    stragglers at 100 TB.  Instead, the salted two-phase top-k (same
+    family as ``operators/skew.py``):
+
+    1. partial cap over ``(salt, key)`` where ``salt = crc32(id) %
+       salt_partitions`` — a balanced shuffle (a hot key spreads over
+       ``salt_partitions`` reducers), each group keeps ≤ ``cap``;
+    2. global cap over ``key`` on the survivors — input is now ≤
+       ``salt_partitions × cap`` rows per key regardless of skew, so
+       the skewed shuffle ships a bounded sliver, not the corpus.
+
+    Phase 1 can only over-select (the global top-``cap`` per key is a
+    subset of the union of per-salt top-``cap``s), so the result is
+    IDENTICAL to the naive window — only the shuffle shape differs —
+    and the SQL oracle can be the naive form.  ``salt_partitions=None``
+    selects the naive single-window plan (useful for A/B and tests).
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    from pyspark.sql import Window
+
+    pr = (
+        priority
+        if priority is not None
+        else F.md5(F.concat(F.lit("cap:"), F.col(id_col).cast("string")))
+    ).alias("_pr")
+    work = df.withColumn("_pr", pr)
+    if salt_partitions is not None:
+        salt = (
+            F.crc32(F.col(id_col).cast("string")) % salt_partitions
+        ).alias("_salt")
+        w1 = Window.partitionBy("_salt", key_col).orderBy("_pr", id_col)
+        work = (
+            work.withColumn("_salt", salt)
+            .withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= cap)
+            .drop("_salt", "_rn")
+        )
+    w2 = Window.partitionBy(key_col).orderBy("_pr", id_col)
+    return (
+        work.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= cap)
+        .drop("_pr", "_rn")
+    )
+
+
 def repetition_ratio(
     df: DataFrame,
     text_col: str = "text",

@@ -631,6 +631,74 @@ def test_rebalance_mix_limiting_stratum_and_shares(docs):
         rebalance_mix(docs, target={"src0": 0.0})
 
 
+def test_cap_per_key_matches_naive_window_oracle(docs, duck):
+    """cap_per_key's salted two-phase plan must return EXACTLY the
+    naive single-window result (DuckDB row_number oracle): the global
+    top-cap per key under (md5 priority, doc_id) ascending."""
+    from dfsql_spark.operators.text import cap_per_key
+
+    cap = 7
+    got = sorted(
+        r.doc_id for r in cap_per_key(docs, "source", cap=cap).collect()
+    )
+    want = sorted(
+        r[0]
+        for r in duck.sql(
+            f"""
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('cap:' || doc_id), doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= {cap}
+        """
+        ).fetchall()
+    )
+    assert got == want
+    assert got  # non-degenerate
+
+
+def test_cap_per_key_salted_equals_naive_and_caps(docs):
+    """Two-phase (salted) and naive plans are value-identical; every
+    key ends at <= cap rows; keys already under the cap keep all."""
+    from dfsql_spark.operators.text import cap_per_key
+
+    cap = 5
+    salted = {r.doc_id for r in cap_per_key(docs, "source", cap=cap).collect()}
+    naive = {
+        r.doc_id
+        for r in cap_per_key(
+            docs, "source", cap=cap, salt_partitions=None
+        ).collect()
+    }
+    assert salted == naive
+    per = {
+        r.source: r["count"]
+        for r in cap_per_key(docs, "source", cap=cap)
+        .groupBy("source")
+        .count()
+        .collect()
+    }
+    totals = {
+        r.source: r["count"] for r in docs.groupBy("source").count().collect()
+    }
+    assert all(n <= cap for n in per.values()), per
+    big_cap = max(totals.values()) + 1
+    assert {
+        r.source: r["count"]
+        for r in cap_per_key(docs, "source", cap=big_cap)
+        .groupBy("source")
+        .count()
+        .collect()
+    } == totals
+    with pytest.raises(ValueError, match="cap"):
+        cap_per_key(docs, "source", cap=0)
+    # original schema preserved (no helper columns leak)
+    assert cap_per_key(docs, "source", cap=cap).columns == docs.columns
+
+
 def test_winnow_guarantee_and_density(spark):
     """The winnowing guarantee: two docs sharing a substring of length
     >= k+w-1 share at least one fingerprint; unrelated docs (here:

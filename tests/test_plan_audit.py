@@ -422,6 +422,22 @@ def test_no_unjustified_broadcast_hints_anywhere(spark):
     )
 
 
+def test_cap_per_key_salted_two_phase_plan(spark):
+    """cap_per_key's scale shape: phase 1 shuffles on (_salt, key) —
+    the salt must actually reach the exchange keys so a hot key spreads
+    over salt_partitions reducers — and phase 2's by-key exchange runs
+    over the bounded survivors.  Exactly two exchanges, no joins."""
+    from dfsql_spark.operators.text import cap_per_key
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = cap_per_key(docs, "source", cap=5)
+    s = plan_summary(df)
+    assert "_salt" in s.text, s.text
+    assert s.n_exchanges == 2, s.text
+    naive = plan_summary(cap_per_key(docs, "source", cap=5, salt_partitions=None))
+    assert naive.n_exchanges == 1, naive.text
+
+
 def test_weighted_sample_contract_is_pure_filter(spark):
     """t18 (explicit scale): the keep decision is a content-addressed
     md5 filter that pipelines into the scan — zero exchanges, zero
