@@ -2025,9 +2025,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # the remaining library-only operators (normalize_nfc — DuckDB
 # nfc_normalize mirror ready; compression_ratio — property-only, no
 # SQL zlib; train_text_classifier/classifier_score — property-graded
-# accuracy; cap_per_key — DuckDB naive-window mirror ready, added
-# round 9) stay pytest-covered until the driver's grading cap rises
-# above 100 (see README "Driver contract note").
+# accuracy; cap_per_key and heavy_hitter_ngrams — DuckDB mirrors
+# ready, added round 9) stay pytest-covered until the driver's
+# grading cap rises above 100 (see README "Driver contract note").
 # Round 9 honors the alternation: the 50 round-8 sit-outs return to
 # the graded window — t18 gets its FIRST driver grade and d08 its
 # first grade since the round-8 n_probe=2 change (the round-8 verdict's

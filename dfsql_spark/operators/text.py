@@ -789,6 +789,108 @@ def rebalance_mix(
     )
 
 
+def heavy_hitter_ngrams(
+    df: DataFrame,
+    threshold_count: int,
+    n: int = 3,
+    k_capacity: int = 4096,
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT corpus frequencies of every word ``n``-gram occurring at
+    least ``threshold_count`` times — boilerplate/banner discovery —
+    without the vocabulary-wide shuffle of a full
+    ``groupBy(gram).count()``.  At web scale the distinct-gram
+    vocabulary is corpus-sized (most grams are singletons), so the
+    exact aggregate shuffles ~the corpus; heavy hitters are the rare
+    survivors.  Two phases instead:
+
+    1. **Misra–Gries candidate summaries**, one per input partition
+       (Arrow ``mapInPandas`` holding a ``k_capacity``-entry counter;
+       overflow subtracts the current minimum from all entries — a
+       batched run of MG decrements, same ``N_p/k`` error bound).
+       Emitted rows per partition: ≤ ``k_capacity`` candidates plus
+       one total-gram-count marker (``ngram NULL``).  If a gram's
+       GLOBAL count exceeds ``total/k_capacity`` it must exceed the
+       per-stream bound ``N_p/k_capacity`` in at least one partition
+       (else summing the per-partition bounds contradicts the global
+       count), so the union of summaries is a guaranteed candidate
+       superset for any ``threshold_count > total/k_capacity``.
+    2. **Exact recount of candidates only**: re-scan, explode grams,
+       inner-join the broadcast candidate set (≤ partitions ×
+       ``k_capacity`` rows — bounded by parameters, never by data),
+       ``groupBy`` + ``HAVING`` — the shuffle now carries only grams
+       that survived phase 1.
+
+    The result equals the naive full aggregate exactly (the DuckDB
+    oracle in tests IS the naive form).  The guarantee precondition is
+    VALIDATED, not assumed: phase 1's total is checked against
+    ``threshold_count`` and a too-small ``k_capacity`` raises instead
+    of silently under-reporting.  Cost: two corpus scans — the price
+    of replacing a corpus-sized shuffle with a parameter-bounded one.
+    """
+    if threshold_count < 1:
+        raise ValueError(
+            f"threshold_count must be >= 1, got {threshold_count}"
+        )
+    if k_capacity < 1:
+        raise ValueError(f"k_capacity must be >= 1, got {k_capacity}")
+    from .dedup import _materialize, _word_ngrams_expr
+
+    grams = df.select(_word_ngrams_expr(text_col, n).alias("_grams"))
+
+    def _mg_partition(batches):
+        counts: dict = {}
+        total = 0
+        for pdf in batches:
+            for arr in pdf["_grams"]:
+                if arr is None:
+                    continue
+                for g in arr:
+                    total += 1
+                    if g in counts:
+                        counts[g] += 1
+                    elif len(counts) < k_capacity:
+                        counts[g] = 1
+                    else:
+                        dec = min(counts.values())
+                        counts = {
+                            k: v - dec for k, v in counts.items() if v > dec
+                        }
+                        if len(counts) < k_capacity:
+                            counts[g] = 1
+        out = pd.DataFrame(
+            {
+                "ngram": list(counts.keys()) + [None],
+                "cnt": list(counts.values()) + [total],
+            }
+        )
+        yield out
+
+    summaries = _materialize(
+        grams.mapInPandas(_mg_partition, "ngram string, cnt long"), "local"
+    )
+    total = (
+        summaries.filter(F.col("ngram").isNull())
+        .agg(F.sum("cnt").alias("t"))
+        .collect()[0]["t"]
+    ) or 0
+    if total > 0 and threshold_count * k_capacity <= total:
+        raise ValueError(
+            f"threshold_count={threshold_count} is not above the MG "
+            f"guarantee bound total/k_capacity = {total}/{k_capacity} "
+            f"= {total / k_capacity:.1f}; raise k_capacity to at least "
+            f"{total // threshold_count + 1} for a complete answer"
+        )
+    cand = summaries.filter(F.col("ngram").isNotNull()).select("ngram").distinct()
+    return (
+        df.select(F.explode(_word_ngrams_expr(text_col, n)).alias("ngram"))
+        .join(F.broadcast(cand), "ngram")
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= threshold_count)
+    )
+
+
 def cap_per_key(
     df: DataFrame,
     key_col: str = "source",

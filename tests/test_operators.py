@@ -699,6 +699,71 @@ def test_cap_per_key_salted_equals_naive_and_caps(docs):
     assert cap_per_key(docs, "source", cap=cap).columns == docs.columns
 
 
+def test_heavy_hitter_ngrams_matches_naive_oracle(docs, duck):
+    """heavy_hitter_ngrams (Misra-Gries candidates + exact recount)
+    must equal the naive full-aggregate answer, here the DuckDB
+    groupBy/HAVING oracle on the corpus trigrams."""
+    from dfsql_spark.operators.text import heavy_hitter_ngrams
+
+    # total trigrams at sf0.001 is ~27k -> guarantee bound ~6.6 at the
+    # default k_capacity; 8 clears it and the corpus has hitters there
+    thr = 8
+    got = sorted(
+        (r.ngram, r.n)
+        for r in heavy_hitter_ngrams(docs, threshold_count=thr, n=3).collect()
+    )
+    want = sorted(
+        (g, c)
+        for g, c in duck.sql(
+            f"""
+        WITH toks AS (
+            SELECT list_filter(string_split_regex(text, '\\s+'),
+                               x -> x != '') AS t
+            FROM documents
+        ), grams AS (
+            SELECT array_to_string(t[u.i : u.i + 2], ' ') AS g
+            FROM toks, unnest(range(1, len(t) - 1)) u(i)
+            WHERE len(t) >= 3
+        )
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n
+        FROM grams GROUP BY g HAVING COUNT(*) >= {thr}
+        """
+        ).fetchall()
+    )
+    assert got == want
+    assert got  # corpus has planted near-dup boilerplate => hitters exist
+
+
+def test_heavy_hitter_ngrams_small_capacity_and_validation(spark):
+    """With a tiny MG capacity the planted banner still surfaces with
+    its EXACT count (the recount fixes MG's undercounts), and a
+    threshold below the guarantee bound raises instead of silently
+    under-reporting."""
+    import pandas as pd
+
+    from dfsql_spark.operators.text import heavy_hitter_ngrams
+
+    banner = "subscribe to our newsletter"
+    rows = [f"doc {i} text {banner} filler{i} tail{i}" for i in range(40)] + [
+        f"unique{i} words{i} only{i} here{i}" for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(rows)), "text": rows})
+    ).repartition(4)
+    out = {
+        r.ngram: r.n
+        for r in heavy_hitter_ngrams(
+            df, threshold_count=40, n=3, k_capacity=16
+        ).collect()
+    }
+    assert out.get("subscribe to our") == 40
+    assert out.get("to our newsletter") == 40
+    with pytest.raises(ValueError, match="k_capacity"):
+        heavy_hitter_ngrams(df, threshold_count=2, n=3, k_capacity=8)
+    with pytest.raises(ValueError, match="threshold_count"):
+        heavy_hitter_ngrams(df, threshold_count=0, n=3)
+
+
 def test_winnow_guarantee_and_density(spark):
     """The winnowing guarantee: two docs sharing a substring of length
     >= k+w-1 share at least one fingerprint; unrelated docs (here:
