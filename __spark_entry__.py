@@ -1091,13 +1091,20 @@ def bench_d08_semantic_dedup_op(spark, sf):
     assignment, sort-merge cell join, in-cell exact cosine — without
     the contract entry's all-pairs exact ground truth, which is a
     toy-scale grading device that dominates ~95% of d08's wall and
-    would bench the harness, not the operator.  Not a contract query:
+    would bench the harness, not the operator.  Runs the operator's
+    PRODUCTION shape (default ``n_clusters=32`` — cells sized so the
+    Σ|cell|² candidate volume stays linear-ish), NOT the contract
+    entry's toy ``n_clusters=4``: that setting exists to make recall
+    gradeable against an all-pairs ground truth, and at bench sf its
+    ~1.2k-vector cells make the quadratic in-cell compare dominate
+    (measured 34 s vs 1-2 s at sf0.1) — benching it would time the
+    grading configuration, not the operator.  Not a contract query:
     no oracle, never graded, only bench.py runs it (via
     ``bench_extras()``)."""
     from dfsql_spark.operators.similarity import semantic_dedup_pairs
 
     emb = _t(spark, sf, "embeddings")
-    return semantic_dedup_pairs(emb, threshold=0.4, n_clusters=4, n_probe=2)
+    return semantic_dedup_pairs(emb, threshold=0.4, n_probe=2)
 
 
 def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

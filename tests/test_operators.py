@@ -1121,6 +1121,33 @@ def test_semantic_dedup_subset_and_recall(emb):
     assert len(probed) >= 0.9 * len(exact)
     with pytest.raises(ValueError, match="n_probe"):
         semantic_dedup_pairs(emb, threshold=0.4, n_clusters=4, n_probe=0)
+    with pytest.raises(ValueError, match="compare"):
+        semantic_dedup_pairs(emb, threshold=0.4, compare="fast")
+
+
+def test_semantic_dedup_arrow_and_expr_paths_agree(emb):
+    """The BLAS (arrow) and codegen'd-expression in-cell compares must
+    emit the identical pair set — the physical path is a performance
+    choice, never a semantic one (pairs exactly at a float-rounding
+    boundary of the threshold are the only theoretical divergence;
+    none exist in this corpus)."""
+    from dfsql_spark.operators.similarity import semantic_dedup_pairs
+
+    for probe in (1, 2):
+        arrow = {
+            (r.id_a, r.id_b)
+            for r in semantic_dedup_pairs(
+                emb, threshold=0.4, n_clusters=4, n_probe=probe, compare="arrow"
+            ).collect()
+        }
+        expr = {
+            (r.id_a, r.id_b)
+            for r in semantic_dedup_pairs(
+                emb, threshold=0.4, n_clusters=4, n_probe=probe, compare="expr"
+            ).collect()
+        }
+        assert arrow == expr, (probe, arrow ^ expr)
+        assert arrow
 
 
 def test_media_dedup_hash_grouping(spark):

@@ -253,18 +253,31 @@ def test_salted_join_plan_is_salted_sort_merge(spark):
 
 
 def test_semantic_dedup_cell_equijoin_never_broadcasts(spark):
-    """d08's pair generator must be a cell equi-join with sort-merge
-    pinned — never a broadcast (corpus-sized both sides at scale) and
-    never a cartesian pair join."""
+    """d08's pair generation, both physical paths: the expr path must
+    be a cell equi-join with sort-merge pinned — never a broadcast
+    (corpus-sized both sides at scale), never a cartesian pair join —
+    and the arrow path (default) must shuffle ONCE on the cell key
+    into the grouped BLAS compare, with no join at all."""
     from dfsql_spark.operators.similarity import semantic_dedup_pairs
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     for probe in (1, 2):
-        df = semantic_dedup_pairs(emb, threshold=0.4, n_clusters=4, n_probe=probe)
+        df = semantic_dedup_pairs(
+            emb, threshold=0.4, n_clusters=4, n_probe=probe, compare="expr"
+        )
         s = plan_summary(df)
         assert "SortMergeJoin" in s.text, s.text
         assert "BroadcastHashJoin" not in s.text, s.text
         assert "CartesianProduct" not in s.text, s.text
+        arrow = semantic_dedup_pairs(
+            emb, threshold=0.4, n_clusters=4, n_probe=probe, compare="arrow"
+        )
+        sa = plan_summary(arrow)
+        assert "FlatMapGroupsInPandas" in sa.text, sa.text
+        assert "Join" not in sa.text, sa.text
+        # exchanges: one on cell for the grouping (+ one for the
+        # n_probe>1 dropDuplicates over emitted pairs)
+        assert sa.n_exchanges == (1 if probe == 1 else 2), sa.text
 
 
 def test_c4_filters_is_pure_map(spark):
