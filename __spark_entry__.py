@@ -185,6 +185,11 @@ def q25_except_intersect(spark, sf):
 # while ungraded — the exact violation the round-8 verdict flagged on
 # d08.  Their current ROUND forms are driver-green in CORRECTNESS_r08
 # and pinned by the per-run pytest oracle mirror until then.
+# Also ROUND-10, same rule: give embedding_neardup_pairs (d05),
+# lsh_topk (s02), and ivf_topk (s03) the Arrow/BLAS per-candidate
+# scoring that semantic_dedup_pairs got in round 9 — they still score
+# candidates with the interpreted aggregate(zip_with) cosine
+# expression — when those queries return to the graded window.
 
 def q06_groupby_agg(spark, sf):
     """A1/A4-A8: hash aggregate with the full builtin aggregate set
