@@ -789,6 +789,60 @@ def rebalance_mix(
     )
 
 
+def temperature_rebalance(
+    df: DataFrame,
+    alpha: float,
+    stratum_col: str = "source",
+    text_col: str = "text",
+    buckets: int = 10_000,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based corpus rebalancing: down-sample strata toward
+    target shares ``p_s ∝ n_s^alpha`` — the exponential-smoothing mix
+    from the multilingual-pretraining literature (``alpha≈0.3`` lifts
+    low-resource languages; ``alpha=0`` → uniform shares; ``alpha=1``
+    → natural proportions, keep everything).
+
+    Substituting ``p_s ∝ n_s^alpha`` into :func:`rebalance_mix`'s
+    no-up-sampling rate derivation (``T = min_t n_t/p_t``,
+    ``rate_s = p_s·T/n_s``) collapses — the normalizer cancels — to
+    the closed form::
+
+        rate_s = min_t(n_t^(1-alpha)) / n_s^(1-alpha)
+
+    so for ``alpha < 1`` the smallest stratum is kept fully and larger
+    strata shrink toward the flattened distribution.  The keep
+    decision reuses the salted-md5 bucket (content-addressed: stable
+    across runs, partitionings, engines).  Scale shape = t13's: ONE
+    stratum-column-only count aggregate (#strata output rows), the
+    min as an unpartitioned window over that tiny relation, a
+    broadcast join of the rates onto the corpus — the full-width scan
+    happens exactly once and the filter pipelines into it.  The rate
+    arithmetic is ``POWER(min_n/n, 1-alpha)`` in one fixed op order,
+    mirrored verbatim by the DuckDB oracle in tests.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    everything = Window.partitionBy()  # #strata rows — tiny by contract
+    rates = counts.select(
+        stratum_col,
+        F.pow(
+            F.min("n").over(everything) / F.col("n"), F.lit(1.0 - alpha)
+        ).alias("keep_rate"),
+    )
+    bucket = _salted_bucket(text_col, buckets, salt)
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(bucket < F.col("keep_rate") * buckets)
+        .drop("keep_rate")
+    )
+
+
 def heavy_hitter_ngrams(
     df: DataFrame,
     threshold_count: int,
@@ -1561,6 +1615,146 @@ def bpe_pair_counts(
     if top_k is not None:
         counts = counts.orderBy(F.col("n").desc(), F.col("pair")).limit(top_k)
     return counts
+
+
+def train_bpe(
+    df: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    max_word_types: int = 100_000,
+    lowercase: bool = True,
+) -> "list[tuple[str, str]]":
+    """Train a byte-pair-encoding merge list (Sennrich et al., ACL
+    2016) on the corpus.  Completes the tokenizer-training story
+    :func:`bpe_pair_counts` starts: that operator is ONE merge round
+    observed corpus-wide; this runs the full greedy loop and returns
+    the ordered merge list :func:`bpe_encode` applies.
+
+    Scale shape — the classic implementation, which is also the only
+    sane one at 100 TB: BPE statistics depend on the corpus ONLY
+    through the word histogram, so the single distributed pass is a
+    word-count aggregate (shuffle is word-vocabulary-sized after
+    map-side combine, exactly t07's shape), truncated to the
+    ``max_word_types`` most frequent types (deterministic count-desc /
+    word-asc tie-break) and collected — bounded driver memory by
+    parameter, never corpus-sized.  The merge loop then runs
+    driver-side over the histogram: per round, count symbol-pair
+    frequencies weighted by word frequency, merge the max pair
+    (ties broken by pair text, so training is deterministic), repeat.
+    Truncation is the standard approximation: dropped singleton-tail
+    types contribute negligible pair mass.
+
+    Stops early when no pair occurs twice (merging hapax pairs would
+    just memorize words).  Returns ``[(left, right), ...]`` in merge
+    order.
+    """
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    rows = (
+        df.select(F.explode(ws_tokens(text_col, lower=lowercase)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(max_word_types)
+        .collect()
+    )
+    vocab = {tuple(r.w): int(r.n) for r in rows}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pair_counts: dict = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + n
+        if not pair_counts:
+            break
+        best = max(pair_counts.items(), key=lambda kv: (kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        a, b = best[0]
+        merged = a + b
+        new_vocab: dict = {}
+        for syms, n in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+        merges.append((a, b))
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: "list[tuple[str, str]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Apply a trained BPE merge list to every document: whitespace
+    words are split to characters and adjacent pairs merge greedily in
+    merge-rank order (lowest rank first — the standard GPT-2-style
+    apply loop), yielding ``(id, pieces array<string>, n_pieces)``
+    with word order preserved.
+
+    A pure per-row Arrow map (the merge table rides the closure /
+    broadcast — KBs), zero shuffle, pipelines into the scan at any
+    scale; a per-batch word cache collapses the per-type work since
+    word frequency is Zipfian.  With ``merges=[]`` pieces are exactly
+    the characters; concatenating a word's pieces always reproduces
+    the word (pinned by tests).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    @pandas_udf("array<string>")
+    def _enc(texts: pd.Series) -> pd.Series:
+        import re as _re
+
+        ws = _re.compile(r"\s+", _re.ASCII)
+        cache: dict = {}
+
+        def word_pieces(w: str) -> list:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            syms = list(w)
+            while len(syms) > 1:
+                best_rank = None
+                best_i = -1
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_i = r, i
+                if best_rank is None:
+                    break
+                syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+            cache[w] = syms
+            return syms
+
+        out = []
+        for t in texts:
+            t = (t or "")
+            if lowercase:
+                t = t.lower()
+            pieces: list = []
+            for w in ws.split(t):
+                if w:
+                    pieces.extend(word_pieces(w))
+            out.append(pieces)
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col),
+        _enc(F.col(text_col)).alias("pieces"),
+    ).withColumn("n_pieces", F.size("pieces").cast("bigint"))
 
 
 def normalize_nfc(

@@ -631,6 +631,199 @@ def test_rebalance_mix_limiting_stratum_and_shares(docs):
         rebalance_mix(docs, target={"src0": 0.0})
 
 
+def test_train_bpe_hand_checked_and_reference(spark):
+    """train_bpe on a hand-computable corpus: merge order follows
+    weighted pair counts with deterministic tie-breaks, hapax pairs
+    never merge; against an independent Counter-based reference
+    trainer on the same histogram."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from dfsql_spark.operators.text import train_bpe
+
+    rows = ["ab ab ab cd", "ab abab", "low low lower"]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(rows)), "text": rows})
+    )
+    merges = train_bpe(df, num_merges=10)
+
+    # independent reference: same histogram, Counter-based loop
+    hist = Counter()
+    for t in rows:
+        for w in t.split():
+            hist[w] += 1
+    vocab = {tuple(w): c for w, c in hist.items()}
+    want = []
+    for _ in range(10):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        best = max(pc.items(), key=lambda kv: (kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        a, b = best[0]
+        nv = Counter()
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (a, b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] += c
+        vocab = dict(nv)
+        want.append((a, b))
+    assert merges == want
+    # 'ab' occurs 4 as a word + inside 'abab' twice = weighted (a,b)=7
+    assert merges[0] == ("a", "b")
+    assert ("c", "d") not in merges  # hapax pair never merges
+    with pytest.raises(ValueError, match="num_merges"):
+        train_bpe(df, num_merges=0)
+
+
+def test_bpe_encode_roundtrip_and_compression(docs, spark):
+    """bpe_encode invariants on the corpus: with no merges, pieces are
+    exactly the characters of the whitespace tokens; with trained
+    merges the piece count strictly shrinks on merge-bearing docs and
+    never grows; concatenated pieces always rebuild the concatenated
+    (lowercased) tokens."""
+    from dfsql_spark.operators.text import bpe_encode, train_bpe, ws_tokens
+
+    chars = {
+        r.doc_id: r.n_pieces
+        for r in bpe_encode(docs, merges=[]).collect()
+    }
+    want_chars = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id",
+            F.aggregate(
+                F.transform(
+                    ws_tokens("text", lower=True), lambda w: F.length(w).cast("bigint")
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("n"),
+        ).collect()
+    }
+    assert chars == want_chars
+    merges = train_bpe(docs, num_merges=50)
+    assert merges
+    enc = bpe_encode(docs, merges=merges)
+    pieces = {r.doc_id: (r.n_pieces, r.pieces) for r in enc.collect()}
+    assert all(n <= chars[d] for d, (n, _) in pieces.items())
+    assert sum(n for n, _ in pieces.values()) < sum(chars.values())
+    # roundtrip: concat(pieces) == concat(lowercased tokens), per doc
+    bad = (
+        enc.join(docs, "doc_id")
+        .filter(
+            F.concat_ws("", F.col("pieces"))
+            != F.array_join(ws_tokens("text", lower=True), "")
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_temperature_rebalance_matches_oracle_and_limits(docs, duck):
+    """temperature_rebalance == the DuckDB mirror of the closed form
+    POWER(min_n/n, 1-alpha) with the shared salted-md5 keep decision;
+    alpha=1 keeps everything; alpha=0 targets uniform shares (the
+    smallest stratum kept fully)."""
+    from dfsql_spark.operators.text import temperature_rebalance
+
+    alpha = 0.3
+    got = sorted(
+        r.doc_id for r in temperature_rebalance(docs, alpha=alpha).collect()
+    )
+    want = sorted(
+        r[0]
+        for r in duck.sql(
+            f"""
+        WITH counts AS (
+            SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+            FROM documents GROUP BY source
+        ), rates AS (
+            SELECT source,
+                   POWER(MIN(n) OVER () / n, 1.0 - {alpha}) AS keep_rate
+            FROM counts
+        )
+        SELECT doc_id
+        FROM documents d JOIN rates r USING (source)
+        WHERE CAST('0x' || substr(md5('temp:' || d.text), 1, 8) AS BIGINT)
+              % 10000 < r.keep_rate * 10000
+        """
+        ).fetchall()
+    )
+    assert got == want
+    assert got
+    # alpha=1 -> natural proportions -> every row kept
+    assert temperature_rebalance(docs, alpha=1.0).count() == docs.count()
+    # smallest stratum always kept fully (rate 1.0 exactly)
+    totals = {
+        r.source: r["count"] for r in docs.groupBy("source").count().collect()
+    }
+    smallest = min(totals, key=lambda s: (totals[s], s))
+    kept = {
+        r.source: r["count"]
+        for r in temperature_rebalance(docs, alpha=0.0)
+        .groupBy("source")
+        .count()
+        .collect()
+    }
+    assert kept[smallest] == totals[smallest]
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_rebalance(docs, alpha=1.5)
+
+
+def test_temperature_rebalance_skewed_strata(spark):
+    """The testdata strata are equal-sized (every rate 1.0), so the
+    down-sampling arithmetic needs a skewed corpus: rates must follow
+    (min_n/n)^(1-alpha) per stratum — small kept fully, large strata
+    cut — against an independently computed python mirror of both the
+    rate and the md5 keep decision."""
+    import hashlib
+
+    import pandas as pd
+
+    from dfsql_spark.operators.text import temperature_rebalance
+
+    rows = (
+        [("tiny", f"tiny doc {i}") for i in range(20)]
+        + [("mid", f"mid doc {i}") for i in range(200)]
+        + [("big", f"big doc {i}") for i in range(800)]
+    )
+    pdf = pd.DataFrame(rows, columns=["source", "text"])
+    pdf["doc_id"] = range(len(pdf))
+    df = spark.createDataFrame(pdf)
+    alpha = 0.3
+    got = {r.doc_id for r in temperature_rebalance(df, alpha=alpha).collect()}
+
+    rate = {s: (20.0 / n) ** (1.0 - alpha) for s, n in
+            (("tiny", 20.0), ("mid", 200.0), ("big", 800.0))}
+
+    def keep(src, text):
+        h = int(hashlib.md5(f"temp:{text}".encode()).hexdigest()[:8], 16)
+        return (h % 10_000) < rate[src] * 10_000
+
+    want = {r.doc_id for _, r in pdf.iterrows() if keep(r.source, r.text)}
+    assert got == want
+    kept = {s: 0 for s in rate}
+    for _, r in pdf.iterrows():
+        if r.doc_id in got:
+            kept[r.source] += 1
+    assert kept["tiny"] == 20                       # rate exactly 1.0
+    # binomial wiggle around rate*n for the down-sampled strata
+    assert 0 < kept["mid"] < 200 and 0 < kept["big"] < 800
+    assert kept["big"] / 800 < kept["mid"] / 200    # bigger → cut harder
+
+
 def test_cap_per_key_matches_naive_window_oracle(docs, duck):
     """cap_per_key's salted two-phase plan must return EXACTLY the
     naive single-window result (DuckDB row_number oracle): the global
