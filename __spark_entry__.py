@@ -1112,11 +1112,56 @@ def bench_d08_semantic_dedup_op(spark, sf):
     return semantic_dedup_pairs(emb, threshold=0.4, n_probe=2)
 
 
+def bench_cap_per_key(spark, sf):
+    """BENCH-ONLY: the salted two-phase per-source cap (library
+    operator, round 9) — times both window passes at a binding cap."""
+    from dfsql_spark.operators.text import cap_per_key
+
+    return cap_per_key(_t(spark, sf, "documents"), "source", cap=10)
+
+
+def bench_heavy_hitters(spark, sf):
+    """BENCH-ONLY: Misra-Gries trigram heavy hitters (library
+    operator, round 9) — times the two corpus scans + candidate
+    recount.  k_capacity=32768 keeps the guarantee bound
+    (total/k ≈ 8 at sf0.1's ~260k trigrams) under the threshold at
+    every test sf, so the validated precondition always holds."""
+    from dfsql_spark.operators.text import heavy_hitter_ngrams
+
+    return heavy_hitter_ngrams(
+        _t(spark, sf, "documents"), threshold_count=20, n=3, k_capacity=32_768
+    )
+
+
+_BENCH_BPE_MERGES: list | None = None
+
+
+def bench_bpe_encode(spark, sf):
+    """BENCH-ONLY: BPE application (library operator, round 9) — the
+    merge list is trained ONCE per process on sf0.001 and memoized, so
+    the timed run measures the distributed Arrow encode pass (the
+    100 TB-repeated step), not the driver-side training loop (run once
+    per tokenizer, amortized away)."""
+    from dfsql_spark.operators.text import bpe_encode, train_bpe
+
+    global _BENCH_BPE_MERGES
+    if _BENCH_BPE_MERGES is None:
+        _BENCH_BPE_MERGES = train_bpe(
+            _t(spark, "/root/testdata/sf0.001", "documents"), num_merges=100
+        )
+    return bpe_encode(_t(spark, sf, "documents"), merges=_BENCH_BPE_MERGES)
+
+
 def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Bench-only callables, OUTSIDE the driver contract: bench.py
     merges these with :func:`queries` for timing; they have no oracle
     and must never appear in ``queries()``/``oracle_sql()``."""
-    return {"b_d08_semantic_dedup_op": bench_d08_semantic_dedup_op}
+    return {
+        "b_d08_semantic_dedup_op": bench_d08_semantic_dedup_op,
+        "b_cap_per_key": bench_cap_per_key,
+        "b_heavy_hitters": bench_heavy_hitters,
+        "b_bpe_encode": bench_bpe_encode,
+    }
 
 
 def t11_repetition(spark, sf):

@@ -76,8 +76,14 @@ HEADLINE = [
     # bench-only variants (em.bench_extras(), not contract queries):
     # the semantic-dedup OPERATOR without d08's exact ground-truth
     # grading device (round-8 verdict ask — the operator finally has a
-    # perf trend while the contract entry stays correctness-only).
+    # perf trend while the contract entry stays correctness-only),
+    # plus the round-9 library operators (salted per-key cap,
+    # Misra-Gries heavy hitters, BPE encode over a memoized merge
+    # list) so their perf has a trend despite the saturated contract.
     "b_d08_semantic_dedup_op",
+    "b_cap_per_key",
+    "b_heavy_hitters",
+    "b_bpe_encode",
 ]
 
 
