@@ -631,6 +631,34 @@ def test_rebalance_mix_limiting_stratum_and_shares(docs):
         rebalance_mix(docs, target={"src0": 0.0})
 
 
+def test_round9_operators_partitioning_invariant(docs):
+    """The determinism contracts of the round-9 operators: survivors /
+    counts / merges are functions of the DATA alone, identical under
+    different partitionings (content-addressed md5 priority for the
+    cap and the temperature mix; exact recount for heavy hitters;
+    histogram-only statistics for BPE training)."""
+    from dfsql_spark.operators.text import (
+        cap_per_key,
+        heavy_hitter_ngrams,
+        temperature_rebalance,
+        train_bpe,
+    )
+
+    a, b = docs.repartition(7), docs.repartition(3)
+    assert sorted(r.doc_id for r in cap_per_key(a, "source", cap=7).collect()) == sorted(
+        r.doc_id for r in cap_per_key(b, "source", cap=7).collect()
+    )
+    assert sorted(
+        r.doc_id for r in temperature_rebalance(a, alpha=0.3).collect()
+    ) == sorted(r.doc_id for r in temperature_rebalance(b, alpha=0.3).collect())
+    hh = lambda d: sorted(
+        (r.ngram, r.n)
+        for r in heavy_hitter_ngrams(d, threshold_count=8, n=3).collect()
+    )
+    assert hh(a) == hh(b)
+    assert train_bpe(a, num_merges=20) == train_bpe(b, num_merges=20)
+
+
 def test_train_bpe_hand_checked_and_reference(spark):
     """train_bpe on a hand-computable corpus: merge order follows
     weighted pair counts with deterministic tie-breaks, hapax pairs
