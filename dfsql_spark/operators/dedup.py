@@ -1259,6 +1259,85 @@ def ngram_decontaminate(
     )
 
 
+def shared_substring_spans(
+    df: DataFrame,
+    min_tokens: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """All MAXIMAL runs of ≥ ``min_tokens`` consecutive whitespace
+    tokens shared verbatim between two documents — the exact-substring
+    duplication criterion of Lee et al., ACL 2022 ("Deduplicating
+    Training Data Makes Language Models Better", which uses 50-token
+    runs).  Their suffix-array construction is inherently
+    single-machine; this is the distributed re-expression:
+
+    1. ``posexplode`` each doc's ``min_tokens``-grams →
+       ``(id, pos, g)`` — pos is the run's starting token index.
+    2. gram self-join with ``id_a < id_b`` → match points
+       ``(a, b, pa, pb)``: every place a shared ``min_tokens``-run
+       starts in both docs.  Candidate volume is collision-driven
+       (like :func:`ngram_decontaminate`), never all-pairs;
+       ``max_gram_freq`` drops grams above a document-frequency cap
+       before the join (boilerplate banners are exactly the hot keys).
+    3. consecutive match points on one DIAGONAL (``pa - pb``
+       constant) are the same shared run extended by one token, so
+       maximal runs = gaps-and-islands per ``(a, b, diagonal)``:
+       ``island = pa - row_number()`` is constant exactly on runs of
+       consecutive ``pa``.
+    4. one aggregate per island emits the span:
+       ``n_tokens = max(pa) - min(pa) + min_tokens``.
+
+    Returns ``(id_a, id_b, start_a, start_b, n_tokens)`` with token
+    (not char) offsets.  Every stage is built-in expressions except
+    the shared Arrow gram UDF; the only shuffles are the gram join and
+    the island window (keyed by (pair, diagonal) — skew-free unless
+    two documents share massive text, which is the signal itself).
+    Fully SQL-expressible → exact DuckDB oracle in tests.
+    """
+    if min_tokens < 2:
+        raise ValueError(f"min_tokens must be >= 2, got {min_tokens}")
+    from pyspark.sql import Window
+
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_word_ngrams_expr(text_col, min_tokens)).alias("pos", "g"),
+    )
+    if max_gram_freq is not None:
+        freq = grams.groupBy("g").agg(
+            F.count_distinct("id").alias("_df")
+        ).filter(F.col("_df") <= max_gram_freq)
+        grams = grams.join(freq.select("g"), "g")
+    a = grams.select(
+        F.col("id").alias("id_a"), F.col("pos").alias("pa"), "g"
+    )
+    b = grams.select(
+        F.col("id").alias("id_b"), F.col("pos").alias("pb"), "g"
+    )
+    # merge-hinted like every corpus×corpus self-join in this module:
+    # both sides are corpus-sized, broadcasting is a toy-scale trap.
+    matches = (
+        a.hint("merge")
+        .join(b.hint("merge"), "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", "pb")
+    )
+    w = Window.partitionBy("id_a", "id_b", F.col("pa") - F.col("pb")).orderBy("pa")
+    islands = matches.withColumn(
+        "_island", F.col("pa") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("id_a", "id_b", F.col("pa") - F.col("pb"), "_island")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.max("pa") - F.min("pa") + min_tokens).alias("n_tokens"),
+        )
+        .select("id_a", "id_b", "start_a", "start_b", "n_tokens")
+    )
+
+
 def ngram_overlap_fraction(
     corpus: DataFrame,
     eval_df: DataFrame,

@@ -631,6 +631,73 @@ def test_rebalance_mix_limiting_stratum_and_shares(docs):
         rebalance_mix(docs, target={"src0": 0.0})
 
 
+def test_shared_substring_spans_hand_planted(spark):
+    """Exact-substring spans: a planted 8-token shared run is found
+    once, maximal, at the right token offsets; unrelated docs emit
+    nothing; runs shorter than min_tokens emit nothing."""
+    import pandas as pd
+
+    from dfsql_spark.operators.dedup import shared_substring_spans
+
+    shared = "one two three four five six seven eight"  # 8 tokens
+    rows = [
+        (0, f"prefix {shared} tail0 tail1"),        # run at tokens 1..8
+        (1, f"a b c {shared}"),                     # run at tokens 3..10
+        (2, "totally different words here only"),
+        (3, "one two three unrelated continuation"),  # 3-token overlap < 5
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = shared_substring_spans(df, min_tokens=5).collect()
+    spans = {(r.id_a, r.id_b): (r.start_a, r.start_b, r.n_tokens) for r in out}
+    assert spans == {(0, 1): (1, 3, 8)}
+    with pytest.raises(ValueError, match="min_tokens"):
+        shared_substring_spans(df, min_tokens=1)
+
+
+def test_shared_substring_spans_matches_duckdb(docs, duck):
+    """The full gram-diagonal islands construction equals the same
+    construction in DuckDB on the corpus (the near-dup planted docs
+    share long verbatim runs)."""
+    from dfsql_spark.operators.dedup import shared_substring_spans
+
+    k = 8
+    got = sorted(
+        (r.id_a, r.id_b, r.start_a, r.start_b, r.n_tokens)
+        for r in shared_substring_spans(docs, min_tokens=k).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in duck.sql(
+            f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x != '') AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, u.i - 1 AS pos,
+                   array_to_string(t[u.i : u.i + {k - 1}], ' ') AS g
+            FROM toks, unnest(range(1, len(t) - {k} + 2)) u(i)
+            WHERE len(t) >= {k}
+        ), m AS (
+            SELECT a.doc_id ia, b.doc_id ib, a.pos pa, b.pos pb
+            FROM grams a JOIN grams b
+              ON a.g = b.g AND a.doc_id < b.doc_id
+        ), isl AS (
+            SELECT *, pa - row_number() OVER (
+                PARTITION BY ia, ib, pa - pb ORDER BY pa) AS island
+            FROM m
+        )
+        SELECT ia, ib, MIN(pa) AS start_a, MIN(pb) AS start_b,
+               MAX(pa) - MIN(pa) + {k} AS n_tokens
+        FROM isl GROUP BY ia, ib, pa - pb, island
+        """
+        ).fetchall()
+    )
+    assert got == want
+    assert got  # planted near-dups share >= 8-token runs
+
+
 def test_round9_operators_partitioning_invariant(docs):
     """The determinism contracts of the round-9 operators: survivors /
     counts / merges are functions of the DATA alone, identical under
