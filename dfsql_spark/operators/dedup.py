@@ -1265,6 +1265,7 @@ def shared_substring_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_gram_freq: int | None = None,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """All MAXIMAL runs of ≥ ``min_tokens`` consecutive whitespace
     tokens shared verbatim between two documents — the exact-substring
@@ -1295,15 +1296,27 @@ def shared_substring_spans(
     the island window (keyed by (pair, diagonal) — skew-free unless
     two documents share massive text, which is the signal itself).
     Fully SQL-expressible → exact DuckDB oracle in tests.
+
+    ``hash_grams=True`` is the 100 TB path (same trade as
+    :func:`ngram_decontaminate`): the self-join keys become
+    ``xxhash64(g)`` — a 50-token gram is ~300 bytes of text, so the
+    exploded rows and shuffle shrink ~40× — at ~1e-13 odds per
+    collision of one spurious MATCH POINT, which only corrupts a span
+    if it also lands adjacent on an existing diagonal.  When a span
+    merely ends at a capped/hashed boundary the length is off by at
+    most the collision run, never silently missing.
     """
     if min_tokens < 2:
         raise ValueError(f"min_tokens must be >= 2, got {min_tokens}")
     from pyspark.sql import Window
 
+    gram_expr = _word_ngrams_expr(text_col, min_tokens)
     grams = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(_word_ngrams_expr(text_col, min_tokens)).alias("pos", "g"),
+        F.posexplode(gram_expr).alias("pos", "g"),
     )
+    if hash_grams:
+        grams = grams.select("id", "pos", F.xxhash64("g").alias("g"))
     if max_gram_freq is not None:
         freq = grams.groupBy("g").agg(
             F.count_distinct("id").alias("_df")

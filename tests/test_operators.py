@@ -696,6 +696,14 @@ def test_shared_substring_spans_matches_duckdb(docs, duck):
     )
     assert got == want
     assert got  # planted near-dups share >= 8-token runs
+    # the 8-byte-key scale path returns the identical spans here
+    hashed = sorted(
+        (r.id_a, r.id_b, r.start_a, r.start_b, r.n_tokens)
+        for r in shared_substring_spans(
+            docs, min_tokens=k, hash_grams=True
+        ).collect()
+    )
+    assert hashed == got
 
 
 def test_round9_operators_partitioning_invariant(docs):
