@@ -435,6 +435,30 @@ def test_no_unjustified_broadcast_hints_anywhere(spark):
     )
 
 
+def test_round9_library_operator_plan_shapes(spark):
+    """Plan pins for the round-9 library operators.  bpe_encode is a
+    pure Arrow map — zero exchanges at any scale.  heavy_hitter_ngrams
+    recounts only the BROADCAST candidate set (the whole point: the
+    shuffle must never carry the gram vocabulary).
+    shared_substring_spans' gram self-join must be a shuffle join
+    (corpus-sized both sides), never broadcast or cartesian."""
+    from dfsql_spark.operators.dedup import shared_substring_spans
+    from dfsql_spark.operators.text import bpe_encode, heavy_hitter_ngrams
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    enc = plan_summary(bpe_encode(docs, merges=[("t", "h"), ("th", "e")]))
+    assert enc.n_exchanges == 0, enc.text
+
+    hh = heavy_hitter_ngrams(docs, threshold_count=8, n=3)
+    s = plan_summary(hh)
+    assert "BroadcastHashJoin" in s.text, s.text
+
+    span = plan_summary(shared_substring_spans(docs, min_tokens=8))
+    assert "SortMergeJoin" in span.text or "ShuffledHashJoin" in span.text, span.text
+    assert "BroadcastHashJoin" not in span.text, span.text
+    assert "CartesianProduct" not in span.text, span.text
+
+
 def test_cap_per_key_salted_two_phase_plan(spark):
     """cap_per_key's scale shape: phase 1 shuffles on (_salt, key) —
     the salt must actually reach the exchange keys so a hot key spreads
