@@ -1351,6 +1351,89 @@ def shared_substring_spans(
     )
 
 
+def remove_shared_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut :func:`shared_substring_spans` spans out of the NON-survivor
+    copy — the action step of the Lee et al. ACL'22 recipe: for each
+    span pair, the lower-id document (``id_a``) keeps its text and the
+    higher-id document loses tokens ``[start_b, start_b + n_tokens)``.
+    Pairwise first-keep is the standard approximation of their
+    cluster-level "all but one occurrence" (a chain a<b<c may leave
+    b∖c residue; the published pipeline iterates when that matters).
+
+    Plan: spans project to per-doc delete intervals; overlapping
+    intervals merge per doc with gaps-and-islands (running-max of the
+    interval end — interval counts per doc are span-driven, tiny);
+    merged intervals explode to (id, pos) delete keys; the corpus
+    posexplodes to (id, pos, token) and a LEFT ANTI join drops deleted
+    positions; reassembly is d11's groupBy + sort-by-pos array_join,
+    with a map-only roster LEFT join so fully-deleted documents
+    survive as empty text.  Shuffles: the anti join on (id, pos) and
+    the per-doc reassembly — both corpus-token-sized, both
+    skew-bounded by document length.
+
+    Output: ``(id_col, text, n_tokens, n_kept)`` — ``text`` is
+    whitespace-NORMALIZED (tokens re-joined with single spaces, the
+    same convention as the span detection itself).
+    """
+    from pyspark.sql import Window
+
+    from .text import ws_tokens  # same token definition as the spans
+
+    dele = spans.select(
+        F.col("id_b").alias("_id"),
+        F.col("start_b").alias("_s"),
+        (F.col("start_b") + F.col("n_tokens")).alias("_e"),
+    )
+    w = Window.partitionBy("_id").orderBy("_s", "_e")
+    prev_max_end = F.max("_e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = (
+        dele.withColumn(
+            "_new",
+            F.when(
+                prev_max_end.isNull() | (F.col("_s") > prev_max_end), 1
+            ).otherwise(0),
+        )
+        .withColumn("_island", F.sum("_new").over(w))
+        .groupBy("_id", "_island")
+        .agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
+    )
+    del_pos = merged.select(
+        "_id", F.explode(F.sequence(F.col("_s"), F.col("_e") - 1)).alias("_pos")
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"), ws_tokens(text_col).alias("_ts")
+    )
+    roster = base.select("_id", F.size("_ts").cast("bigint").alias("n_tokens"))
+    toks = base.select("_id", F.posexplode("_ts").alias("_pos", "_tok"))
+    kept = toks.join(del_pos, ["_id", "_pos"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        roster.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )
+
+
 def ngram_overlap_fraction(
     corpus: DataFrame,
     eval_df: DataFrame,

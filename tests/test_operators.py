@@ -706,6 +706,40 @@ def test_shared_substring_spans_matches_duckdb(docs, duck):
     assert hashed == got
 
 
+def test_remove_shared_spans_end_to_end(spark):
+    """The Lee et al. action step: spans cut from the higher-id copy
+    only; overlapping delete intervals merge; untouched docs come back
+    whitespace-normalized but token-identical; a fully-deleted doc
+    survives as empty text with its counts."""
+    import pandas as pd
+
+    from dfsql_spark.operators.dedup import (
+        remove_shared_spans,
+        shared_substring_spans,
+    )
+
+    shared = "one two three four five six seven eight"  # 8 tokens
+    rows = [
+        (0, f"prefix {shared} tail0 tail1"),
+        (1, f"a b c {shared}"),
+        (2, "totally different words here only"),
+        (3, shared),  # exact copy of the whole shared run
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    spans = shared_substring_spans(df, min_tokens=5)
+    out = {r.doc_id: r for r in remove_shared_spans(df, spans).collect()}
+    assert len(out) == 4
+    # doc0 is id_a everywhere -> untouched
+    assert out[0].text == rows[0][1] and out[0].n_kept == out[0].n_tokens == 11
+    # doc1 loses the 8 shared tokens (two spans, 0-1 and 1-3, merged)
+    assert out[1].text == "a b c"
+    assert (out[1].n_tokens, out[1].n_kept) == (11, 3)
+    # doc2 shares nothing -> untouched
+    assert out[2].text == rows[2][1]
+    # doc3 IS the shared run -> fully deleted, survives as empty
+    assert out[3].text == "" and out[3].n_kept == 0 and out[3].n_tokens == 8
+
+
 def test_round9_operators_partitioning_invariant(docs):
     """The determinism contracts of the round-9 operators: survivors /
     counts / merges are functions of the DATA alone, identical under
