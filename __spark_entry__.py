@@ -1152,6 +1152,20 @@ def bench_bpe_encode(spark, sf):
     return bpe_encode(_t(spark, sf, "documents"), merges=_BENCH_BPE_MERGES)
 
 
+def bench_substring_spans(spark, sf):
+    """BENCH-ONLY: the exact-substring dedup pipeline (library
+    operators, round 9) — span detection on 8-byte hashed gram keys
+    (the scale path) feeding span removal, timed end to end."""
+    from dfsql_spark.operators.dedup import (
+        remove_shared_spans,
+        shared_substring_spans,
+    )
+
+    docs = _t(spark, sf, "documents")
+    spans = shared_substring_spans(docs, min_tokens=8, hash_grams=True)
+    return remove_shared_spans(docs, spans)
+
+
 def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Bench-only callables, OUTSIDE the driver contract: bench.py
     merges these with :func:`queries` for timing; they have no oracle
@@ -1161,6 +1175,7 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b_cap_per_key": bench_cap_per_key,
         "b_heavy_hitters": bench_heavy_hitters,
         "b_bpe_encode": bench_bpe_encode,
+        "b_substring_dedup": bench_substring_spans,
     }
 
 

@@ -84,6 +84,7 @@ HEADLINE = [
     "b_cap_per_key",
     "b_heavy_hitters",
     "b_bpe_encode",
+    "b_substring_dedup",
 ]
 
 
