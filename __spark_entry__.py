@@ -2106,6 +2106,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # two explicit asks) — and the 50 below (= exactly the round-8 graded
 # block, every one green on all three checks in CORRECTNESS_r08.json)
 # sit out, pinned as always by the per-run pytest oracle mirror.
+# Changed-operator accounting for round 9: q10/q14/q18/q31 (decimal
+# sums), p01/d07 (oracle tokenizer), and d08 (arrow in-cell compare)
+# all changed AND are all in this round's graded window — the rule
+# holds.  One deliberate, documented exception: t03's ORACLE spelling
+# switched to the shared list_filter tokenizer while t03 sits out,
+# done on the round-8 advisor's explicit recommendation ("switch
+# t03's oracle ... while the divergence is still benign"); the change
+# is value-identical by construction (empty tokens cannot match a
+# stopword list), the per-run pytest mirror re-proves identity at
+# sf0.01 every run, and t03 takes its driver grade in round 10.
 _SIT_OUT_THIS_ROUND = (
     "a01_asof_join",
     "a02_range_join",
