@@ -412,6 +412,64 @@ _STREAMING_EXECUTORS = {
 }
 
 
+# Contract queries allowed to run Python workers, with why: every
+# entry is an Arrow-batched form (vectorized shingling / signatures /
+# BLAS scoring / media decode / stateful packing) that replaced a
+# measured-slower pure-expression formulation, or IS the feature
+# (custom Python UDF/UDAF).  Row-at-a-time BatchEvalPython is banned
+# fleet-wide with no exceptions — it is never the right plan.
+_ALLOWED_PYTHON = {
+    "d02_dedup_ngram_jaccard": "Arrow shingling UDF",
+    "d03_dedup_minhash_lsh": "Arrow shingling + signature UDFs",
+    "d04_dedup_simhash": "Arrow shingling/simhash UDF",
+    "d07_decontaminate": "Arrow word-n-gram UDF",
+    "d08_semantic_dedup": "multi-probe assign + BLAS in-cell compare",
+    "d10_winnow_overlap": "Arrow winnowing fingerprint UDF",
+    "d12_incremental_dedup": "Arrow shingling + signature UDFs",
+    "d13_semantic_decontaminate": "broadcast eval-matrix BLAS map",
+    "d15_ngram_overlap": "Arrow word-n-gram UDF",
+    "f01_custom_agg_sql": "user-registered pandas UDAF (the feature)",
+    "f02_custom_scalar_sql": "user-registered scalar UDF (the feature)",
+    "m02_media_decode": "Arrow media decode map",
+    "m04_media_sim": "Arrow media decode + feature map",
+    "s01_sim_topk": "per-partition BLAS top-k map",
+    "s02_sim_topk_lsh": "bucketed BLAS scoring map",
+    "s03_sim_ivf": "probe-cell assignment + BLAS scoring",
+    "s04_sim_pq": "PQ encode + LUT scoring maps",
+    "s06_mmr_rerank": "per-query MMR selection (tiny groups)",
+    "t04_fingerprint": "Arrow rolling-hash UDF (order-sensitive)",
+    "t09_pack_sequences": "greedy packing via applyInPandas",
+    "t14_winnow_fingerprints": "Arrow winnowing fingerprint UDF",
+    "t23_char_entropy": "Arrow codepoint-entropy UDF",
+}
+
+
+def test_no_unjustified_python_eval_anywhere(spark):
+    """Fleet-wide Python audit (companion to the hint audit): no
+    contract query may run Python workers unless allowlisted with a
+    justification above, and row-at-a-time BatchEvalPython may appear
+    NOWHERE — every sanctioned use is Arrow-batched."""
+    import re
+
+    py_re = re.compile(
+        r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|"
+        r"FlatMapCoGroupsInPandas|AggregateInPandas|WindowInPandas"
+    )
+    offenders, row_at_a_time = {}, {}
+    for name, fn in em.queries().items():
+        if name in _STREAMING_EXECUTORS:
+            continue
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan:
+            row_at_a_time[name] = True
+        if py_re.search(plan) and name not in _ALLOWED_PYTHON:
+            offenders[name] = sorted(set(py_re.findall(plan)))
+    assert not row_at_a_time, (
+        f"row-at-a-time Python in: {sorted(row_at_a_time)}"
+    )
+    assert not offenders, f"unallowlisted Python workers: {offenders}"
+
+
 def test_no_unjustified_broadcast_hints_anywhere(spark):
     """Fleet-wide audit (round-8 verdict ask): walk EVERY contract
     query's analyzed plan and fail on any explicit broadcast hint not
