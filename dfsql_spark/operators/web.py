@@ -1,0 +1,146 @@
+"""Web-crawl URL operators: canonicalization and URL-level dedup.
+
+Crawl-derived corpora (CommonCrawl-style) carry the same page under
+many spellings — scheme/host case, default ports, ``www.`` prefixes,
+tracking parameters, query-parameter order, trailing slashes.  A
+URL-level dedup pass over the canonical form is the cheapest dedup
+stage in a curation pipeline (it needs no content at all), so it runs
+first, before any text- or embedding-based method.
+
+Everything here compiles to built-in column expressions (regexes +
+array higher-order functions), so the whole pass stays inside
+whole-stage codegen — zero Python workers, and the dedup shuffle
+ships only ``(canonical_url, id)`` pairs, never document bodies.
+
+Canonical form (documented, deterministic):
+
+* scheme and host lowercased; userinfo (``user:pw@``) stripped
+* missing scheme treated as ``http`` (browser-style ``example.com/x``
+  inputs); the authority is then the first path-less component
+* default ports stripped (``:80`` for http, ``:443`` for https);
+  non-default ports kept
+* leading ``www.`` stripped (``strip_www=False`` to keep)
+* empty path becomes ``/``; trailing slashes stripped except on the
+  root path
+* fragment dropped
+* query: tracking parameters removed (``utm_*``, ``gclid``,
+  ``fbclid``, ``msclkid``, ``igshid``, ``mc_cid``, ``mc_eid``,
+  ``ref``, ``ref_src`` by default), remaining ``k=v`` tokens sorted
+  bytewise and re-joined; an emptied query drops the ``?``
+* NULL input stays NULL, and so does anything with an empty
+  authority ("", relative paths) — no host means no page identity;
+  percent-encoding is NOT normalized (%2F vs %2f are distinct —
+  documented limitation)
+
+This capability has no counterpart in the reference engine
+(``/root/reference/dfsql`` is a SQL interpreter with no web/dedup
+code); it is part of the beyond-reference training-data uplift, same
+family as ``operators/dedup.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# RFC-3986-ish splitter; RE2- and Java-regex compatible (no
+# lookaround, no backrefs) so the DuckDB oracle can reuse it verbatim.
+URL_PARSE_RE = r"^(?:([A-Za-z][A-Za-z0-9+.-]*)://)?([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+
+# Query tokens whose NAME matches are dropped. Anchored; the (=|$)
+# tail keeps bare flags (``?ref``) matched without eating prefixes of
+# longer, legitimate names (``refresh=1`` survives).
+DEFAULT_TRACKING_RE = (
+    r"^(utm_[^=]*|gclid|fbclid|msclkid|igshid|mc_cid|mc_eid|ref|ref_src)(=|$)"
+)
+
+
+def canonical_url_expr(
+    url_col: str = "url",
+    *,
+    strip_www: bool = True,
+    default_scheme: str = "http",
+    tracking_re: str = DEFAULT_TRACKING_RE,
+) -> Column:
+    """Column expression computing the canonical form of ``url_col``.
+
+    Shared by :func:`canonicalize_url` and :func:`url_dedup`; exposed
+    so pipelines can embed the expression in a wider ``select``
+    without an extra projection.
+    """
+    u = F.trim(F.col(url_col))
+    raw_scheme = F.lower(F.regexp_extract(u, URL_PARSE_RE, 1))
+    scheme = F.when(raw_scheme == "", F.lit(default_scheme)).otherwise(raw_scheme)
+
+    host = F.lower(F.regexp_replace(F.regexp_extract(u, URL_PARSE_RE, 2), "^[^@]*@", ""))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+
+    path = F.regexp_replace(F.regexp_extract(u, URL_PARSE_RE, 3), "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+
+    # split('') -> ['']; the filter drops empties and tracking tokens.
+    toks = F.filter(
+        F.split(F.regexp_extract(u, URL_PARSE_RE, 4), "&"),
+        lambda t: (t != F.lit("")) & ~t.rlike(tracking_re),
+    )
+    query = F.array_join(F.array_sort(toks), "&")
+
+    # An empty authority ("", "/rel/path", "?q=1") has no page
+    # identity — canonical form is NULL, same bucket as NULL input.
+    return F.when(host == "", F.lit(None).cast("string")).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+        )
+    )
+
+
+def canonicalize_url(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "canonical_url",
+    **kwargs,
+) -> DataFrame:
+    """Add ``out_col`` holding the canonical form of ``url_col``.
+
+    Pure narrow projection — no shuffle, no Python; safe to fuse with
+    any surrounding stage at any scale.
+    """
+    return df.withColumn(out_col, canonical_url_expr(url_col, **kwargs))
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """One surviving (min-id) row per canonical URL, with the
+    duplicate count: ``(canonical_url, survivor_id, n_copies)``.
+
+    Mirrors ``exact_dedup``'s shape (``dedup.py:222``) but keys on the
+    canonical URL instead of content, so the shuffle ships short URL
+    strings + ids only — the map-side partial aggregation collapses
+    same-page rows before they ever cross the network.  NULL URLs
+    (one NULL group) are dropped: a row with no URL has no page
+    identity to dedup on.
+    """
+    canon = canonical_url_expr(url_col, **kwargs)
+    return (
+        df.select(F.col(id_col), canon.alias("canonical_url"))
+        .where(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

@@ -3032,3 +3032,188 @@ def test_signal_ops_are_pure_maps(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     assert plan_summary(char_entropy(docs)).n_exchanges == 0
     assert plan_summary(compression_ratio(docs)).n_exchanges == 0
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup (operators/web.py)
+# ---------------------------------------------------------------------------
+
+
+def test_canonicalize_url_edge_cases(spark):
+    """Hand-written cases pin every documented canonicalization rule."""
+    import pandas as pd
+
+    from dfsql_spark.operators.web import canonicalize_url
+
+    cases = [
+        # (raw, expected canonical)
+        ("HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+         "http://example.com/a/b?a=1&b=2"),
+        ("https://example.com:443/", "https://example.com/"),
+        ("https://example.com", "https://example.com/"),
+        ("example.com/path/?gclid=1", "http://example.com/path"),
+        ("https://user:pw@Example.com/x", "https://example.com/x"),
+        ("http://example.com:8080/x/", "http://example.com:8080/x"),
+        ("https://example.com/?ref&q=1", "https://example.com/?q=1"),
+        ("http://example.com/a//b//", "http://example.com/a//b"),
+        ("  http://example.com/x  ", "http://example.com/x"),
+        # anchored tracking names must not eat longer legit names
+        ("http://example.com/x?refresh=1", "http://example.com/x?refresh=1"),
+        # no page identity -> NULL
+        ("", None),
+        ("/relative/only", None),
+        (None, None),
+    ]
+    pdf = pd.DataFrame(
+        {"i": range(len(cases)), "url": [c[0] for c in cases]}
+    )
+    got = {
+        r.i: r.canonical_url
+        for r in canonicalize_url(spark.createDataFrame(pdf)).collect()
+    }
+    for i, (raw, want) in enumerate(cases):
+        assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+
+
+def _messy_urls(n=400):
+    """Deterministic messy-URL corpus exercising every rule at once."""
+    import pandas as pd
+
+    schemes = ["http://", "HTTPS://", ""]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/a/b", "/a//b/"]
+    rows = []
+    for i in range(n):
+        userinfo = "User:pw@" if i % 11 == 0 else ""
+        www = "WWW." if i % 2 == 0 else ""
+        path = paths[i % 4] if i % 5 else f"/docs/{i % 7}/"
+        queries = [
+            "",
+            "?utm_source=x&z=9&a=1",
+            "?b=2&a=1",
+            "?gclid=abc",
+            "?ref",
+            f"?a={i % 3}&utm_medium=m",
+        ]
+        url = (
+            schemes[i % 3]
+            + userinfo
+            + f"{www}Host{i % 13}.Example.COM"
+            + ports[i % 4]
+            + path
+            + queries[i % 6]
+            + ("" if i % 2 else f"#sec-{i}")
+        )
+        rows.append((i, url))
+    return pd.DataFrame(rows, columns=["i", "url"])
+
+
+def test_canonicalize_url_matches_duckdb_mirror(spark, duck):
+    """The Spark expression and an independent DuckDB spelling of the
+    same documented rules agree on 400 messy URLs."""
+    from dfsql_spark.operators.web import (
+        DEFAULT_TRACKING_RE,
+        URL_PARSE_RE,
+        canonicalize_url,
+    )
+
+    pdf = _messy_urls()
+    got = {
+        r.i: r.canonical_url
+        for r in canonicalize_url(spark.createDataFrame(pdf)).collect()
+    }
+
+    duck.register("urls_pd", pdf)
+    re, track = URL_PARSE_RE, DEFAULT_TRACKING_RE
+    want = dict(
+        duck.sql(
+            f"""
+        WITH parts AS (
+            SELECT i,
+                   lower(regexp_extract(trim(url), '{re}', 1)) AS raw_scheme,
+                   regexp_extract(trim(url), '{re}', 2) AS auth,
+                   regexp_extract(trim(url), '{re}', 3) AS rawpath,
+                   regexp_extract(trim(url), '{re}', 4) AS rawq
+            FROM urls_pd
+        ), step AS (
+            SELECT i,
+                   CASE WHEN raw_scheme = '' THEN 'http' ELSE raw_scheme END AS scheme,
+                   lower(regexp_replace(auth, '^[^@]*@', '')) AS host0,
+                   rawpath, rawq
+            FROM parts
+        ), step2 AS (
+            SELECT i, scheme,
+                   regexp_replace(
+                       CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+                            WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+                            ELSE host0 END,
+                       '^www\\.', '') AS host,
+                   CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+                        ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+                   coalesce(array_to_string(
+                       list_sort(list_filter(str_split(rawq, '&'),
+                           x -> x <> '' AND NOT regexp_matches(x, '{track}'))),
+                       '&'), CASE WHEN rawq IS NULL THEN NULL ELSE '' END) AS q
+            FROM step
+        )
+        SELECT i,
+               CASE WHEN host = '' THEN NULL
+                    ELSE scheme || '://' || host || path ||
+                         (CASE WHEN q = '' THEN '' ELSE '?' || q END)
+               END AS canonical_url
+        FROM step2
+        """
+        ).fetchall()
+    )
+    duck.unregister("urls_pd")
+    assert got == want and len(got) == 400
+
+
+def test_url_dedup_collapses_variants_keeps_min_id(spark):
+    """Spelling variants of one page collapse to the min-id survivor;
+    distinct pages stay distinct; identity-less rows are dropped."""
+    import pandas as pd
+
+    from dfsql_spark.operators.web import url_dedup
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [10, 3, 7, 20, 21, 30],
+            "url": [
+                "http://www.example.com:80/a/?utm_source=x",
+                "example.com/a",
+                "HTTP://EXAMPLE.COM/a/#top",
+                "https://example.com/a",   # different scheme -> different page
+                "http://example.com/b",
+                None,
+            ],
+        }
+    )
+    got = {
+        r.canonical_url: (r.survivor_id, r.n_copies)
+        for r in url_dedup(spark.createDataFrame(pdf)).collect()
+    }
+    assert got == {
+        "http://example.com/a": (3, 3),
+        "https://example.com/a": (20, 1),
+        "http://example.com/b": (21, 1),
+    }
+
+
+def test_url_ops_plan_shape(spark):
+    """canonicalize_url is a zero-exchange narrow map; url_dedup is a
+    single hash-agg exchange; neither ever runs a Python worker."""
+    import pandas as pd
+
+    from dfsql_spark.operators.web import canonicalize_url, url_dedup
+    from dfsql_spark.plans.audit import plan_summary
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "url": ["http://example.com/"]})
+    )
+    canon = plan_summary(canonicalize_url(df))
+    dedup = plan_summary(url_dedup(df))
+    assert canon.n_exchanges == 0
+    assert dedup.n_exchanges == 1
+    for s in (canon, dedup):
+        assert "EvalPython" not in s.text  # neither Batch- nor Arrow-
