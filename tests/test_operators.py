@@ -3217,3 +3217,18 @@ def test_url_ops_plan_shape(spark):
     assert dedup.n_exchanges == 1
     for s in (canon, dedup):
         assert "EvalPython" not in s.text  # neither Batch- nor Arrow-
+
+
+def test_canonicalize_url_is_idempotent(spark):
+    """A canonical URL re-canonicalizes to itself — the property that
+    makes the form safe as a dedup key across pipeline re-runs."""
+    from dfsql_spark.operators.web import canonicalize_url
+
+    df = spark.createDataFrame(_messy_urls())
+    once = canonicalize_url(df)
+    twice = canonicalize_url(
+        once.select("i", F.col("canonical_url").alias("url"))
+    )
+    a = {r.i: r.canonical_url for r in once.collect()}
+    b = {r.i: r.canonical_url for r in twice.collect()}
+    assert a == b
