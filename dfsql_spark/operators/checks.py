@@ -125,3 +125,115 @@ def run_checks(df: DataFrame, checks: "list[Check]") -> DataFrame:
             f"stack({len(checks)}, {stack_args}) AS (check, passed, observed)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Single-scan pipeline observability: threshold calibration + filter funnel
+# ---------------------------------------------------------------------------
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: "list[float]",
+    keep_higher: bool = True,
+) -> DataFrame:
+    """Precision/recall/F1 of ``score >= t`` (or ``<= t`` when
+    ``keep_higher=False``) against a boolean label, for every ``t``,
+    in ONE aggregation pass.
+
+    The calibration step for a model-based quality filter
+    (``classify.py:classifier_score`` scores, human labels): N
+    thresholds cost one job with 2N+1 fixed-size aggregate states —
+    map-side combined, never a per-threshold scan.  Rows with a NULL
+    score or label are excluded (they have no verdict either way).
+
+    Returns ``(threshold, n_kept, precision, recall, f1)`` — one row
+    per threshold, in input order.  ``precision`` is NULL when nothing
+    is kept; ``recall`` is NULL when there are no positives; ``f1`` is
+    NULL when either is.
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    score = F.col(score_col)
+    label = F.col(label_col).cast("boolean")
+    valid = score.isNotNull() & label.isNotNull()
+    aggs = [F.sum((valid & label).cast("long")).alias("n_pos")]
+    for i, t in enumerate(thresholds):
+        kept = valid & (score >= t if keep_higher else score <= t)
+        aggs.append(F.sum(kept.cast("long")).alias(f"k{i}"))
+        aggs.append(F.sum((kept & label).cast("long")).alias(f"tp{i}"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({float(t)} AS DOUBLE), k{i}, tp{i}"
+        for i, t in enumerate(thresholds)
+    )
+    long = wide.select(
+        "n_pos",
+        F.expr(
+            f"stack({len(thresholds)}, {stack_args}) AS (threshold, n_kept, tp)"
+        ),
+    )
+    precision = F.when(F.col("n_kept") > 0, F.col("tp") / F.col("n_kept"))
+    recall = F.when(F.col("n_pos") > 0, F.col("tp") / F.col("n_pos"))
+    return long.select(
+        "threshold",
+        "n_kept",
+        precision.alias("precision"),
+        recall.alias("recall"),
+        F.when(
+            precision.isNotNull() & recall.isNotNull() & (precision + recall > 0),
+            2 * precision * recall / (precision + recall),
+        ).alias("f1"),
+    )
+
+
+def filter_funnel(
+    df: DataFrame, stages: "list[tuple[str, Column]]"
+) -> DataFrame:
+    """Survival counts through an ORDERED filter pipeline, in ONE
+    aggregation pass.
+
+    The yield report a curation run starts with: how many documents
+    survive each successive filter (C4 keep, repetition cap, quality
+    floor, ...), where stage ``i`` counts rows passing ALL conditions
+    up to and including ``i``.  One job, one fixed-size aggregate per
+    stage — not one count() action per filter.  A NULL condition
+    counts as failing that stage.
+
+    Returns ``(stage_idx, stage, n_in, n_out, frac_of_input,
+    frac_of_prev)``; ``frac_*`` are NULL when the denominator is 0.
+    """
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("n_total")]
+    cum = F.lit(True)
+    for i, (_, cond) in enumerate(stages):
+        cum = cum & F.coalesce(cond.cast("boolean"), F.lit(False))
+        aggs.append(F.sum(cum.cast("long")).alias(f"s{i}"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}, '{name.replace(chr(39), '')}', "
+        f"{'n_total' if i == 0 else f's{i - 1}'}, s{i}"
+        for i, (name, _) in enumerate(stages)
+    )
+    long = wide.select(
+        "n_total",
+        F.expr(
+            f"stack({len(stages)}, {stack_args})"
+            " AS (stage_idx, stage, n_in, n_out)"
+        ),
+    )
+    return long.select(
+        "stage_idx",
+        "stage",
+        "n_in",
+        "n_out",
+        F.when(F.col("n_total") > 0, F.col("n_out") / F.col("n_total")).alias(
+            "frac_of_input"
+        ),
+        F.when(F.col("n_in") > 0, F.col("n_out") / F.col("n_in")).alias(
+            "frac_of_prev"
+        ),
+    )

@@ -3232,3 +3232,168 @@ def test_canonicalize_url_is_idempotent(spark):
     a = {r.i: r.canonical_url for r in once.collect()}
     b = {r.i: r.canonical_url for r in twice.collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Single-scan observability: threshold_sweep + filter_funnel (checks.py)
+# ---------------------------------------------------------------------------
+
+
+def test_threshold_sweep_hand_pinned(spark):
+    """P/R/F1 per threshold on a hand-checked table, both directions,
+    with NULL score/label rows excluded and NULL-denominator edges."""
+    import pandas as pd
+
+    from dfsql_spark.operators.checks import threshold_sweep
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "score": [0.9, 0.8, 0.7, 0.2, None, 0.5],
+                "label": [True, False, True, True, True, None],
+            }
+        )
+    )
+    got = {
+        r.threshold: (r.n_kept, r.precision, r.recall, r.f1)
+        for r in threshold_sweep(df, "score", "label", [0.75, 0.6]).collect()
+    }
+    assert got[0.75][0] == 2 and got[0.75][1] == 0.5
+    assert abs(got[0.75][2] - 1 / 3) < 1e-12 and abs(got[0.75][3] - 0.4) < 1e-12
+    assert got[0.6] == (3, 2 / 3, 2 / 3, 2 / 3)
+
+    # nothing kept -> precision/f1 NULL, recall 0
+    (edge,) = threshold_sweep(df, "score", "label", [1.5]).collect()
+    assert (edge.n_kept, edge.precision, edge.recall, edge.f1) == (0, None, 0.0, None)
+
+    # keep_higher=False keeps low scores; the 0.5-score row has a
+    # NULL label so it is excluded, leaving only 0.2 (a positive)
+    (lo,) = threshold_sweep(
+        df, "score", "label", [0.5], keep_higher=False
+    ).collect()
+    assert (lo.n_kept, lo.precision, lo.f1) == (1, 1.0, 0.5)
+
+
+def test_threshold_sweep_matches_duckdb_mirror(docs, duck):
+    """Sweep over documents (score=n_chars, deterministic label)
+    agrees with a DuckDB cross-join spelling at 9 dp."""
+    from dfsql_spark.operators.checks import threshold_sweep
+
+    from pyspark.sql import functions as F
+
+    ths = [0.0, 200.0, 500.0, 1000.0]
+    labelled = docs.withColumn("label", (F.col("doc_id") % 3 == 0))
+    got = {
+        r.threshold: (r.n_kept, r.precision, r.recall, r.f1)
+        for r in threshold_sweep(labelled, "n_chars", "label", ths).collect()
+    }
+    want = {
+        r[0]: tuple(r[1:])
+        for r in duck.sql(
+            """
+        WITH t(threshold) AS (VALUES (0.0), (200.0), (500.0), (1000.0)),
+        base AS (
+            SELECT n_chars AS score, (doc_id % 3 = 0) AS label
+            FROM documents WHERE n_chars IS NOT NULL
+        ), agg AS (
+            SELECT threshold,
+                   sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END) AS n_kept,
+                   sum(CASE WHEN score >= threshold AND label THEN 1 ELSE 0 END) AS tp,
+                   sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos
+            FROM base CROSS JOIN t GROUP BY threshold
+        )
+        SELECT threshold, n_kept,
+               CASE WHEN n_kept > 0 THEN tp / n_kept END AS precision,
+               CASE WHEN n_pos > 0 THEN tp / n_pos END AS recall,
+               CASE WHEN n_kept > 0 AND n_pos > 0 AND tp > 0 THEN
+                   2.0 * (tp / n_kept) * (tp / n_pos)
+                       / ((tp / n_kept) + (tp / n_pos)) END AS f1
+        FROM agg
+        """
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for t in got:
+        for g, w in zip(got[t], want[t]):
+            assert (g is None) == (w is None)
+            if g is not None:
+                assert abs(g - w) < 1e-9, (t, got[t], want[t])
+
+
+def test_filter_funnel_hand_pinned_and_mirror(spark, docs, duck):
+    """Cumulative stage semantics on a hand table (incl. NULL-fails)
+    plus a DuckDB mirror over documents."""
+    import pandas as pd
+
+    from dfsql_spark.operators.checks import filter_funnel
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": list(range(1, 11)), "b": [1] * 9 + [None]})
+    )
+    rows = filter_funnel(
+        df,
+        [
+            ("pos", F.col("a") > 3),
+            ("even", F.col("a") % 2 == 0),
+            ("big", F.col("a") >= 8),
+            ("b_known", F.col("b") > 0),  # NULL b fails
+        ],
+    ).collect()
+    got = [(r.stage_idx, r.stage, r.n_in, r.n_out, r.frac_of_prev) for r in rows]
+    assert got == [
+        (0, "pos", 10, 7, 0.7),
+        (1, "even", 7, 4, 4 / 7),
+        (2, "big", 4, 2, 0.5),
+        (3, "b_known", 2, 1, 0.5),
+    ]
+
+    funnel = {
+        r.stage: (r.n_in, r.n_out)
+        for r in filter_funnel(
+            docs,
+            [
+                ("len200", F.col("n_chars") >= 200),
+                ("even_id", F.col("doc_id") % 2 == 0),
+                ("len500", F.col("n_chars") >= 500),
+            ],
+        ).collect()
+    }
+    (want,) = duck.sql(
+        """
+        SELECT count(*),
+               sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END),
+               sum(CASE WHEN n_chars >= 200 AND doc_id % 2 = 0
+                   THEN 1 ELSE 0 END),
+               sum(CASE WHEN n_chars >= 200 AND doc_id % 2 = 0
+                   AND n_chars >= 500 THEN 1 ELSE 0 END)
+        FROM documents
+        """
+    ).fetchall()
+    assert funnel == {
+        "len200": (want[0], want[1]),
+        "even_id": (want[1], want[2]),
+        "len500": (want[2], want[3]),
+    }
+
+
+def test_sweep_and_funnel_are_single_scan(docs):
+    """N thresholds / N stages cost ONE scan and ONE (single-partition
+    agg) exchange — the whole point of the aggregate-composition form."""
+    from pyspark.sql import functions as F
+
+    from dfsql_spark.operators.checks import filter_funnel, threshold_sweep
+    from dfsql_spark.plans.audit import plan_summary
+
+    labelled = docs.withColumn("label", (F.col("doc_id") % 3 == 0))
+    sweep = plan_summary(
+        threshold_sweep(labelled, "n_chars", "label", [100.0, 200.0, 300.0])
+    )
+    funnel = plan_summary(
+        filter_funnel(docs, [("a", F.col("n_chars") > 100), ("b", F.col("doc_id") % 2 == 0)])
+    )
+    for s in (sweep, funnel):
+        assert s.n_scans == 1
+        assert s.n_exchanges == 1
+        assert "EvalPython" not in s.text
