@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _FORMAT_BY_EXT = {
     ".csv": "csv",
-    ".tsv": "csv",
+    ".tsv": "tsv",
     ".parquet": "parquet",
     ".pq": "parquet",
     ".json": "json",
@@ -26,10 +26,20 @@ _FORMAT_BY_EXT = {
     ".orc": "orc",
 }
 
+# Compression suffixes Spark's text-based readers decompress
+# transparently; inference looks through them (``docs.jsonl.gz`` is
+# JSON-lines, not the csv fallback).  The reference gets ``.csv.gz``
+# for free from pandas' compression inference (dfsql/table.py:57);
+# compressed JSON-lines — the standard crawl interchange format — is
+# part of the uplift.
+_COMPRESSION_EXTS = {".gz", ".bz2", ".deflate", ".zst"}
+
 
 def infer_format(fpath: str) -> str:
-    ext = os.path.splitext(fpath)[1].lower()
-    return _FORMAT_BY_EXT.get(ext, "csv")
+    base, ext = os.path.splitext(fpath)
+    if ext.lower() in _COMPRESSION_EXTS:
+        ext = os.path.splitext(base)[1]
+    return _FORMAT_BY_EXT.get(ext.lower(), "csv")
 
 
 @dataclass
@@ -60,8 +70,14 @@ def read_file(spark: SparkSession, fpath: str, fmt: str | None = None, **options
     """
     fmt = fmt or infer_format(fpath)
     reader = spark.read
-    if fmt == "csv":
+    if fmt in ("csv", "tsv"):
         opts = {"header": "true", "inferSchema": "true", "nullValue": ""}
+        if fmt == "tsv":
+            # Divergence from the reference, which feeds .tsv through
+            # pd.read_csv with the comma default (dfsql/table.py:57)
+            # and gets a single mangled column; tab-separated is what
+            # the extension means.
+            opts["sep"] = "\t"
         opts.update(options)
         return reader.options(**opts).csv(fpath)
     if fmt == "parquet":

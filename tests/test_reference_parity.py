@@ -429,3 +429,38 @@ def test_csv_int_with_nulls_dtype_divergence(spark, tmp_path):
         assert list(ref["age"].fillna(-1)) == list(out["age"].fillna(-1))
     finally:
         ds.drop_table("people_nulls")
+
+
+def test_infer_format_sees_through_compression():
+    """Compression suffixes are transparent to format inference;
+    ``.tsv`` is its own (tab-separated) format."""
+    from dfsql_spark.sources.tables import infer_format
+
+    assert infer_format("a.jsonl.gz") == "json"
+    assert infer_format("a.csv.gz") == "csv"
+    assert infer_format("a.tsv.bz2") == "tsv"
+    assert infer_format("a.json.zst") == "json"
+    assert infer_format("a.gz") == "csv"  # bare .gz -> csv fallback
+    assert infer_format("A.PARQUET") == "parquet"
+
+
+def test_read_gzipped_jsonl_and_tab_separated_tsv(spark, tmp_path):
+    """Spark decompresses .gz transparently, so gzipped JSON-lines
+    (the crawl interchange format) reads as JSON, and .tsv actually
+    splits on tabs (documented divergence: the reference's pd.read_csv
+    comma default would mangle it, dfsql/table.py:57)."""
+    import gzip
+
+    from dfsql_spark.sources.tables import read_file
+
+    p = tmp_path / "docs.jsonl.gz"
+    with gzip.open(p, "wt") as f:
+        f.write('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    df = read_file(spark, str(p))
+    assert sorted((r.a, r.b) for r in df.collect()) == [(1, "x"), (2, "y")]
+
+    t = tmp_path / "people.tsv"
+    t.write_text("name\tage\nann\t30\nbob\t40\n")
+    tdf = read_file(spark, str(t))
+    assert tdf.columns == ["name", "age"]
+    assert sorted((r.name, r.age) for r in tdf.collect()) == [("ann", 30), ("bob", 40)]
