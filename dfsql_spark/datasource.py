@@ -165,10 +165,17 @@ class DataSource:
     def from_dir(cls, dir_path: str, spark: SparkSession | None = None, **kwargs) -> "DataSource":
         """Register every supported data file in a directory
         (reference: base_data_source.py:103-116)."""
+        from .sources.tables import _COMPRESSION_EXTS
+
+        supported = (".csv", ".tsv", ".parquet", ".json", ".jsonl", ".ndjson", ".orc")
         ds = cls(spark=spark, **kwargs)
         for fname in sorted(os.listdir(dir_path)):
             stem, ext = os.path.splitext(fname)
-            if ext.lower() in (".csv", ".tsv", ".parquet", ".json", ".jsonl"):
+            if ext.lower() in _COMPRESSION_EXTS:
+                # docs.jsonl.gz -> table "docs"; inference sees through
+                # the compression suffix in read_file
+                stem, ext = os.path.splitext(stem)
+            if ext.lower() in supported:
                 ds.add_table_from_file(stem, os.path.join(dir_path, fname))
         return ds
 

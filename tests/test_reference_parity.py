@@ -464,3 +464,33 @@ def test_read_gzipped_jsonl_and_tab_separated_tsv(spark, tmp_path):
     tdf = read_file(spark, str(t))
     assert tdf.columns == ["name", "age"]
     assert sorted((r.name, r.age) for r in tdf.collect()) == [("ann", 30), ("bob", 40)]
+
+
+def test_from_dir_registers_supported_files(spark, tmp_path):
+    """Directory ingest (reference: base_data_source.py:103-116)
+    registers every supported file — including compressed ones, named
+    by their inner stem — and querying them works."""
+    import gzip
+
+    import pandas as pd
+
+    from dfsql_spark import DataSource
+
+    pd.DataFrame({"a": [1, 2]}).to_csv(tmp_path / "plain.csv", index=False)
+    pd.DataFrame({"b": [3]}).to_parquet(tmp_path / "cols.parquet")
+    with gzip.open(tmp_path / "logs.jsonl.gz", "wt") as f:
+        f.write('{"c": 7}\n')
+    (tmp_path / "notes.txt").write_text("ignored")
+    (tmp_path / "people.tsv").write_text("name\tage\nann\t30\n")
+
+    dsd = DataSource.from_dir(str(tmp_path), spark=spark)
+    try:
+        got = sorted(dsd.tables_dataframe()["table_name"])
+        assert got == ["cols", "logs", "people", "plain"]
+        assert dsd.query("SELECT SUM(a) AS s FROM plain") == 3
+        assert dsd.query("SELECT c FROM logs") == 7
+        assert dsd.query("SELECT age FROM people WHERE name = 'ann'") == 30
+    finally:
+        dsd.cache.clear(spark)
+        for t in got:
+            spark.catalog.dropTempView(t)
