@@ -1882,3 +1882,39 @@ def compression_ratio(
         _cr(F.col(text_col)).alias("compression_ratio"),
         F.octet_length(F.coalesce(F.col(text_col), F.lit(""))).alias("n_bytes"),
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    words: "list[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hits: int = 0,
+) -> DataFrame:
+    """C4's bad-words blocklist step: count token hits against a
+    blocklist and keep documents with at most ``max_hits`` (C4 drops a
+    page on a single hit — the default).
+
+    Matching: :func:`ws_tokens`, lowercased, with leading/trailing
+    non-alphanumerics stripped per token, so ``Word.`` and ``(word)``
+    hit ``word``; multi-word blocklist phrases are NOT supported
+    (single tokens only — a documented simplification of the public
+    C4 recipe).  The blocklist ships inside the plan as an array
+    literal (these lists are hundreds to a few thousand words): the
+    whole filter is a zero-shuffle codegen'd map at any corpus scale.
+
+    Returns ``(id, n_blocklist_hits, keep_doc)``.
+    """
+    if not words:
+        raise ValueError("words must be non-empty")
+    marker = F.array(*[F.lit(w.lower()) for w in sorted(set(words))])
+    norm = F.transform(
+        ws_tokens(text_col, lower=True),
+        lambda t: F.regexp_replace(t, "^[^a-z0-9]+|[^a-z0-9]+$", ""),
+    )
+    hits = F.size(F.filter(norm, lambda t: F.array_contains(marker, t)))
+    return df.select(
+        F.col(id_col),
+        hits.alias("n_blocklist_hits"),
+        (hits <= max_hits).alias("keep_doc"),
+    )

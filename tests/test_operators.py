@@ -3397,3 +3397,77 @@ def test_sweep_and_funnel_are_single_scan(docs):
         assert s.n_scans == 1
         assert s.n_exchanges == 1
         assert "EvalPython" not in s.text
+
+
+def test_blocklist_filter_hand_pinned_and_mirror(spark, docs, duck):
+    """Token-normalized hit counting on hand rows, then a DuckDB
+    spelling of the identical rules over documents."""
+    import pandas as pd
+
+    from dfsql_spark.operators.text import blocklist_filter
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": [
+                    "Spam! totally (SPAM) here",   # punctuation + case -> 2 hits
+                    "ham and eggs",                 # clean
+                    "spammy text",                  # substring must NOT hit
+                    None,                           # NULL -> 0 hits, kept
+                    "spam",                         # single bare hit
+                ],
+            }
+        )
+    )
+    got = {
+        r.doc_id: (r.n_blocklist_hits, r.keep_doc)
+        for r in blocklist_filter(df, ["spam", "junk"]).collect()
+    }
+    assert got == {1: (2, False), 2: (0, True), 3: (0, True), 4: (0, True), 5: (1, False)}
+    # max_hits loosens the rule
+    loose = {
+        r.doc_id: r.keep_doc
+        for r in blocklist_filter(df, ["spam"], max_hits=1).collect()
+    }
+    assert loose[1] is False and loose[5] is True
+
+    words = ["key", "fast", "merge"]
+    got_docs = {
+        r.doc_id: (r.n_blocklist_hits, r.keep_doc)
+        for r in blocklist_filter(docs, words).collect()
+    }
+    want = dict(
+        (r[0], (r[1], r[2]))
+        for r in duck.sql(
+            """
+        SELECT doc_id,
+               len(list_filter(
+                   list_transform(
+                       list_filter(regexp_split_to_array(coalesce(lower(text), ''), '\\s+'),
+                                   x -> x <> ''),
+                       x -> regexp_replace(regexp_replace(x, '^[^a-z0-9]+', ''),
+                                           '[^a-z0-9]+$', '')),
+                   x -> x IN ('key', 'fast', 'merge'))) AS n_hits,
+               len(list_filter(
+                   list_transform(
+                       list_filter(regexp_split_to_array(coalesce(lower(text), ''), '\\s+'),
+                                   x -> x <> ''),
+                       x -> regexp_replace(regexp_replace(x, '^[^a-z0-9]+', ''),
+                                           '[^a-z0-9]+$', '')),
+                   x -> x IN ('key', 'fast', 'merge'))) = 0 AS keep_doc
+        FROM documents
+        """
+        ).fetchall()
+    )
+    assert got_docs == want
+    assert any(h > 0 for h, _ in got_docs.values())  # non-degenerate
+
+
+def test_blocklist_filter_is_zero_shuffle_python_free(docs):
+    from dfsql_spark.operators.text import blocklist_filter
+    from dfsql_spark.plans.audit import plan_summary
+
+    s = plan_summary(blocklist_filter(docs, ["alpha", "beta"]))
+    assert s.n_exchanges == 0
+    assert "EvalPython" not in s.text
