@@ -1918,3 +1918,43 @@ def blocklist_filter(
         hits.alias("n_blocklist_hits"),
         (hits <= max_hits).alias("keep_doc"),
     )
+
+
+def c4_line_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+) -> DataFrame:
+    """C4's LINE-level cleaning (Raffel et al. 2020, public recipe):
+    keep only lines that end in terminal punctuation (``.!?"'`` after
+    trailing whitespace), contain at least ``min_words`` whitespace
+    tokens, and do not mention ``javascript`` (case-insensitive
+    substring — C4's rule).  Document-level rules live in
+    :func:`c4_filters`/:func:`blocklist_filter`; line-level DEDUP is
+    ``dedup.remove_duplicate_lines``.
+
+    Pure zero-shuffle codegen map: split on newline, filter with
+    array higher-order functions, re-join.  Returns
+    ``(id, n_lines_in, n_lines_kept, cleaned_text)``; NULL text stays
+    NULL (with 0/0 counts), a document whose every line fails cleans
+    to the empty string.
+    """
+    raw = F.col(text_col)
+    lines = F.split(raw, "\n")
+    words_per_line = lambda l: F.size(  # noqa: E731
+        F.array_remove(F.split(F.trim(l), r"\s+"), "")
+    )
+    kept = F.filter(
+        lines,
+        lambda l: F.trim(l).rlike("[.!?\"']$")
+        & (words_per_line(l) >= min_words)
+        & ~F.lower(l).contains("javascript"),
+    )
+    # size(NULL) is -1 with legacy sizeOfNull; gate on the text instead
+    return df.select(
+        F.col(id_col),
+        F.when(raw.isNull(), F.lit(0)).otherwise(F.size(lines)).alias("n_lines_in"),
+        F.when(raw.isNull(), F.lit(0)).otherwise(F.size(kept)).alias("n_lines_kept"),
+        F.when(raw.isNotNull(), F.array_join(kept, "\n")).alias("cleaned_text"),
+    )

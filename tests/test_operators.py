@@ -3471,3 +3471,80 @@ def test_blocklist_filter_is_zero_shuffle_python_free(docs):
     s = plan_summary(blocklist_filter(docs, ["alpha", "beta"]))
     assert s.n_exchanges == 0
     assert "EvalPython" not in s.text
+
+
+def test_c4_line_clean_hand_pinned_and_mirror(spark, duck):
+    """Line rules (terminal punct, min words, javascript) on
+    hand-written docs, then a DuckDB spelling over a 200-doc
+    deterministic multiline corpus."""
+    import pandas as pd
+
+    from dfsql_spark.operators.text import c4_line_clean
+
+    doc = (
+        "This line stays here.\n"
+        "too short.\n"                       # 2 words
+        "no terminal punctuation at all\n"
+        "Enable JavaScript to continue.\n"   # javascript rule
+        'He said "stop right there!"\n'      # quote-terminal kept
+        "   \n"
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": [doc, None, "x y z"]})
+    )
+    got = {r.doc_id: r for r in c4_line_clean(df).collect()}
+    assert got[1].cleaned_text == (
+        'This line stays here.\nHe said "stop right there!"'
+    )
+    assert (got[1].n_lines_in, got[1].n_lines_kept) == (7, 2)
+    assert got[2].cleaned_text is None and got[2].n_lines_in == 0
+    assert got[3].cleaned_text == "" and got[3].n_lines_kept == 0
+
+    # deterministic multiline corpus, mirrored in DuckDB
+    mk = lambda i: "\n".join(  # noqa: E731
+        [
+            f"Sentence number {i} unit {j} ends fine."
+            if j % 3 == 0
+            else (f"short {j}." if j % 3 == 1 else f"line {i} {j} no punct")
+            for j in range(5)
+        ]
+    )
+    pdf = pd.DataFrame({"doc_id": range(200), "text": [mk(i) for i in range(200)]})
+    got2 = {
+        r.doc_id: (r.n_lines_in, r.n_lines_kept, r.cleaned_text)
+        for r in c4_line_clean(spark.createDataFrame(pdf)).collect()
+    }
+    duck.register("c4_pd", pdf)
+    want = dict(
+        (r[0], (r[1], r[2], r[3]))
+        for r in duck.sql(
+            r"""
+        WITH split AS (
+            SELECT doc_id, str_split(text, chr(10)) AS lines FROM c4_pd
+        ), kept AS (
+            SELECT doc_id, lines,
+                   list_filter(lines, l ->
+                       regexp_matches(trim(l), '[.!?"'']$')
+                       AND len(list_filter(
+                           regexp_split_to_array(trim(l), '\s+'),
+                           x -> x <> '')) >= 3
+                       AND NOT contains(lower(l), 'javascript')) AS k
+            FROM split
+        )
+        SELECT doc_id, len(lines), len(k),
+               coalesce(array_to_string(k, chr(10)), '')
+        FROM kept
+        """
+        ).fetchall()
+    )
+    duck.unregister("c4_pd")
+    assert got2 == want and len(got2) == 200
+
+
+def test_c4_line_clean_is_zero_shuffle_python_free(docs):
+    from dfsql_spark.operators.text import c4_line_clean
+    from dfsql_spark.plans.audit import plan_summary
+
+    s = plan_summary(c4_line_clean(docs))
+    assert s.n_exchanges == 0
+    assert "EvalPython" not in s.text
