@@ -1958,3 +1958,93 @@ def c4_line_clean(
         F.when(raw.isNull(), F.lit(0)).otherwise(F.size(kept)).alias("n_lines_kept"),
         F.when(raw.isNotNull(), F.array_join(kept, "\n")).alias("cleaned_text"),
     )
+
+
+# The Gopher rule's stop-word presence set (Rae et al. 2021 §A1.1:
+# "contains at least two of the following English words").
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher's document-quality rule set (Rae et al. 2021, Table A1 —
+    the public recipe), complementing :func:`c4_filters`:
+
+    * word count in [min_words, max_words], mean word length in
+      [min_mean_word_len, max_mean_word_len]
+    * symbol-to-word ratio (``#`` or ``...`` occurrences / words)
+      <= max_symbol_ratio
+    * < max_bullet_frac of lines starting with a bullet marker and
+      < max_ellipsis_frac of lines ending with an ellipsis
+    * >= min_alpha_word_frac of words contain an alphabetic character
+    * >= min_stopword_hits distinct hits from the 8-word English
+      stop set (``GOPHER_STOPWORDS``)
+
+    All signals are codegen'd integer-count quotients over one scan —
+    a zero-shuffle per-row map, bit-identical across engines.
+    Returns the per-signal columns plus the combined ``keep_doc``.
+    """
+    raw = F.col(text_col)
+    toks = tokens(text_col)
+    low = F.transform(toks, F.lower)
+    n_words = F.size(toks)
+    mean_word_len = F.length(F.regexp_replace(raw, r"\s+", "")) / n_words
+
+    # occurrences of '#' plus occurrences of '...' (each "…" analog
+    # counted once per literal three-dot run, as published)
+    n_hash = F.length(raw) - F.length(F.regexp_replace(raw, "#", ""))
+    n_ellipsis = (
+        F.length(raw) - F.length(F.regexp_replace(raw, r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = (n_hash + n_ellipsis) / n_words
+
+    lines = F.split(raw, "\n")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike(r"^([*•‣▪-]\s)"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            lambda w: F.array_contains(low, w),
+        )
+    )
+
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & ((bullet_lines / n_lines) <= max_bullet_frac)
+        & ((ellipsis_lines / n_lines) <= max_ellipsis_frac)
+        & ((alpha_words / n_words) >= min_alpha_word_frac)
+        & (stop_hits >= min_stopword_hits)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("int").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        (bullet_lines / n_lines).alias("bullet_line_frac"),
+        (ellipsis_lines / n_lines).alias("ellipsis_line_frac"),
+        (alpha_words / n_words).alias("alpha_word_frac"),
+        stop_hits.cast("int").alias("stopword_hits"),
+        F.coalesce(keep, F.lit(False)).alias("keep_doc"),
+    )

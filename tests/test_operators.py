@@ -3548,3 +3548,129 @@ def test_c4_line_clean_is_zero_shuffle_python_free(docs):
     s = plan_summary(c4_line_clean(docs))
     assert s.n_exchanges == 0
     assert "EvalPython" not in s.text
+
+
+def test_gopher_filters_hand_pinned_rules(spark):
+    """Each Gopher rule isolated with loose other-params."""
+    import pandas as pd
+
+    from dfsql_spark.operators.text import gopher_filters
+
+    base = dict(
+        min_words=3, max_words=1000, min_mean_word_len=1.0,
+        max_mean_word_len=50.0, max_symbol_ratio=0.1,
+        max_bullet_frac=0.9, max_ellipsis_frac=0.3,
+        min_alpha_word_frac=0.8, min_stopword_hits=0,
+    )
+    texts = {
+        1: "the cat and dog have fun together.",        # clean
+        2: "# # # # # # tag soup here",                 # symbol ratio
+        3: "- one two three\n- four five six\n- seven eight nine",  # bullets
+        4: "first line goes on...\nsecond line also ends...\nthird fine.",  # ellipsis
+        5: "1 2 3 4 5 6 7 8 9 10",                      # no alpha words
+        6: "zebra quartz vortex jumble pixel",          # no stopwords
+        7: None,
+    }
+    pdf = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    df = spark.createDataFrame(pdf)
+
+    keep = {r.doc_id: r.keep_doc for r in gopher_filters(df, **base).collect()}
+    assert keep == {1: True, 2: False, 3: False, 4: False, 5: False, 6: True, 7: False}
+
+    strict_stop = {
+        r.doc_id: r.keep_doc
+        for r in gopher_filters(df, **{**base, "min_stopword_hits": 2}).collect()
+    }
+    assert strict_stop[1] is True and strict_stop[6] is False
+
+    rows = {r.doc_id: r for r in gopher_filters(df, **base).collect()}
+    assert rows[3].bullet_line_frac == 1.0
+    assert abs(rows[4].ellipsis_line_frac - 2 / 3) < 1e-12
+    assert rows[5].alpha_word_frac == 0.0
+    assert rows[1].stopword_hits == 3  # distinct hits: the, and, have
+
+
+def test_gopher_filters_matches_duckdb_mirror(spark, duck):
+    """Default-parameter signals agree with an independent DuckDB
+    spelling on a 300-doc corpus exercising every rule."""
+    import pandas as pd
+
+    from dfsql_spark.operators.text import gopher_filters
+
+    def mk(i):
+        extra = ["seven#", "..."] if i % 5 == 0 else ["seven", "words"]
+        words = ["the", "be", "to", "alpha", "bravo", f"tok{i}"] + extra
+        body = " ".join(words[j % len(words)] for j in range(10 + (i % 120)))
+        lines = [body]
+        if i % 3 == 0:
+            lines.append("- a bullet line here")
+        if i % 4 == 0:
+            lines.append("this one trails off...")
+        if i % 7 == 0:
+            lines.append("12 34 56")
+        return "\n".join(lines)
+
+    pdf = pd.DataFrame({"doc_id": range(300), "text": [mk(i) for i in range(300)]})
+    got = {
+        r.doc_id: (
+            r.n_words, round(r.mean_word_len, 10), round(r.symbol_ratio, 10),
+            round(r.bullet_line_frac, 10), round(r.ellipsis_line_frac, 10),
+            round(r.alpha_word_frac, 10), r.stopword_hits, r.keep_doc,
+        )
+        for r in gopher_filters(spark.createDataFrame(pdf)).collect()
+    }
+    duck.register("gopher_pd", pdf)
+    want = dict(
+        (r[0], (r[1], round(r[2], 10), round(r[3], 10), round(r[4], 10),
+                round(r[5], 10), round(r[6], 10), r[7], r[8]))
+        for r in duck.sql(
+            r"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                               x -> x <> '') AS toks,
+                   str_split(text, chr(10)) AS lines
+            FROM gopher_pd
+        ), sig AS (
+            SELECT doc_id,
+                   len(toks) AS n_words,
+                   length(regexp_replace(text, '\s+', '', 'g'))
+                       / len(toks) AS mwl,
+                   (length(text) - length(regexp_replace(text, '#', '', 'g'))
+                    + (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) / 3.0)
+                       / len(toks) AS sym,
+                   len(list_filter(lines, l ->
+                       regexp_matches(ltrim(l), '^([*•‣▪-]\s)')))
+                       / len(lines) AS bullet,
+                   len(list_filter(lines, l ->
+                       regexp_matches(rtrim(l), '(\.\.\.|…)$')))
+                       / len(lines) AS ell,
+                   len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+                       / len(toks) AS alpha,
+                   len(list_filter(['the','be','to','of','and','that','have','with'],
+                       w -> list_contains(list_transform(toks, x -> lower(x)), w)))
+                       AS stops
+            FROM base
+        )
+        SELECT doc_id, n_words, mwl, sym, bullet, ell, alpha, stops,
+               coalesce(n_words >= 50 AND n_words <= 100000
+                   AND mwl >= 3.0 AND mwl <= 10.0 AND sym <= 0.1
+                   AND bullet <= 0.9 AND ell <= 0.3
+                   AND alpha >= 0.8 AND stops >= 2, false) AS keep_doc
+        FROM sig
+        """
+        ).fetchall()
+    )
+    duck.unregister("gopher_pd")
+    assert got == want and len(got) == 300
+    kept = sum(1 for v in got.values() if v[-1])
+    assert 0 < kept < 300  # both outcomes exercised
+
+
+def test_gopher_filters_is_zero_shuffle_python_free(docs):
+    from dfsql_spark.operators.text import gopher_filters
+    from dfsql_spark.plans.audit import plan_summary
+
+    s = plan_summary(gopher_filters(docs))
+    assert s.n_exchanges == 0
+    assert "EvalPython" not in s.text
