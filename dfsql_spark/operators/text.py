@@ -2048,3 +2048,56 @@ def gopher_filters(
         stop_hits.cast("int").alias("stopword_hits"),
         F.coalesce(keep, F.lit(False)).alias("keep_doc"),
     )
+
+
+def duplicate_text_fractions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher's within-document repetition signals (Rae et al. 2021
+    Table A1): the fraction of lines / paragraphs that duplicate an
+    earlier one, and the fraction of characters inside those duplicate
+    occurrences (occurrences beyond the first count as duplicates).
+    The n-gram analog lives in :func:`repetition_ratio`.
+
+    Scale shape: explode non-blank units once, count per
+    ``(doc, xxhash64(unit))`` — the shuffle ships 8-byte unit hashes
+    plus lengths, never the unit text — then one map-side-combined
+    per-doc aggregate per unit kind, joined back on the doc key.
+    A unit is non-blank when it contains any non-whitespace character
+    (trim() strips only spaces, so it is not the right test here);
+    blank-only and NULL documents report NULL fractions (no units).
+    """
+    out_names = {
+        "line": ("dup_line_frac", "dup_line_char_frac"),
+        "para": ("dup_para_frac", "dup_para_char_frac"),
+    }
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    units = {
+        "line": F.split(raw, "\n"),
+        "para": F.split(raw, r"\n{2,}"),
+    }
+    result = df.select(F.col(id_col))
+    for kind, arr in units.items():
+        nonblank = F.filter(arr, lambda u: u.rlike(r"\S"))
+        ex = df.select(
+            F.col(id_col), F.explode(nonblank).alias("u")
+        ).select(
+            id_col,
+            F.xxhash64("u").alias("h"),
+            F.length("u").alias("ln"),
+        )
+        per_unit = ex.groupBy(id_col, "h").agg(
+            F.count(F.lit(1)).alias("n"), F.first("ln").alias("ln")
+        )
+        frac, char_frac = out_names[kind]
+        per_doc = per_unit.groupBy(id_col).agg(
+            (F.sum(F.col("n") - 1) / F.sum("n")).alias(frac),
+            (
+                F.sum((F.col("n") - 1) * F.col("ln"))
+                / F.sum(F.col("n") * F.col("ln"))
+            ).alias(char_frac),
+        )
+        result = result.join(per_doc, on=id_col, how="left")
+    return result

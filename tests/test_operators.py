@@ -3674,3 +3674,95 @@ def test_gopher_filters_is_zero_shuffle_python_free(docs):
     s = plan_summary(gopher_filters(docs))
     assert s.n_exchanges == 0
     assert "EvalPython" not in s.text
+
+
+def test_duplicate_text_fractions_hand_pinned(spark):
+    import pandas as pd
+
+    from dfsql_spark.operators.text import duplicate_text_fractions
+
+    text = "a b.\nx\nx\nx\n\nP1 long para\n\nP1 long para"
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": [text, None, "  \n "]})
+    )
+    got = {r.doc_id: r for r in duplicate_text_fractions(df).collect()}
+    r = got[1]
+    assert r.dup_line_frac == 0.5                    # 3 dup of 6 units
+    assert abs(r.dup_line_char_frac - 14 / 31) < 1e-12
+    assert abs(r.dup_para_frac - 1 / 3) < 1e-12
+    assert abs(r.dup_para_char_frac - 12 / 34) < 1e-12
+    for i in (2, 3):                                  # no units -> NULLs
+        assert got[i].dup_line_frac is None and got[i].dup_para_frac is None
+
+
+def test_duplicate_text_fractions_matches_duckdb_mirror(spark, duck):
+    import pandas as pd
+
+    from dfsql_spark.operators.text import duplicate_text_fractions
+
+    def mk(i):
+        lines = [f"unique line {i} {j}." for j in range(3)]
+        lines += ["repeated banner line"] * (i % 4)
+        body = "\n".join(lines)
+        if i % 3 == 0:
+            body += "\n\nsame paragraph\n\nsame paragraph"
+        return body
+
+    pdf = pd.DataFrame({"doc_id": range(150), "text": [mk(i) for i in range(150)]})
+    got = {
+        r.doc_id: tuple(
+            None if v is None else round(v, 10)
+            for v in (r.dup_line_frac, r.dup_line_char_frac,
+                      r.dup_para_frac, r.dup_para_char_frac)
+        )
+        for r in duplicate_text_fractions(spark.createDataFrame(pdf)).collect()
+    }
+    duck.register("dupfrac_pd", pdf)
+    want = dict(
+        (r[0], tuple(None if v is None else round(v, 10) for v in r[1:]))
+        for r in duck.sql(
+            r"""
+        WITH lu AS (
+            SELECT doc_id,
+                   unnest(list_filter(str_split(text, chr(10)),
+                                      x -> regexp_matches(x, '\S'))) AS u
+            FROM dupfrac_pd
+        ), lc AS (
+            SELECT doc_id, count(*) AS n, length(u) AS ln
+            FROM lu GROUP BY doc_id, u
+        ), lines AS (
+            SELECT doc_id,
+                   sum(n - 1) * 1.0 / sum(n) AS lf,
+                   sum((n - 1) * ln) * 1.0 / sum(n * ln) AS lcf
+            FROM lc GROUP BY doc_id
+        ), pu AS (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(text, '\n{2,}'),
+                                      x -> regexp_matches(x, '\S'))) AS u
+            FROM dupfrac_pd
+        ), pc AS (
+            SELECT doc_id, count(*) AS n, length(u) AS ln
+            FROM pu GROUP BY doc_id, u
+        ), paras AS (
+            SELECT doc_id,
+                   sum(n - 1) * 1.0 / sum(n) AS pf,
+                   sum((n - 1) * ln) * 1.0 / sum(n * ln) AS pcf
+            FROM pc GROUP BY doc_id
+        )
+        SELECT d.doc_id, lf, lcf, pf, pcf
+        FROM dupfrac_pd d
+        LEFT JOIN lines USING (doc_id) LEFT JOIN paras USING (doc_id)
+        """
+        ).fetchall()
+    )
+    duck.unregister("dupfrac_pd")
+    assert got == want and len(got) == 150
+
+
+def test_duplicate_text_fractions_plan_is_python_free(docs):
+    from dfsql_spark.operators.text import duplicate_text_fractions
+    from dfsql_spark.plans.audit import plan_summary
+
+    out = duplicate_text_fractions(docs)
+    assert out.count() == docs.count()  # one row per doc, always
+    assert "EvalPython" not in plan_summary(out).text
