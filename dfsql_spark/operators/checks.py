@@ -237,3 +237,34 @@ def filter_funnel(
             "frac_of_prev"
         ),
     )
+
+
+def vector_norms_in(
+    col: str,
+    lo: float = 1e-6,
+    hi: float = 1e6,
+    max_bad_frac: float = 0.0,
+    dim: "int | None" = None,
+) -> Check:
+    """Embedding-column sanity: the fraction of vectors that are NULL,
+    wrong-dimensioned (when ``dim`` is given), contain a non-finite
+    component, or whose L2 norm falls outside ``[lo, hi]`` must be at
+    most ``max_bad_frac``.  Zero vectors and NaN components are the
+    classic silent embedding-pipeline failures; both land here.
+
+    Pure aggregate expression over codegen'd array folds — composes
+    into ``run_checks``'s single pass like every other check.
+    """
+    v = F.col(col)
+    sq = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    norm = F.sqrt(sq)
+    bad_shape = v.isNull() if dim is None else (v.isNull() | (F.size(v) != dim))
+    bad = bad_shape | F.isnan(sq) | sq.isNull() | ~norm.between(lo, hi)
+    frac = _frac(bad)
+    return Check(
+        f"vector_norms_in({col},{lo},{hi})",
+        frac <= max_bad_frac,
+        frac.cast("double"),
+    )

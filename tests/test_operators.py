@@ -3766,3 +3766,46 @@ def test_duplicate_text_fractions_plan_is_python_free(docs):
     out = duplicate_text_fractions(docs)
     assert out.count() == docs.count()  # one row per doc, always
     assert "EvalPython" not in plan_summary(out).text
+
+
+def test_vector_norms_in_hand_and_mirror(spark, emb, duck):
+    """Each failure mode isolated by hand, then the observed bad
+    fraction on the embeddings table matches a DuckDB spelling."""
+    from dfsql_spark.operators.checks import run_checks, vector_norms_in
+
+    rows = [
+        (1, [3.0, 4.0]),          # norm 5 - good
+        (2, [0.0, 0.0]),          # zero norm
+        (3, [float("nan"), 1.0]), # NaN component
+        (4, None),                # NULL vector
+        (5, [1.0]),               # wrong dim
+        (6, [1e7, 0.0]),          # norm above hi
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, v array<double>")
+    (r,) = run_checks(
+        df, [vector_norms_in("v", lo=1e-6, hi=1e6, dim=2)]
+    ).collect()
+    assert r.passed is False and abs(r.observed - 5 / 6) < 1e-12
+
+    (ok,) = run_checks(
+        df.where("vec_id = 1"), [vector_norms_in("v", dim=2)]
+    ).collect()
+    assert ok.passed is True and ok.observed == 0.0
+
+    dim = len(emb.select("embedding").first().embedding)
+    (got,) = run_checks(
+        emb, [vector_norms_in("embedding", lo=1e-6, hi=1e6, dim=dim)]
+    ).collect()
+    (want,) = duck.sql(
+        f"""
+        SELECT avg(CASE WHEN embedding IS NULL OR len(embedding) != {dim}
+                        OR s IS NULL OR isnan(s)
+                        OR sqrt(s) < 1e-6 OR sqrt(s) > 1e6
+                   THEN 1.0 ELSE 0.0 END)
+        FROM (SELECT embedding,
+                     list_aggregate(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS s
+              FROM embeddings)
+        """
+    ).fetchall()[0:1][0]
+    assert abs(got.observed - want) < 1e-12
