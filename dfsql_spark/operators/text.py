@@ -2101,3 +2101,57 @@ def duplicate_text_fractions(
         )
         result = result.join(per_doc, on=id_col, how="left")
     return result
+
+
+# Explicit code-point ranges (not \p{script=...} classes: Java and RE2
+# name scripts differently, and plain ranges behave identically in
+# Spark, DuckDB, and Python).  Deliberately the major blocks only —
+# a curation signal, not a Unicode census.
+SCRIPT_BLOCKS = {
+    "latin": "A-Za-zÀ-ɏ",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "arabic": "؀-ۿ",
+    "devanagari": "ऀ-ॿ",
+    "cjk": "一-鿿぀-ヿ가-힯",
+}
+
+
+def script_fractions(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character fractions by writing script (major
+    Unicode blocks), plus the dominant script — the
+    wrong-language/mojibake detector that runs before any model-based
+    language ID.  Fractions are over LETTER characters only (the
+    union of the tracked blocks), so punctuation-heavy docs aren't
+    diluted; a document with no letters reports NULL fractions and
+    ``script='none'``.
+
+    One codegen'd ``regexp_replace`` length-difference per block —
+    a zero-shuffle per-row map at any scale.
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    n_letters = sum(
+        (
+            F.length(raw)
+            - F.length(F.regexp_replace(raw, f"[{rng}]", ""))
+            for rng in SCRIPT_BLOCKS.values()
+        ),
+        F.lit(0),
+    )
+    counts = {
+        name: F.length(raw) - F.length(F.regexp_replace(raw, f"[{rng}]", ""))
+        for name, rng in SCRIPT_BLOCKS.items()
+    }
+    fracs = [
+        F.when(n_letters > 0, counts[name] / n_letters).alias(f"frac_{name}")
+        for name in SCRIPT_BLOCKS
+    ]
+    best = F.greatest(*counts.values())
+    dominant = F.lit("none")
+    for name in reversed(sorted(SCRIPT_BLOCKS)):  # alphabetical tie-break
+        dominant = F.when(
+            (counts[name] == best) & (best > 0), F.lit(name)
+        ).otherwise(dominant)
+    return df.select(F.col(id_col), *fracs, dominant.alias("script"))

@@ -3809,3 +3809,82 @@ def test_vector_norms_in_hand_and_mirror(spark, emb, duck):
         """
     ).fetchall()[0:1][0]
     assert abs(got.observed - want) < 1e-12
+
+
+def test_script_fractions_hand_and_mirror(spark, duck):
+    """Script detection on hand rows, then a DuckDB spelling of the
+    identical block ranges on a mixed-script corpus."""
+    import pandas as pd
+
+    from dfsql_spark.operators.text import SCRIPT_BLOCKS, script_fractions
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6],
+                "text": [
+                    "hello world",
+                    "Привет мир",
+                    "你好世界 こんにちは",
+                    "مرحبا بالعالم",
+                    "hello Привет!!!",   # latin 5 vs cyrillic 6
+                    "123 456 --- !!!",   # no letters
+                ],
+            }
+        )
+    )
+    got = {r.doc_id: r for r in script_fractions(df).collect()}
+    assert got[1].script == "latin" and got[1].frac_latin == 1.0
+    assert got[2].script == "cyrillic" and got[2].frac_cyrillic == 1.0
+    assert got[3].script == "cjk" and got[3].frac_cjk == 1.0
+    assert got[4].script == "arabic"
+    assert got[5].script == "cyrillic"
+    assert abs(got[5].frac_latin - 5 / 11) < 1e-12
+    assert got[6].script == "none" and got[6].frac_latin is None
+
+    texts = ["word up", "Ещё текст тут", "漢字 and latin", "περί αὐτοῦ", ""]
+    pdf = pd.DataFrame(
+        {"doc_id": range(120), "text": [texts[i % 5] + f" x{i}" for i in range(120)]}
+    )
+    got2 = {
+        r.doc_id: (
+            tuple(round(v, 10) if v is not None else None
+                  for v in (r.frac_latin, r.frac_cyrillic, r.frac_greek,
+                            r.frac_arabic, r.frac_devanagari, r.frac_cjk)),
+            r.script,
+        )
+        for r in script_fractions(spark.createDataFrame(pdf)).collect()
+    }
+    duck.register("script_pd", pdf)
+    names = list(SCRIPT_BLOCKS)  # insertion order: latin..cjk
+    cnt = {
+        n: f"(length(text) - length(regexp_replace(text, '[{r}]', '', 'g')))"
+        for n, r in SCRIPT_BLOCKS.items()
+    }
+    total = " + ".join(cnt.values())
+    frac_cols = ", ".join(
+        f"CASE WHEN ({total}) > 0 THEN {cnt[n]} * 1.0 / ({total}) END AS f_{n}"
+        for n in names
+    )
+    best = "greatest(" + ", ".join(cnt.values()) + ")"
+    dom = "CASE WHEN " + " WHEN ".join(
+        f"{cnt[n]} = {best} AND {best} > 0 THEN '{n}'"
+        for n in sorted(names)
+    ) + " ELSE 'none' END"
+    want = dict(
+        (r[0], (tuple(round(v, 10) if v is not None else None for v in r[1:7]), r[7]))
+        for r in duck.sql(
+            f"SELECT doc_id, {frac_cols}, {dom} AS script FROM script_pd"
+        ).fetchall()
+    )
+    duck.unregister("script_pd")
+    assert got2 == want and len(got2) == 120
+
+
+def test_script_fractions_is_zero_shuffle_python_free(docs):
+    from dfsql_spark.operators.text import script_fractions
+    from dfsql_spark.plans.audit import plan_summary
+
+    s = plan_summary(script_fractions(docs))
+    assert s.n_exchanges == 0
+    assert "EvalPython" not in s.text
