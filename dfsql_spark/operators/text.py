@@ -1995,8 +1995,11 @@ def gopher_filters(
     All signals are codegen'd integer-count quotients over one scan —
     a zero-shuffle per-row map, bit-identical across engines.
     Returns the per-signal columns plus the combined ``keep_doc``.
+    NULL text is treated as empty (0 words -> NULL ratios,
+    ``keep_doc`` false) rather than leaking size(NULL) = -1 artifacts
+    into the report columns.
     """
-    raw = F.col(text_col)
+    raw = F.coalesce(F.col(text_col), F.lit(""))
     toks = tokens(text_col)
     low = F.transform(toks, F.lower)
     n_words = F.size(toks)

@@ -3584,6 +3584,8 @@ def test_gopher_filters_hand_pinned_rules(spark):
     assert strict_stop[1] is True and strict_stop[6] is False
 
     rows = {r.doc_id: r for r in gopher_filters(df, **base).collect()}
+    # NULL text: clean report (no size(NULL) = -1 artifacts)
+    assert rows[7].bullet_line_frac == 0.0 and rows[7].mean_word_len is None
     assert rows[3].bullet_line_frac == 1.0
     assert abs(rows[4].ellipsis_line_frac - 2 / 3) < 1e-12
     assert rows[5].alpha_word_frac == 0.0
