@@ -117,3 +117,55 @@ def test_chunk_embed_retrieve_rerank_composes(spark, docs):
     hits = final.selectExpr("neighbor_id AS chunk_id").distinct()
     back = hits.join(chunks, "chunk_id").select("doc_id", "chunk_idx")
     assert back.count() == hits.count()
+
+
+def test_crawl_frontend_composes_with_funnel_report(spark, docs):
+    """The crawl front-end chains lazily: script gate → Gopher rules →
+    blocklist → line clean → exact dedup, with filter_funnel
+    reporting the gates' yield in ONE extra pass over the flags."""
+    from dfsql_spark.operators.checks import filter_funnel
+    from dfsql_spark.operators.dedup import exact_dedup
+    from dfsql_spark.operators.text import (
+        blocklist_filter,
+        c4_line_clean,
+        gopher_filters,
+        script_fractions,
+    )
+
+    script = script_fractions(docs).select("doc_id", "script")
+    gopher = gopher_filters(docs, min_words=10, min_stopword_hits=0).select(
+        "doc_id", F.col("keep_doc").alias("keep_gopher")
+    )
+    block = blocklist_filter(docs, ["zzzz_never_in_corpus"]).select(
+        "doc_id", F.col("keep_doc").alias("keep_block")
+    )
+    flags = (
+        docs.select("doc_id", "text")
+        .join(script, "doc_id")
+        .join(gopher, "doc_id")
+        .join(block, "doc_id")
+    )
+    conds = [
+        ("latin", F.col("script") == "latin"),
+        ("gopher", F.col("keep_gopher")),
+        ("blocklist", F.col("keep_block")),
+    ]
+    stages = {
+        r.stage: (r.n_in, r.n_out) for r in filter_funnel(flags, conds).collect()
+    }
+    assert stages["latin"][0] == docs.count()
+    assert (
+        stages["latin"][1] == stages["gopher"][0]
+        and stages["gopher"][1] == stages["blocklist"][0]
+    )
+    assert stages["blocklist"][1] > 0  # the synthetic corpus survives
+
+    kept = flags.filter(
+        (F.col("script") == "latin") & F.col("keep_gopher") & F.col("keep_block")
+    )
+    assert kept.count() == stages["blocklist"][1]
+
+    cleaned = c4_line_clean(kept)
+    assert cleaned.count() == kept.count()  # row-preserving report
+    surv = exact_dedup(kept)
+    assert 0 < surv.count() <= kept.count()
