@@ -1112,6 +1112,44 @@ def bench_d08_semantic_dedup_op(spark, sf):
     return semantic_dedup_pairs(emb, threshold=0.4, n_probe=2)
 
 
+def bench_crawl_frontend(spark, sf):
+    """BENCH-ONLY: the composed crawl front-end (round-9 library
+    operators) in the FUSED form — script gate + Gopher rules +
+    blocklist chained with ``append=True`` so all three gates compute
+    in ONE scan with zero joins (plan-asserted zero exchanges; the
+    joined-reports form pays 4 doc_id shuffles — warmed sf0.1 medians
+    5.0 s joined vs 4.1-4.7 s fused, the residual cost being the
+    duplicate-fraction aggregation both forms share); then the C4
+    line clean joined with the duplicate-fraction signals, whose
+    per-doc aggregation is the only required shuffle."""
+    from pyspark.sql import functions as F
+
+    from dfsql_spark.operators.text import (
+        blocklist_filter,
+        c4_line_clean,
+        duplicate_text_fractions,
+        gopher_filters,
+        script_fractions,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    flagged = script_fractions(
+        gopher_filters(
+            blocklist_filter(docs, ["zzzz_never_in_corpus"], append=True),
+            min_words=10,
+            min_stopword_hits=0,
+            append=True,
+        ),
+        append=True,
+    )
+    kept = flagged.filter(
+        (F.col("script") == "latin")
+        & F.col("keep_gopher")
+        & F.col("keep_blocklist")
+    )
+    return c4_line_clean(kept).join(duplicate_text_fractions(kept), "doc_id")
+
+
 def bench_cap_per_key(spark, sf):
     """BENCH-ONLY: the salted two-phase per-source cap (library
     operator, round 9) — times both window passes at a binding cap."""
@@ -1176,6 +1214,7 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b_heavy_hitters": bench_heavy_hitters,
         "b_bpe_encode": bench_bpe_encode,
         "b_substring_dedup": bench_substring_spans,
+        "b_crawl_frontend": bench_crawl_frontend,
     }
 
 

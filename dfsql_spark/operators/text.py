@@ -1890,10 +1890,16 @@ def blocklist_filter(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hits: int = 0,
+    append: bool = False,
 ) -> DataFrame:
     """C4's bad-words blocklist step: count token hits against a
     blocklist and keep documents with at most ``max_hits`` (C4 drops a
     page on a single hit — the default).
+
+    ``append=True`` returns the INPUT rows plus ``n_blocklist_hits``
+    and ``keep_blocklist`` instead of the thin report — zero-join
+    fusion with the other per-row gates (one scan for the whole
+    front-end, no doc_id re-shuffles).
 
     Matching: :func:`ws_tokens`, lowercased, with leading/trailing
     non-alphanumerics stripped per token, so ``Word.`` and ``(word)``
@@ -1913,6 +1919,10 @@ def blocklist_filter(
         lambda t: F.regexp_replace(t, "^[^a-z0-9]+|[^a-z0-9]+$", ""),
     )
     hits = F.size(F.filter(norm, lambda t: F.array_contains(marker, t)))
+    if append:
+        return df.withColumns(
+            {"n_blocklist_hits": hits, "keep_blocklist": hits <= max_hits}
+        )
     return df.select(
         F.col(id_col),
         hits.alias("n_blocklist_hits"),
@@ -1978,6 +1988,7 @@ def gopher_filters(
     max_ellipsis_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
     min_stopword_hits: int = 2,
+    append: bool = False,
 ) -> DataFrame:
     """Gopher's document-quality rule set (Rae et al. 2021, Table A1 —
     the public recipe), complementing :func:`c4_filters`:
@@ -1997,7 +2008,8 @@ def gopher_filters(
     Returns the per-signal columns plus the combined ``keep_doc``.
     NULL text is treated as empty (0 words -> NULL ratios,
     ``keep_doc`` false) rather than leaking size(NULL) = -1 artifacts
-    into the report columns.
+    into the report columns.  ``append=True`` returns the input rows
+    plus ``keep_gopher`` only — the zero-join fusion form.
     """
     raw = F.coalesce(F.col(text_col), F.lit(""))
     toks = tokens(text_col)
@@ -2040,6 +2052,9 @@ def gopher_filters(
         & ((alpha_words / n_words) >= min_alpha_word_frac)
         & (stop_hits >= min_stopword_hits)
     )
+    if append:
+        # zero-join fusion form: input rows + the decision only
+        return df.withColumn("keep_gopher", F.coalesce(keep, F.lit(False)))
     return df.select(
         F.col(id_col),
         n_words.cast("int").alias("n_words"),
@@ -2121,7 +2136,10 @@ SCRIPT_BLOCKS = {
 
 
 def script_fractions(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    append: bool = False,
 ) -> DataFrame:
     """Per-document character fractions by writing script (major
     Unicode blocks), plus the dominant script — the
@@ -2132,7 +2150,8 @@ def script_fractions(
     ``script='none'``.
 
     One codegen'd ``regexp_replace`` length-difference per block —
-    a zero-shuffle per-row map at any scale.
+    a zero-shuffle per-row map at any scale.  ``append=True`` returns
+    the input rows plus ``script`` only — the zero-join fusion form.
     """
     raw = F.coalesce(F.col(text_col), F.lit(""))
     n_letters = sum(
@@ -2157,4 +2176,6 @@ def script_fractions(
         dominant = F.when(
             (counts[name] == best) & (best > 0), F.lit(name)
         ).otherwise(dominant)
+    if append:
+        return df.withColumn("script", dominant)
     return df.select(F.col(id_col), *fracs, dominant.alias("script"))

@@ -25,7 +25,7 @@ def main() -> None:
     # threshold, AQE); a hand-built session profiles different plans.
     spark = get_spark(app_name="profile_one")
     spark.sparkContext.setLogLevel("ERROR")
-    q = entry.queries()[name]
+    q = {**entry.queries(), **entry.bench_extras()}[name]
     for i in range(reps):
         t0 = time.monotonic()
         q(spark, sf_dir).write.format("noop").mode("overwrite").save()

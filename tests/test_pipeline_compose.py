@@ -169,3 +169,29 @@ def test_crawl_frontend_composes_with_funnel_report(spark, docs):
     assert cleaned.count() == kept.count()  # row-preserving report
     surv = exact_dedup(kept)
     assert 0 < surv.count() <= kept.count()
+
+    # the append=True fusion form (one scan, zero joins) keeps the
+    # exact same documents as the joined-reports form above
+    fused = script_fractions(
+        gopher_filters(
+            blocklist_filter(
+                docs.select("doc_id", "text"),
+                ["zzzz_never_in_corpus"],
+                append=True,
+            ),
+            min_words=10,
+            min_stopword_hits=0,
+            append=True,
+        ),
+        append=True,
+    ).filter(
+        (F.col("script") == "latin")
+        & F.col("keep_gopher")
+        & F.col("keep_blocklist")
+    )
+    assert sorted(r.doc_id for r in fused.select("doc_id").collect()) == sorted(
+        r.doc_id for r in kept.select("doc_id").collect()
+    )
+    from dfsql_spark.plans.audit import plan_summary
+
+    assert plan_summary(fused).n_exchanges == 0  # gates fuse into the scan
