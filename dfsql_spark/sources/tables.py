@@ -13,6 +13,7 @@ import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 _FORMAT_BY_EXT = {
@@ -85,3 +86,22 @@ def read_file(spark: SparkSession, fpath: str, fmt: str | None = None, **options
     if fmt == "json":
         return reader.options(**options).json(fpath)
     return reader.format(fmt).options(**options).load(fpath)
+
+
+def with_provenance(
+    df: DataFrame, col: str = "source_file", basename: bool = True
+) -> DataFrame:
+    """Attach the originating shard file to every row — the provenance
+    column a multi-shard crawl ingest carries so later stages (dedup
+    survivors, contamination reports) can cite their input shard.
+
+    Uses ``input_file_name()`` (per-partition constant, zero cost);
+    ``basename=True`` keeps just the file name, dropping the
+    scheme/directory noise.  Must be called on a DataFrame still
+    backed by a file scan — after a shuffle the lineage is gone and
+    the column is empty, so call it at read time.
+    """
+    name = F.input_file_name()
+    if basename:
+        name = F.element_at(F.split(name, "/"), -1)
+    return df.withColumn(col, name)

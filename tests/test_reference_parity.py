@@ -494,3 +494,19 @@ def test_from_dir_registers_supported_files(spark, tmp_path):
         dsd.cache.clear(spark)
         for t in got:
             spark.catalog.dropTempView(t)
+
+
+def test_with_provenance_names_the_shard(spark, tmp_path):
+    """Each row cites its originating shard file; a glob read across
+    shards keeps per-shard attribution."""
+    import pandas as pd
+
+    from dfsql_spark.sources.tables import read_file, with_provenance
+
+    pd.DataFrame({"a": [1, 2]}).to_csv(tmp_path / "shard-0.csv", index=False)
+    pd.DataFrame({"a": [3]}).to_csv(tmp_path / "shard-1.csv", index=False)
+    df = with_provenance(read_file(spark, str(tmp_path / "shard-*.csv")))
+    got = {(r.a, r.source_file) for r in df.collect()}
+    assert got == {
+        (1, "shard-0.csv"), (2, "shard-0.csv"), (3, "shard-1.csv"),
+    }
