@@ -2179,3 +2179,85 @@ def script_fractions(
     if append:
         return df.withColumn("script", dominant)
     return df.select(F.col(id_col), *fracs, dominant.alias("script"))
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    buckets: int = 8192,
+    smoothing: float = 1.0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al., NeurIPS 2023): score
+    every raw-corpus document by ``log p_target(doc) − log p_raw(doc)``
+    under bag-of-hashed-n-gram models of a small target corpus vs the
+    raw corpus — the published data-selection recipe; feed the result
+    (shifted/clamped to a rate) into :func:`weighted_sample` to
+    materialize the selection.
+
+    Determinism contract: grams are the shared ASCII-whitespace word
+    n-grams (``dedup._word_ngrams_expr``, case-sensitive) and buckets
+    are md5-addressed exactly like :func:`deterministic_split`'s
+    oracle form, so a DuckDB mirror reproduces every weight.
+
+    Scale shape: both corpora explode to (id, gram-bucket) — the
+    bucket-count tables are at most ``buckets`` rows, so the per-side
+    model is one map-side-combined aggregate; the weight table
+    (<= ``buckets`` rows, parameter-bounded) broadcasts into the
+    scoring join, then one per-doc sum.  Two scalar driver aggregates
+    fetch the gram totals (bounded — same class as ``train_bpe``'s
+    parameter-bounded collect).  The raw corpus is gram-exploded
+    twice (model pass + scoring pass), exactly the published
+    two-pass structure; persist the input upstream to pay the scan
+    once.  Docs with no grams score 0.0 via a roster left join.
+    """
+    from .dedup import _word_ngrams_expr
+
+    def bucketed(frame: DataFrame) -> DataFrame:
+        g = F.explode(_word_ngrams_expr(text_col, n)).alias("_g")
+        h = F.md5(F.concat(F.lit(salt + ":"), F.col("_g")))
+        b = (
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % buckets
+        ).cast("int")
+        return frame.select(F.col(id_col).alias("_id"), g).select(
+            "_id", b.alias("_b")
+        )
+
+    raw_b = bucketed(df)
+    tgt_counts = bucketed(target).groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_ct")
+    )
+    raw_counts = raw_b.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
+    t_total = tgt_counts.agg(F.sum("_ct")).first()[0] or 0
+    r_total = raw_counts.agg(F.sum("_cr")).first()[0] or 0
+    denom_t = float(t_total) + smoothing * buckets
+    denom_r = float(r_total) + smoothing * buckets
+    # weight per RAW bucket (buckets seen only in the target are never
+    # queried); <= `buckets` rows — a parameter-bounded broadcast
+    w = raw_counts.join(tgt_counts, "_b", "left").select(
+        "_b",
+        (
+            F.log((F.coalesce(F.col("_ct"), F.lit(0)) + smoothing) / denom_t)
+            - F.log((F.col("_cr") + smoothing) / denom_r)
+        ).alias("_w"),
+    )
+    scored = (
+        raw_b.join(F.broadcast(w), "_b")
+        .groupBy("_id")
+        .agg(
+            F.sum("_w").alias("log_weight"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+        )
+    )

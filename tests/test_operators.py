@@ -3890,3 +3890,97 @@ def test_script_fractions_is_zero_shuffle_python_free(docs):
     s = plan_summary(script_fractions(docs))
     assert s.n_exchanges == 0
     assert "EvalPython" not in s.text
+
+
+def test_dsir_log_weights_ranks_target_like_docs_and_matches_duckdb(spark, duck):
+    """Target-resembling raw docs outscore off-target docs, and every
+    weight matches an independent DuckDB spelling of the full
+    construction (grams -> md5 buckets -> smoothed LLR -> per-doc sum)."""
+    import pandas as pd
+
+    from dfsql_spark.operators.text import dsir_log_weights
+
+    tgt_words = ["alpha", "beta", "gamma", "delta"]
+    off_words = ["zonk", "quux", "blorp", "fizz"]
+
+    def sent(words, i, m):
+        return " ".join(words[(i + j) % len(words)] for j in range(m))
+
+    target_pdf = pd.DataFrame(
+        {"doc_id": range(40), "text": [sent(tgt_words, i, 12) for i in range(40)]}
+    )
+    raw_rows = []
+    for i in range(120):
+        kind = i % 3
+        words = tgt_words if kind == 0 else (off_words if kind == 1 else None)
+        if words is None:  # mixed
+            t = sent(tgt_words, i, 6) + " " + sent(off_words, i, 6)
+        else:
+            t = sent(words, i, 12)
+        raw_rows.append((i, t))
+    raw_rows.append((120, ""))        # gram-free -> 0.0
+    raw_rows.append((121, None))      # NULL -> 0.0
+    raw_pdf = pd.DataFrame(raw_rows, columns=["doc_id", "text"])
+
+    B, S = 512, 1.0
+    got = {
+        r.doc_id: (r.log_weight, r.n_grams)
+        for r in dsir_log_weights(
+            spark.createDataFrame(raw_pdf),
+            spark.createDataFrame(target_pdf),
+            buckets=B,
+            smoothing=S,
+        ).collect()
+    }
+    # ranking: target-like > mixed > off-target, degenerates at 0.0
+    tgt_like = [got[i][0] for i in range(120) if i % 3 == 0]
+    mixed = [got[i][0] for i in range(120) if i % 3 == 2]
+    off = [got[i][0] for i in range(120) if i % 3 == 1]
+    assert min(tgt_like) > max(mixed) and min(mixed) > max(off)
+    assert got[120] == (0.0, 0) and got[121] == (0.0, 0)
+
+    duck.register("dsir_raw", raw_pdf)
+    duck.register("dsir_tgt", target_pdf)
+    q = f"""
+    WITH rt AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(coalesce(text, ''),
+                                   '\\s+'), x -> x <> '') AS t
+        FROM dsir_raw
+    ), rg AS (
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(md5('dsir:' ||
+                   array_to_string(t[u.i : u.i + 1], ' ')), 1, 8) AS BIGINT)
+                   % {B} AS INT) AS b
+        FROM rt, unnest(range(1, len(t))) u(i) WHERE len(t) >= 2
+    ), tt AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(coalesce(text, ''),
+                                   '\\s+'), x -> x <> '') AS t
+        FROM dsir_tgt
+    ), tg AS (
+        SELECT CAST(CAST('0x' || substr(md5('dsir:' ||
+                   array_to_string(t[u.i : u.i + 1], ' ')), 1, 8) AS BIGINT)
+                   % {B} AS INT) AS b
+        FROM tt, unnest(range(1, len(t))) u(i) WHERE len(t) >= 2
+    ), tc AS (SELECT b, count(*) AS ct FROM tg GROUP BY b),
+       rc AS (SELECT b, count(*) AS cr FROM rg GROUP BY b),
+       tot AS (SELECT (SELECT count(*) FROM tg) AS tt_n,
+                      (SELECT count(*) FROM rg) AS tr_n),
+       w AS (
+        SELECT rc.b,
+               ln((coalesce(ct, 0) + {S}) / (tt_n + {S} * {B}))
+               - ln((cr + {S}) / (tr_n + {S} * {B})) AS w
+        FROM rc LEFT JOIN tc USING (b), tot
+    ), s AS (
+        SELECT doc_id, sum(w) AS lw, count(*) AS ng
+        FROM rg JOIN w USING (b) GROUP BY doc_id
+    )
+    SELECT r.doc_id, coalesce(lw, 0.0), coalesce(ng, 0)
+    FROM dsir_raw r LEFT JOIN s USING (doc_id)
+    """
+    want = {r[0]: (r[1], r[2]) for r in duck.sql(q).fetchall()}
+    duck.unregister("dsir_raw")
+    duck.unregister("dsir_tgt")
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k][1] == want[k][1], k
+        assert abs(got[k][0] - want[k][0]) < 1e-9, (k, got[k], want[k])
