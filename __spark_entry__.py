@@ -2136,8 +2136,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # the remaining library-only operators (normalize_nfc — DuckDB
 # nfc_normalize mirror ready; compression_ratio — property-only, no
 # SQL zlib; train_text_classifier/classifier_score — property-graded
-# accuracy; cap_per_key and heavy_hitter_ngrams — DuckDB mirrors
-# ready, added round 9) stay pytest-covered until the driver's
+# accuracy; cap_per_key, heavy_hitter_ngrams, temperature_rebalance,
+# train_bpe/bpe_encode, shared_substring_spans/remove_shared_spans,
+# canonicalize_url/url_dedup, threshold_sweep/filter_funnel,
+# vector_norms_in, blocklist_filter, c4_line_clean, gopher_filters,
+# duplicate_text_fractions, script_fractions, dsir_log_weights,
+# with_provenance — all with DuckDB-mirror or property pytest
+# oracles, added rounds 9) stay pytest-covered until the driver's
 # grading cap rises above 100 (see README "Driver contract note").
 # Round 9 honors the alternation: the 50 round-8 sit-outs return to
 # the graded window — t18 gets its FIRST driver grade and d08 its
