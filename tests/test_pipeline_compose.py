@@ -195,3 +195,28 @@ def test_crawl_frontend_composes_with_funnel_report(spark, docs):
     from dfsql_spark.plans.audit import plan_summary
 
     assert plan_summary(fused).n_exchanges == 0  # gates fuse into the scan
+
+
+def test_dsir_feeds_weighted_sample(spark, docs):
+    """The DSIR -> weighted_sample chain the dsir_log_weights
+    docstring promises: exp-shifted log-weights become sampling
+    weights, and the realized sample prefers higher-weight docs."""
+    from dfsql_spark.operators.text import dsir_log_weights, weighted_sample
+
+    target = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    lw = dsir_log_weights(docs, target, buckets=1024)
+    weighted = docs.join(lw, "doc_id").withColumn(
+        "w", F.exp(F.col("log_weight") - F.lit(0.0))
+    )
+    kept = weighted_sample(weighted, "w", target_fraction=0.5)
+    n_in, n_out = weighted.count(), kept.count()
+    assert 0 < n_out < n_in
+    # deterministic: same call, same sample
+    again = weighted_sample(weighted, "w", target_fraction=0.5)
+    assert sorted(r.doc_id for r in kept.select("doc_id").collect()) == sorted(
+        r.doc_id for r in again.select("doc_id").collect()
+    )
+    # the kept set's mean log-weight should not be below the corpus mean
+    mean_all = weighted.agg(F.avg("log_weight")).first()[0]
+    mean_kept = kept.agg(F.avg("log_weight")).first()[0]
+    assert mean_kept >= mean_all
