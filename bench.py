@@ -85,6 +85,7 @@ HEADLINE = [
     "b_heavy_hitters",
     "b_bpe_encode",
     "b_substring_dedup",
+    "b_crawl_frontend",
 ]
 
 
