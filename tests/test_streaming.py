@@ -337,3 +337,56 @@ def test_curation_maps_run_unchanged_on_streams(spark, tmp_path):
         want = sorted(map(tuple, op(batch_docs).collect()))
         got = sorted(map(tuple, streamed.collect()))
         assert got == want, name
+
+
+def test_quality_gates_run_unchanged_on_a_stream(spark, tmp_path):
+    """The crawl front-end gates (round-9 library ops) are pure
+    codegen expressions, so the SAME functions run on a Structured
+    Streaming source unchanged — batch/stream unification — and emit
+    exactly the batch result."""
+    import pandas as pd
+
+    from dfsql_spark.operators.text import (
+        blocklist_filter,
+        gopher_filters,
+        script_fractions,
+    )
+    from dfsql_spark.streaming.events import run_to_memory
+
+    src = str(tmp_path / "docs")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(30),
+            "text": [
+                ("the quick brown fox jumps over the lazy dog " * 3)
+                if i % 3
+                else "# # # bad symbol soup #"
+                for i in range(30)
+            ],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+
+    def gates(df):
+        return script_fractions(
+            gopher_filters(
+                blocklist_filter(df, ["zzz_none"], append=True),
+                min_words=10,
+                min_stopword_hits=1,
+                append=True,
+            ),
+            append=True,
+        ).select("doc_id", "keep_gopher", "keep_blocklist", "script")
+
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string"
+    ).parquet(src)
+    streamed = run_to_memory(
+        gates(stream), spark, "gates_stream", output_mode="append"
+    )
+    got = sorted(tuple(r) for r in streamed.collect())
+    want = sorted(
+        tuple(r) for r in gates(spark.read.parquet(src)).collect()
+    )
+    assert got == want and len(got) == 30
+    assert {r[1] for r in got} == {True, False}  # both gate outcomes
