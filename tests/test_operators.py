@@ -3984,3 +3984,37 @@ def test_dsir_log_weights_ranks_target_like_docs_and_matches_duckdb(spark, duck)
     for k in got:
         assert got[k][1] == want[k][1], k
         assert abs(got[k][0] - want[k][0]) < 1e-9, (k, got[k], want[k])
+
+
+def test_remove_duplicate_lines_paragraph_granularity(spark):
+    """sep='\\n\\n' turns the corpus line dedup into PARAGRAPH dedup
+    (the RefinedWeb variant): a banner paragraph repeated across docs
+    keeps its globally-first occurrence only, with documents
+    reassembled on the same separator."""
+    import pandas as pd
+
+    from dfsql_spark.operators.dedup import remove_duplicate_lines
+
+    banner = "subscribe to our newsletter\nfor more articles"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    f"unique first para one.\n\n{banner}",
+                    f"{banner}\n\nunique second body.",
+                    "no banner here at all.",
+                ],
+            }
+        )
+    )
+    got = {
+        r.doc_id: (r.text, r.n_lines, r.n_kept)
+        for r in remove_duplicate_lines(
+            docs, min_line_chars=1, sep="\n\n"
+        ).collect()
+    }
+    # doc 1 holds the (doc_id, pos)-first banner occurrence
+    assert got[1] == (f"unique first para one.\n\n{banner}", 2, 2)
+    assert got[2] == ("unique second body.", 2, 1)
+    assert got[3] == ("no banner here at all.", 1, 1)
