@@ -1643,3 +1643,59 @@ def remove_duplicate_lines(
             F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
         )
     )
+
+
+def pair_metrics(
+    pred: DataFrame,
+    truth: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Precision/recall/F1 of a candidate pair set against ground
+    truth — the evaluation loop for tuning sketch parameters
+    (MinHash bands, SimHash radius, LSH tables) against an exact
+    method on a sample, the way :func:`~dfsql_spark.operators.
+    similarity.semantic_dedup_pairs`'s contract entry is graded.
+
+    Pairs are undirected: each side is canonicalized to
+    ``(least, greatest)`` and deduplicated before comparison, so
+    orientation and repeats never skew the counts.  Returns ONE row
+    ``(n_pred, n_true, n_common, precision, recall, f1)`` (NULL
+    metrics on empty denominators).  Shape: two distincts plus one
+    equi-join on the 16-byte canonical pair — nothing wider ever
+    shuffles.
+    """
+
+    def canon(df: DataFrame) -> DataFrame:
+        a, b = F.col(a_col), F.col(b_col)
+        return df.select(
+            F.least(a, b).alias("_pa"), F.greatest(a, b).alias("_pb")
+        ).distinct()
+
+    p, t = canon(pred), canon(truth)
+    counts = (
+        p.withColumn("_in_p", F.lit(1))
+        .join(t.withColumn("_in_t", F.lit(1)), ["_pa", "_pb"], "full")
+        .agg(
+            F.count("_in_p").alias("n_pred"),
+            F.count("_in_t").alias("n_true"),
+            F.sum(
+                (F.col("_in_p").isNotNull() & F.col("_in_t").isNotNull()).cast(
+                    "long"
+                )
+            ).alias("n_common"),
+        )
+    )
+    prec = F.when(F.col("n_pred") > 0, F.col("n_common") / F.col("n_pred"))
+    rec = F.when(F.col("n_true") > 0, F.col("n_common") / F.col("n_true"))
+    return counts.select(
+        "n_pred",
+        "n_true",
+        "n_common",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        F.when(
+            prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+            2 * prec * rec / (prec + rec),
+        ).alias("f1"),
+    )

@@ -4018,3 +4018,43 @@ def test_remove_duplicate_lines_paragraph_granularity(spark):
     assert got[1] == (f"unique first para one.\n\n{banner}", 2, 2)
     assert got[2] == ("unique second body.", 2, 1)
     assert got[3] == ("no banner here at all.", 1, 1)
+
+
+def test_pair_metrics_hand_pinned_and_on_real_sketches(spark, docs):
+    """Hand-checked P/R/F1 with orientation/repeat canonicalization,
+    then the helper grades SimHash candidates against exact Jaccard
+    truth on the corpus — metrics must be consistent and recall
+    positive."""
+    import pandas as pd
+
+    from dfsql_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        pair_metrics,
+        release_persists,
+        simhash_pairs,
+    )
+
+    pred = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 2, 5], "id_b": [2, 1, 3, 6]})
+    )  # canonical: {(1,2),(2,3),(5,6)}
+    truth = spark.createDataFrame(
+        pd.DataFrame({"id_a": [2, 3, 7], "id_b": [1, 2, 8]})
+    )  # canonical: {(1,2),(2,3),(7,8)}
+    (r,) = pair_metrics(pred, truth).collect()
+    assert (r.n_pred, r.n_true, r.n_common) == (3, 3, 2)
+    assert r.precision == r.recall == r.f1 == 2 / 3
+
+    empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    (e,) = pair_metrics(empty, truth).collect()
+    assert (e.n_pred, e.precision, e.recall, e.f1) == (0, None, 0.0, None)
+
+    try:
+        truth_pairs = ngram_jaccard_pairs(docs, k=5, threshold=0.6).select(
+            "id_a", "id_b"
+        )
+        cand = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b")
+        (m,) = pair_metrics(cand, truth_pairs).collect()
+        assert m.n_true > 0 and m.n_common <= min(m.n_pred, m.n_true)
+        assert m.recall is not None and m.recall > 0
+    finally:
+        release_persists()
