@@ -220,3 +220,36 @@ def test_dsir_feeds_weighted_sample(spark, docs):
     mean_all = weighted.agg(F.avg("log_weight")).first()[0]
     mean_kept = kept.agg(F.avg("log_weight")).first()[0]
     assert mean_kept >= mean_all
+
+
+def test_classifier_calibrates_via_threshold_sweep(spark, docs):
+    """The model-based quality filter chains into threshold_sweep:
+    train -> score -> one-pass P/R/F1 over candidate cutoffs, with
+    the high-cutoff row at least as precise as the low-cutoff row on
+    a learnable token signal."""
+    from dfsql_spark.operators.checks import threshold_sweep
+    from dfsql_spark.operators.classify import (
+        classifier_score,
+        train_text_classifier,
+    )
+    from dfsql_spark.operators.text import deterministic_split
+
+    labeled = docs.withColumn(
+        "label", F.col("text").rlike(r"\bspark\b").cast("int")
+    ).join(deterministic_split(docs), "doc_id")
+    train = labeled.filter("split = 'train'")
+    test = labeled.filter("split != 'train'")
+    w, b = train_text_classifier(train, "label", dim=64)
+    scored = test.select("doc_id", "label").join(
+        classifier_score(test, w, b), "doc_id"
+    )
+    sweep = {
+        r.threshold: r
+        for r in threshold_sweep(
+            scored, "prob", "label", [0.1, 0.5, 0.9]
+        ).collect()
+    }
+    assert sweep[0.1].n_kept >= sweep[0.5].n_kept >= sweep[0.9].n_kept
+    assert sweep[0.1].recall >= sweep[0.5].recall >= sweep[0.9].recall
+    # the learnable signal separates well: mid cutoff is near-perfect
+    assert sweep[0.5].f1 is not None and sweep[0.5].f1 >= 0.9
