@@ -2079,46 +2079,66 @@ def duplicate_text_fractions(
     occurrences (occurrences beyond the first count as duplicates).
     The n-gram analog lives in :func:`repetition_ratio`.
 
-    Scale shape: explode non-blank units once, count per
-    ``(doc, xxhash64(unit))`` — the shuffle ships 8-byte unit hashes
-    plus lengths, never the unit text — then one map-side-combined
-    per-doc aggregate per unit kind, joined back on the doc key.
-    A unit is non-blank when it contains any non-whitespace character
-    (trim() strips only spaces, so it is not the right test here);
-    blank-only and NULL documents report NULL fractions (no units).
+    Scale shape: ONE corpus scan — both unit kinds explode from a
+    single tagged struct array (measured trade at sf0.1, interleaved
+    reps: ~10% slower warmed than the two-pass per-kind form — the
+    tagged transform is interpreted HOF work — but the two-pass form
+    reads the corpus TWICE, which dominates at real scale, so the
+    single-scan plan is pinned; repo rule: keep the plan that is
+    right at 100 TB) — then counts per
+    ``(doc, kind, xxhash64(unit))`` (the shuffle ships 8-byte unit
+    hashes plus lengths, never the unit text), one map-side-combined
+    per-doc aggregate with kind-conditional sums, and one roster left
+    join.  A unit is non-blank when it contains any non-whitespace
+    character (trim() strips only spaces, so it is not the right
+    test here); blank-only and NULL documents report NULL fractions
+    (no units).
     """
-    out_names = {
-        "line": ("dup_line_frac", "dup_line_char_frac"),
-        "para": ("dup_para_frac", "dup_para_char_frac"),
-    }
     raw = F.coalesce(F.col(text_col), F.lit(""))
-    units = {
-        "line": F.split(raw, "\n"),
-        "para": F.split(raw, r"\n{2,}"),
-    }
-    result = df.select(F.col(id_col))
-    for kind, arr in units.items():
-        nonblank = F.filter(arr, lambda u: u.rlike(r"\S"))
-        ex = df.select(
-            F.col(id_col), F.explode(nonblank).alias("u")
-        ).select(
-            id_col,
-            F.xxhash64("u").alias("h"),
-            F.length("u").alias("ln"),
+
+    def tagged(kind: str, arr: Column) -> Column:
+        return F.transform(
+            F.filter(arr, lambda u: u.rlike(r"\S")),
+            lambda u: F.struct(F.lit(kind).alias("k"), u.alias("u")),
         )
-        per_unit = ex.groupBy(id_col, "h").agg(
-            F.count(F.lit(1)).alias("n"), F.first("ln").alias("ln")
-        )
-        frac, char_frac = out_names[kind]
-        per_doc = per_unit.groupBy(id_col).agg(
-            (F.sum(F.col("n") - 1) / F.sum("n")).alias(frac),
+
+    units = F.concat(
+        tagged("line", F.split(raw, "\n")),
+        tagged("para", F.split(raw, r"\n{2,}")),
+    )
+    ex = df.select(F.col(id_col), F.explode(units).alias("s")).select(
+        id_col,
+        F.col("s.k").alias("_k"),
+        F.xxhash64("s.u").alias("_h"),
+        F.length("s.u").alias("_ln"),
+    )
+    per_unit = ex.groupBy(id_col, "_k", "_h").agg(
+        F.count(F.lit(1)).alias("n"), F.first("_ln").alias("ln")
+    )
+
+    def kind_fracs(kind: str, frac: str, char_frac: str) -> list:
+        # conditional per-kind sums in ONE per-doc aggregate — no
+        # intermediate (doc, kind) level, no pivot exchange; a kind
+        # with no units divides 0/0 -> NULL, the documented contract
+        k = F.col("_k") == kind
+        n, ln = F.col("n"), F.col("ln")
+        z = F.lit(0)
+        return [
             (
-                F.sum((F.col("n") - 1) * F.col("ln"))
-                / F.sum(F.col("n") * F.col("ln"))
+                F.sum(F.when(k, n - 1).otherwise(z))
+                / F.sum(F.when(k, n).otherwise(z))
+            ).alias(frac),
+            (
+                F.sum(F.when(k, (n - 1) * ln).otherwise(z))
+                / F.sum(F.when(k, n * ln).otherwise(z))
             ).alias(char_frac),
-        )
-        result = result.join(per_doc, on=id_col, how="left")
-    return result
+        ]
+
+    wide = per_unit.groupBy(id_col).agg(
+        *kind_fracs("line", "dup_line_frac", "dup_line_char_frac"),
+        *kind_fracs("para", "dup_para_frac", "dup_para_char_frac"),
+    )
+    return df.select(F.col(id_col)).join(wide, on=id_col, how="left")
 
 
 # Explicit code-point ranges (not \p{script=...} classes: Java and RE2
