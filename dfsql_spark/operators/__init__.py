@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     dedup,
     joins,
     multimodal,
+    rollup,
     similarity,
     skew,
     text,

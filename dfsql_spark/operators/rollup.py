@@ -1,0 +1,76 @@
+"""Multi-granularity time rollups in one scan (hypertable-style).
+
+The continuous-aggregate pattern: an events table rolled up to
+hour/day/week/month buckets per dimension.  Instead of one query per
+granularity (N corpus scans), GROUPING SETS compiles every grain into
+ONE scan through Catalyst's ``Expand`` — each input row fans out to
+one tuple per grain *inside* the stage, and the single map-side-
+combined aggregation produces every bucket of every grain at once.
+At 100 TB the scan is the dominant cost, so N grains for the price
+of one pass is the whole design.
+
+No counterpart in the reference engine (a pandas SQL interpreter);
+the mergeable-sketch variant of this pattern is ``x03``'s HLL rollup
+(`__spark_entry__.py`), which handles the non-additive (distinct)
+aggregate the same one-pass way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: grains accepted by ``time_rollup`` — names shared by Spark's and
+#: DuckDB's ``date_trunc`` (both ISO-Monday for "week")
+SUPPORTED_GRAINS = ("hour", "day", "week", "month", "quarter", "year")
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    grains: "tuple[str, ...]" = ("hour", "day"),
+    group_cols: "tuple[str, ...]" = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Additive rollup of ``value_col`` to every requested time grain
+    (× ``group_cols``) in one scan: ``(grain, bucket_ts, *group_cols,
+    n_events, total_value, avg_value)``.
+
+    The grain of each output row is identified with ``grouping()``
+    (not NULL-ness of the trunc column — a NULL input timestamp
+    legitimately yields a NULL bucket and must not be mislabeled).
+    Results are bit-comparable to running one GROUP BY per grain;
+    the plan is one scan + one Expand + one aggregation exchange.
+    """
+    bad = [g for g in grains if g not in SUPPORTED_GRAINS]
+    if bad or not grains:
+        raise ValueError(f"unsupported grains {bad or grains}; pick from {SUPPORTED_GRAINS}")
+    tcols = [f"_t_{g}" for g in grains]
+    base = df.select(
+        *[F.date_trunc(g, F.col(ts_col)).alias(t) for g, t in zip(grains, tcols)],
+        *group_cols,
+        F.col(value_col).alias("_v"),
+    )
+    sets = [[t, *group_cols] for t in tcols]
+    grain_label = F.lit(None).cast("string")
+    for g, t in zip(grains, tcols):
+        grain_label = F.when(F.grouping(t) == 0, F.lit(g)).otherwise(grain_label)
+    # grouping() is only legal inside the grouping-sets aggregation
+    # itself, so the grain label rides the agg list
+    return (
+        base.groupingSets(sets, *[F.col(c) for c in (*tcols, *group_cols)])
+        .agg(
+            grain_label.alias("grain"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_v").alias("total_value"),
+            F.avg("_v").alias("avg_value"),
+        )
+        .select(
+            "grain",
+            F.coalesce(*[F.col(t) for t in tcols]).alias("bucket_ts"),
+            *group_cols,
+            "n_events",
+            "total_value",
+            "avg_value",
+        )
+    )

@@ -4058,3 +4058,67 @@ def test_pair_metrics_hand_pinned_and_on_real_sketches(spark, docs):
         assert m.recall is not None and m.recall > 0
     finally:
         release_persists()
+
+
+def test_time_rollup_matches_per_grain_groupbys_and_duckdb(spark, duck):
+    """One-pass GROUPING SETS rollup equals per-grain GROUP BYs (and
+    the DuckDB spelling), including a NULL-timestamp bucket."""
+    import pytest
+
+    from dfsql_spark.operators.rollup import time_rollup
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev = ev.unionByName(
+        ev.limit(1).select(
+            "event_id", F.lit(None).cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+    )
+    got = sorted(
+        (r.grain, str(r.bucket_ts), r.event_type, r.n_events,
+         round(r.total_value, 6))
+        for r in time_rollup(ev, grains=("hour", "day")).collect()
+    )
+    # per-grain reference: two separate groupBys
+    want = []
+    for g in ("hour", "day"):
+        want += [
+            (g, str(r.b), r.event_type, r.n, round(r.t, 6))
+            for r in ev.groupBy(
+                F.date_trunc(g, "ts").alias("b"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+            .collect()
+        ]
+    assert got == sorted(want) and len(got) > 4
+    assert any(r[1] == "None" for r in got)  # NULL-ts bucket labeled
+
+    duck.register("ev_null", ev.toPandas())
+    duck_rows = duck.sql(
+        """
+        SELECT CASE WHEN GROUPING(t_h) = 0 THEN 'hour' ELSE 'day' END,
+               coalesce(t_h, t_d), event_type, count(*),
+               round(sum(value), 6)
+        FROM (SELECT date_trunc('hour', ts) t_h, date_trunc('day', ts) t_d,
+                     event_type, value FROM ev_null)
+        GROUP BY GROUPING SETS ((t_h, event_type), (t_d, event_type))
+        """
+    ).fetchall()
+    duck.unregister("ev_null")
+    want_duck = sorted((r[0], str(r[1]), r[2], r[3], r[4]) for r in duck_rows)
+    assert got == want_duck
+
+    with pytest.raises(ValueError):
+        time_rollup(ev, grains=("fortnight",))
+
+
+def test_time_rollup_is_single_scan_expand(spark):
+    from dfsql_spark.operators.rollup import time_rollup
+    from dfsql_spark.plans.audit import plan_summary
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    s = plan_summary(time_rollup(ev, grains=("hour", "day", "month")))
+    assert s.n_scans == 1          # three grains, ONE scan
+    assert s.n_exchanges == 1      # one combined aggregation shuffle
+    assert "Expand" in s.text
+    assert "EvalPython" not in s.text
