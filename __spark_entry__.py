@@ -1150,6 +1150,20 @@ def bench_crawl_frontend(spark, sf):
     return c4_line_clean(kept).join(duplicate_text_fractions(kept), "doc_id")
 
 
+def bench_dsir(spark, sf):
+    """BENCH-ONLY: DSIR importance log-weights (library operator,
+    round 9) — times both corpus gram passes (model + scoring), the
+    bucket-bounded weight broadcast, and the per-doc sum.  Target =
+    every 7th document, the in-corpus slice pattern."""
+    from pyspark.sql import functions as F
+
+    from dfsql_spark.operators.text import dsir_log_weights
+
+    docs = _t(spark, sf, "documents")
+    target = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    return dsir_log_weights(docs, target, buckets=4096)
+
+
 def bench_cap_per_key(spark, sf):
     """BENCH-ONLY: the salted two-phase per-source cap (library
     operator, round 9) — times both window passes at a binding cap."""
@@ -1215,6 +1229,7 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b_bpe_encode": bench_bpe_encode,
         "b_substring_dedup": bench_substring_spans,
         "b_crawl_frontend": bench_crawl_frontend,
+        "b_dsir": bench_dsir,
     }
 
 

@@ -86,6 +86,7 @@ HEADLINE = [
     "b_bpe_encode",
     "b_substring_dedup",
     "b_crawl_frontend",
+    "b_dsir",
 ]
 
 
