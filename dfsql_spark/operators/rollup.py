@@ -74,3 +74,46 @@ def time_rollup(
             "avg_value",
         )
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    grain: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    bucket (the cohort), counted distinctly in each subsequent period
+    — ``(cohort, period, n_users)`` with ``period`` 0 at the cohort
+    bucket itself.  The standard activity-retention report over an
+    events table.
+
+    ``grain`` is ``day``/``week``/``month``; period arithmetic runs
+    on the truncated buckets, so day/week use exact day differences
+    (week buckets are Mondays, 7 apart) and month uses exact calendar
+    month differences.  NULL-timestamp events carry no activity date
+    and are dropped.
+
+    Scale shape: the first-seen table is one map-side-combined
+    aggregate (|users| rows); the join back is user-keyed — both
+    sides arrive hash-partitioned on the user from their own
+    aggregates — then one (cohort, period) count-distinct.  Nothing
+    wider than (user, two truncated dates) ever shuffles.
+    """
+    if grain not in ("day", "week", "month"):
+        raise ValueError(f"grain must be day/week/month, got {grain!r}")
+    bucket = F.date_trunc(grain, F.col(ts_col))
+    acts = df.where(F.col(ts_col).isNotNull()).select(
+        F.col(user_col).alias("_u"), bucket.alias("_b")
+    )
+    first = acts.groupBy("_u").agg(F.min("_b").alias("_cohort"))
+    joined = acts.join(first, "_u")
+    if grain == "month":
+        period = F.months_between(F.col("_b"), F.col("_cohort")).cast("int")
+    else:
+        step = 7 if grain == "week" else 1
+        period = (F.datediff(F.col("_b"), F.col("_cohort")) / step).cast("int")
+    return (
+        joined.groupBy(F.col("_cohort").alias("cohort"), period.alias("period"))
+        .agg(F.count_distinct("_u").alias("n_users"))
+    )

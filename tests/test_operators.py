@@ -4122,3 +4122,65 @@ def test_time_rollup_is_single_scan_expand(spark):
     assert s.n_exchanges == 1      # one combined aggregation shuffle
     assert "Expand" in s.text
     assert "EvalPython" not in s.text
+
+
+def test_cohort_retention_hand_pinned_and_mirror(spark, duck):
+    """Hand-built two-cohort retention, then the DuckDB spelling over
+    the real events table at week grain."""
+    import pandas as pd
+
+    from dfsql_spark.operators.rollup import cohort_retention
+
+    ev = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2, 3, 3],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01", "2024-01-08", "2024-01-22",  # u1: w0,w1,w3
+                    "2024-01-01", "2024-01-01",                # u2: w0 twice
+                    "2024-01-10", "2024-01-15",                # u3: w1 cohort, +w2
+                ]
+            ),
+        }
+    )
+    got = {
+        (str(r.cohort), r.period): r.n_users
+        for r in cohort_retention(
+            spark.createDataFrame(ev), grain="week"
+        ).collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", 0): 2,   # u1, u2
+        ("2024-01-01 00:00:00", 1): 1,   # u1
+        ("2024-01-01 00:00:00", 3): 1,   # u1
+        ("2024-01-08 00:00:00", 0): 1,   # u3
+        ("2024-01-08 00:00:00", 1): 1,   # u3
+    }
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got2 = {
+        (str(r.cohort), r.period): r.n_users
+        for r in cohort_retention(events, grain="week").collect()
+    }
+    want = {
+        (str(r[0]), r[1]): r[2]
+        for r in duck.sql(
+            """
+        WITH acts AS (
+            SELECT user_id AS u, CAST(date_trunc('week', ts) AS TIMESTAMP) AS b
+            FROM events WHERE ts IS NOT NULL
+        ), first AS (
+            SELECT u, min(b) AS cohort FROM acts GROUP BY u
+        )
+        SELECT cohort,
+               CAST(date_diff('day', cohort, b) / 7 AS INT) AS period,
+               count(DISTINCT a.u) AS n_users
+        FROM acts a JOIN first USING (u)
+        GROUP BY 1, 2
+        """
+        ).fetchall()
+    }
+    assert got2 == want and len(got2) >= 4
+    # period-0 row per cohort, counts never grow over periods' union
+    cohorts = {c for c, _ in got2}
+    assert all((c, 0) in got2 for c in cohorts)
