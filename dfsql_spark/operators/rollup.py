@@ -117,3 +117,64 @@ def cohort_retention(
         joined.groupBy(F.col("_cohort").alias("cohort"), period.alias("period"))
         .agg(F.count_distinct("_u").alias("n_users"))
     )
+
+
+def event_funnel(
+    df: DataFrame,
+    steps: "list",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    within: "str | None" = None,
+) -> DataFrame:
+    """Ordered conversion funnel: how many users performed each step
+    AFTER their earliest completion of the previous step — optionally
+    all within ``within`` (an INTERVAL string like ``'7 days'``) of
+    step 1.  Returns ``(step_idx, step, n_users, conversion)`` with
+    ``conversion`` relative to step 1.
+
+    Built as a chain of per-step min-timestamp aggregates joined on
+    the user key (the classic funnel-by-join): step k's input is the
+    step-k events of users who completed step k-1, filtered to
+    ``ts > t_{k-1}``, so each stage shuffles only (user, ts) pairs
+    and the user-keyed aggregates arrive pre-partitioned from one
+    another.  K steps = K small keyed joins — never a per-user event
+    collect.  The row-count report itself is a driver-side union of K
+    one-row counts (K is funnel length, not data).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    acts = df.where(F.col(ts_col).isNotNull()).select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_e"),
+        F.col(ts_col).alias("_ts"),
+    )
+    reached = None  # DataFrame(_u, _t) of users at the current step
+    counts = []
+    for i, step in enumerate(steps):
+        mine = acts.where(F.col("_e") == step)
+        if reached is None:
+            cur = mine.groupBy("_u").agg(F.min("_ts").alias("_t"))
+            cur = cur.withColumn("_t0", F.col("_t"))
+        else:
+            cur = (
+                mine.join(reached, "_u")
+                .where(F.col("_ts") > F.col("_t"))
+                .groupBy("_u", "_t0")
+                .agg(F.min("_ts").alias("_t"))
+            )
+        if within is not None:
+            cur = cur.where(
+                F.col("_t") <= F.col("_t0") + F.expr(f"INTERVAL {within}")
+            )
+        reached = cur.select("_u", "_t", "_t0")
+        counts.append(reached.count())
+    spark = df.sparkSession
+    base = counts[0] or 0
+    rows = [
+        (i, str(s), int(c), (float(c) / base) if base else None)
+        for i, (s, c) in enumerate(zip(steps, counts))
+    ]
+    return spark.createDataFrame(
+        rows, "step_idx int, step string, n_users long, conversion double"
+    )

@@ -4184,3 +4184,76 @@ def test_cohort_retention_hand_pinned_and_mirror(spark, duck):
     # period-0 row per cohort, counts never grow over periods' union
     cohorts = {c for c, _ in got2}
     assert all((c, 0) in got2 for c in cohorts)
+
+
+def test_event_funnel_hand_pinned_and_mirror(spark, duck):
+    """Ordered-funnel semantics by hand (order matters, within
+    window), then the DuckDB chain spelling over the events table."""
+    import pandas as pd
+
+    from dfsql_spark.operators.rollup import event_funnel
+
+    ev = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2, 3, 3, 4],
+            "event_type": ["view", "click", "buy",      # u1 full funnel
+                           "click", "view",             # u2 wrong order
+                           "view", "click",             # u3 two steps
+                           "view"],                     # u4 one step
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-03",
+                 "2024-01-01", "2024-01-02",
+                 "2024-01-01", "2024-01-09",
+                 "2024-01-01"]
+            ),
+        }
+    )
+    got = {
+        r.step: (r.n_users, r.conversion)
+        for r in event_funnel(
+            spark.createDataFrame(ev), ["view", "click", "buy"]
+        ).collect()
+    }
+    assert got == {
+        "view": (4, 1.0), "click": (2, 0.5), "buy": (1, 0.25)
+    }
+    # within-window: u3's click is 8 days after the view -> drops
+    tight = {
+        r.step: r.n_users
+        for r in event_funnel(
+            spark.createDataFrame(ev), ["view", "click"], within="7 days"
+        ).collect()
+    }
+    assert tight == {"view": 4, "click": 1}
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got2 = {
+        r.step: r.n_users
+        for r in event_funnel(
+            events, ["signup", "view", "purchase"]
+        ).collect()
+    }
+    want = {
+        r[0]: r[1]
+        for r in duck.sql(
+            """
+        WITH s1 AS (
+            SELECT user_id u, min(ts) t FROM events
+            WHERE event_type = 'signup' GROUP BY 1
+        ), s2 AS (
+            SELECT e.user_id u, min(e.ts) t FROM events e JOIN s1
+              ON e.user_id = s1.u AND e.ts > s1.t
+            WHERE e.event_type = 'view' GROUP BY 1
+        ), s3 AS (
+            SELECT e.user_id u, min(e.ts) t FROM events e JOIN s2
+              ON e.user_id = s2.u AND e.ts > s2.t
+            WHERE e.event_type = 'purchase' GROUP BY 1
+        )
+        SELECT 'signup', count(*) FROM s1
+        UNION ALL SELECT 'view', count(*) FROM s2
+        UNION ALL SELECT 'purchase', count(*) FROM s3
+        """
+        ).fetchall()
+    }
+    assert got2 == want
+    assert got2["signup"] >= got2["view"] >= got2["purchase"] > 0
