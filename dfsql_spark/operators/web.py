@@ -27,6 +27,8 @@ Canonical form (documented, deterministic):
   ``fbclid``, ``msclkid``, ``igshid``, ``mc_cid``, ``mc_eid``,
   ``ref``, ``ref_src`` by default), remaining ``k=v`` tokens sorted
   bytewise and re-joined; an emptied query drops the ``?``
+* ALL whitespace stripped before parsing (raw whitespace is invalid
+  in URLs)
 * NULL input stays NULL, and so does anything with an empty
   authority ("", relative paths) — no host means no page identity;
   percent-encoding is NOT normalized (%2F vs %2f are distinct —
@@ -68,18 +70,27 @@ def canonical_url_expr(
     so pipelines can embed the expression in a wider ``select``
     without an extra projection.
     """
-    u = F.trim(F.col(url_col))
+    # ALL whitespace removed pre-parse (raw whitespace is invalid in
+    # URLs; crawlers strip it) — also what keeps garbage with interior
+    # or trailing whitespace idempotent.  Explicit class, not \s:
+    # Java's \s includes \x0B, RE2's does not; spelled this way the
+    # engine and the DuckDB mirror agree byte-for-byte.
+    u = F.regexp_replace(F.col(url_col), "[ \t\n\r\f\x0B]+", "")
     raw_scheme = F.lower(F.regexp_extract(u, URL_PARSE_RE, 1))
     scheme = F.when(raw_scheme == "", F.lit(default_scheme)).otherwise(raw_scheme)
 
-    host = F.lower(F.regexp_replace(F.regexp_extract(u, URL_PARSE_RE, 2), "^[^@]*@", ""))
+    # Greedy/repeated forms keep canonicalization IDEMPOTENT on
+    # adversarial input (found by the seeded fuzz test): userinfo runs
+    # to the LAST @ (RFC 3986; "a@b@c" must not leave "b@c"), and
+    # "www.www.x" / "x:80:80" must not need two passes.
+    host = F.lower(F.regexp_replace(F.regexp_extract(u, URL_PARSE_RE, 2), "^.*@", ""))
     host = (
-        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
-        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        F.when(scheme == "http", F.regexp_replace(host, "(:80)+$", ""))
+        .when(scheme == "https", F.regexp_replace(host, "(:443)+$", ""))
         .otherwise(host)
     )
     if strip_www:
-        host = F.regexp_replace(host, r"^www\.", "")
+        host = F.regexp_replace(host, r"^(www\.)+", "")
 
     path = F.regexp_replace(F.regexp_extract(u, URL_PARSE_RE, 3), "/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)

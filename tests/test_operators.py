@@ -3130,24 +3130,24 @@ def test_canonicalize_url_matches_duckdb_mirror(spark, duck):
             f"""
         WITH parts AS (
             SELECT i,
-                   lower(regexp_extract(trim(url), '{re}', 1)) AS raw_scheme,
-                   regexp_extract(trim(url), '{re}', 2) AS auth,
-                   regexp_extract(trim(url), '{re}', 3) AS rawpath,
-                   regexp_extract(trim(url), '{re}', 4) AS rawq
+                   lower(regexp_extract(regexp_replace(url, '[ \t\n\r\f\x0B]+', '', 'g'), '{re}', 1)) AS raw_scheme,
+                   regexp_extract(regexp_replace(url, '[ \t\n\r\f\x0B]+', '', 'g'), '{re}', 2) AS auth,
+                   regexp_extract(regexp_replace(url, '[ \t\n\r\f\x0B]+', '', 'g'), '{re}', 3) AS rawpath,
+                   regexp_extract(regexp_replace(url, '[ \t\n\r\f\x0B]+', '', 'g'), '{re}', 4) AS rawq
             FROM urls_pd
         ), step AS (
             SELECT i,
                    CASE WHEN raw_scheme = '' THEN 'http' ELSE raw_scheme END AS scheme,
-                   lower(regexp_replace(auth, '^[^@]*@', '')) AS host0,
+                   lower(regexp_replace(auth, '^.*@', '')) AS host0,
                    rawpath, rawq
             FROM parts
         ), step2 AS (
             SELECT i, scheme,
                    regexp_replace(
-                       CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
-                            WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+                       CASE WHEN scheme = 'http' THEN regexp_replace(host0, '(:80)+$', '')
+                            WHEN scheme = 'https' THEN regexp_replace(host0, '(:443)+$', '')
                             ELSE host0 END,
-                       '^www\\.', '') AS host,
+                       '^(www\\.)+', '') AS host,
                    CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
                         ELSE regexp_replace(rawpath, '/+$', '') END AS path,
                    coalesce(array_to_string(
@@ -4257,3 +4257,38 @@ def test_event_funnel_hand_pinned_and_mirror(spark, duck):
     }
     assert got2 == want
     assert got2["signup"] >= got2["view"] >= got2["purchase"] > 0
+
+
+def test_canonicalize_url_fuzz_idempotent_and_total(spark):
+    """500 seeded adversarial strings (control chars, unicode, stray
+    separators, nested schemes): canonicalization never throws,
+    always yields NULL or an idempotent canonical form."""
+    import random
+
+    import pandas as pd
+
+    from dfsql_spark.operators.web import canonicalize_url
+
+    rng = random.Random(42)
+    alphabet = (
+        "abcXYZ019:/?#@&=.%-_~ \t\n"
+        "://http..wwwéΩ中\x00\x0b"
+    )
+    raws = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60)))
+        for _ in range(500)
+    ]
+    pdf = pd.DataFrame({"i": range(len(raws)), "url": raws})
+    once = {
+        r.i: r.canonical_url
+        for r in canonicalize_url(spark.createDataFrame(pdf)).collect()
+    }
+    again_in = pd.DataFrame(
+        {"i": list(once), "url": [once[i] for i in once]}
+    )
+    twice = {
+        r.i: r.canonical_url
+        for r in canonicalize_url(spark.createDataFrame(again_in)).collect()
+    }
+    assert once == twice
+    assert len(once) == 500
