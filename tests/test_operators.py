@@ -4292,3 +4292,39 @@ def test_canonicalize_url_fuzz_idempotent_and_total(spark):
     }
     assert once == twice
     assert len(once) == 500
+
+
+def test_normalize_text_fuzz_idempotent(spark):
+    """The dedup key normalizer must be idempotent (a re-normalized
+    survivor may never change identity) — pinned over 400 seeded
+    adversarial strings, same technique that caught the
+    canonicalize_url multi-pass bugs."""
+    import random
+
+    import pandas as pd
+
+    from dfsql_spark.operators.dedup import normalize_text
+
+    rng = random.Random(7)
+    alphabet = "aAzZ09 \t\n\r\x0b\x0c  éİΣσς中."
+    pdf = pd.DataFrame(
+        {
+            "i": range(400),
+            "t": [
+                "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 50)))
+                for _ in range(400)
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    once = {
+        r.i: r.n for r in df.select("i", normalize_text("t").alias("n")).collect()
+    }
+    back = spark.createDataFrame(
+        pd.DataFrame({"i": list(once), "t": [once[i] for i in once]})
+    )
+    twice = {
+        r.i: r.n
+        for r in back.select("i", normalize_text("t").alias("n")).collect()
+    }
+    assert once == twice and len(once) == 400
