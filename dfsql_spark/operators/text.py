@@ -2281,3 +2281,105 @@ def dsir_log_weights(
             F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
         )
     )
+
+
+def ngram_repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: "tuple[int, ...]" = (2, 3, 4),
+    dup_ns: "tuple[int, ...]" = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Gopher's word-n-gram repetition signals (Rae et al. 2021 Table
+    A1), completing the rule set next to :func:`duplicate_text_fractions`
+    (line/paragraph level) and :func:`repetition_ratio` (distinct/total):
+
+    * ``top{n}_gram_char_frac`` (n in ``top_ns``): fraction of content
+      characters covered by the single MOST FREQUENT word n-gram —
+      ``count * char_len(gram) / doc_chars``.  Ties on count break to
+      the longer gram (lexicographic ``max(struct(count, len))``), a
+      deterministic rule both engines share.
+    * ``dup{n}_gram_char_frac`` (n in ``dup_ns``): fraction of content
+      characters covered by n-grams occurring more than once, ALL
+      occurrences counted — ``sum(count*len | count>1) / doc_chars``.
+      Deliberate, documented simplification vs. the char-mask variants
+      (e.g. DataTrove's GopherRepetitionFilter) that collapse
+      overlapping spans: overlap-counting is order-free, so it stays a
+      pure count aggregate and is reproducible in ANSI SQL; fractions
+      may exceed 1 on pathological mash (callers threshold, so only
+      the order statistics matter, and those agree).
+
+    Definitions: tokens are :func:`ws_tokens`; a gram's char length is
+    its space-joined string length; ``doc_chars`` is the space-joined
+    length of the WHOLE token list (whitespace-normalized content
+    chars — the denominator Gopher measures against).  A document with
+    fewer than n tokens reports NULL for that n (no grams — same
+    convention as :func:`duplicate_text_fractions`); every fraction is
+    an integer quotient, bit-identical across engines.
+
+    Scale shape: ONE corpus scan — all n values explode from one
+    concatenated unit array; the shuffle ships (doc, n:int,
+    xxhash64(gram):int64, len:int) rows, never gram text (hash-merge
+    collisions are the usual 2^-64 fine print); per-(doc,n,gram)
+    counts then collapse in a SINGLE per-doc aggregate with
+    n-conditional expressions — no pivot exchange, no per-n pass —
+    and one roster left join brings back dropped docs.
+    """
+    toks = ws_tokens(text_col)
+
+    def units_for(n: int) -> Column:
+        m = F.size(toks) - (n - 1)
+        idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
+            F.array().cast("array<int>")
+        )
+
+        def unit(i: Column) -> Column:
+            s = F.array_join(F.slice(toks, i, n), " ")
+            return F.struct(
+                F.lit(n).alias("n"),
+                F.xxhash64(s).alias("h"),
+                F.length(s).alias("ln"),
+            )
+
+        return F.transform(idx, unit)
+
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    ex = df.select(
+        F.col(id_col), F.explode(F.concat(*[units_for(n) for n in all_ns])).alias("g")
+    ).select(id_col, "g.n", "g.h", "g.ln")
+    per_gram = ex.groupBy(id_col, "n", "h").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("ln").alias("ln")
+    )
+
+    aggs, outs = [], []
+    for n in sorted(set(top_ns)):
+        k = F.col("n") == n
+        aggs.append(
+            F.max(F.when(k, F.struct(F.col("cnt"), F.col("ln")))).alias(f"_t{n}")
+        )
+        outs.append(
+            (
+                F.col(f"_t{n}.cnt") * F.col(f"_t{n}.ln") / F.col("_dc")
+            ).alias(f"top{n}_gram_char_frac")
+        )
+    for n in sorted(set(dup_ns)):
+        k = F.col("n") == n
+        aggs.append(
+            F.sum(
+                F.when(
+                    k,
+                    F.when(F.col("cnt") > 1, F.col("cnt") * F.col("ln")).otherwise(
+                        F.lit(0)
+                    ),
+                )
+            ).alias(f"_d{n}")
+        )
+        outs.append(
+            (F.col(f"_d{n}") / F.col("_dc")).alias(f"dup{n}_gram_char_frac")
+        )
+
+    wide = per_gram.groupBy(id_col).agg(*aggs)
+    roster = df.select(
+        F.col(id_col), F.length(F.array_join(toks, " ")).alias("_dc")
+    )
+    return roster.join(wide, on=id_col, how="left").select(F.col(id_col), *outs)

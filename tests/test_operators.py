@@ -4328,3 +4328,133 @@ def test_normalize_text_fuzz_idempotent(spark):
         for r in back.select("i", normalize_text("t").alias("n")).collect()
     }
     assert once == twice and len(once) == 400
+
+
+def test_ngram_repetition_signals_hand_pinned(spark):
+    import pandas as pd
+
+    from dfsql_spark.operators.text import ngram_repetition_signals
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a b a b a b", None, "aa bb cc", "  \t \n "],
+        }
+    )
+    got = {
+        r.doc_id: r
+        for r in ngram_repetition_signals(spark.createDataFrame(pdf)).collect()
+    }
+    r1 = got[1]  # tokens [a b a b a b], doc_chars = 11
+    assert abs(r1.top2_gram_char_frac - 9 / 11) < 1e-12   # "a b" x3, len 3
+    assert abs(r1.top3_gram_char_frac - 10 / 11) < 1e-12  # tie at cnt=2, len 5
+    # overlap counting can exceed 1 (documented): "a b a b" x2, len 7
+    assert abs(r1.top4_gram_char_frac - 14 / 11) < 1e-12
+    assert r1.dup5_gram_char_frac == 0.0  # two distinct 5-grams
+    assert r1.dup6_gram_char_frac == 0.0  # one 6-gram (cnt 1)
+    assert r1.dup7_gram_char_frac is None  # fewer than 7 tokens
+    r3 = got[3]  # doc_chars = 8
+    assert abs(r3.top2_gram_char_frac - 5 / 8) < 1e-12  # cnt-1 tie -> len 5
+    assert r3.top3_gram_char_frac == 1.0
+    assert r3.top4_gram_char_frac is None
+    for n in range(5, 11):
+        assert getattr(r3, f"dup{n}_gram_char_frac") is None
+    for d in (2, 4):  # NULL text / whitespace-only: no tokens at all
+        row = got[d]
+        for c in row.asDict():
+            if c != "doc_id":
+                assert row[c] is None, (d, c)
+
+
+def test_ngram_repetition_signals_matches_duckdb_mirror(spark, duck):
+    import pandas as pd
+
+    from dfsql_spark.operators.text import ngram_repetition_signals
+
+    def mk(i):
+        if i % 13 == 0:
+            return None
+        if i % 13 == 1:
+            return "   \n\t "
+        words = [f"w{j}" for j in range(i % 7 + 2)]
+        body = " ".join(words * (i % 5 + 1))
+        if i % 3 == 0:
+            body += " spam ham" * (i % 4 + 1)
+        if i % 4 == 0:
+            body = "\t" + body + "\nterminal line. " * (i % 3)
+        return body
+
+    cols = [f"top{n}_gram_char_frac" for n in (2, 3, 4)] + [
+        f"dup{n}_gram_char_frac" for n in range(5, 11)
+    ]
+    pdf = pd.DataFrame({"doc_id": range(150), "text": [mk(i) for i in range(150)]})
+    got = {
+        r.doc_id: tuple(
+            None if r[c] is None else round(r[c], 10) for c in cols
+        )
+        for r in ngram_repetition_signals(spark.createDataFrame(pdf)).collect()
+    }
+    duck.register("nrep_pd", pdf)
+    want = dict(
+        (r[0], tuple(None if v is None else round(v, 10) for v in r[1:]))
+        for r in duck.sql(
+            r"""
+        WITH b AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                               x -> x <> '') AS t
+            FROM nrep_pd
+        ), d AS (
+            SELECT doc_id, t, length(array_to_string(t, ' ')) AS dc FROM b
+        ), g AS (
+            SELECT doc_id, nn.n AS n,
+                   array_to_string(t[ii.i:ii.i + nn.n - 1], ' ') AS gram
+            FROM d,
+                 unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS nn(n),
+                 unnest(range(1, len(t) - nn.n + 2)) AS ii(i)
+        ), gc AS (
+            SELECT doc_id, n, gram, count(*) AS c, length(gram) AS ln
+            FROM g GROUP BY doc_id, n, gram
+        ), per AS (
+            SELECT doc_id, n,
+                   max(struct_pack(c := c, ln := ln)) AS tp,
+                   sum(CASE WHEN c > 1 THEN c * ln ELSE 0 END) AS dup
+            FROM gc GROUP BY doc_id, n
+        ), f AS (
+            SELECT doc_id,
+                   max(CASE WHEN n = 2 THEN tp.c * tp.ln END) AS t2,
+                   max(CASE WHEN n = 3 THEN tp.c * tp.ln END) AS t3,
+                   max(CASE WHEN n = 4 THEN tp.c * tp.ln END) AS t4,
+                   max(CASE WHEN n = 5 THEN dup END) AS d5,
+                   max(CASE WHEN n = 6 THEN dup END) AS d6,
+                   max(CASE WHEN n = 7 THEN dup END) AS d7,
+                   max(CASE WHEN n = 8 THEN dup END) AS d8,
+                   max(CASE WHEN n = 9 THEN dup END) AS d9,
+                   max(CASE WHEN n = 10 THEN dup END) AS d10
+            FROM per GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               t2 * 1.0 / dc, t3 * 1.0 / dc, t4 * 1.0 / dc,
+               d5 * 1.0 / dc, d6 * 1.0 / dc, d7 * 1.0 / dc,
+               d8 * 1.0 / dc, d9 * 1.0 / dc, d10 * 1.0 / dc
+        FROM d LEFT JOIN f USING (doc_id)
+        """
+        ).fetchall()
+    )
+    duck.unregister("nrep_pd")
+    assert got == want and len(got) == 150
+    # generator must exercise non-trivial values, not just NULL/0
+    vals = [v for t in got.values() for v in t if v not in (None, 0.0)]
+    assert len(vals) > 100
+
+
+def test_ngram_repetition_signals_plan_shape(docs):
+    from dfsql_spark.operators.text import ngram_repetition_signals
+    from dfsql_spark.plans.audit import plan_summary
+
+    out = ngram_repetition_signals(docs)
+    assert out.count() == docs.count()  # one row per doc, always
+    s = plan_summary(out)
+    assert "EvalPython" not in s.text
+    # one per-gram agg, one per-doc agg, one roster join: <=4 exchanges
+    assert s.n_exchanges <= 4
