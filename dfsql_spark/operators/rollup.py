@@ -133,48 +133,80 @@ def event_funnel(
     step 1.  Returns ``(step_idx, step, n_users, conversion)`` with
     ``conversion`` relative to step 1.
 
-    Built as a chain of per-step min-timestamp aggregates joined on
-    the user key (the classic funnel-by-join): step k's input is the
-    step-k events of users who completed step k-1, filtered to
-    ``ts > t_{k-1}``, so each stage shuffles only (user, ts) pairs
-    and the user-keyed aggregates arrive pre-partitioned from one
-    another.  K steps = K small keyed joins — never a per-user event
-    collect.  The row-count report itself is a driver-side union of K
-    one-row counts (K is funnel length, not data).
+    ONE job, one pass over the events table (round-10 rewrite; the
+    previous funnel-by-join chain ran ``reached.count()`` per step on
+    an unpersisted lineage, re-executing joins 1..k−1 — O(K²) event
+    scans at 100 TB): events are filtered to the funnel's step types
+    (pushed to the scan), one user-keyed aggregation collects each
+    step's sorted timestamp array per user, and the sequential funnel
+    times derive in one projection — ``t_k = array_min(filter(arr_k,
+    ts > t_{k-1}))``, NULL propagating naturally when a step is never
+    reached (filter against a NULL bound keeps nothing; array_min of
+    an empty array is NULL).  All K step counts come from ONE global
+    aggregate, and the report rows (K rows — funnel length, not data)
+    explode from it with no driver-side action at all.
+
+    Scale shape: the only data shuffle ships (user, K timestamp
+    arrays) holding just that user's funnel-step events — the same
+    rows the join chain shuffled, now once instead of O(K²) times.
+    Per-user state is bounded by the user's own funnel-type event
+    count (the same per-group posture as sessionize/pack_sequences).
+    Values are identical to the join form: both compute the same
+    greedy-earliest step times.
     """
     if not steps:
         raise ValueError("steps must be non-empty")
-    acts = df.where(F.col(ts_col).isNotNull()).select(
-        F.col(user_col).alias("_u"),
-        F.col(type_col).alias("_e"),
-        F.col(ts_col).alias("_ts"),
+    step_names = [str(s) for s in steps]
+    acts = (
+        df.where(F.col(ts_col).isNotNull())
+        .where(F.col(type_col).isin(step_names))
+        .select(
+            F.col(user_col).alias("_u"),
+            F.col(type_col).alias("_e"),
+            F.col(ts_col).alias("_ts"),
+        )
     )
-    reached = None  # DataFrame(_u, _t) of users at the current step
-    counts = []
-    for i, step in enumerate(steps):
-        mine = acts.where(F.col("_e") == step)
-        if reached is None:
-            cur = mine.groupBy("_u").agg(F.min("_ts").alias("_t"))
-            cur = cur.withColumn("_t0", F.col("_t"))
-        else:
-            cur = (
-                mine.join(reached, "_u")
-                .where(F.col("_ts") > F.col("_t"))
-                .groupBy("_u", "_t0")
-                .agg(F.min("_ts").alias("_t"))
+    per_user = acts.groupBy("_u").agg(
+        *[
+            F.sort_array(
+                F.collect_list(F.when(F.col("_e") == s, F.col("_ts")))
+            ).alias(f"_a{i}")
+            for i, s in enumerate(step_names)
+        ]
+    )
+    # sequential funnel times, all in one projection; the `within`
+    # bound re-checks each step against t0 + window AFTER taking the
+    # min, exactly like the join form did (t0 satisfies it trivially)
+    within_iv = F.expr(f"INTERVAL {within}") if within is not None else None
+    per_user = per_user.withColumn("_t0", F.array_min(F.col("_a0")))
+    for k in range(1, len(step_names)):
+        prev = F.col(f"_t{k - 1}")
+        t_k = F.array_min(F.filter(F.col(f"_a{k}"), lambda x: x > prev))
+        if within_iv is not None:
+            t_k = F.when(t_k <= F.col("_t0") + within_iv, t_k)
+        per_user = per_user.withColumn(f"_t{k}", t_k)
+    one = per_user.agg(
+        *[F.count(F.col(f"_t{k}")).alias(f"_c{k}") for k in range(len(step_names))]
+    )
+    report = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("int").alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.col(f"_c{k}").cast("long").alias("n_users"),
             )
-        if within is not None:
-            cur = cur.where(
-                F.col("_t") <= F.col("_t0") + F.expr(f"INTERVAL {within}")
-            )
-        reached = cur.select("_u", "_t", "_t0")
-        counts.append(reached.count())
-    spark = df.sparkSession
-    base = counts[0] or 0
-    rows = [
-        (i, str(s), int(c), (float(c) / base) if base else None)
-        for i, (s, c) in enumerate(zip(steps, counts))
-    ]
-    return spark.createDataFrame(
-        rows, "step_idx int, step string, n_users long, conversion double"
+            for k, s in enumerate(step_names)
+        ]
+    )
+    return (
+        one.select(F.col("_c0").alias("_base"), F.explode(report).alias("_r"))
+        .select(
+            F.col("_r.step_idx").alias("step_idx"),
+            F.col("_r.step").alias("step"),
+            F.col("_r.n_users").alias("n_users"),
+            F.when(
+                F.col("_base") > 0,
+                F.col("_r.n_users").cast("double") / F.col("_base"),
+            ).alias("conversion"),
+        )
     )

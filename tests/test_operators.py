@@ -4259,7 +4259,26 @@ def test_event_funnel_hand_pinned_and_mirror(spark, duck):
     assert got2["signup"] >= got2["view"] >= got2["purchase"] > 0
 
 
-def test_canonicalize_url_fuzz_idempotent_and_total(spark):
+def test_event_funnel_is_single_scan_single_job(spark):
+    """Round-10 rewrite pin (companion to the cap_per_key plan test):
+    a K-step funnel must read the events table ONCE — the old
+    funnel-by-join chain ran one action per step on unpersisted
+    lineage, re-executing joins 1..k−1 (O(K²) scans at 100 TB).  Also
+    pins: no join anywhere, the step-type filter pushed to the scan,
+    and a lazy result (building the report triggers zero jobs)."""
+    from dfsql_spark.operators.rollup import event_funnel
+    from dfsql_spark.plans.audit import plan_summary
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    df = event_funnel(events, ["signup", "view", "purchase"], within="30 days")
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    assert jobs_after == jobs_before, "funnel construction ran driver jobs"
+    s = plan_summary(df)
+    assert s.n_scans == 1, f"expected ONE events scan, plan:\n{s.text}"
+    assert "Join" not in s.text, f"funnel must not join:\n{s.text}"
+    assert "event_type" in ";".join(s.pushed_filters)
     """500 seeded adversarial strings (control chars, unicode, stray
     separators, nested schemes): canonicalization never throws,
     always yields NULL or an idempotent canonical form."""
