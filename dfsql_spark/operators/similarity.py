@@ -48,6 +48,33 @@ def cosine(a: str, b: str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_arrow(a_col: str, b_col: str) -> Column:
+    """Arrow-batched per-candidate cosine: one ``einsum`` per batch
+    instead of the interpreted per-row ``aggregate(zip_with(...))``
+    expression (Spark evaluates higher-order array lambdas interpreted
+    — the trap :func:`cosine_topk` documents; this is the same BLAS
+    replacement :func:`semantic_dedup_pairs` made in round 9, applied
+    to candidate-pair scoring).  NaN on zero vectors, exactly like the
+    expression form (0/0), so downstream threshold filters agree."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series([], dtype="float64")
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        num = np.einsum("nd,nd->n", ma, mb)
+        den = np.sqrt(
+            np.einsum("nd,nd->n", ma, ma) * np.einsum("nd,nd->n", mb, mb)
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = num / den
+        return pd.Series(out)
+
+    return _cos(F.col(a_col), F.col(b_col))
+
+
 def with_unit_vector(df: DataFrame, vec_col: str = "embedding", out: str = "unit") -> DataFrame:
     """Pre-normalize once so pairwise cosine = plain dot product —
     at scale this halves the per-pair flops and is done in the scan
@@ -210,6 +237,7 @@ def lsh_topk(
     num_tables: int = 4,
     seed: int = 42,
     dim: int | None = None,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH with ``num_tables``
     independent tables (union of candidates ≈ multi-probe recall).
@@ -218,16 +246,21 @@ def lsh_topk(
     projection (:func:`_all_table_buckets` — one corpus scan, not
     ``num_tables``) and meet queries in a (table, bucket) equi-join —
     candidate set per query is the union of its buckets, typically a
-    small fraction of the corpus.  Cosine is computed inside the
-    broadcast join's projection — map-side, while both vectors are on
-    hand — so the candidate dedup that follows shuffles only thin
-    (query, neighbor, score) rows, never the embedding payload, and
-    the corpus itself is never shuffled at all.  Cosine is duplicate-
-    invariant, so scoring before dedup is value-identical; a pair
-    colliding in several tables recomputes it at most ``num_tables``
-    times.  Recall improves with more tables; cost scales with
-    candidate volume, not corpus size.  Pass ``dim`` (vector width) to
-    skip the one-row lookup job.
+    small fraction of the corpus.  Cosine is computed right after the
+    broadcast join — while both vectors are on hand — so the candidate
+    dedup that follows shuffles only thin (query, neighbor, score)
+    rows, never the embedding payload, and the corpus itself is never
+    shuffled at all.  Cosine is duplicate-invariant, so scoring before
+    dedup is value-identical; a pair colliding in several tables
+    recomputes it at most ``num_tables`` times.  Recall improves with
+    more tables; cost scales with candidate volume, not corpus size.
+    Pass ``dim`` (vector width) to skip the one-row lookup job.
+
+    ``use_arrow=True`` (default) scores candidates with
+    :func:`cosine_arrow` (vectorized einsum per Arrow batch);
+    ``use_arrow=False`` keeps the pure-JVM expression plan for
+    UDF-restricted clusters — same candidates, same values up to the
+    accumulation-order ulp.
     """
     dim = dim or len(corpus.select(vec_col).first()[0])
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
@@ -244,10 +277,11 @@ def lsh_topk(
         _all_table_buckets("q_vec", dim, num_planes, num_tables, seed).alias("tb"),
     ).select(query_id_col, "q_vec", "tb.tbl", "tb.bucket")
 
+    score = cosine_arrow if use_arrow else cosine
     scored = (
         cb.join(broadcast(qb), ["tbl", "bucket"])
         .select(
-            query_id_col, "neighbor_id", cosine("c_vec", "q_vec").alias("cos_sim")
+            query_id_col, "neighbor_id", score("c_vec", "q_vec").alias("cos_sim")
         )
         .dropDuplicates([query_id_col, "neighbor_id"])
     )
@@ -273,6 +307,7 @@ def embedding_neardup_pairs(
     seed: int = 42,
     dim: int | None = None,
     n_docs: int | None = None,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine ≥ threshold.
 
@@ -293,6 +328,13 @@ def embedding_neardup_pairs(
     the one-row lookup job when the caller already knows it, and
     ``n_docs`` (row count, e.g. from catalog stats) avoids the gate's
     counting job the same way.
+
+    ``use_arrow=True`` (default) scores every candidate pair with
+    :func:`cosine_arrow` (vectorized einsum per Arrow batch — the
+    round-9 :func:`semantic_dedup_pairs` upgrade applied here);
+    ``use_arrow=False`` keeps the pure-JVM ``aggregate(zip_with)``
+    expression for UDF-restricted clusters.  Same pair set either way
+    (output membership is ulp-robust at any real threshold).
     """
     if use_lsh == "auto":
         # The count is metadata-only when ``df`` is a bare parquet scan
@@ -300,21 +342,22 @@ def embedding_neardup_pairs(
         # transform makes it a full pass — callers holding catalog
         # stats pass ``n_docs=`` (or ``use_lsh=`` explicitly) instead.
         use_lsh = (n_docs if n_docs is not None else df.count()) >= lsh_min_docs
+    score = cosine_arrow if use_arrow else cosine
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if not use_lsh:
         return (
             a.join(b, F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", cosine("va", "vb").alias("cos_sim"))
+            .select("id_a", "id_b", score("va", "vb").alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold)
         )
     dim = dim or len(df.select(vec_col).first()[0])
     # One projection computes every table's bucket (single corpus scan);
-    # cosine is evaluated inside the bucket join while both vectors are
-    # in hand, then threshold-filtered, so the pair dedup shuffles only
-    # thin (id_a, id_b, cos_sim) survivors — never the embedding
-    # payload.  Cosine is duplicate-invariant: filter-then-dedup is
-    # value-identical to dedup-then-score.
+    # cosine is evaluated right after the bucket join while both
+    # vectors are in hand, then threshold-filtered, so the pair dedup
+    # shuffles only thin (id_a, id_b, cos_sim) survivors — never the
+    # embedding payload.  Cosine is duplicate-invariant: filter-then-
+    # dedup is value-identical to dedup-then-score.
     ab = a.select(
         "id_a", "va", _all_table_buckets("va", dim, num_planes, num_tables, seed).alias("tb")
     ).select("id_a", "va", "tb.tbl", "tb.bucket")
@@ -327,7 +370,7 @@ def embedding_neardup_pairs(
     return (
         ab.hint("merge").join(bb.hint("merge"), ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine("va", "vb").alias("cos_sim"))
+        .select("id_a", "id_b", score("va", "vb").alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -526,6 +569,7 @@ def ivf_topk(
     seed: int = 42,
     train_fraction: float | None = None,
     max_iter: int = 10,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Approximate top-k via IVF-Flat: k-means coarse quantizer, probe
     the ``n_probe`` nearest cells per query, exact cosine rerank inside
@@ -540,6 +584,10 @@ def ivf_topk(
     scan per query is ``n_probe / n_cells`` of the corpus instead of
     all of it.  Recall rises with ``n_probe`` (= exact when
     ``n_probe == n_cells``).
+
+    ``use_arrow=True`` (default) scores candidates with
+    :func:`cosine_arrow` (vectorized einsum per Arrow batch);
+    ``use_arrow=False`` keeps the pure-JVM expression scoring.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -578,8 +626,9 @@ def ivf_topk(
         F.col(query_id_col), F.col(vec_col).alias("q_vec"),
         F.explode(probe_cells(F.col(vec_col))).alias("cell"),
     )
+    score = cosine_arrow if use_arrow else cosine
     cand = c_cells.join(broadcast(q), "cell").select(
-        query_id_col, "neighbor_id", cosine("c_vec", "q_vec").alias("cos_sim")
+        query_id_col, "neighbor_id", score("c_vec", "q_vec").alias("cos_sim")
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
