@@ -2210,6 +2210,7 @@ def dsir_log_weights(
     buckets: int = 8192,
     smoothing: float = 1.0,
     salt: str = "dsir",
+    quantize: "int | None" = None,
 ) -> DataFrame:
     """DSIR importance log-weights (Xie et al., NeurIPS 2023): score
     every raw-corpus document by ``log p_target(doc) − log p_raw(doc)``
@@ -2233,6 +2234,14 @@ def dsir_log_weights(
     twice (model pass + scoring pass), exactly the published
     two-pass structure; persist the input upstream to pay the scan
     once.  Docs with no grams score 0.0 via a roster left join.
+
+    ``quantize=d`` rounds each bucket weight to ``d`` decimals and
+    sums it as a scaled integer, so the per-doc total is
+    order-independent and bit-identical across engines (the same
+    trick as ``bm25_topk``'s ``quantize`` — a double sum of ln-ratios
+    is accumulation-order-dependent, which a driver value-hash can't
+    tolerate); ``log_weight`` is then the exact integer total divided
+    once by ``10^d``.  Default ``None`` keeps full-precision doubles.
     """
     from .dedup import _word_ngrams_expr
 
@@ -2257,18 +2266,22 @@ def dsir_log_weights(
     denom_r = float(r_total) + smoothing * buckets
     # weight per RAW bucket (buckets seen only in the target are never
     # queried); <= `buckets` rows — a parameter-bounded broadcast
-    w = raw_counts.join(tgt_counts, "_b", "left").select(
-        "_b",
-        (
-            F.log((F.coalesce(F.col("_ct"), F.lit(0)) + smoothing) / denom_t)
-            - F.log((F.col("_cr") + smoothing) / denom_r)
-        ).alias("_w"),
-    )
+    w_expr = F.log(
+        (F.coalesce(F.col("_ct"), F.lit(0)) + smoothing) / denom_t
+    ) - F.log((F.col("_cr") + smoothing) / denom_r)
+    if quantize is not None:
+        # scaled-integer weight: exact, order-independent per-doc sum
+        scale = float(10**quantize)
+        w_expr = F.round(w_expr * scale).cast("bigint")
+    w = raw_counts.join(tgt_counts, "_b", "left").select("_b", w_expr.alias("_w"))
+    total = F.sum("_w")
+    if quantize is not None:
+        total = total.cast("double") / float(10**quantize)
     scored = (
         raw_b.join(F.broadcast(w), "_b")
         .groupBy("_id")
         .agg(
-            F.sum("_w").alias("log_weight"),
+            total.alias("log_weight"),
             F.count(F.lit(1)).alias("n_grams"),
         )
     )
