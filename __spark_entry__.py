@@ -177,31 +177,37 @@ def q25_except_intersect(spark, sf):
 # §2.4 aggregation
 # ---------------------------------------------------------------------------
 
-# ROUND-10: q06/q07/q08/q22 still use F.round(F.sum(double)) — convert
-# them to the sk02 exact-DECIMAL-sum pattern (engine + oracle together,
-# as done for q10/q14/q18/q31 in round 9) when they RETURN to the
-# graded window in round 10.  They sit out round 9, and the changed-
-# operator rule (changed ⇒ graded same round) forbids touching them
-# while ungraded — the exact violation the round-8 verdict flagged on
-# d08.  Their current ROUND forms are driver-green in CORRECTNESS_r08
-# and pinned by the per-run pytest oracle mirror until then.
-# Also ROUND-10, same rule: give embedding_neardup_pairs (d05),
-# lsh_topk (s02), and ivf_topk (s03) the Arrow/BLAS per-candidate
-# scoring that semantic_dedup_pairs got in round 9 — they still score
-# candidates with the interpreted aggregate(zip_with) cosine
-# expression — when those queries return to the graded window.
+# Round 10 lands the four queued DECIMAL conversions (below + q22) and
+# the d05/s02/s03 Arrow/BLAS scoring INSIDE the graded window, per the
+# changed-operator rule (changed ⇒ graded same round).  The sk02
+# pattern: 2-dp sources sum exactly in decimal(18,2) (a double sum is
+# order-dependent and ROUND(double) can flip on .005 boundaries
+# cross-engine); a 2-dp × 2-dp product is an exact 4-dp value, so the
+# per-row double product casts losslessly to decimal(18,4) on both
+# engines and the decimal sum is order-independent.
 
 def q06_groupby_agg(spark, sf):
     """A1/A4-A8: hash aggregate with the full builtin aggregate set
     (TPC-H Q1 shape; reference functions.py:306-333).  Partial (map-
-    side) aggregation + 2-phase exchange come from Catalyst."""
+    side) aggregation + 2-phase exchange come from Catalyst.  Money
+    sums run in DECIMAL (exact, order-independent — the sk02 pattern);
+    sum_qty stays double: quantities are small integers, whose double
+    sum is exact at any order."""
     li = _t(spark, sf, "lineitem")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
             (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
             F.min("l_quantity").alias("min_qty"),
             F.max("l_quantity").alias("max_qty"),
@@ -211,25 +217,35 @@ def q06_groupby_agg(spark, sf):
 
 
 def q07_groupby_expr(spark, sf):
-    """A2: GROUP BY expression (reference base_data_source.py:532-536)."""
+    """A2: GROUP BY expression (reference base_data_source.py:532-536).
+    bucket_total sums in decimal(18,2) — the sk02 exact-sum pattern."""
     o = _t(spark, sf, "orders")
     return (
         o.groupBy(F.floor(F.col("o_totalprice") / 50000).alias("price_bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("bucket_total"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("bucket_total"),
         )
     )
 
 
 def q08_implicit_agg(spark, sf):
     """A3: implicit global aggregation — no GROUP BY, all targets are
-    aggregates (reference base_data_source.py:402-415)."""
+    aggregates (reference base_data_source.py:402-415).  Money sums in
+    decimal(18,2) (sk02 pattern); avg_disc divides the exact total by
+    the count — one deterministic double division."""
     li = _t(spark, sf, "lineitem")
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
-        (F.round(F.sum("l_discount"), 2) / F.count(F.lit(1))).alias("avg_disc"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        (
+            F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_disc"),
         F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
         F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
     )
@@ -459,7 +475,18 @@ def q22_flagship_revenue(spark, sf):
         .join(c, o.o_custkey == c.c_custkey)
         .join(broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        # revenue sums the exact 4-dp per-row product in decimal(18,4)
+        # (order-independent — the sk02 pattern), so the ORDER BY over
+        # revenue is deterministic cross-engine
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
         .limit(10)
     )
@@ -501,8 +528,11 @@ def e07_interval_join(spark, sf):
 
 def e08_stream_interval_join(spark, sf):
     """The REAL stream-stream join: both sides watermarked, event-time
-    bounded condition so state expires.  Shares e07's oracle — append
-    output on finite input equals the batch join."""
+    bounded condition so state expires.
+
+    LIBRARY-ONLY since round 10: e08 graded the same rows as e07 (its
+    batch twin), slot swapped per the round-9 verdict; the equivalence
+    stays pinned by ``test_stream_interval_join_equals_batch``."""
     import uuid
 
     from dfsql_spark.streaming.events import read_events_stream, run_to_memory, stream_interval_join
@@ -1218,6 +1248,35 @@ def bench_substring_spans(spark, sf):
     return remove_shared_spans(docs, spans)
 
 
+def bench_time_rollup(spark, sf):
+    """BENCH-ONLY: 4-grain × event_type continuous-aggregate rollup
+    (library operator, round 9) — times the GROUPING SETS one-scan
+    plan; the measured claim is N grains ≈ the price of one pass
+    (one scan + one Expand + one aggregation exchange), vs N separate
+    GROUP BYs paying N scans."""
+    from dfsql_spark.operators.rollup import time_rollup
+
+    return time_rollup(
+        _t(spark, sf, "events"),
+        grains=("hour", "day", "week", "month"),
+        group_cols=("event_type",),
+    )
+
+
+def bench_event_funnel(spark, sf):
+    """BENCH-ONLY: 3-step ordered funnel with a window bound — times
+    the round-10 single-pass rewrite (one events scan, one user-keyed
+    array aggregate, one global count; the old funnel-by-join chain
+    paid O(K²) scans)."""
+    from dfsql_spark.operators.rollup import event_funnel
+
+    return event_funnel(
+        _t(spark, sf, "events"),
+        ["signup", "view", "purchase"],
+        within="30 days",
+    )
+
+
 def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Bench-only callables, OUTSIDE the driver contract: bench.py
     merges these with :func:`queries` for timing; they have no oracle
@@ -1230,6 +1289,8 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b_substring_dedup": bench_substring_spans,
         "b_crawl_frontend": bench_crawl_frontend,
         "b_dsir": bench_dsir,
+        "b_time_rollup": bench_time_rollup,
+        "b_event_funnel": bench_event_funnel,
     }
 
 
@@ -1759,8 +1820,12 @@ def e03_json_props(spark, sf):
 
 def e04_stream_windowed_counts(spark, sf):
     """The REAL Structured Streaming path: file-source readStream →
-    watermark → tumbling window → availableNow to memory sink.  Shares
-    e01's oracle — streaming output on finite input must equal batch."""
+    watermark → tumbling window → availableNow to memory sink.
+
+    LIBRARY-ONLY since round 10: e04 graded the same output batch as
+    e01 (stream == batch on finite input), so its contract slot went
+    to a round-9 curation operator; the equivalence stays pinned by
+    ``test_stream_windowed_equals_batch``."""
     import uuid
 
     from dfsql_spark.streaming.events import read_events_stream, run_to_memory, windowed_counts
@@ -1774,7 +1839,12 @@ def e04_stream_windowed_counts(spark, sf):
 def e05_stream_stateful(spark, sf):
     """Custom stateful operator (applyInPandasWithState): per-user
     running totals.  Update-mode output on finite input = final totals
-    per user → SQL-expressible oracle."""
+    per user.
+
+    LIBRARY-ONLY since round 10: e05 graded the same result as e02's
+    family (batch totals), slot swapped per the round-9 verdict; the
+    stream==batch equivalence stays pinned by
+    ``test_stateful_running_totals_equal_batch_agg``."""
     import uuid
 
     from dfsql_spark.streaming.events import (
@@ -2046,6 +2116,95 @@ def t23_char_entropy(spark, sf):
     return char_entropy(docs)
 
 
+def t24_gopher_filters(spark, sf):
+    """Gopher document-quality rule set (operators/text.py:1978; Rae
+    et al. 2021 Table A1) — promoted from library-only to the contract
+    in round 10 (the round-9 verdict's slot swap).  Graded projection
+    is integer/boolean only (doc_id, word count, stopword hits, the
+    combined keep decision) — ``keep_doc`` folds every float signal
+    through its threshold, so the whole rule chain is value-graded
+    without hashing raw float quotients.  min_stopword_hits=1 because
+    the synthetic corpus's vocabulary carries only 'the' from the
+    8-word stop set — at 1 the corpus exercises BOTH outcomes.
+    Zero-shuffle codegen map (plan-pinned by
+    ``test_gopher_filters_is_zero_shuffle_python_free``)."""
+    from dfsql_spark.operators.text import gopher_filters
+
+    docs = _t(spark, sf, "documents")
+    return gopher_filters(docs, min_stopword_hits=1).select(
+        "doc_id", "n_words", "stopword_hits", "keep_doc"
+    )
+
+
+def t25_dsir_weights(spark, sf):
+    """DSIR importance log-weights (operators/text.py:2204; Xie et al.
+    NeurIPS 2023) — promoted from library-only to the contract in
+    round 10.  Target = every 7th document (the in-corpus slice
+    pattern bench_dsir uses); quantize=6 makes every per-doc weight an
+    exact scaled-integer sum (order-independent, hash-safe — the bm25
+    trick), divided once at the end.  Scale shape: bucket models are
+    ≤ ``buckets`` rows, weight table broadcasts (bounded-side
+    allowlisted), one per-doc sum; grams come from the shared Arrow
+    word-n-gram UDF (same as d07/d15, Python-allowlisted)."""
+    from dfsql_spark.operators.text import dsir_log_weights
+
+    docs = _t(spark, sf, "documents")
+    target = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    return dsir_log_weights(docs, target, buckets=4096, quantize=6)
+
+
+def w01_url_dedup(spark, sf):
+    """Crawl URL dedup (operators/web.py:132) — promoted from
+    library-only to the contract in round 10.  The documents table has
+    no URL column, so each doc gets a deterministic messy URL (four
+    spelling variants per page id: WWW + default port + tracking
+    params + trailing slash / clean https / userinfo + :80 + fragment
+    / scheme-less + trailing slash); variants 0-1 and 2-3 of each page
+    canonicalize together, so the operator must collapse exactly 2:1
+    with min-id survivors.  The oracle constructs the KNOWN canonical
+    forms directly and aggregates — the rule-by-rule canonicalization
+    parity vs DuckDB is separately pinned on 400 messy URLs by
+    ``test_canonicalize_url_matches_duckdb_mirror``.  Shuffle ships
+    only (canonical_url, id) — the zero-content first stage of a
+    curation pipeline."""
+    from dfsql_spark.operators.web import url_dedup
+
+    docs = _t(spark, sf, "documents")
+    gid = F.floor(F.col("doc_id") / 4).cast("bigint")
+    host = F.concat(F.lit("site"), (gid % 25).cast("string"))
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("https://WWW."), host, F.lit(".EXAMPLE.com:443/page/"),
+                gid.cast("string"), F.lit("/?utm_source=feed&b=2&a=1"),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("https://"), host, F.lit(".example.com/page/"),
+                gid.cast("string"), F.lit("?a=1&b=2"),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("HTTP://user:pw@"), host, F.lit(".Example.COM:80/item/"),
+                gid.cast("string"), F.lit("#x"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("www."), host, F.lit(".example.com/item/"),
+                gid.cast("string"), F.lit("/"),
+            )
+        )
+    )
+    return url_dedup(docs.withColumn("url", url))
+
+
 def x05_quality_checks(spark, sf):
     """Declarative data-quality suite (operators/checks.py:104): six
     deequ-style checks over lineitem compiled into ONE groupless
@@ -2175,57 +2334,79 @@ def entry(spark: SparkSession) -> DataFrame:
 # is value-identical by construction (empty tokens cannot match a
 # stopword list), the per-run pytest mirror re-proves identity at
 # sf0.01 every run, and t03 takes its driver grade in round 10.
+# INVARIANT (amended round 10, the t03 lesson): "changed ⇒ graded same
+# round" covers ORACLE-side edits too, not just engine code — an
+# oracle is half of the comparison and editing it silently re-defines
+# what "green" meant.  Enforced mechanically since round 10 by
+# tests/test_entry_oracle.py::test_sitting_out_oracles_are_frozen,
+# which pins every sitting-out entry's oracle text to a checked-in
+# hash (tests/oracle_hashes.json); regenerating a hash is only
+# legitimate in the same change that moves the entry into the graded
+# window.
+# Round 10 honors the alternation: the round-9 graded block (exactly
+# the 50 green rows of CORRECTNESS_r09.json) sits out below, and the
+# round-9 sit-outs return to the graded window — including all seven
+# queued changed operators (q06/q07/q08/q22 exact-DECIMAL sums,
+# d05/s02/s03 Arrow per-candidate cosine, t03's round-9 oracle edit),
+# so the changed-⇒-graded rule holds with no exceptions this round.
+# Contract slots (round-9 verdict ask #4): the batch/stream
+# result-twins e04/e05/e08 left the contract (each graded the same
+# output rows as e01/e02/e07; implementations stay, equivalences stay
+# pytest-pinned in test_streaming.py) and three round-9 curation
+# operators took the slots — t24_gopher_filters, t25_dsir_weights,
+# w01_url_dedup — graded in their FIRST round, as new entries must
+# be.  Total stays at 100 (50 graded + 50 sitting out).
 _SIT_OUT_THIS_ROUND = (
-    "a01_asof_join",
-    "a02_range_join",
-    "d01_dedup_exact",
-    "d02_dedup_ngram_jaccard",
-    "d04_dedup_simhash",
-    "d05_embedding_neardup",
-    "d06_dedup_connected",
-    "d12_incremental_dedup",
-    "d13_semantic_decontaminate",
-    "d14_dedup_keep_best",
-    "d15_ngram_overlap",
-    "e01_windowed_counts",
-    "e02_sessionize",
-    "e04_stream_windowed_counts",
-    "e05_stream_stateful",
-    "e06_stream_dedupe",
-    "e07_interval_join",
-    "e08_stream_interval_join",
-    "e09_stream_upsert_sink",
-    "m01_media_stats",
-    "q01_projection",
-    "q02_filter",
-    "q03_cast",
-    "q04_distinct",
-    "q05_orderby_limit_offset",
-    "q06_groupby_agg",
-    "q07_groupby_expr",
-    "q08_implicit_agg",
-    "q22_flagship_revenue",
-    "q27_window_topk",
-    "s01_sim_topk",
-    "s02_sim_topk_lsh",
-    "s03_sim_ivf",
-    "s06_mmr_rerank",
-    "sk01_salted_agg",
-    "sk02_salted_join",
-    "t01_text_stats",
-    "t02_quality_score",
-    "t03_lang_id",
-    "t04_fingerprint",
-    "t05_token_count",
-    "t17_hashed_embeddings",
-    "t19_lm_score",
-    "t20_epoch_shuffle",
-    "t21_curriculum_order",
-    "t22_bpe_pair_counts",
-    "t23_char_entropy",
-    "x01_approx_distinct_pruned",
-    "x02_approx_quantiles",
-    "x05_quality_checks",
+    "d03_dedup_minhash_lsh",
+    "d07_decontaminate",
+    "d08_semantic_dedup",
+    "d09_dedup_survivors",
+    "d10_winnow_overlap",
+    "d11_line_dedup",
+    "e03_json_props",
+    "f01_custom_agg_sql",
+    "f02_custom_scalar_sql",
+    "m02_media_decode",
+    "m03_media_dedup",
+    "m04_media_sim",
+    "p01_curation_pipeline",
+    "q09_count_distinct",
+    "q10_having_alias",
+    "q11_join_inner",
+    "q12_join_left",
+    "q13_join_right",
+    "q14_join_full",
+    "q15_self_join",
+    "q16_in_subquery",
+    "q17_scalar_subquery",
+    "q18_from_subquery",
+    "q19_like_regex",
+    "q20_string_funcs",
+    "q21_power",
+    "q23_case_when",
+    "q24_union",
+    "q25_except_intersect",
+    "q26_anti_join",
+    "q28_rollup",
+    "q29_exists_correlated",
+    "q30_grouping_sets",
+    "q31_pivot",
+    "s04_sim_pq",
+    "s05_bm25",
+    "t06_deterministic_split",
+    "t07_vocab_topk",
+    "t08_pii_scrub",
+    "t09_pack_sequences",
+    "t10_stratified_sample",
+    "t11_repetition",
+    "t12_c4_filters",
+    "t13_mix_rebalance",
+    "t14_winnow_fingerprints",
+    "t15_unigram_familiarity",
+    "t16_chunk_documents",
+    "t18_weighted_sample",
+    "x03_hll_sketch_rollup",
+    "x04_snapshot_diff",
 )
 
 # rows-only sketch queries (``no_oracle``); always last.  Empty since
@@ -2256,11 +2437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e01_windowed_counts": e01_windowed_counts,
         "e02_sessionize": e02_sessionize,
         "e03_json_props": e03_json_props,
-        "e04_stream_windowed_counts": e04_stream_windowed_counts,
-        "e05_stream_stateful": e05_stream_stateful,
         "e06_stream_dedupe": e06_stream_dedupe,
         "e07_interval_join": e07_interval_join,
-        "e08_stream_interval_join": e08_stream_interval_join,
         "e09_stream_upsert_sink": e09_stream_upsert_sink,
         "f01_custom_agg_sql": f01_custom_agg_sql,
         "f02_custom_scalar_sql": f02_custom_scalar_sql,
@@ -2319,6 +2497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t14_winnow_fingerprints": t14_winnow_fingerprints,
         "t15_unigram_familiarity": t15_unigram_familiarity,
         "t16_chunk_documents": t16_chunk_documents,
+        "t24_gopher_filters": t24_gopher_filters,
+        "t25_dsir_weights": t25_dsir_weights,
+        "w01_url_dedup": w01_url_dedup,
         "x01_approx_distinct_pruned": x01_approx_distinct_pruned,
         "x02_approx_quantiles": x02_approx_quantiles,
         "x03_hll_sketch_rollup": x03_hll_sketch_rollup,
@@ -2382,8 +2563,11 @@ def oracle_sql() -> dict[str, str]:
         "q06_groupby_agg": """
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4)))
+                        AS DOUBLE) AS sum_disc_price,
                    SUM(l_quantity) / COUNT(*) AS avg_qty,
                    MIN(l_quantity) AS min_qty,
                    MAX(l_quantity) AS max_qty,
@@ -2394,14 +2578,17 @@ def oracle_sql() -> dict[str, str]:
         "q07_groupby_expr": """
             SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS price_bucket,
                    CAST(COUNT(*) AS BIGINT) AS n_orders,
-                   ROUND(SUM(o_totalprice), 2) AS bucket_total
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS bucket_total
             FROM orders
             GROUP BY 1
         """,
         "q08_implicit_agg": """
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-                   ROUND(SUM(l_extendedprice), 2) AS total_price,
-                   ROUND(SUM(l_discount), 2) / COUNT(*) AS avg_disc,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS total_price,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(*) AS avg_disc,
                    strftime(MIN(l_shipdate), '%Y-%m-%d') AS first_ship,
                    strftime(MAX(l_shipdate), '%Y-%m-%d') AS last_ship
             FROM lineitem
@@ -2491,7 +2678,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q22_flagship_revenue": """
             SELECT n_name,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -2557,17 +2745,6 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "e07_interval_join": """
-            SELECT c.event_id AS click_id, c.user_id,
-                   v.event_id AS view_id,
-                   epoch_us(c.ts) AS click_us, epoch_us(v.ts) AS view_us,
-                   v.value AS view_value
-            FROM (SELECT * FROM events WHERE event_type = 'click') c
-            JOIN (SELECT * FROM events WHERE event_type = 'view') v
-              ON c.user_id = v.user_id
-             AND v.ts >= c.ts - INTERVAL 10 MINUTE
-             AND v.ts <= c.ts
-        """,
-        "e08_stream_interval_join": """
             SELECT c.event_id AS click_id, c.user_id,
                    v.event_id AS view_id,
                    epoch_us(c.ts) AS click_us, epoch_us(v.ts) AS view_us,
@@ -3163,17 +3340,6 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             ) t
             WHERE k > 50 GROUP BY event_type
-        """,
-        "e04_stream_windowed_counts": """
-            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-                   event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
-                   ROUND(SUM(value), 2) AS total_value
-            FROM events GROUP BY 1, 2
-        """,
-        "e05_stream_stateful": """
-            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-                   ROUND(SUM(value), 2) AS total_value
-            FROM events GROUP BY user_id
         """,
         "e09_stream_upsert_sink": """
             SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -4006,5 +4172,120 @@ def oracle_sql() -> dict[str, str]:
                    (bad_rf / cnt) = 0.0, bad_rf / cnt FROM s
             UNION ALL SELECT 'matches_regex(l_returnflag)',
                    (rx_ok / cnt) >= 1.0, rx_ok / cnt FROM s
+        """,
+        # independent DuckDB spelling of the full Gopher rule chain
+        # (same one the pytest mirror proved on a 300-doc adversarial
+        # corpus); graded columns are int/bool only — every float
+        # signal folds through its threshold into keep_doc
+        "t24_gopher_filters": """
+            WITH base AS (
+                SELECT doc_id,
+                       coalesce(text, '') AS t,
+                       list_filter(regexp_split_to_array(coalesce(text, ''),
+                                   '\\s+'), x -> x <> '') AS toks,
+                       str_split(coalesce(text, ''), chr(10)) AS lines
+                FROM documents
+            ), sig AS (
+                SELECT doc_id,
+                       len(toks) AS n_words,
+                       length(regexp_replace(t, '\\s+', '', 'g'))
+                           / len(toks) AS mwl,
+                       (length(t) - length(regexp_replace(t, '#', '', 'g'))
+                        + (length(t) - length(regexp_replace(t, '\\.\\.\\.',
+                                                             '', 'g'))) / 3.0)
+                           / len(toks) AS sym,
+                       len(list_filter(lines, l ->
+                           regexp_matches(ltrim(l), '^([*•‣▪-]\\s)')))
+                           / len(lines) AS bullet,
+                       len(list_filter(lines, l ->
+                           regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+                           / len(lines) AS ell,
+                       len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                           / len(toks) AS alpha,
+                       len(list_filter(['the','be','to','of','and','that',
+                                        'have','with'],
+                           w -> list_contains(list_transform(toks,
+                                x -> lower(x)), w))) AS stops
+                FROM base
+            )
+            SELECT doc_id,
+                   CAST(n_words AS INT) AS n_words,
+                   CAST(stops AS INT) AS stopword_hits,
+                   coalesce(n_words >= 50 AND n_words <= 100000
+                       AND mwl >= 3.0 AND mwl <= 10.0 AND sym <= 0.1
+                       AND bullet <= 0.9 AND ell <= 0.3
+                       AND alpha >= 0.8 AND stops >= 1, false) AS keep_doc
+            FROM sig
+        """,
+        # full DSIR construction (grams -> md5 buckets -> smoothed LLR
+        # -> quantized per-doc integer sum), target = doc_id % 7 = 0,
+        # buckets=4096, smoothing=1.0, quantize=6 — the same spelling
+        # the pytest mirror proved, plus the scaled-integer sum
+        "t25_dsir_weights": """
+            WITH rt AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(coalesce(text, ''),
+                                   '\\s+'), x -> x <> '') AS t
+                FROM documents
+            ), rg AS (
+                SELECT doc_id,
+                       CAST(CAST('0x' || substr(md5('dsir:' ||
+                           array_to_string(t[u.i : u.i + 1], ' ')), 1, 8)
+                           AS BIGINT) % 4096 AS INT) AS b
+                FROM rt, unnest(range(1, len(t))) u(i) WHERE len(t) >= 2
+            ), tg AS (
+                SELECT CAST(CAST('0x' || substr(md5('dsir:' ||
+                           array_to_string(t[u.i : u.i + 1], ' ')), 1, 8)
+                           AS BIGINT) % 4096 AS INT) AS b
+                FROM rt, unnest(range(1, len(t))) u(i)
+                WHERE len(t) >= 2 AND doc_id % 7 = 0
+            ), tc AS (SELECT b, count(*) AS ct FROM tg GROUP BY b),
+               rc AS (SELECT b, count(*) AS cr FROM rg GROUP BY b),
+               tot AS (SELECT (SELECT count(*) FROM tg) AS tt_n,
+                              (SELECT count(*) FROM rg) AS tr_n),
+               w AS (
+                SELECT rc.b,
+                       CAST(ROUND((ln((coalesce(ct, 0) + 1.0)
+                                       / (tt_n + 1.0 * 4096))
+                                   - ln((cr + 1.0) / (tr_n + 1.0 * 4096)))
+                                  * 1000000.0) AS BIGINT) AS w
+                FROM rc LEFT JOIN tc USING (b), tot
+            ), s AS (
+                SELECT doc_id,
+                       CAST(SUM(w) AS DOUBLE) / 1000000.0 AS lw,
+                       CAST(count(*) AS BIGINT) AS ng
+                FROM rg JOIN w USING (b) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(lw, 0.0) AS log_weight,
+                   coalesce(ng, 0) AS n_grams
+            FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        # the oracle constructs the KNOWN canonical form of each
+        # variant directly (variants 0-1 -> the https page URL,
+        # 2-3 -> the http item URL) and aggregates; rule-by-rule
+        # canonicalization parity vs DuckDB is pinned separately on
+        # 400 messy URLs (test_canonicalize_url_matches_duckdb_mirror)
+        "w01_url_dedup": """
+            WITH u AS (
+                SELECT doc_id,
+                       doc_id // 4 AS gid,
+                       'site' || CAST((doc_id // 4) % 25 AS VARCHAR)
+                           || '.example.com' AS host
+                FROM documents
+            ), c AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 IN (0, 1)
+                            THEN 'https://' || host || '/page/'
+                                 || CAST(gid AS VARCHAR) || '?a=1&b=2'
+                            ELSE 'http://' || host || '/item/'
+                                 || CAST(gid AS VARCHAR)
+                       END AS canonical_url
+                FROM u
+            )
+            SELECT canonical_url,
+                   MIN(doc_id) AS survivor_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM c GROUP BY canonical_url
         """,
     }

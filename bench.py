@@ -87,6 +87,11 @@ HEADLINE = [
     "b_substring_dedup",
     "b_crawl_frontend",
     "b_dsir",
+    # round-10: the rollup family gets a trend (verdict r9 ask #8) —
+    # the GROUPING-SETS one-scan rollup and the rewritten single-pass
+    # funnel (the old O(K²) join chain was the round-9 `weak`)
+    "b_time_rollup",
+    "b_event_funnel",
 ]
 
 

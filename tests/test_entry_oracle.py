@@ -43,6 +43,39 @@ def test_bench_extras_stay_out_of_the_contract(spark):
         assert fn(spark, SF_DIR).count() >= 0, name
 
 
+def test_sitting_out_oracles_are_frozen():
+    """Grade-window hygiene (round-10 codification of the t03 lesson):
+    the rotation invariant — "changed ⇒ graded same round" — covers
+    ORACLE-side edits, not just engine code.  Every contract entry's
+    oracle text is hashed into tests/oracle_hashes.json; an edit to a
+    SITTING-OUT entry's oracle fails here until the entry moves into
+    the graded window (regenerate via scripts/regen_oracle_hashes.py
+    ONLY in the same change that grades the edited entry)."""
+    import hashlib
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "oracle_hashes.json")
+    with open(path) as f:
+        pinned = json.load(f)
+    # completeness: every contract entry is pinned, no stale pins
+    assert set(pinned) == set(ORACLES), (
+        "oracle_hashes.json out of sync with oracle_sql() — regenerate "
+        "via scripts/regen_oracle_hashes.py (contract add/remove only)"
+    )
+    changed = [
+        name
+        for name in entry_mod._SIT_OUT_THIS_ROUND
+        if name in ORACLES
+        and hashlib.sha256(ORACLES[name].encode("utf-8")).hexdigest()[:16]
+        != pinned[name]
+    ]
+    assert not changed, (
+        f"oracle text changed for SITTING-OUT entries {changed}: move "
+        "them into the graded window (changed ⇒ graded same round)"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, duck, name):
     spark_df = QUERIES[name](spark, SF_DIR)

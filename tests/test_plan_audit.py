@@ -397,6 +397,7 @@ _ALLOWED_BROADCAST_HINTS = {
     "t13_mix_rebalance": (2, "per-stratum targets/rates: <= #strata rows"),
     "t15_unigram_familiarity": (1, "top-V vocab: bounded by vocab_size"),
     "t19_lm_score": (1, "bigram LM table: bounded by model vocab"),
+    "t25_dsir_weights": (1, "bucket weight table: <= `buckets` rows by construction"),
 }
 
 # Streaming executors run availableNow-to-memory on invocation and
@@ -422,6 +423,7 @@ _ALLOWED_PYTHON = {
     "d02_dedup_ngram_jaccard": "Arrow shingling UDF",
     "d03_dedup_minhash_lsh": "Arrow shingling + signature UDFs",
     "d04_dedup_simhash": "Arrow shingling/simhash UDF",
+    "d05_embedding_neardup": "Arrow per-candidate-pair cosine (einsum)",
     "d07_decontaminate": "Arrow word-n-gram UDF",
     "d08_semantic_dedup": "multi-probe assign + BLAS in-cell compare",
     "d10_winnow_overlap": "Arrow winnowing fingerprint UDF",
@@ -439,6 +441,7 @@ _ALLOWED_PYTHON = {
     "s06_mmr_rerank": "per-query MMR selection (tiny groups)",
     "t04_fingerprint": "Arrow rolling-hash UDF (order-sensitive)",
     "t09_pack_sequences": "greedy packing via applyInPandas",
+    "t25_dsir_weights": "Arrow word-n-gram UDF (shared with d07/d15)",
     "t14_winnow_fingerprints": "Arrow winnowing fingerprint UDF",
     "t23_char_entropy": "Arrow codepoint-entropy UDF",
 }
