@@ -134,6 +134,14 @@ class Configuration(metaclass=_ConfigMeta):
     SHUFFLE_PARTITIONS = IntConfig("SPARK_GRAFT_SHUFFLE_PARTITIONS", default=32)
     #: driver heap for single-JVM local mode
     DRIVER_MEMORY = StringConfig("SPARK_GRAFT_DRIVER_MEM", default="48g")
+    #: scratch dir for shuffle/spill files in LOCAL mode only.  Unset
+    #: → tmpfs (/dev/shm) when present: local-mode shuffle writes many
+    #: small block files, and on virtualized disks their per-file
+    #: syscall cost dominates small-SF shuffles (measured 15× slower
+    #: than tmpfs on the round-10 test box).  The cluster analogue is
+    #: pointing spark.local.dir at executor-local NVMe — spark-submit
+    #: owns that; this field never applies to a non-local master.
+    LOCAL_DIR = StringConfig("SPARK_GRAFT_LOCAL_DIR", default=None)
     #: default DataSource name-resolution mode (reference default: True)
     CASE_SENSITIVE = BooleanConfig("DFSQL_CASE_SENSITIVE", default=True)
     #: adaptive query execution (runtime re-planning; the scale posture)
