@@ -185,6 +185,14 @@ def q25_except_intersect(spark, sf):
 # cross-engine); a 2-dp × 2-dp product is an exact 4-dp value, so the
 # per-row double product casts losslessly to decimal(18,4) on both
 # engines and the decimal sum is order-independent.
+# Measured cost of exactness (sf0.1, 3 reps): the decimal aggregate
+# runs ~2× the double+ROUND form (0.9-1.0 s vs 0.4-0.55 s on the q06
+# shape).  A scaled-BIGINT sum (ROUND(x*100) cast bigint, sum, divide
+# once) measured at double speed and value-identical at test sf, but
+# was REJECTED: its ceiling is 9.2e18 scaled units — a 100 TB global
+# money sum overflows it, silently in non-ANSI mode — while Spark
+# widens decimal(18,2) sums to decimal(28,2) (overflow at 1e26).
+# Exact and overflow-safe beats fast-but-truncating on money columns.
 
 def q06_groupby_agg(spark, sf):
     """A1/A4-A8: hash aggregate with the full builtin aggregate set
