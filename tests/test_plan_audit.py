@@ -193,6 +193,52 @@ def test_minhash_band_join_never_broadcasts(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
 
 
+def test_lsh_and_ivf_topk_never_shuffle_embeddings(spark):
+    """The round-10 Arrow scoring must keep the documented shuffle
+    contract: cosine is computed right after the (broadcast) candidate
+    join, so every Exchange in the plan ships only thin (query,
+    neighbor, score) rows — the embedding payload never crosses the
+    network.  Pinned by walking each Exchange's formatted-plan detail
+    block and asserting no vector column appears in it."""
+    import re
+
+    from dfsql_spark.operators.similarity import ivf_topk, lsh_topk
+    from dfsql_spark.plans.audit import plan_summary
+
+    def exchange_blocks(text):
+        lines = text.splitlines()
+        out = []
+        for i, ln in enumerate(lines):
+            if re.match(r"\(\d+\) Exchange", ln.strip()):
+                j = i
+                blk = []
+                while j < len(lines) and lines[j].strip():
+                    blk.append(lines[j])
+                    j += 1
+                out.append("\n".join(blk))
+        return out
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.limit(3).selectExpr("vec_id AS query_id", "embedding")
+    for df in (
+        lsh_topk(emb, qs, k=3, num_tables=4),
+        ivf_topk(emb, qs, k=3, n_cells=8, n_probe=2),
+    ):
+        s = plan_summary(df)
+        blocks = exchange_blocks(s.text)
+        assert blocks, "expected at least one Exchange (dedup/window merge)"
+        for blk in blocks:
+            # corpus vectors (c_vec) may never cross a shuffle, and no
+            # DATA shuffle (hashpartitioning) may carry any vector;
+            # the one sanctioned vector exchange is the query side's
+            # SinglePartition gather — |queries| rows by contract.
+            assert "c_vec" not in blk, f"corpus vectors shuffle:\n{blk}"
+            if "hashpartitioning" in blk:
+                assert "vec" not in blk, (
+                    f"vector column in a data shuffle:\n{blk}"
+                )
+
+
 def test_ngram_prefix_join_never_broadcasts(spark):
     """Same property for the AllPairs prefix self-join: the prefix
     index scales with the corpus, so the candidate join must shuffle
