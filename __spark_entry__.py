@@ -1285,6 +1285,17 @@ def bench_event_funnel(spark, sf):
     )
 
 
+def bench_cluster_sample(spark, sf):
+    """BENCH-ONLY: topic-balanced sampling (round-10 library operator)
+    — times KMeans fit + assignment map + the n_clusters-row rate
+    derivation + broadcast-join keep filter."""
+    from dfsql_spark.operators.similarity import cluster_balanced_sample
+
+    return cluster_balanced_sample(
+        _t(spark, sf, "embeddings"), alpha=0.3, n_clusters=32
+    )
+
+
 def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Bench-only callables, OUTSIDE the driver contract: bench.py
     merges these with :func:`queries` for timing; they have no oracle
@@ -1299,6 +1310,7 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b_dsir": bench_dsir,
         "b_time_rollup": bench_time_rollup,
         "b_event_funnel": bench_event_funnel,
+        "b_cluster_sample": bench_cluster_sample,
     }
 
 

@@ -92,6 +92,7 @@ HEADLINE = [
     # funnel (the old O(K²) join chain was the round-9 `weak`)
     "b_time_rollup",
     "b_event_funnel",
+    "b_cluster_sample",
 ]
 
 

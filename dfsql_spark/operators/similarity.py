@@ -943,6 +943,88 @@ def mmr_rerank(
 
 
 # ---------------------------------------------------------------------------
+# topic-balanced sampling
+# ---------------------------------------------------------------------------
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    alpha: float = 0.3,
+    n_clusters: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_fraction: float | None = None,
+    max_iter: int = 10,
+    buckets: int = 10_000,
+    salt: str = "cbal",
+    keep_all: bool = False,
+) -> DataFrame:
+    """Topic-balanced corpus sampling: cluster embeddings with a
+    seeded KMeans coarse quantizer and temperature-rebalance the
+    CLUSTERS toward target shares ``p_c ∝ n_c^alpha`` — the embedding-
+    space analogue of ``text.temperature_rebalance`` (whose strata are
+    a metadata column): web corpora are topically lopsided in ways no
+    metadata column records, and flattening cluster mass is the
+    standard recipe for topic diversity in a pretraining mix.
+
+    Rates use the same closed form as ``temperature_rebalance``
+    (``rate_c = (min_t n_t / n_c)^(1-alpha)``: ``alpha=1`` keeps
+    everything, ``alpha=0`` targets uniform cluster mass, no cluster
+    is ever up-sampled and the smallest is kept fully); the keep
+    decision is content-addressed on ``md5(salt:id) % buckets`` so the
+    sample is stable across runs, partitionings, and engines.
+
+    Scale shape: KMeans trains on a bounded sample
+    (``train_fraction`` — ~10^6 vectors at 100 TB, never the corpus);
+    assignment is one distributed ``model.transform`` map; the
+    per-cell count aggregate outputs ``n_clusters`` rows whose derived
+    rate table broadcasts back; the keep filter pipelines into the
+    one full-width scan.  No corpus-sized shuffle anywhere.
+
+    Returns the kept rows as ``(id, cell, keep_rate)`` — or every row
+    plus a ``kept`` boolean when ``keep_all=True`` (audit form).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    feat = array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    c = df.select(F.col(id_col).alias("_id"), feat.alias("features"))
+    train = c.sample(train_fraction, seed=seed) if train_fraction else c
+    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(
+        train.select("features")
+    )
+    cells = model.transform(c).select("_id", F.col("prediction").alias("cell"))
+
+    counts = cells.groupBy("cell").agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    # min over the n_clusters-row relation — tiny by construction,
+    # same documented pattern as temperature_rebalance/mix_rebalance
+    everything = Window.partitionBy()
+    rates = counts.select(
+        "cell",
+        F.pow(F.min("_n").over(everything) / F.col("_n"), F.lit(1.0 - alpha))
+        .alias("keep_rate"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col("_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % buckets
+    )
+    out = (
+        cells.join(broadcast(rates), "cell")
+        .withColumn("kept", bucket < (F.col("keep_rate") * buckets))
+        .select(F.col("_id").alias(id_col), "cell", "keep_rate", "kept")
+    )
+    if keep_all:
+        return out
+    return out.filter(F.col("kept")).select(id_col, "cell", "keep_rate")
+
+
+# ---------------------------------------------------------------------------
 # semantic decontamination
 # ---------------------------------------------------------------------------
 

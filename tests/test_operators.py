@@ -4259,6 +4259,80 @@ def test_event_funnel_hand_pinned_and_mirror(spark, duck):
     assert got2["signup"] >= got2["view"] >= got2["purchase"] > 0
 
 
+def test_cluster_balanced_sample_rates_keeps_and_mirror(emb, duck):
+    """Topic-balanced sampling over KMeans cells: the closed-form rate
+    ``(min_n/n)^(1-alpha)`` is recomputed by hand from the audit
+    output, the md5 keep decision is recomputed by DuckDB (the same
+    content-addressed bucket spelling as deterministic_split), alpha=1
+    keeps everything, the smallest cell is kept fully, and two runs
+    are identical."""
+    import math
+
+    from dfsql_spark.operators.similarity import cluster_balanced_sample
+
+    alpha = 0.3
+    audit = cluster_balanced_sample(
+        emb, alpha=alpha, n_clusters=8, keep_all=True
+    ).toPandas()
+    assert len(audit) == emb.count()
+
+    # rate formula by hand from the observed cell sizes
+    sizes = audit.groupby("cell").size().to_dict()
+    min_n = min(sizes.values())
+    for cell, n in sizes.items():
+        want = (min_n / n) ** (1.0 - alpha)
+        got = audit.loc[audit.cell == cell, "keep_rate"].iloc[0]
+        assert math.isclose(got, want, rel_tol=1e-12), (cell, got, want)
+
+    # smallest cell kept fully; nothing up-sampled; kept ratio sane
+    smallest = min(sizes, key=lambda c: sizes[c])
+    sm = audit[audit.cell == smallest]
+    assert sm.kept.all()
+
+    # DuckDB recomputes every keep decision from (id, keep_rate)
+    duck.register("cbal_pd", audit[["vec_id", "keep_rate", "kept"]])
+    bad = duck.sql(
+        """
+        SELECT count(*) FROM cbal_pd
+        WHERE kept <> (
+            CAST('0x' || substr(md5('cbal:' || CAST(vec_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 10000 < keep_rate * 10000
+        )
+        """
+    ).fetchone()[0]
+    duck.unregister("cbal_pd")
+    assert bad == 0
+
+    # alpha=1 -> natural proportions, keep everything
+    all_kept = cluster_balanced_sample(emb, alpha=1.0, n_clusters=8)
+    assert all_kept.count() == len(audit)
+
+    # determinism across runs
+    a = sorted(r.vec_id for r in cluster_balanced_sample(emb, alpha=alpha, n_clusters=8).collect())
+    b = sorted(r.vec_id for r in cluster_balanced_sample(emb, alpha=alpha, n_clusters=8).collect())
+    assert a == b and 0 < len(a) <= len(audit)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        cluster_balanced_sample(emb, alpha=1.5)
+
+
+def test_cluster_balanced_sample_plan_shape(emb):
+    """Scale pin: assignment is a map, the rate table derives from an
+    n_clusters-row aggregate and BROADCASTS back — the embedding
+    payload never crosses a data shuffle."""
+    from dfsql_spark.operators.similarity import cluster_balanced_sample
+    from dfsql_spark.plans.audit import plan_summary
+
+    s = plan_summary(cluster_balanced_sample(emb, alpha=0.3, n_clusters=8))
+    assert s.n_broadcast_joins >= 1, s.text
+    assert s.n_sortmerge_joins == 0, s.text
+    for line in s.text.splitlines():
+        if "hashpartitioning" in line:
+            assert "embedding" not in line and "features" not in line, line
+
+
 def test_event_funnel_is_single_scan_single_job(spark):
     """Round-10 rewrite pin (companion to the cap_per_key plan test):
     a K-step funnel must read the events table ONCE — the old
