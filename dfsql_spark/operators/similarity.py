@@ -54,8 +54,12 @@ def cosine_arrow(a_col: str, b_col: str) -> Column:
     expression (Spark evaluates higher-order array lambdas interpreted
     — the trap :func:`cosine_topk` documents; this is the same BLAS
     replacement :func:`semantic_dedup_pairs` made in round 9, applied
-    to candidate-pair scoring).  NaN on zero vectors, exactly like the
-    expression form (0/0), so downstream threshold filters agree."""
+    to candidate-pair scoring).  Degenerate scores (zero vectors →
+    IEEE 0/0) come back as NULL, matching the expression form's
+    non-ANSI x/0 → NULL: Spark orders NaN ABOVE every number, so a
+    raw NaN would wrongly PASS ``>= threshold`` filters — returning
+    NULL keeps both physical paths dropping degenerate pairs
+    identically (pinned in tests)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -70,7 +74,8 @@ def cosine_arrow(a_col: str, b_col: str) -> Column:
         )
         with np.errstate(divide="ignore", invalid="ignore"):
             out = num / den
-        return pd.Series(out)
+        # Float64 (masked) turns NaN into NULL at the Arrow boundary
+        return pd.Series(pd.array(out, dtype="Float64"))
 
     return _cos(F.col(a_col), F.col(b_col))
 

@@ -4259,6 +4259,47 @@ def test_event_funnel_hand_pinned_and_mirror(spark, duck):
     assert got2["signup"] >= got2["view"] >= got2["purchase"] > 0
 
 
+def test_cosine_arrow_matches_expression_cosine(emb):
+    """The round-10 Arrow scoring path must agree with the pure-JVM
+    expression cosine to accumulation-order ulp on every candidate
+    pair — the guarantee that use_arrow only changes the physical
+    plan, never the semantics (zero-vector NaN behavior included)."""
+    from pyspark.sql import functions as F
+
+    from dfsql_spark.operators.similarity import cosine, cosine_arrow
+
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, (F.col("id_a") % 7 == 0) & (F.col("id_b") == F.col("id_a") + 1))
+    both = pairs.select(
+        "id_a",
+        cosine("va", "vb").alias("c_expr"),
+        cosine_arrow("va", "vb").alias("c_arrow"),
+    ).collect()
+    assert both
+    for r in both:
+        assert abs(r.c_expr - r.c_arrow) < 1e-12, (r.id_a, r.c_expr, r.c_arrow)
+
+    # zero vectors: BOTH paths yield NULL (expression: Spark non-ANSI
+    # x/0; Arrow: NaN masked to NULL at the boundary — a raw NaN
+    # would wrongly PASS >= filters, since Spark orders NaN above
+    # every number), so every downstream threshold drops the pair
+    # identically on either path
+    spark = emb.sparkSession
+    z = spark.createDataFrame(
+        [(1, [0.0, 0.0], [1.0, 2.0])], "i long, va array<double>, vb array<double>"
+    )
+    rz = z.select(
+        cosine("va", "vb").alias("c_expr"), cosine_arrow("va", "vb").alias("c_arrow")
+    ).collect()[0]
+    assert rz.c_expr is None and rz.c_arrow is None
+    kept = z.select(
+        (cosine("va", "vb") >= F.lit(-2.0)).alias("ke"),
+        (cosine_arrow("va", "vb") >= F.lit(-2.0)).alias("ka"),
+    ).collect()[0]
+    assert not kept.ke and not kept.ka  # both fail ANY threshold
+
+
 def test_cluster_balanced_sample_rates_keeps_and_mirror(emb, duck):
     """Topic-balanced sampling over KMeans cells: the closed-form rate
     ``(min_n/n)^(1-alpha)`` is recomputed by hand from the audit
