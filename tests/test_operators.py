@@ -4374,6 +4374,80 @@ def test_cluster_balanced_sample_plan_shape(emb):
             assert "embedding" not in line and "features" not in line, line
 
 
+def test_event_funnel_fuzz_vs_bruteforce_reference(spark):
+    """Seeded fuzz for the round-10 single-pass rewrite: on random
+    event logs (duplicate timestamps, missing steps, out-of-order
+    arrivals, NULL timestamps, users skipping straight to late steps)
+    the funnel counts must equal a brute-force per-user reference
+    implementing the spec directly — with and without a window
+    bound."""
+    import random
+
+    import pandas as pd
+
+    from dfsql_spark.operators.rollup import event_funnel
+
+    steps = ["a", "b", "c"]
+
+    def reference(rows, within_days):
+        # greedy-earliest chain per user, then count users per step
+        by_user = {}
+        for u, e, ts in rows:
+            if ts is not None:
+                by_user.setdefault(u, []).append((e, ts))
+        counts = [0] * len(steps)
+        for evs in by_user.values():
+            t_prev, t0 = None, None
+            for k, s in enumerate(steps):
+                cand = sorted(
+                    ts
+                    for e, ts in evs
+                    if e == s and (k == 0 or ts > t_prev)
+                )
+                if not cand:
+                    break
+                t_k = cand[0]
+                if k == 0:
+                    t0 = t_k
+                if within_days is not None and t_k > t0 + pd.Timedelta(
+                    days=within_days
+                ):
+                    break
+                counts[k] += 1
+                t_prev = t_k
+        return counts
+
+    rng = random.Random(20260815)
+    base = pd.Timestamp("2024-01-01")
+    for trial in range(8):
+        rows = []
+        for _ in range(rng.randint(5, 60)):
+            u = rng.randint(1, 8)
+            e = rng.choice(steps + ["noise"])
+            ts = (
+                None
+                if rng.random() < 0.05
+                else base + pd.Timedelta(hours=rng.randint(0, 300))
+            )
+            rows.append((u, e, ts))
+        pdf = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        sdf = spark.createDataFrame(pdf)
+        within_days = rng.choice([None, 5])
+        got = {
+            r.step_idx: r.n_users
+            for r in event_funnel(
+                sdf,
+                steps,
+                within=None if within_days is None else f"{within_days} days",
+            ).collect()
+        }
+        want = reference(rows, within_days)
+        assert [got[k] for k in range(len(steps))] == want, (
+            trial, within_days, got, want, rows,
+        )
+
+
 def test_event_funnel_is_single_scan_single_job(spark):
     """Round-10 rewrite pin (companion to the cap_per_key plan test):
     a K-step funnel must read the events table ONCE — the old
