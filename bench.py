@@ -104,6 +104,13 @@ def main() -> None:
     import __spark_entry__ as em
     from dfsql_spark.session import get_spark
 
+    # bench-harness opt-in: bench-SF shuffle volumes are MBs, and
+    # tmpfs beats the (virtualized) disk ~15× on small block files —
+    # without this, intermittent disk stalls dominated the medians
+    # (round-10 instrument diagnosis in PROGRESS.jsonl); deliberately
+    # NOT a library default (see dfsql_spark/session.py)
+    if os.path.isdir("/dev/shm"):
+        os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/dfsql-spark-local")
     spark = get_spark(app_name="dfsql-spark-bench")
     qs = {**em.queries(), **em.bench_extras()}
 

@@ -134,13 +134,14 @@ class Configuration(metaclass=_ConfigMeta):
     SHUFFLE_PARTITIONS = IntConfig("SPARK_GRAFT_SHUFFLE_PARTITIONS", default=32)
     #: driver heap for single-JVM local mode
     DRIVER_MEMORY = StringConfig("SPARK_GRAFT_DRIVER_MEM", default="48g")
-    #: scratch dir for shuffle/spill files in LOCAL mode only.  Unset
-    #: → tmpfs (/dev/shm) when present: local-mode shuffle writes many
-    #: small block files, and on virtualized disks their per-file
-    #: syscall cost dominates small-SF shuffles (measured 15× slower
-    #: than tmpfs on the round-10 test box).  The cluster analogue is
-    #: pointing spark.local.dir at executor-local NVMe — spark-submit
-    #: owns that; this field never applies to a non-local master.
+    #: OPT-IN scratch dir for shuffle/spill files, LOCAL masters only
+    #: (unset → Spark's own default; never applies to a cluster
+    #: master — spark-submit owns executor-local NVMe dirs there).
+    #: The repo's bench/test harnesses set it to /dev/shm because
+    #: their shuffle volumes are known-small and the test box's
+    #: virtualized disk made small block files ~15× slower than
+    #: tmpfs; it is not a library default because tmpfs is RAM-capped
+    #: and spills there consume memory.
     LOCAL_DIR = StringConfig("SPARK_GRAFT_LOCAL_DIR", default=None)
     #: default DataSource name-resolution mode (reference default: True)
     CASE_SENSITIVE = BooleanConfig("DFSQL_CASE_SENSITIVE", default=True)

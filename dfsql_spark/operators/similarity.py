@@ -54,26 +54,52 @@ def cosine_arrow(a_col: str, b_col: str) -> Column:
     expression (Spark evaluates higher-order array lambdas interpreted
     — the trap :func:`cosine_topk` documents; this is the same BLAS
     replacement :func:`semantic_dedup_pairs` made in round 9, applied
-    to candidate-pair scoring).  Degenerate scores (zero vectors →
-    IEEE 0/0) come back as NULL, matching the expression form's
-    non-ANSI x/0 → NULL: Spark orders NaN ABOVE every number, so a
-    raw NaN would wrongly PASS ``>= threshold`` filters — returning
-    NULL keeps both physical paths dropping degenerate pairs
-    identically (pinned in tests)."""
+    to candidate-pair scoring).  Degenerate inputs — zero vectors
+    (IEEE 0/0), NULL vectors, length-mismatched pairs — all come back
+    as NULL, matching the expression form (non-ANSI x/0 → NULL;
+    zip_with pads mismatches with NULL): Spark orders NaN ABOVE every
+    number, so a raw NaN would wrongly PASS ``>= threshold`` filters —
+    returning NULL keeps both physical paths dropping degenerate
+    pairs identically (pinned in tests)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        if not len(a):
+        n = len(a)
+        if not n:
             return pd.Series([], dtype="float64")
-        ma = np.stack(a.to_numpy()).astype(np.float64)
-        mb = np.stack(b.to_numpy()).astype(np.float64)
-        num = np.einsum("nd,nd->n", ma, mb)
-        den = np.sqrt(
-            np.einsum("nd,nd->n", ma, ma) * np.einsum("nd,nd->n", mb, mb)
+        av, bv = a.to_numpy(), b.to_numpy()
+        # NULL or length-mismatched vectors score NULL, matching the
+        # expression path (zip_with pads with NULL -> NULL cosine)
+        valid = np.fromiter(
+            (
+                x is not None and y is not None and len(x) == len(y)
+                for x, y in zip(av, bv)
+            ),
+            dtype=bool,
+            count=n,
         )
-        with np.errstate(divide="ignore", invalid="ignore"):
-            out = num / den
+        out = np.full(n, np.nan)
+        idx = np.nonzero(valid)[0]
+        if len(idx):
+            try:
+                ma = np.stack(av[idx]).astype(np.float64)
+                mb = np.stack(bv[idx]).astype(np.float64)
+                num = np.einsum("nd,nd->n", ma, mb)
+                den = np.sqrt(
+                    np.einsum("nd,nd->n", ma, ma)
+                    * np.einsum("nd,nd->n", mb, mb)
+                )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    out[idx] = num / den
+            except ValueError:
+                # rows valid pairwise but dims differ across the batch
+                # (mixed-dimension corpus) — per-row fallback
+                for i in idx:
+                    x = np.asarray(av[i], dtype=np.float64)
+                    y = np.asarray(bv[i], dtype=np.float64)
+                    d = float(np.sqrt((x @ x) * (y @ y)))
+                    out[i] = (float(x @ y) / d) if d else np.nan
         # Float64 (masked) turns NaN into NULL at the Arrow boundary
         return pd.Series(pd.array(out, dtype="Float64"))
 
@@ -979,8 +1005,10 @@ def cluster_balanced_sample(
     decision is content-addressed on ``md5(salt:id) % buckets`` so the
     sample is stable across runs, partitionings, and engines.
 
-    Scale shape: KMeans trains on a bounded sample
-    (``train_fraction`` — ~10^6 vectors at 100 TB, never the corpus);
+    Scale shape: pass ``train_fraction`` at scale so KMeans trains on
+    a bounded sample (~10^6 vectors at 100 TB, never the corpus; the
+    default trains on everything — fine at test scale, the same
+    posture as :func:`ivf_topk`/:func:`semantic_dedup_pairs`);
     assignment is one distributed ``model.transform`` map; the
     per-cell count aggregate outputs ``n_clusters`` rows whose derived
     rate table broadcasts back; the keep filter pipelines into the
@@ -1011,16 +1039,15 @@ def cluster_balanced_sample(
         F.pow(F.min("_n").over(everything) / F.col("_n"), F.lit(1.0 - alpha))
         .alias("keep_rate"),
     )
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col("_id").cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        % buckets
-    )
+    # THE shared content-addressed bucket (text._salted_bucket is the
+    # single-source determinism contract, mirrored by every oracle) —
+    # applied to the stringified id, since embeddings have no text
+    from .text import _salted_bucket
+
+    bucket = _salted_bucket("_idstr", buckets, salt)
     out = (
         cells.join(broadcast(rates), "cell")
+        .withColumn("_idstr", F.col("_id").cast("string"))
         .withColumn("kept", bucket < (F.col("keep_rate") * buckets))
         .select(F.col("_id").alias(id_col), "cell", "keep_rate", "kept")
     )

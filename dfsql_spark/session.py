@@ -73,17 +73,18 @@ def get_spark(app_name: str = "dfsql-spark", master: str | None = None) -> Spark
     # shuffle-heavy operators. Sized for the 128 GiB test box; a real
     # cluster overrides via spark-submit.
     builder = builder.config("spark.driver.memory", Configuration.DRIVER_MEMORY)
-    # Shuffle/spill scratch: in local mode, prefer tmpfs over the
-    # (virtualized, syscall-expensive) disk — shuffle stages write
-    # maps×reducers small block files and their create/write cost was
-    # measured 15× slower on /tmp than /dev/shm on the test box.  On a
-    # real cluster spark-submit points spark.local.dir at NVMe; this
-    # default never fires for a non-local master or when the caller
-    # set SPARK_GRAFT_LOCAL_DIR / spark.local.dir themselves.
+    # Shuffle/spill scratch override, LOCAL masters only and only when
+    # the caller opted in via SPARK_GRAFT_LOCAL_DIR: shuffle stages
+    # write maps×reducers small block files, and on virtualized disks
+    # their create/write cost measured 15× slower than tmpfs — this
+    # repo's bench/test harnesses (known-small shuffle volumes) point
+    # it at /dev/shm.  It is deliberately NOT a library default:
+    # tmpfs is capped (~50% RAM) and spills there consume memory, so
+    # blindly redirecting a user's large local shuffle would trade a
+    # slow job for a failing one — and it must never clobber a
+    # spark-defaults.conf spark.local.dir the user already set.
     if master and master.startswith("local"):
         local_dir = Configuration.LOCAL_DIR
-        if local_dir is None and os.path.isdir("/dev/shm"):
-            local_dir = "/dev/shm/dfsql-spark-local"
         if local_dir:
             os.makedirs(local_dir, exist_ok=True)
             builder = builder.config("spark.local.dir", local_dir)

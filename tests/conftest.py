@@ -47,6 +47,11 @@ def _restore_configuration_attrs():
 def spark():
     from dfsql_spark.session import get_spark
 
+    # test-harness opt-in: shuffle volumes here are known-small, and
+    # tmpfs beats the (virtualized) disk ~15× on small block files;
+    # deliberately NOT a library default (see session.py)
+    if os.path.isdir("/dev/shm"):
+        os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/dfsql-spark-local")
     spark = get_spark(app_name="dfsql-spark-tests")
     yield spark
 

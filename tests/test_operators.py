@@ -4299,6 +4299,28 @@ def test_cosine_arrow_matches_expression_cosine(emb):
     ).collect()[0]
     assert not kept.ke and not kept.ka  # both fail ANY threshold
 
+    # NULL vectors and length-mismatched pairs: NULL on both paths
+    # (the Arrow path must not crash the batch — round-10 review find)
+    deg = spark.createDataFrame(
+        [
+            (1, None, [1.0, 2.0]),
+            (2, [1.0], [1.0, 2.0]),
+            (3, [1.0, 0.0], [1.0, 0.0]),  # healthy row in the same batch
+        ],
+        "i long, va array<double>, vb array<double>",
+    ).coalesce(1)
+    rows = {
+        r.i: (r.ce, r.ca)
+        for r in deg.select(
+            "i",
+            cosine("va", "vb").alias("ce"),
+            cosine_arrow("va", "vb").alias("ca"),
+        ).collect()
+    }
+    assert rows[1] == (None, None)
+    assert rows[2] == (None, None)
+    assert abs(rows[3][0] - 1.0) < 1e-12 and abs(rows[3][1] - 1.0) < 1e-12
+
 
 def test_cluster_balanced_sample_rates_keeps_and_mirror(emb, duck):
     """Topic-balanced sampling over KMeans cells: the closed-form rate
@@ -4468,6 +4490,9 @@ def test_event_funnel_is_single_scan_single_job(spark):
     assert s.n_scans == 1, f"expected ONE events scan, plan:\n{s.text}"
     assert "Join" not in s.text, f"funnel must not join:\n{s.text}"
     assert "event_type" in ";".join(s.pushed_filters)
+
+
+def test_canonicalize_url_fuzz_idempotent_and_total(spark):
     """500 seeded adversarial strings (control chars, unicode, stray
     separators, nested schemes): canonicalization never throws,
     always yields NULL or an idempotent canonical form."""
