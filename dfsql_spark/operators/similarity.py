@@ -354,6 +354,15 @@ def embedding_neardup_pairs(
       ``num_planes``/``num_tables``; near-dups at high thresholds
       collide with high probability).
 
+      Why a JOIN here when :func:`semantic_dedup_pairs` groups by
+      cell and runs an in-memory BLAS tile: SemDeDup's cells are
+      SIZED by contract (``n_clusters`` keeps them ~10⁴ vectors), so
+      a cell-local matrix is bounded; LSH buckets are hash-determined
+      and can be arbitrarily hot, and the sort-merge join STREAMS a
+      hot bucket's pair candidates through the scoring + threshold
+      filter without ever materializing a |bucket|-sized similarity
+      tile — the memory-safe shape for unbounded bucket sizes.
+
     ``use_lsh=True``/``False`` force a strategy (exact stays available
     as the explicit opt-in baseline).  ``dim`` (vector width) avoids
     the one-row lookup job when the caller already knows it, and
