@@ -1296,6 +1296,18 @@ def bench_cluster_sample(spark, sf):
     )
 
 
+def bench_upsample_mix(spark, sf):
+    """BENCH-ONLY: repeat-factor trainer mix (round-10 library
+    operator) — times the bounded factor derivation + the
+    broadcast-join + explode fan-out at a mix that genuinely repeats
+    one stratum (src0 lands at f≈1.8 epochs at every sf: shares and
+    per-source volumes both scale)."""
+    from dfsql_spark.operators.text import upsample_mix
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    return upsample_mix(docs, {"src0": 0.6, "src1": 0.2, "src2": 0.2})
+
+
 def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Bench-only callables, OUTSIDE the driver contract: bench.py
     merges these with :func:`queries` for timing; they have no oracle
@@ -1311,6 +1323,7 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b_time_rollup": bench_time_rollup,
         "b_event_funnel": bench_event_funnel,
         "b_cluster_sample": bench_cluster_sample,
+        "b_upsample_mix": bench_upsample_mix,
     }
 
 

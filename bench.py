@@ -93,6 +93,7 @@ HEADLINE = [
     "b_time_rollup",
     "b_event_funnel",
     "b_cluster_sample",
+    "b_upsample_mix",
 ]
 
 

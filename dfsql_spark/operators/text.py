@@ -789,6 +789,113 @@ def rebalance_mix(
     )
 
 
+def upsample_mix(
+    df: DataFrame,
+    target: "dict[str, float]",
+    stratum_col: str = "source",
+    text_col: str = "text",
+    total: "int | None" = None,
+    buckets: int = 10_000,
+    salt: str = "upmix",
+    max_repeat: float = 100.0,
+) -> DataFrame:
+    """Rebalance a corpus to a target stratum mix WITH up-sampling:
+    scarce strata are repeated (epochs > 1) and abundant ones
+    down-sampled so the output hits the target proportions at a fixed
+    ``total`` size — the trainer-mix recipe where low-resource
+    sources genuinely repeat (multilingual pretraining keeps
+    low-resource languages at >1 epoch; :func:`rebalance_mix` and
+    :func:`temperature_rebalance` deliberately never up-sample, which
+    caps their output at the scarcest stratum).
+
+    Derivation: shares normalize to ``share_s = p_s / Σp``; desired
+    count ``d_s = share_s × total`` (``total`` defaults to the
+    current size of the targeted strata — reshape at constant
+    volume); repeat factor ``f_s = d_s / n_s``.  Every row emits
+    ``floor(f_s)`` whole copies, plus one extra copy when its salted
+    md5 bucket falls below ``frac(f_s) × buckets`` — the same
+    content-addressed contract as every sampler here, so the
+    materialized mix is stable across runs, partitionings, engines,
+    and dataset versions.  Output = input columns + ``copy_idx``
+    (1-based epoch index; trainers shuffle copies apart via
+    ``epoch_shuffle``).  Strata absent from ``target`` are dropped.
+
+    ``max_repeat`` refuses silently exploding output (a 0.99 share
+    pointed at a 10-row stratum): checked against the ``#strata``-row
+    rate relation — one parameter-bounded driver action, same class
+    as ``dsir_log_weights``' scalar totals.
+
+    Scale shape: one stratum-column-only count aggregate whose
+    #strata-row factor relation is collected once (bounded) and
+    re-embedded as a literal broadcast frame — so the counting scan
+    never re-runs at materialization — then
+    ``explode(sequence(1, n_copies))`` pipelined into the one
+    full-width scan.  Row multiplication is the POINT; nothing
+    corpus-sized ever shuffles.
+    """
+    if not target:
+        raise ValueError("target must name at least one stratum")
+    for name, p in target.items():
+        if p <= 0.0:
+            raise ValueError(f"target share for {name!r} must be > 0, got {p}")
+    if total is not None and total <= 0:
+        raise ValueError(f"total must be > 0, got {total}")
+    psum = sum(v for _, v in sorted(target.items()))
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, float(v) / psum) for k, v in sorted(target.items())],
+        f"{stratum_col} string, share double",
+    )
+    from pyspark.sql import Window
+
+    counts = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    everything = Window.partitionBy()  # #strata rows — tiny by contract
+    joined = counts.join(F.broadcast(tgt), stratum_col)
+    t_expr = (
+        F.lit(float(total))
+        if total is not None
+        else F.sum("n").over(everything)
+    )
+    # The factor relation is #strata rows — collect it ONCE
+    # (parameter-bounded driver action, same class as
+    # ``dsir_log_weights``' scalar totals): the guard needs the max
+    # anyway, and re-embedding the collected factors as a literal
+    # frame means the counting scan never re-runs when the result
+    # materializes.
+    frows = joined.select(
+        stratum_col,
+        (F.col("share") * t_expr / F.col("n")).alias("f"),
+    ).collect()
+    if frows:
+        f_max = max(r["f"] for r in frows)
+        if f_max > max_repeat:
+            raise ValueError(
+                f"repeat factor {f_max:.1f} exceeds max_repeat="
+                f"{max_repeat} — a target share is pointed at a stratum "
+                "too scarce to up-sample sanely; raise max_repeat to "
+                "force it"
+            )
+    factors = spark.createDataFrame(
+        [(r[stratum_col], float(r["f"])) for r in frows],
+        f"{stratum_col} string, f double",
+    )
+    bucket = _salted_bucket(text_col, buckets, salt)
+    n_copies = (
+        F.floor(F.col("f")).cast("long")
+        + F.when(bucket < (F.col("f") - F.floor(F.col("f"))) * buckets, 1)
+        .otherwise(0)
+    )
+    return (
+        df.join(F.broadcast(factors), stratum_col)
+        .withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") >= 1)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(1).cast("long"), F.col("_n_copies"))))
+        .drop("f", "_n_copies")
+    )
+
+
 def temperature_rebalance(
     df: DataFrame,
     alpha: float,

@@ -4259,6 +4259,105 @@ def test_event_funnel_hand_pinned_and_mirror(spark, duck):
     assert got2["signup"] >= got2["view"] >= got2["purchase"] > 0
 
 
+def test_upsample_mix_hand_pinned_and_mirror(spark, docs, duck):
+    """Repeat-factor mixing: integer factors land exactly (every row
+    of a scarce stratum repeats floor(f) times), the fractional extra
+    copy is content-addressed, strata outside the target drop, and
+    the whole construction is reproduced row-for-row by a DuckDB
+    mirror on the documents table."""
+    import pandas as pd
+
+    from dfsql_spark.operators.text import upsample_mix
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(9),
+            "source": ["a"] * 4 + ["b"] * 2 + ["c"] * 3,
+            "text": [f"doc number {i} text" for i in range(9)],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    # total 8 at 50/50 -> d = 4,4 -> f_a = 1.0, f_b = 2.0: exact copies
+    out = upsample_mix(
+        sdf, {"a": 0.5, "b": 0.5}, total=8
+    ).select("doc_id", "source", "copy_idx")
+    rows = sorted((r.doc_id, r.copy_idx) for r in out.collect())
+    assert rows == sorted(
+        [(i, 1) for i in range(4)] + [(i, c) for i in (4, 5) for c in (1, 2)]
+    )
+    assert out.filter(F.col("source") == "c").count() == 0
+
+    # fractional factors on the real documents table vs DuckDB —
+    # identical normalization/arithmetic, identical md5 keep decision
+    docs_df = docs.select("doc_id", "source", "text")
+    target = {"src0": 0.4, "src1": 0.6}
+    total = 77
+    got = sorted(
+        (r.doc_id, r.copy_idx)
+        for r in upsample_mix(docs_df, target, total=total).collect()
+    )
+    psum = sum(v for _, v in sorted(target.items()))
+    shares = {k: v / psum for k, v in target.items()}
+    want = sorted(
+        duck.sql(
+            f"""
+        WITH c AS (
+            SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents
+            WHERE source IN ('src0', 'src1') GROUP BY source
+        ), f AS (
+            SELECT source,
+                   (CASE source WHEN 'src0' THEN {shares['src0']!r}
+                                WHEN 'src1' THEN {shares['src1']!r} END)
+                       * {float(total)!r} / n AS f
+            FROM c
+        ), rows_n AS (
+            SELECT d.doc_id,
+                   CAST(FLOOR(f.f) AS BIGINT)
+                   + CASE WHEN CAST('0x' || substr(md5('upmix:' || d.text),
+                            1, 8) AS BIGINT) % 10000
+                          < (f.f - FLOOR(f.f)) * 10000
+                     THEN 1 ELSE 0 END AS n_copies
+            FROM documents d JOIN f USING (source)
+        )
+        SELECT doc_id, u.i AS copy_idx
+        FROM rows_n, unnest(range(1, n_copies + 1)) u(i)
+        WHERE n_copies >= 1
+        """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # realized total ≈ target (whole copies exact; the fractional
+    # extras are content-addressed, so the deviation is hash luck
+    # over ~50 rows — bound it loosely, the mirror is the real check)
+    assert abs(len(got) - total) <= 12
+
+    import pytest as _pytest
+
+    from dfsql_spark.operators.text import upsample_mix as um
+
+    with _pytest.raises(ValueError, match="max_repeat"):
+        um(sdf, {"b": 1.0}, total=2000)
+    with _pytest.raises(ValueError, match="at least one"):
+        um(sdf, {})
+
+
+def test_upsample_mix_plan_is_broadcast_explode(docs):
+    """Scale pin: factors re-embed as a literal broadcast frame (no
+    sort-merge join, no corpus shuffle), the copy fan-out is a
+    codegen explode, and no Python workers appear."""
+    from dfsql_spark.operators.text import upsample_mix
+    from dfsql_spark.plans.audit import plan_summary
+
+    s = plan_summary(
+        upsample_mix(docs.select("doc_id", "source", "text"), {"src0": 0.5, "src1": 0.5})
+    )
+    assert s.n_sortmerge_joins == 0, s.text
+    assert s.n_broadcast_joins >= 1, s.text
+    assert s.n_exchanges <= 1, s.text  # broadcast build only, no data shuffle
+    assert "Generate" in s.text, s.text  # the explode
+    assert "EvalPython" not in s.text
+
+
 def test_cosine_arrow_matches_expression_cosine(emb):
     """The round-10 Arrow scoring path must agree with the pure-JVM
     expression cosine to accumulation-order ulp on every candidate
