@@ -1308,6 +1308,20 @@ def bench_upsample_mix(spark, sf):
     return upsample_mix(docs, {"src0": 0.6, "src1": 0.2, "src2": 0.2})
 
 
+def bench_token_budget(spark, sf):
+    """BENCH-ONLY: histogram-threshold token-budget selection
+    (round-10 library operator) — times the two bounded driver
+    aggregates + the broadcast-rule output scan.  budget=100k binds
+    at sf0.1 (~275k corpus tokens); at the sf0.001 warmup it keeps
+    everything, which exercises the same plan."""
+    from dfsql_spark.operators.text import select_token_budget
+
+    docs = _t(spark, sf, "documents").select("doc_id", "n_chars", "text")
+    return select_token_budget(
+        docs, 100_000, priority_col="n_chars", bins=200
+    )
+
+
 def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Bench-only callables, OUTSIDE the driver contract: bench.py
     merges these with :func:`queries` for timing; they have no oracle
@@ -1324,6 +1338,7 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b_event_funnel": bench_event_funnel,
         "b_cluster_sample": bench_cluster_sample,
         "b_upsample_mix": bench_upsample_mix,
+        "b_token_budget": bench_token_budget,
     }
 
 

@@ -94,6 +94,7 @@ HEADLINE = [
     "b_event_funnel",
     "b_cluster_sample",
     "b_upsample_mix",
+    "b_token_budget",
 ]
 
 

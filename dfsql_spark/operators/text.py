@@ -789,6 +789,98 @@ def rebalance_mix(
     )
 
 
+def select_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    priority_col: str,
+    token_col: "str | None" = None,
+    text_col: str = "text",
+    bins: int = 1000,
+    buckets: int = 10_000,
+    salt: str = "budget",
+) -> DataFrame:
+    """Select the highest-``priority_col`` documents whose token mass
+    fits ``budget_tokens`` — "give me the best N tokens" — WITHOUT a
+    global sort: at 100 TB an ``ORDER BY priority`` prefix-sum means
+    a total ordering (single-partition window or a full range
+    exchange), so the threshold is found from a histogram instead.
+
+    Construction: one aggregate fetches the priority min/max (two
+    driver scalars, bounded); each row maps to one of ``bins``
+    fixed-width priority bins; one aggregate sums token mass per bin
+    (≤ ``bins`` output rows, collected — parameter-bounded).  The
+    driver walks bins from the top: bins that fit entirely are kept
+    whole, the one BOUNDARY bin is kept at the fraction of its token
+    mass that still fits (content-addressed per row via the shared
+    salted-md5 bucket), everything below drops.  The keep rule
+    re-embeds as a literal broadcast frame, so the selection filter
+    pipelines into the second (and final) corpus scan.
+
+    Exactness: every non-boundary bin is exact; inside the boundary
+    bin the realized token mass is the hash-luck realization of the
+    keep fraction (binomial around the remainder) — so the total
+    lands within ~one bin's dispersion of ``budget_tokens``; raise
+    ``bins`` to tighten.  Deterministic for fixed data and
+    parameters; rows with NULL priority or NULL/negative token count
+    are dropped (no orderable mass).  ``token_col=None`` derives the
+    count with the shared whitespace tokenizer.
+
+    Output: the selected rows plus ``_budget_bin`` (the priority bin,
+    for audit).
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be > 0, got {budget_tokens}")
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    tok = F.col(token_col) if token_col else token_count(text_col)
+    base = df.where(
+        F.col(priority_col).isNotNull() & tok.isNotNull() & (tok >= 0)
+    )
+    stats = base.agg(
+        F.min(F.col(priority_col).cast("double")).alias("lo"),
+        F.max(F.col(priority_col).cast("double")).alias("hi"),
+    ).first()
+    lo, hi = stats["lo"], stats["hi"]
+    spark = df.sparkSession
+    if lo is None:
+        return base.withColumn("_budget_bin", F.lit(0)).limit(0)
+    # fixed-width binning; a constant priority degenerates to 1 bin
+    width = (hi - lo) / bins if hi > lo else 1.0
+    bin_expr = F.least(
+        F.lit(bins - 1),
+        F.floor((F.col(priority_col).cast("double") - lo) / width).cast("int"),
+    )
+    per_bin = (
+        base.groupBy(bin_expr.alias("_budget_bin"))
+        .agg(F.sum(tok.cast("long")).alias("_tokens"))
+        .collect()  # <= `bins` rows — parameter-bounded driver action
+    )
+    masses = {r["_budget_bin"]: r["_tokens"] for r in per_bin}
+    remaining = int(budget_tokens)
+    keep_frac: dict[int, float] = {}
+    for b in sorted(masses, reverse=True):
+        m = masses[b]
+        if m <= remaining:
+            keep_frac[b] = 1.0
+            remaining -= m
+        elif remaining > 0:
+            keep_frac[b] = remaining / m  # the one boundary bin
+            remaining = 0
+        else:
+            break
+    rules = spark.createDataFrame(
+        [(b, float(f)) for b, f in sorted(keep_frac.items())],
+        "_budget_bin int, _keep double",
+    )
+    bucket = _salted_bucket(text_col, buckets, salt)
+    return (
+        base.withColumn("_budget_bin", bin_expr)
+        .join(F.broadcast(rules), "_budget_bin")
+        .filter(bucket < F.col("_keep") * buckets)
+        .drop("_keep")
+    )
+
+
 def upsample_mix(
     df: DataFrame,
     target: "dict[str, float]",

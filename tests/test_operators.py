@@ -4259,6 +4259,136 @@ def test_event_funnel_hand_pinned_and_mirror(spark, duck):
     assert got2["signup"] >= got2["view"] >= got2["purchase"] > 0
 
 
+def test_select_token_budget_hand_pinned_and_mirror(spark, docs, duck):
+    """Token-budget selection: distinct-priority docs select exactly
+    top-down until the budget binds (each doc its own bin at high
+    `bins`), the boundary-bin fractional keep matches the md5
+    arithmetic computed independently, and the full histogram
+    construction is reproduced by a DuckDB mirror on documents."""
+    import hashlib
+
+    import pandas as pd
+
+    from dfsql_spark.operators.text import select_token_budget
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "priority": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+            "n_tok": [10] * 6,
+            "text": [f"budget doc {i}" for i in range(6)],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    # budget 30 -> exactly the top three priorities, whole bins only
+    got = sorted(
+        r.doc_id
+        for r in select_token_budget(
+            sdf, 30, priority_col="priority", token_col="n_tok"
+        ).collect()
+    )
+    assert got == [3, 4, 5]
+    # budget 35 -> top three whole + priority-3 doc at frac 0.5,
+    # kept iff its salted bucket < 5000 (recomputed independently)
+    frac_kept = (
+        int(hashlib.md5(b"budget:" + b"budget doc 2").hexdigest()[:8], 16) % 10000
+        < 0.5 * 10000
+    )
+    got35 = sorted(
+        r.doc_id
+        for r in select_token_budget(
+            sdf, 35, priority_col="priority", token_col="n_tok"
+        ).collect()
+    )
+    assert got35 == ([2, 3, 4, 5] if frac_kept else [3, 4, 5])
+
+    # full-construction DuckDB mirror on the documents table:
+    # priority = n_chars, token count = the shared ws tokenizer
+    budget = 5000
+    got_docs = sorted(
+        r.doc_id
+        for r in select_token_budget(
+            docs.select("doc_id", "n_chars", "text"),
+            budget,
+            priority_col="n_chars",
+            bins=50,
+        ).collect()
+    )
+    want = sorted(
+        r[0]
+        for r in duck.sql(
+            f"""
+        WITH base AS (
+            SELECT doc_id, text, CAST(n_chars AS DOUBLE) AS p,
+                   CAST(len(list_filter(regexp_split_to_array(
+                        coalesce(text, ''), '\\s+'), x -> x <> ''))
+                        AS BIGINT) AS tok
+            FROM documents
+            WHERE n_chars IS NOT NULL
+        ), s AS (
+            SELECT min(p) AS lo, max(p) AS hi FROM base
+        ), binned AS (
+            SELECT doc_id, text, tok,
+                   LEAST(49, CAST(FLOOR((p - lo) / ((hi - lo) / 50))
+                                  AS INT)) AS b
+            FROM base, s
+        ), bm AS (
+            SELECT b, SUM(tok) AS m FROM binned GROUP BY b
+        ), walk AS (
+            SELECT b, m,
+                   COALESCE(SUM(m) OVER (ORDER BY b DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS above
+            FROM bm
+        ), rules AS (
+            SELECT b,
+                   CASE WHEN above + m <= {budget} THEN 1.0
+                        WHEN above < {budget}
+                            THEN CAST({budget} - above AS DOUBLE) / m
+                        ELSE 0.0 END AS keep
+            FROM walk
+        )
+        SELECT doc_id FROM binned JOIN rules USING (b)
+        WHERE keep > 0
+          AND CAST('0x' || substr(md5('budget:' || text), 1, 8) AS BIGINT)
+              % 10000 < keep * 10000
+        """
+        ).fetchall()
+    )
+    assert got_docs == want and 0 < len(got_docs) < docs.count()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget_tokens"):
+        select_token_budget(sdf, 0, priority_col="priority", token_col="n_tok")
+
+
+def test_select_token_budget_plan_no_global_sort(docs):
+    """Scale pin: the selection must NOT globally sort or window the
+    corpus — two scans (histogram + filtered output), the keep rules
+    a literal broadcast frame, no Python workers."""
+    from dfsql_spark.operators.text import select_token_budget
+    from dfsql_spark.plans.audit import plan_summary
+
+    s = plan_summary(
+        select_token_budget(
+            docs.select("doc_id", "n_chars", "text"),
+            5000,
+            priority_col="n_chars",
+            bins=50,
+        )
+    )
+    assert s.n_sortmerge_joins == 0, s.text
+    assert s.n_broadcast_joins >= 1, s.text
+    assert "Window" not in s.text, s.text
+    # the output plan reads the corpus once (the cached fixture's
+    # formatted plan also prints the InMemoryRelation's inner scan,
+    # hence <= 2); the histogram passes ran eagerly at construction
+    # (bounded collects), so they cannot appear here at all
+    assert s.n_scans <= 2, s.text
+    assert "EvalPython" not in s.text
+
+
 def test_upsample_mix_hand_pinned_and_mirror(spark, docs, duck):
     """Repeat-factor mixing: integer factors land exactly (every row
     of a scarce stratum repeats floor(f) times), the fractional extra
