@@ -222,6 +222,45 @@ def test_dsir_feeds_weighted_sample(spark, docs):
     assert mean_kept >= mean_all
 
 
+def test_quality_budget_mix_epoch_composes(spark, docs):
+    """The round-10 trainer-prep tail: quality-score → token-budget
+    selection (best docs first) → repeat-factor mix to target source
+    shares → deterministic epoch ordering.  Pins the column contracts
+    between the four stages, that the budget stage actually bound the
+    selection, that the mix emits copy_idx epochs, and that the final
+    ordering is reproducible."""
+    from dfsql_spark.operators.text import (
+        epoch_shuffle,
+        quality_score,
+        select_token_budget,
+        upsample_mix,
+    )
+
+    scored = docs.join(quality_score(docs).select("doc_id", "quality"), "doc_id")
+    picked = select_token_budget(
+        scored.select("doc_id", "source", "text", "quality"),
+        10_000,
+        priority_col="quality",
+        bins=20,
+    )
+    n_all, n_picked = docs.count(), picked.count()
+    assert 0 < n_picked < n_all  # the budget genuinely bound
+    srcs = [r[0] for r in picked.select("source").distinct().limit(3).collect()]
+    assert len(srcs) >= 2
+    mixed = upsample_mix(
+        picked.select("doc_id", "source", "text"),
+        {srcs[0]: 0.7, srcs[1]: 0.3},
+    )
+    assert "copy_idx" in mixed.columns
+    assert mixed.count() > 0
+    ordered = epoch_shuffle(mixed.withColumn(
+        "doc_id", F.concat_ws("#", F.col("doc_id"), F.col("copy_idx"))
+    ), epoch=1)
+    a = [r.doc_id for r in ordered.select("doc_id").collect()]
+    b = [r.doc_id for r in ordered.select("doc_id").collect()]
+    assert a == b and len(a) == mixed.count()
+
+
 def test_classifier_calibrates_via_threshold_sweep(spark, docs):
     """The model-based quality filter chains into threshold_sweep:
     train -> score -> one-pass P/R/F1 over candidate cutoffs, with
