@@ -873,10 +873,13 @@ def select_token_budget(
         "_budget_bin int, _keep double",
     )
     bucket = _salted_bucket(text_col, buckets, salt)
+    # full bins keep unconditionally (never consult the hash — a
+    # NULL-text row hashes NULL, and NULL < x must not silently drop
+    # a row the budget fully afforded); only the boundary bin samples
     return (
         base.withColumn("_budget_bin", bin_expr)
         .join(F.broadcast(rules), "_budget_bin")
-        .filter(bucket < F.col("_keep") * buckets)
+        .filter((F.col("_keep") >= 1.0) | (bucket < F.col("_keep") * buckets))
         .drop("_keep")
     )
 

@@ -4349,13 +4349,29 @@ def test_select_token_budget_hand_pinned_and_mirror(spark, docs, duck):
             FROM walk
         )
         SELECT doc_id FROM binned JOIN rules USING (b)
-        WHERE keep > 0
-          AND CAST('0x' || substr(md5('budget:' || text), 1, 8) AS BIGINT)
+        WHERE keep >= 1.0
+           OR CAST('0x' || substr(md5('budget:' || text), 1, 8) AS BIGINT)
               % 10000 < keep * 10000
         """
         ).fetchall()
     )
     assert got_docs == want and 0 < len(got_docs) < docs.count()
+
+    # a NULL-text row in a FULLY-kept bin must survive (full bins
+    # never consult the content hash — NULL < x is NULL, not False)
+    null_text = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [0, 1], "priority": [2.0, 1.0],
+             "n_tok": [10, 10], "text": ["some text", None]}
+        )
+    )
+    kept_ids = sorted(
+        r.doc_id
+        for r in select_token_budget(
+            null_text, 20, priority_col="priority", token_col="n_tok"
+        ).collect()
+    )
+    assert kept_ids == [0, 1]
 
     import pytest as _pytest
 
