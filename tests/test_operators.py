@@ -4487,6 +4487,59 @@ def test_upsample_mix_hand_pinned_and_mirror(spark, docs, duck):
         um(sdf, {})
 
 
+def test_upsample_mix_fuzz_vs_bruteforce_reference(spark):
+    """Seeded fuzz: on random corpora/targets/totals the materialized
+    mix equals a direct python implementation of the spec (normalize
+    shares, f = share*T/n, floor(f) whole copies + md5-fractional
+    extra), row for row including copy_idx."""
+    import hashlib
+    import random
+
+    import pandas as pd
+
+    from dfsql_spark.operators.text import upsample_mix
+
+    rng = random.Random(101)
+    for trial in range(5):
+        strata = [f"s{i}" for i in range(rng.randint(2, 5))]
+        rows = [
+            (i, rng.choice(strata), f"fuzz doc {trial} {i}")
+            for i in range(rng.randint(10, 50))
+        ]
+        pdf = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+        tgt_strata = rng.sample(strata, k=rng.randint(1, len(strata)))
+        target = {s: rng.uniform(0.2, 2.0) for s in tgt_strata}
+        total = rng.randint(5, 60)
+
+        # python reference
+        psum = sum(v for _, v in sorted(target.items()))
+        n_by = pdf.groupby("source").size().to_dict()
+        want = []
+        skip = False
+        for _, r in pdf.iterrows():
+            s = r["source"]
+            if s not in target or s not in n_by:
+                continue
+            f = (target[s] / psum) * float(total) / float(n_by[s])
+            if f > 100.0:
+                skip = True
+                break
+            base = int(f // 1)
+            frac = f - base
+            b = int(hashlib.md5(("upmix:" + r["text"]).encode()).hexdigest()[:8], 16) % 10000
+            n = base + (1 if b < frac * 10000 else 0)
+            want += [(r["doc_id"], c) for c in range(1, n + 1)]
+        if skip or not any(s in n_by for s in target):
+            continue
+        got = sorted(
+            (r.doc_id, r.copy_idx)
+            for r in upsample_mix(
+                spark.createDataFrame(pdf), target, total=total
+            ).collect()
+        )
+        assert got == sorted(want), (trial, target, total, got, want)
+
+
 def test_upsample_mix_plan_is_broadcast_explode(docs):
     """Scale pin: factors re-embed as a literal broadcast frame (no
     sort-merge join, no corpus shuffle), the copy fan-out is a
