@@ -146,6 +146,16 @@ def main() -> None:
     # pays the same cold cost a driver run pays — within a pass the
     # d02->d09 persist reuse is preserved, exactly like the driver.
     REPS = 3
+
+    def read_cpu_stat():
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()[1:]
+            return list(map(int, parts))
+        except Exception:
+            return None
+
+    cpu0 = read_cpu_stat()
     per_rep: dict[str, list[float]] = {name: [] for name in HEADLINE}
     d02_strategies: list = []
     from dfsql_spark.operators.dedup import LAST_NGRAM_STRATEGY
@@ -166,6 +176,22 @@ def main() -> None:
 
     timings = {n: round(median3(ts), 3) for n, ts in per_rep.items()}
     total = round(sum(timings.values()), 3)
+    # environment self-diagnosis (round-10 lesson: the r9 driver run's
+    # medians were host-stall artifacts — spreads to 28s on unchanged
+    # plans): CPU-steal fraction over the run and the per-query MIN,
+    # which one-sided stalls cannot inflate.  A reader should trust
+    # "mins" over "queries" whenever steal_pct is high or spreads are
+    # multi-second on map-only queries.
+    cpu1 = read_cpu_stat()
+    steal_pct = None
+    if cpu0 and cpu1 and len(cpu0) >= 8 and len(cpu1) >= 8:
+        d = [b - a for a, b in zip(cpu0, cpu1)]
+        tot_ticks = sum(d)
+        steal_pct = round(100.0 * d[7] / tot_ticks, 2) if tot_ticks else None
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
     print(
         json.dumps(
             {
@@ -185,6 +211,11 @@ def main() -> None:
                     n: round(max(ts) - min(ts), 3)
                     for n, ts in per_rep.items()
                 },
+                "mins": {n: round(min(ts), 3) for n, ts in per_rep.items()},
+                "min_total": round(
+                    sum(min(ts) for ts in per_rep.values()), 3
+                ),
+                "env": {"steal_pct": steal_pct, "load1_end": load1},
             }
         )
     )
