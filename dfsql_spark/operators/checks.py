@@ -268,3 +268,47 @@ def vector_norms_in(
         frac <= max_bad_frac,
         frac.cast("double"),
     )
+
+
+def split_leakage_report(
+    df: DataFrame,
+    pairs: DataFrame,
+    split_col: str = "split",
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Train/eval leakage audit: count near-duplicate pairs by the
+    splits their two sides landed in — ``(split_lo, split_hi,
+    cross_split, n_pairs)``.
+
+    ``pairs`` is the output shape of any pair-producing dedup operator
+    (``ngram_jaccard_pairs``, ``minhash_lsh_pairs``,
+    ``embedding_neardup_pairs``, ``semantic_dedup_pairs``): rows whose
+    ``cross_split`` is true are eval contamination — a validation doc
+    whose near-twin sits in train makes the benchmark lie.  Exact
+    duplicates never cross a content-addressed split
+    (``deterministic_split`` hashes the text), but NEAR-duplicates
+    hash independently, which is precisely what this reports.
+
+    The split pair is emitted order-normalized (lo/hi) so (train,val)
+    and (val,train) aggregate into one row.  Scale shape: two keyed
+    joins of the (already-reduced) pair set against the slim
+    (id, split) projection — the corpus text never moves — then one
+    tiny grouped count (≤ |splits|² rows).  Pairs whose ids are
+    missing from ``df`` are dropped (inner joins): no split, no
+    verdict.
+    """
+    s = df.select(F.col(id_col), F.col(split_col))
+    a = s.withColumnRenamed(id_col, id_a).withColumnRenamed(split_col, "_sa")
+    b = s.withColumnRenamed(id_col, id_b).withColumnRenamed(split_col, "_sb")
+    tagged = pairs.select(id_a, id_b).join(a, id_a).join(b, id_b)
+    return (
+        tagged.groupBy(
+            F.least(F.col("_sa"), F.col("_sb")).alias("split_lo"),
+            F.greatest(F.col("_sa"), F.col("_sb")).alias("split_hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("cross_split", F.col("split_lo") != F.col("split_hi"))
+        .select("split_lo", "split_hi", "cross_split", "n_pairs")
+    )

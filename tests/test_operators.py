@@ -4259,6 +4259,80 @@ def test_event_funnel_hand_pinned_and_mirror(spark, duck):
     assert got2["signup"] >= got2["view"] >= got2["purchase"] > 0
 
 
+def test_split_leakage_report_hand_pinned_and_mirror(spark, duck):
+    """Leakage audit: order-normalized split pairs, cross_split flag,
+    ids missing a split dropped — hand-pinned and DuckDB-mirrored."""
+    import pandas as pd
+
+    from dfsql_spark.operators.checks import split_leakage_report
+
+    assign = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4, 5], "split": ["train", "val", "train", "test", "train"]}
+    )
+    prs = pd.DataFrame(
+        {"id_a": [1, 2, 1, 4, 9], "id_b": [3, 5, 2, 5, 1]}
+    )  # train-train, val-train, train-val, test-train, (9 unknown -> dropped)
+    got = {
+        (r.split_lo, r.split_hi): (r.cross_split, r.n_pairs)
+        for r in split_leakage_report(
+            spark.createDataFrame(assign), spark.createDataFrame(prs)
+        ).collect()
+    }
+    assert got == {
+        ("train", "train"): (False, 1),
+        ("train", "val"): (True, 2),
+        ("test", "train"): (True, 1),
+    }
+    duck.register("slr_assign", assign)
+    duck.register("slr_pairs", prs)
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in duck.sql(
+            """
+        SELECT LEAST(a.split, b.split) AS lo, GREATEST(a.split, b.split) AS hi,
+               LEAST(a.split, b.split) <> GREATEST(a.split, b.split) AS x,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM slr_pairs p
+        JOIN slr_assign a ON p.id_a = a.doc_id
+        JOIN slr_assign b ON p.id_b = b.doc_id
+        GROUP BY 1, 2, 3
+        """
+        ).fetchall()
+    }
+    duck.unregister("slr_assign")
+    duck.unregister("slr_pairs")
+    assert got == want
+
+
+def test_split_leakage_composes_with_split_and_minhash(spark, docs):
+    """The intended composition: deterministic_split assigns splits,
+    minhash_lsh_pairs finds near-dup pairs, the report classifies
+    every pair exactly once — and exact-duplicate pairs (same text
+    -> same md5 bucket -> same split, by construction of the
+    content-addressed split) never show up cross-split."""
+    from dfsql_spark.operators.checks import split_leakage_report
+    from dfsql_spark.operators.dedup import minhash_lsh_pairs
+    from dfsql_spark.operators.text import deterministic_split
+
+    split = deterministic_split(docs)
+    pairs = minhash_lsh_pairs(docs, verify_threshold=0.5).select("id_a", "id_b")
+    rep = split_leakage_report(split, pairs).collect()
+    total = sum(r.n_pairs for r in rep)
+    assert total == pairs.count()  # every pair classified exactly once
+
+    # exact-duplicate pairs must be same-split: join pair ids back to
+    # text and check any identical-text pair sits in a non-cross row
+    texted = (
+        pairs.join(docs.selectExpr("doc_id AS id_a", "text AS ta"), "id_a")
+        .join(docs.selectExpr("doc_id AS id_b", "text AS tb"), "id_b")
+        .filter(F.col("ta") == F.col("tb"))
+        .select("id_a", "id_b")
+    )
+    if texted.count() > 0:
+        rep_exact = split_leakage_report(split, texted).collect()
+        assert all(not r.cross_split for r in rep_exact), rep_exact
+
+
 def test_select_token_budget_hand_pinned_and_mirror(spark, docs, duck):
     """Token-budget selection: distinct-priority docs select exactly
     top-down until the budget binds (each doc its own bin at high
