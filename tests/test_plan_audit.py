@@ -193,6 +193,31 @@ def test_minhash_band_join_never_broadcasts(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
 
 
+def test_round10_contract_entry_plan_shapes(spark):
+    """Shape pins for the three round-10 contract promotions:
+    t24 (Gopher rules) is a zero-exchange codegen map; w01 (URL
+    dedup) pays exactly one aggregation exchange shipping only
+    (canonical_url, id) — never text; t25 (DSIR) broadcasts only the
+    bucket-bounded weight table (hint audit covers the bound)."""
+    qs = em.queries()
+
+    t24 = plan_summary(qs["t24_gopher_filters"](spark, SF))
+    assert t24.n_exchanges == 0, t24.text
+    assert "EvalPython" not in t24.text
+
+    w01 = plan_summary(qs["w01_url_dedup"](spark, SF))
+    # one two-phase aggregate: partial + final around a single shuffle
+    assert w01.n_exchanges == 1, w01.text
+    for line in w01.text.splitlines():
+        if "hashpartitioning" in line:
+            assert "text" not in line, line  # ships canonical_url only
+    assert "EvalPython" not in w01.text
+
+    t25 = plan_summary(qs["t25_dsir_weights"](spark, SF))
+    assert t25.n_broadcast_joins >= 1, t25.text
+    assert "BatchEvalPython" not in t25.text  # Arrow n-gram UDF only
+
+
 def test_lsh_and_ivf_topk_never_shuffle_embeddings(spark):
     """The round-10 Arrow scoring must keep the documented shuffle
     contract: cosine is computed right after the (broadcast) candidate
