@@ -312,3 +312,46 @@ def split_leakage_report(
         .withColumn("cross_split", F.col("split_lo") != F.col("split_hi"))
         .select("split_lo", "split_hi", "cross_split", "n_pairs")
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum corpus data card in ONE grouped aggregation pass:
+    ``(stratum, n_docs, n_empty, n_chars_total, n_tokens_total,
+    n_tokens_min, n_tokens_max, n_tokens_avg)`` — the summary table a
+    dataset release documents per source/domain/language.
+
+    Every column is integer-derived except the average (one double
+    division of two exact integers), so the report is bit-identical
+    across engines; token counts use the shared whitespace tokenizer.
+    ``n_empty`` counts NULL or whitespace-only documents (zero
+    tokens).  Deliberately NO quantile column: exact per-group
+    percentiles hold group values in memory (unbounded at 100 TB) and
+    approximate sketches are not cross-engine mirrorable — min/max
+    bound the distribution exactly for free.
+
+    Scale shape: one map-side-combined aggregate keyed on the
+    stratum; the shuffle carries #strata fixed-size states.
+    """
+    from .text import token_count
+
+    tok = token_count(text_col)
+    n_chars = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    return (
+        df.groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(tok == 0, 1).otherwise(0)).alias("n_empty"),
+            F.sum(n_chars.cast("long")).alias("n_chars_total"),
+            F.sum(tok.cast("long")).alias("n_tokens_total"),
+            F.min(tok).alias("n_tokens_min"),
+            F.max(tok).alias("n_tokens_max"),
+        )
+        .withColumn(
+            "n_tokens_avg",
+            F.col("n_tokens_total").cast("double") / F.col("n_docs"),
+        )
+    )

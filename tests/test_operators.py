@@ -4259,6 +4259,57 @@ def test_event_funnel_hand_pinned_and_mirror(spark, duck):
     assert got2["signup"] >= got2["view"] >= got2["purchase"] > 0
 
 
+def test_corpus_report_matches_duckdb_and_is_single_pass(spark, docs, duck):
+    """Data card: every column matches a DuckDB recomputation on the
+    documents table (int-exact; avg is one division), NULL/empty docs
+    count into n_empty, and the plan is one grouped aggregation."""
+    import pandas as pd
+
+    from dfsql_spark.operators.checks import corpus_report
+    from dfsql_spark.plans.audit import plan_summary
+
+    got = {
+        r.stratum: (
+            r.n_docs, r.n_empty, r.n_chars_total, r.n_tokens_total,
+            r.n_tokens_min, r.n_tokens_max, r.n_tokens_avg,
+        )
+        for r in corpus_report(docs).collect()
+    }
+    want = {
+        r[0]: tuple(r[1:])
+        for r in duck.sql(
+            """
+        WITH t AS (
+            SELECT source,
+                   CAST(len(list_filter(regexp_split_to_array(
+                        coalesce(text, ''), '\\s+'), x -> x <> ''))
+                        AS BIGINT) AS tok,
+                   CAST(length(coalesce(text, '')) AS BIGINT) AS ch
+            FROM documents
+        )
+        SELECT source, CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN tok = 0 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(ch) AS BIGINT), CAST(sum(tok) AS BIGINT),
+               CAST(min(tok) AS INT), CAST(max(tok) AS INT),
+               CAST(sum(tok) AS DOUBLE) / count(*)
+        FROM t GROUP BY source
+        """
+        ).fetchall()
+    }
+    assert got == want and len(got) > 1
+
+    # NULL and whitespace-only docs land in n_empty
+    weird = spark.createDataFrame(
+        pd.DataFrame({"source": ["x", "x", "x"], "text": [None, "   ", "one two"]})
+    )
+    r = corpus_report(weird).collect()[0]
+    assert (r.n_docs, r.n_empty, r.n_tokens_total) == (3, 2, 2)
+
+    s = plan_summary(corpus_report(docs))
+    assert s.n_exchanges <= 1, s.text  # one two-phase grouped agg
+    assert "EvalPython" not in s.text
+
+
 def test_split_leakage_report_hand_pinned_and_mirror(spark, duck):
     """Leakage audit: order-normalized split pairs, cross_split flag,
     ids missing a split dropped — hand-pinned and DuckDB-mirrored."""
