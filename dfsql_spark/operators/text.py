@@ -821,8 +821,13 @@ def select_token_budget(
     keep fraction (binomial around the remainder) — so the total
     lands within ~one bin's dispersion of ``budget_tokens``; raise
     ``bins`` to tighten.  Deterministic for fixed data and
-    parameters; rows with NULL priority or NULL/negative token count
-    are dropped (no orderable mass).  ``token_col=None`` derives the
+    parameters.  Dropped rows (no orderable mass / no content
+    identity): NULL or NaN priority, NULL/negative token count — and
+    rows with NULL ``text_col`` sample OUT of the boundary bin
+    (content-addressing needs content; full bins keep them).  The
+    boundary sampling hashes ``text_col``, which therefore must exist
+    whenever the budget binds mid-bin; a budget that only ever keeps
+    whole bins never consults it.  ``token_col=None`` derives the
     count with the shared whitespace tokenizer.
 
     Output: the selected rows plus ``_budget_bin`` (the priority bin,
@@ -833,8 +838,15 @@ def select_token_budget(
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
     tok = F.col(token_col) if token_col else token_count(text_col)
+    p_dbl = F.col(priority_col).cast("double")
+    # NaN is NOT NULL, and Spark's max orders NaN above every number —
+    # one NaN row would poison `hi` and collapse the binning (the same
+    # NaN class cosine_arrow handles); drop it with the other unrankables
     base = df.where(
-        F.col(priority_col).isNotNull() & tok.isNotNull() & (tok >= 0)
+        F.col(priority_col).isNotNull()
+        & ~F.isnan(p_dbl)
+        & tok.isNotNull()
+        & (tok >= 0)
     )
     stats = base.agg(
         F.min(F.col(priority_col).cast("double")).alias("lo"),
@@ -856,32 +868,40 @@ def select_token_budget(
         .collect()  # <= `bins` rows — parameter-bounded driver action
     )
     masses = {r["_budget_bin"]: r["_tokens"] for r in per_bin}
-    remaining = int(budget_tokens)
+    # the exact rule the DuckDB mirror spells with a window: a bin
+    # keeps whole iff everything above it plus itself fits; the first
+    # bin that overflows while the budget is still open keeps the
+    # remaining fraction; everything after (above >= budget) drops —
+    # including zero-mass bins, which keep whole only while the
+    # budget is still open (above <= budget with m = 0)
+    budget = int(budget_tokens)
+    above = 0
     keep_frac: dict[int, float] = {}
     for b in sorted(masses, reverse=True):
         m = masses[b]
-        if m <= remaining:
+        if above + m <= budget:
             keep_frac[b] = 1.0
-            remaining -= m
-        elif remaining > 0:
-            keep_frac[b] = remaining / m  # the one boundary bin
-            remaining = 0
-        else:
-            break
+        elif above < budget:
+            keep_frac[b] = (budget - above) / m  # the one boundary bin
+        above += m
     rules = spark.createDataFrame(
         [(b, float(f)) for b, f in sorted(keep_frac.items())],
         "_budget_bin int, _keep double",
     )
+    joined = base.withColumn("_budget_bin", bin_expr).join(
+        F.broadcast(rules), "_budget_bin"
+    )
+    if all(f >= 1.0 for f in keep_frac.values()):
+        # every surviving bin keeps whole — never consult the content
+        # hash (works on frames with no text column at all)
+        return joined.drop("_keep")
     bucket = _salted_bucket(text_col, buckets, salt)
     # full bins keep unconditionally (never consult the hash — a
     # NULL-text row hashes NULL, and NULL < x must not silently drop
     # a row the budget fully afforded); only the boundary bin samples
-    return (
-        base.withColumn("_budget_bin", bin_expr)
-        .join(F.broadcast(rules), "_budget_bin")
-        .filter((F.col("_keep") >= 1.0) | (bucket < F.col("_keep") * buckets))
-        .drop("_keep")
-    )
+    return joined.filter(
+        (F.col("_keep") >= 1.0) | (bucket < F.col("_keep") * buckets)
+    ).drop("_keep")
 
 
 def upsample_mix(

@@ -4504,6 +4504,89 @@ def test_select_token_budget_hand_pinned_and_mirror(spark, docs, duck):
         select_token_budget(sdf, 0, priority_col="priority", token_col="n_tok")
 
 
+def test_select_token_budget_edge_cases(spark):
+    """Round-10 review regressions, pinned: NaN priorities drop
+    instead of poisoning max() (Spark orders NaN above everything);
+    zero-mass bins keep whole only while the budget is still open
+    (the DuckDB-mirror window rule — below the boundary they drop);
+    a NULL-text row in the BOUNDARY bin samples out (documented); and
+    a frame with no text column works when only whole bins keep."""
+    import math
+
+    import pandas as pd
+
+    from dfsql_spark.operators.text import select_token_budget
+
+    # NaN priority: must not collapse the binning — the two real rows
+    # still select top-down exactly
+    nan_pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "priority": [5.0, 1.0, math.nan],
+            "n_tok": [10, 10, 10],
+            "text": ["hi pri", "lo pri", "nan pri"],
+        }
+    )
+    got = sorted(
+        r.doc_id
+        for r in select_token_budget(
+            spark.createDataFrame(nan_pdf), 10, priority_col="priority",
+            token_col="n_tok",
+        ).collect()
+    )
+    assert got == [0]
+
+    # zero-mass bins: kept while the budget is open, dropped below
+    # the boundary (priority 4 zero-token doc keeps; priority 1
+    # zero-token doc is past the boundary and drops)
+    zm = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "priority": [4.0, 3.0, 2.0, 1.0],
+            "n_tok": [0, 10, 20, 0],
+            "text": ["empty hi", "full bin", "boundary bin", "empty lo"],
+        }
+    )
+    out = {
+        r.doc_id
+        for r in select_token_budget(
+            spark.createDataFrame(zm), 15, priority_col="priority",
+            token_col="n_tok",
+        ).collect()
+    }
+    assert 0 in out and 1 in out and 3 not in out
+    # doc 2 is the boundary bin at frac 0.25 — hash decides; either
+    # way it never brings doc 3 with it
+
+    # NULL text in the boundary bin samples out (content-addressing
+    # needs content); in a whole-kept bin it stays (pinned elsewhere)
+    nt = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "priority": [2.0, 1.0],
+            "n_tok": [10, 10],
+            "text": ["has text", None],
+        }
+    )
+    out_nt = sorted(
+        r.doc_id
+        for r in select_token_budget(
+            spark.createDataFrame(nt), 15, priority_col="priority",
+            token_col="n_tok",
+        ).collect()
+    )
+    assert out_nt == [0]
+
+    # no text column at all: fine while every kept bin keeps whole
+    no_text = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "priority": [2.0, 1.0], "n_tok": [5, 5]})
+    )
+    kept = select_token_budget(
+        no_text, 100, priority_col="priority", token_col="n_tok"
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 1]
+
+
 def test_select_token_budget_plan_no_global_sort(docs):
     """Scale pin: the selection must NOT globally sort or window the
     corpus — two scans (histogram + filtered output), the keep rules
