@@ -2404,57 +2404,70 @@ def entry(spark: SparkSession) -> DataFrame:
 # operators took the slots — t24_gopher_filters, t25_dsir_weights,
 # w01_url_dedup — graded in their FIRST round, as new entries must
 # be.  Total stays at 100 (50 graded + 50 sitting out).
+# Round 11 honors the alternation: the round-10 graded block (exactly
+# the 50 all-green rows of CORRECTNESS_r10.json) sits out below, and
+# the 50 round-10 sit-outs return to the graded window.  Changed-
+# operator accounting for round 11: the expression-path `cosine()`
+# NaN fix (similarity.py — NaN-component vectors now score NULL on
+# BOTH physical paths, per the round-10 advisor) is executed by
+# exactly one contract entry, s04_sim_pq's exact rerank, and s04 is
+# in this round's graded window — the rule holds.  q06's exact-
+# DECIMAL perf adjudication (round-10 verdict ask #4) is deliberately
+# comment/micro-bench-only this round because q06 sits out; any
+# engine change it motivates lands in round 12 when q06 re-enters the
+# window.  Oracle hashes regenerated only for entries ENTERING the
+# sit-out set (all green in r10); no sitting-out oracle text changed.
 _SIT_OUT_THIS_ROUND = (
-    "d03_dedup_minhash_lsh",
-    "d07_decontaminate",
-    "d08_semantic_dedup",
-    "d09_dedup_survivors",
-    "d10_winnow_overlap",
-    "d11_line_dedup",
-    "e03_json_props",
-    "f01_custom_agg_sql",
-    "f02_custom_scalar_sql",
-    "m02_media_decode",
-    "m03_media_dedup",
-    "m04_media_sim",
-    "p01_curation_pipeline",
-    "q09_count_distinct",
-    "q10_having_alias",
-    "q11_join_inner",
-    "q12_join_left",
-    "q13_join_right",
-    "q14_join_full",
-    "q15_self_join",
-    "q16_in_subquery",
-    "q17_scalar_subquery",
-    "q18_from_subquery",
-    "q19_like_regex",
-    "q20_string_funcs",
-    "q21_power",
-    "q23_case_when",
-    "q24_union",
-    "q25_except_intersect",
-    "q26_anti_join",
-    "q28_rollup",
-    "q29_exists_correlated",
-    "q30_grouping_sets",
-    "q31_pivot",
-    "s04_sim_pq",
-    "s05_bm25",
-    "t06_deterministic_split",
-    "t07_vocab_topk",
-    "t08_pii_scrub",
-    "t09_pack_sequences",
-    "t10_stratified_sample",
-    "t11_repetition",
-    "t12_c4_filters",
-    "t13_mix_rebalance",
-    "t14_winnow_fingerprints",
-    "t15_unigram_familiarity",
-    "t16_chunk_documents",
-    "t18_weighted_sample",
-    "x03_hll_sketch_rollup",
-    "x04_snapshot_diff",
+    "a01_asof_join",
+    "a02_range_join",
+    "d01_dedup_exact",
+    "d02_dedup_ngram_jaccard",
+    "d04_dedup_simhash",
+    "d05_embedding_neardup",
+    "d06_dedup_connected",
+    "d12_incremental_dedup",
+    "d13_semantic_decontaminate",
+    "d14_dedup_keep_best",
+    "d15_ngram_overlap",
+    "e01_windowed_counts",
+    "e02_sessionize",
+    "e06_stream_dedupe",
+    "e07_interval_join",
+    "e09_stream_upsert_sink",
+    "m01_media_stats",
+    "q01_projection",
+    "q02_filter",
+    "q03_cast",
+    "q04_distinct",
+    "q05_orderby_limit_offset",
+    "q06_groupby_agg",
+    "q07_groupby_expr",
+    "q08_implicit_agg",
+    "q22_flagship_revenue",
+    "q27_window_topk",
+    "s01_sim_topk",
+    "s02_sim_topk_lsh",
+    "s03_sim_ivf",
+    "s06_mmr_rerank",
+    "sk01_salted_agg",
+    "sk02_salted_join",
+    "t01_text_stats",
+    "t02_quality_score",
+    "t03_lang_id",
+    "t04_fingerprint",
+    "t05_token_count",
+    "t17_hashed_embeddings",
+    "t19_lm_score",
+    "t20_epoch_shuffle",
+    "t21_curriculum_order",
+    "t22_bpe_pair_counts",
+    "t23_char_entropy",
+    "t24_gopher_filters",
+    "t25_dsir_weights",
+    "w01_url_dedup",
+    "x01_approx_distinct_pruned",
+    "x02_approx_quantiles",
+    "x05_quality_checks",
 )
 
 # rows-only sketch queries (``no_oracle``); always last.  Empty since
