@@ -45,7 +45,17 @@ def norm(a: str) -> Column:
 
 
 def cosine(a: str, b: str) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Expression-path cosine; NaN results (a NaN vector component
+    anywhere) are masked to NULL.  Spark sorts/compares NaN ABOVE
+    every number, so a raw NaN would wrongly PASS ``>= threshold``
+    filters and outrank every true neighbor in top-k windows — and
+    :func:`cosine_arrow` already masks NaN to NULL at the Arrow
+    boundary, so without this both physical paths would disagree on
+    NaN-component embeddings (round-10 advisor finding).  Zero /
+    NULL / length-mismatched vectors were already NULL on both paths
+    (non-ANSI x/0 → NULL; zip_with pads mismatches with NULL)."""
+    c = dot(a, b) / (norm(a) * norm(b))
+    return F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(c)
 
 
 def cosine_arrow(a_col: str, b_col: str) -> Column:
@@ -374,7 +384,9 @@ def embedding_neardup_pairs(
     round-9 :func:`semantic_dedup_pairs` upgrade applied here);
     ``use_arrow=False`` keeps the pure-JVM ``aggregate(zip_with)``
     expression for UDF-restricted clusters.  Same pair set either way
-    (output membership is ulp-robust at any real threshold).
+    (output membership is ulp-robust at any real threshold; degenerate
+    vectors — zero, NULL, length-mismatched, NaN-component — score
+    NULL and drop on BOTH paths, see :func:`cosine`).
     """
     if use_lsh == "auto":
         # The count is metadata-only when ``df`` is a bare parquet scan

@@ -4827,6 +4827,37 @@ def test_cosine_arrow_matches_expression_cosine(emb):
     assert rows[2] == (None, None)
     assert abs(rows[3][0] - 1.0) < 1e-12 and abs(rows[3][1] - 1.0) < 1e-12
 
+    # NaN-COMPONENT vectors (round-10 advisor find): before the fix
+    # the expression path returned a raw NaN cos_sim, which Spark's
+    # comparison semantics place ABOVE every number — so
+    # `cos_sim >= threshold` KEPT the pair on the expression plan
+    # while the Arrow plan dropped it.  Both paths must now yield
+    # NULL and drop the pair identically.
+    nanrow = spark.createDataFrame(
+        [
+            (1, [float("nan"), 1.0], [1.0, 2.0]),
+            (2, [1.0, 2.0], [0.5, float("nan")]),
+            (3, [3.0, 4.0], [3.0, 4.0]),  # healthy row in the same batch
+        ],
+        "i long, va array<double>, vb array<double>",
+    ).coalesce(1)
+    got = {
+        r.i: (r.ce, r.ca, r.ke, r.ka)
+        for r in nanrow.select(
+            "i",
+            cosine("va", "vb").alias("ce"),
+            cosine_arrow("va", "vb").alias("ca"),
+            (cosine("va", "vb") >= F.lit(0.0)).alias("ke"),
+            (cosine_arrow("va", "vb") >= F.lit(0.0)).alias("ka"),
+        ).collect()
+    }
+    assert got[1][:2] == (None, None), got[1]
+    assert got[2][:2] == (None, None), got[2]
+    assert (got[1][2], got[1][3]) == (None, None)  # NULL >= t -> NULL: dropped
+    assert (got[2][2], got[2][3]) == (None, None)
+    assert abs(got[3][0] - 1.0) < 1e-12 and abs(got[3][1] - 1.0) < 1e-12
+    assert got[3][2] and got[3][3]
+
 
 def test_cluster_balanced_sample_rates_keeps_and_mirror(emb, duck):
     """Topic-balanced sampling over KMeans cells: the closed-form rate
