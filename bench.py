@@ -215,7 +215,20 @@ def main() -> None:
                 "min_total": round(
                     sum(min(ts) for ts in per_rep.values()), 3
                 ),
-                "env": {"steal_pct": steal_pct, "load1_end": load1},
+                # local_dir records WHERE shuffle scratch lived for
+                # this series (round-10 advisor): the tmpfs switch in
+                # round 10 is a measurement-environment discontinuity
+                # vs the r1-r9 BENCH files recorded on the virtualized
+                # disk — trend readers comparing across that boundary
+                # should know small-block shuffle I/O got ~15x faster
+                # independent of any plan change.
+                "env": {
+                    "steal_pct": steal_pct,
+                    "load1_end": load1,
+                    "local_dir": os.environ.get(
+                        "SPARK_GRAFT_LOCAL_DIR", "spark-default"
+                    ),
+                },
             }
         )
     )

@@ -1023,8 +1023,15 @@ def cluster_balanced_sample(
     (``rate_c = (min_t n_t / n_c)^(1-alpha)``: ``alpha=1`` keeps
     everything, ``alpha=0`` targets uniform cluster mass, no cluster
     is ever up-sampled and the smallest is kept fully); the keep
-    decision is content-addressed on ``md5(salt:id) % buckets`` so the
-    sample is stable across runs, partitionings, and engines.
+    decision is content-addressed on ``md5(salt:id) % buckets``, so
+    GIVEN a row's ``(cell, keep_rate)`` the keep/drop verdict is
+    stable across runs, partitionings, and engines.  The cell
+    assignment itself carries Spark KMeans' caveat (the same hedge as
+    :func:`ivf_topk`): k-means|| init samples in partition order, so
+    REPARTITIONED input can train different centroids, shifting cell
+    sizes and hence rates — full determinism holds for fixed data,
+    parameters, AND partitioning (or a caller-supplied pre-fitted
+    assignment).
 
     Scale shape: pass ``train_fraction`` at scale so KMeans trains on
     a bounded sample (~10^6 vectors at 100 TB, never the corpus; the

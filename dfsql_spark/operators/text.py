@@ -933,7 +933,11 @@ def upsample_mix(
     materialized mix is stable across runs, partitionings, engines,
     and dataset versions.  Output = input columns + ``copy_idx``
     (1-based epoch index; trainers shuffle copies apart via
-    ``epoch_shuffle``).  Strata absent from ``target`` are dropped.
+    ``epoch_shuffle``).  Strata absent from ``target`` are dropped
+    (deliberate: the target IS the output recipe); the REVERSE —
+    a ``target`` stratum with no rows in ``df`` — raises, because
+    silently skipping it would miss the requested proportions with
+    no renormalization and no error.
 
     ``max_repeat`` refuses silently exploding output (a 0.99 share
     pointed at a 10-row stratum): checked against the ``#strata``-row
@@ -983,6 +987,20 @@ def upsample_mix(
         stratum_col,
         (F.col("share") * t_expr / F.col("n")).alias("f"),
     ).collect()
+    # A requested stratum with ZERO rows in df cannot be up-sampled
+    # from nothing — and silently dropping it would skew the output
+    # mix away from every other share without renormalizing (the
+    # round-10 advisor's find: a typo'd stratum name just vanished,
+    # and max_repeat could not catch it because the missing stratum
+    # never produced a factor row).  Fail loudly instead.
+    absent = sorted(set(target) - {r[stratum_col] for r in frows})
+    if absent:
+        raise ValueError(
+            f"target strata {absent} have no rows in df (typo'd name, "
+            "or the stratum is genuinely empty) — remove them from "
+            "`target` or fix the stratum values; proceeding would "
+            "silently miss the requested mix"
+        )
     if frows:
         f_max = max(r["f"] for r in frows)
         if f_max > max_repeat:

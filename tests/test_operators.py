@@ -4693,6 +4693,10 @@ def test_upsample_mix_hand_pinned_and_mirror(spark, docs, duck):
         um(sdf, {"b": 1.0}, total=2000)
     with _pytest.raises(ValueError, match="at least one"):
         um(sdf, {})
+    # typo'd / absent target stratum must raise, not silently skew
+    # the output mix (round-10 advisor find)
+    with _pytest.raises(ValueError, match=r"\['zz'\] have no rows"):
+        um(sdf, {"a": 0.5, "zz": 0.5}, total=8)
 
 
 def test_upsample_mix_fuzz_vs_bruteforce_reference(spark):
@@ -4737,7 +4741,18 @@ def test_upsample_mix_fuzz_vs_bruteforce_reference(spark):
             b = int(hashlib.md5(("upmix:" + r["text"]).encode()).hexdigest()[:8], 16) % 10000
             n = base + (1 if b < frac * 10000 else 0)
             want += [(r["doc_id"], c) for c in range(1, n + 1)]
-        if skip or not any(s in n_by for s in target):
+        if skip:
+            continue
+        absent = sorted(set(target) - set(n_by))
+        if absent:
+            # requested stratum with zero rows: must raise, not
+            # silently skew the mix (round-10 advisor find)
+            import pytest as _pytest
+
+            with _pytest.raises(ValueError, match="no rows in df"):
+                upsample_mix(
+                    spark.createDataFrame(pdf), target, total=total
+                ).collect()
             continue
         got = sorted(
             (r.doc_id, r.copy_idx)
