@@ -5243,3 +5243,194 @@ def test_ngram_repetition_signals_plan_shape(docs):
     assert "EvalPython" not in s.text
     # one per-gram agg, one per-doc agg, one roster join: <=4 exchanges
     assert s.n_exchanges <= 4
+
+
+# ---------------------------------------------------------------------------
+# perplexity_buckets (CCNet-style per-language quality terciles)
+# ---------------------------------------------------------------------------
+
+
+def _ppl_scored(docs):
+    """Derived score with deliberate TIES (n_chars % 100 collides) to
+    exercise the id tie-break, and NULLs (every 17th doc) to exercise
+    the unscorable-row contract."""
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("doc_id") % 17 == 0, F.lit(None))
+        .otherwise((F.col("n_chars") % 100).cast("double"))
+        .alias("s"),
+    )
+
+
+def test_perplexity_buckets_exact_matches_duckdb_ntile(docs, duck):
+    """The exact path IS ANSI ntile: PARTITION BY lang ORDER BY score
+    DESC, doc_id — the id tie-break totally orders every partition, so
+    Spark and DuckDB must agree row-for-row (both hand the remainder
+    one row per leading bucket); NULL scores keep their row with a
+    NULL bucket."""
+    from .conftest import assert_matches_oracle
+    from dfsql_spark.operators.text import perplexity_buckets
+
+    got = perplexity_buckets(
+        _ppl_scored(docs), score_col="s", group_col="lang", id_col="doc_id"
+    )
+    want = duck.sql(
+        """
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   CASE WHEN doc_id % 17 = 0 THEN NULL
+                        ELSE CAST(n_chars % 100 AS DOUBLE) END AS s
+            FROM documents
+        ), nn AS (
+            SELECT doc_id,
+                   ntile(3) OVER (PARTITION BY lang
+                                  ORDER BY s DESC, doc_id) AS bucket
+            FROM scored WHERE s IS NOT NULL
+        )
+        SELECT sc.doc_id, sc.lang, CAST(nn.bucket AS INT) AS bucket,
+               CASE nn.bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                              WHEN 3 THEN 'tail' END AS bucket_label
+        FROM scored sc LEFT JOIN nn ON sc.doc_id = nn.doc_id
+        """
+    ).df()
+    assert_matches_oracle(got, want, "perplexity_buckets_exact")
+
+
+def test_perplexity_buckets_thresholds_matches_duckdb(docs, duck):
+    """The zero-shuffle thresholds path (what CCNet itself ships) is
+    pure arithmetic — bucket = 1 + #cuts strictly above the score —
+    mirrored as a CASE over a literal per-language cut table; a
+    language absent from the dict gets NULL buckets (flag, don't
+    guess), as do NULL scores."""
+    from .conftest import assert_matches_oracle
+    from dfsql_spark.operators.text import perplexity_buckets
+
+    cuts = {"en": [70.0, 35.0], "zh": [60.0, 30.0], "es": [80.0, 20.0]}
+    got = perplexity_buckets(
+        _ppl_scored(docs),
+        score_col="s",
+        group_col="lang",
+        id_col="doc_id",
+        thresholds=cuts,
+    )
+    case = " ".join(
+        f"WHEN lang = '{g}' THEN (CASE WHEN s >= {c1!r} THEN 1 "
+        f"WHEN s >= {c2!r} THEN 2 ELSE 3 END)"
+        for g, (c1, c2) in sorted(cuts.items())
+    )
+    want = duck.sql(
+        f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   CASE WHEN doc_id % 17 = 0 THEN NULL
+                        ELSE CAST(n_chars % 100 AS DOUBLE) END AS s
+            FROM documents
+        ), b AS (
+            SELECT doc_id, lang,
+                   CASE WHEN s IS NULL THEN NULL {case} END AS bucket
+            FROM scored
+        )
+        SELECT doc_id, lang, CAST(bucket AS INT) AS bucket,
+               CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                           WHEN 3 THEN 'tail' END AS bucket_label
+        FROM b
+        """
+    ).df()
+    assert_matches_oracle(got, want, "perplexity_buckets_thresholds")
+
+
+def test_perplexity_buckets_hand_pinned_semantics(spark):
+    """Boundary pins the mirrors cannot isolate: a score EQUAL to a
+    cut lands in the better bucket; custom n_buckets gets b1..bn
+    labels; both validation paths raise."""
+    import pytest as _pytest
+
+    from dfsql_spark.operators.text import perplexity_buckets
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", 9.0),   # above both cuts -> head
+            (2, "en", 5.0),   # == cut1 -> better bucket -> head
+            (3, "en", 4.99),  # between -> middle
+            (4, "en", 2.0),   # == cut2 -> middle
+            (5, "en", 1.0),   # below -> tail
+            (6, "en", None),  # NULL score -> NULL bucket
+            (7, "xx", 9.0),   # group absent from dict -> NULL bucket
+        ],
+        "doc_id long, lang string, s double",
+    )
+    out = {
+        r.doc_id: (r.bucket, r.bucket_label)
+        for r in perplexity_buckets(
+            df, score_col="s", group_col="lang", id_col="doc_id",
+            thresholds={"en": [5.0, 2.0]},
+        ).collect()
+    }
+    assert out[1] == (1, "head")
+    assert out[2] == (1, "head")
+    assert out[3] == (2, "middle")
+    assert out[4] == (2, "middle")
+    assert out[5] == (3, "tail")
+    assert out[6] == (None, None)
+    assert out[7] == (None, None)
+
+    # exact path on the same frame: 5 scored docs over 3 tiles ->
+    # 2/2/1 (remainder to leading buckets), NULLs stay NULL, the
+    # absent-group concept does not exist (every group tiles itself)
+    exact = {
+        r.doc_id: r.bucket
+        for r in perplexity_buckets(
+            df, score_col="s", group_col="lang", id_col="doc_id"
+        ).collect()
+    }
+    assert exact[1] == 1 and exact[2] == 1      # top 2 of 5
+    assert exact[3] == 2 and exact[4] == 2
+    assert exact[5] == 3
+    assert exact[6] is None
+    assert exact[7] == 1  # xx has one scored doc: its own tile 1
+
+    # n_buckets=4 -> generated labels
+    four = perplexity_buckets(
+        df, score_col="s", group_col="lang", id_col="doc_id", n_buckets=4
+    )
+    labels = {r.bucket_label for r in four.collect() if r.bucket_label}
+    assert labels <= {"b1", "b2", "b3", "b4"}
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        perplexity_buckets(df, score_col="s", n_buckets=1)
+    with _pytest.raises(ValueError, match="labels"):
+        perplexity_buckets(df, score_col="s", labels=("only-one",))
+    with _pytest.raises(ValueError, match="cuts"):
+        perplexity_buckets(
+            df, score_col="s", group_col="lang", thresholds={"en": [5.0]}
+        )
+
+
+def test_perplexity_buckets_thresholds_plan_zero_shuffle(docs):
+    """Scale pin (the 100 TB path): cutoff assignment rides the scan —
+    a broadcast of #groups rows is the ONLY join, there is no window,
+    no sort, no Python worker, and at most the broadcast-build
+    exchange.  The exact path, by contrast, must show its one window
+    (documented corpus-sort trade)."""
+    from dfsql_spark.operators.text import perplexity_buckets
+    from dfsql_spark.plans.audit import plan_summary
+
+    scored = _ppl_scored(docs)
+    s = plan_summary(
+        perplexity_buckets(
+            scored, score_col="s", group_col="lang", id_col="doc_id",
+            thresholds={"en": [70.0, 35.0], "zh": [60.0, 30.0]},
+        )
+    )
+    assert s.n_sortmerge_joins == 0, s.text
+    assert s.n_broadcast_joins == 1, s.text
+    assert s.n_exchanges <= 1, s.text  # broadcast build only
+    assert "Window" not in s.text, s.text
+    assert "EvalPython" not in s.text, s.text
+
+    s_exact = plan_summary(
+        perplexity_buckets(scored, score_col="s", group_col="lang", id_col="doc_id")
+    )
+    assert "Window" in s_exact.text
+    assert "EvalPython" not in s_exact.text
