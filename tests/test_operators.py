@@ -5434,3 +5434,102 @@ def test_perplexity_buckets_thresholds_plan_zero_shuffle(docs):
     )
     assert "Window" in s_exact.text
     assert "EvalPython" not in s_exact.text
+
+
+# ---------------------------------------------------------------------------
+# inventory-audit gap closures (round 11): public building blocks that
+# only ever ran INSIDE other tested operators get direct pins
+# ---------------------------------------------------------------------------
+
+
+def test_custom_check_and_row_count_between(spark):
+    """`Check` is the extension point (a named pair of aggregate
+    expressions) — a hand-built custom check must run in the same
+    single-pass suite as the builtins, and `row_count_between` must
+    gate on both bounds."""
+    from dfsql_spark.operators.checks import Check, row_count_between, run_checks
+
+    df = spark.createDataFrame([(1, 5.0), (2, 7.0), (3, 9.0)], "id long, v double")
+    custom = Check("mean_v_below_8", F.avg("v") < 8.0, F.avg("v"))
+    rows = {
+        r.check: (r.passed, r.observed)
+        for r in run_checks(
+            df, [custom, row_count_between(2, 5), row_count_between(4, 9)]
+        ).collect()
+    }
+    assert rows["mean_v_below_8"] == (True, 7.0)
+    assert rows["row_count_between(2,5)"] == (True, 3.0)
+    assert rows["row_count_between(4,9)"] == (False, 3.0)
+
+
+def test_char_shingles_expression(spark):
+    """`char_shingles` is the expression-level k-shingle builder the
+    dedup family is assembled from: distinct char k-grams of the
+    NORMALIZED text (lowercase, whitespace collapsed)."""
+    from dfsql_spark.operators.dedup import char_shingles
+
+    df = spark.createDataFrame([("AB  ab",), (None,)], "text string")
+    got = [r.s for r in df.select(char_shingles("text", k=2).alias("s")).collect()]
+    # normalized "ab ab" -> 2-shingles {ab, "b ", " a"}; distinct
+    assert sorted(got[0]) == [" a", "ab", "b "]
+    # NULL text: the normalizer coalesces to "" and a sub-k string
+    # shingles to itself — the degenerate [""] (downstream consumers
+    # filter by shingle count / length, so empties never pair up)
+    assert got[1] == [""]
+
+
+def test_simhash_fingerprints_direct(docs):
+    """Direct pin for the fingerprint stage (simhash_pairs is tested
+    end-to-end elsewhere): 64-bit bigint per doc, deterministic across
+    repartitionings, identical text -> identical fingerprint."""
+    from dfsql_spark.operators.dedup import simhash_fingerprints
+
+    fp1 = {r.id: r.simhash for r in simhash_fingerprints(docs).collect()}
+    fp2 = {
+        r.id: r.simhash
+        for r in simhash_fingerprints(docs.repartition(7)).collect()
+    }
+    assert fp1 == fp2 and len(fp1) == docs.count()
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    by_text: dict = {}
+    for i, t in texts.items():
+        by_text.setdefault(t, set()).add(fp1[i])
+    for t, fps in by_text.items():
+        assert len(fps) == 1, f"same text, different simhash: {t[:40]!r}"
+
+
+def test_hashed_bucket_sums_matches_dense_embedding(docs):
+    """`hashed_bucket_sums` is the sparse stage of hashed_embeddings:
+    scattering its (bucket, value) rows into a dense vector must equal
+    the dense operator's output exactly."""
+    from dfsql_spark.operators.text import hashed_bucket_sums, hashed_embeddings
+
+    dim = 16
+    sparse = hashed_bucket_sums(docs, dim=dim)
+    dense = {
+        r.doc_id: r.embedding
+        for r in hashed_embeddings(docs, dim=dim, normalize=False).collect()
+    }
+    rebuilt: dict = {}
+    for r in sparse.collect():
+        rebuilt.setdefault(r._id, [0.0] * dim)[r._b] = float(r._v)
+    for doc_id, vec in rebuilt.items():
+        assert vec == list(dense[doc_id]), doc_id
+    # docs with no tokens produce no sparse rows but a zero dense vector
+    assert set(rebuilt) <= set(dense)
+
+
+def test_canonical_url_expr_composes_in_select(spark):
+    """`canonical_url_expr` is the column-level API (canonicalize_url
+    is the DataFrame wrapper): it must be usable directly inside any
+    select, producing the same canonical form."""
+    from dfsql_spark.operators.web import canonical_url_expr, canonicalize_url
+
+    df = spark.createDataFrame(
+        [("HTTPS://WWW.Example.com:443/a/?utm_source=x&q=1#frag",)],
+        "url string",
+    )
+    via_expr = df.select(canonical_url_expr("url").alias("canonical_url"))
+    via_wrapper = canonicalize_url(df).select("canonical_url")
+    assert via_expr.collect() == via_wrapper.collect()
+    assert via_expr.collect()[0][0] == "https://example.com/a?q=1"
