@@ -193,6 +193,18 @@ def q25_except_intersect(spark, sf):
 # money sum overflows it, silently in non-ANSI mode — while Spark
 # widens decimal(18,2) sums to decimal(28,2) (overflow at 1e26).
 # Exact and overflow-safe beats fast-but-truncating on money columns.
+# Round-11 adjudication (scripts/microbench_decimal_sum.py, isolated
+# q06 shape, 5 reps): decimal/double = 2.54× median at sf0.1 and
+# 2.69× at sf1 — CONSTANT per-row cost across a 10× scale-up, with
+# partial aggregation confirmed map-side (two HashAggregates,
+# partial_sum before the exchange).  The floor is STRUCTURAL: Spark's
+# SUM accumulator is decimal(p+10, s), so any input precision > 8
+# leaves the Long-backed UnsafeRow fast path and accumulates via
+# Int128/BigDecimal adds; every spelling that stays Long-backed
+# (input precision <= 8, or scaled bigint) has the same ~1e16
+# accumulator ceiling that was already rejected.  The overhead is
+# irreducible sum-widening cost, not a missing optimization — q06
+# keeps the exact-DECIMAL form.
 
 def q06_groupby_agg(spark, sf):
     """A1/A4-A8: hash aggregate with the full builtin aggregate set
