@@ -110,8 +110,33 @@ def main() -> None:
     # tmpfs beats the (virtualized) disk ~15× on small block files —
     # without this, intermittent disk stalls dominated the medians
     # (round-10 instrument diagnosis in PROGRESS.jsonl); deliberately
-    # NOT a library default (see dfsql_spark/session.py)
-    if os.path.isdir("/dev/shm"):
+    # NOT a library default (see dfsql_spark/session.py).
+    # CAPACITY GUARD (round-11 lesson): tmpfs pages are RAM — the
+    # first sf1 run piled 88 GB of shuffle scratch into /dev/shm and
+    # the kernel OOM-killed the JVM mid-suite.  Gate the opt-in on
+    # the SOURCE dataset size (shuffle volume scales with it): past
+    # ~64 MB of parquet the suite belongs on disk.
+    def _dataset_mb(d: str) -> float:
+        # *.parquet entries can be single files (driver testdata) or
+        # Spark-written directories (make_scale_data output) — walk both
+        try:
+            total = 0
+            for f in os.listdir(d):
+                if not f.endswith(".parquet"):
+                    continue
+                p = os.path.join(d, f)
+                if os.path.isdir(p):
+                    for root, _, files in os.walk(p):
+                        total += sum(
+                            os.path.getsize(os.path.join(root, x)) for x in files
+                        )
+                else:
+                    total += os.path.getsize(p)
+            return total / 1e6
+        except OSError:
+            return float("inf")
+
+    if os.path.isdir("/dev/shm") and _dataset_mb(sf_dir) <= 64:
         os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/dfsql-spark-local")
     spark = get_spark(app_name="dfsql-spark-bench")
     qs = {**em.queries(), **em.bench_extras()}

@@ -1549,6 +1549,7 @@ def remove_duplicate_lines(
     id_col: str = "doc_id",
     min_line_chars: int = 1,
     sep: str = "\n",
+    scope_col: "str | None" = None,
 ) -> DataFrame:
     """Corpus-wide exact line dedup: every line keeps exactly ONE
     occurrence — the globally first by ``(doc_id, position)`` — and
@@ -1558,6 +1559,15 @@ def remove_duplicate_lines(
     repeat verbatim across pages; whole-document dedup never sees
     them), applied at document granularity here because the corpus
     carries no page structure.
+
+    ``scope_col`` (round 11) scopes the dedup the way RefinedWeb
+    actually runs it: lines collapse only WITHIN the same scope value
+    (domain / source / crawl snapshot), so navigation chrome repeated
+    across one site is stripped while a legitimately common line in
+    two unrelated sources survives in both.  ``None`` keeps the
+    corpus-global behavior.  Scoping also de-fangs the hot-key
+    pathology below: the reduce key becomes (scope, line), so a
+    banner shared by every site no longer converges on one reducer.
 
     Lines shorter than ``min_line_chars`` (after no normalization —
     exact bytes) are EXEMPT: they are always kept, so blank separator
@@ -1599,24 +1609,38 @@ def remove_duplicate_lines(
     reassembled document, counts let callers filter husk documents
     (e.g. ``n_kept / n_lines < 0.3``).
     """
+    # NULL scopes need no sentinel: groupBy keys treat NULLs as
+    # equal, so all unknown-domain docs share one dedup domain
+    scope_cols = (
+        [F.col(scope_col).alias("_scope")] if scope_col is not None else []
+    )
     base = df.select(
         F.col(id_col).alias("_id"),
         F.split(F.col(text_col), sep, -1).alias("_ls"),
+        *scope_cols,
     )
     # map-only roster: every doc with its line count, so documents
     # whose every line loses still appear in the output (text='')
     roster = base.select("_id", F.size("_ls").alias("n_lines"))
     lines = base.select(
-        "_id", F.posexplode("_ls").alias("_pos", "_line")
+        "_id",
+        *(["_scope"] if scope_col is not None else []),
+        F.posexplode("_ls").alias("_pos", "_line"),
     )
     # one groupBy covers both regimes: exempt lines get a unique
     # per-occurrence key component (every occurrence is its own
-    # group and survives), subject lines get NULL (global collapse).
+    # group and survives), subject lines get NULL (global collapse —
+    # per scope when scope_col is set).
     occ = F.when(
         F.length("_line") < min_line_chars, F.struct("_id", "_pos")
     ).alias("_occ")
+    group_keys = (
+        [F.col("_scope"), F.col("_line"), occ]
+        if scope_col is not None
+        else [F.col("_line"), occ]
+    )
     kept = (
-        lines.groupBy(F.col("_line"), occ)
+        lines.groupBy(*group_keys)
         .agg(F.min(F.struct("_id", "_pos")).alias("_w"))
         .select(
             F.col("_w._id").alias("_id"),

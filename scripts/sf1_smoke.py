@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""One-pass sf1 smoke of the headline suite (round-10 verdict ask #5):
+run every headline query once at a 10× scale factor, printing each
+timing AS IT COMPLETES (a crash loses nothing), to catch adaptive
+gates mis-sized by 10× (d02 dense/prefix switch, d05 LSH threshold,
+ANN candidate volumes, MG capacity validation).
+
+Deliberately on-disk shuffle scratch: tmpfs pages are RAM, and the
+first sf1 attempt OOM-killed the JVM after piling 88 GB of shuffle
+files into /dev/shm (the round-11 lesson now guarded in bench.py).
+
+Usage::
+
+    python scripts/sf1_smoke.py [sf_dir] [--warm-dir D]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# on-disk scratch, explicitly (see module docstring)
+os.environ.pop("SPARK_GRAFT_LOCAL_DIR", None)
+
+import __spark_entry__ as em  # noqa: E402
+from bench import HEADLINE  # noqa: E402
+from dfsql_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default=".benchdata/sf1")
+    ap.add_argument("--warm-dir", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="sf1-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = {**em.queries(), **em.bench_extras()}
+
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    timings: dict = {}
+    failures: dict = {}
+    from dfsql_spark.operators.dedup import LAST_NGRAM_STRATEGY
+
+    for name in HEADLINE:
+        try:
+            run(qs[name](spark, args.warm_dir))  # warm: codegen + workers
+            t0 = time.perf_counter()
+            run(qs[name](spark, args.sf_dir))
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = dt
+            extra = ""
+            if name == "d02_dedup_ngram_jaccard":
+                extra = f" strategy={LAST_NGRAM_STRATEGY.get('strategy')}"
+            print(f"{name}: {dt}s{extra}", flush=True)
+        except Exception as exc:
+            failures[name] = f"{type(exc).__name__}: {exc}"
+            print(f"{name}: FAILED {failures[name]}", flush=True)
+        em.release_caches()
+
+    print(
+        json.dumps(
+            {
+                "bench": "sf1_smoke_single_pass",
+                "sf_dir": args.sf_dir,
+                "total": round(sum(timings.values()), 3),
+                "queries": timings,
+                "failures": failures,
+                "local_dir": "spark-default-disk",
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

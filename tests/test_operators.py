@@ -5533,3 +5533,113 @@ def test_canonical_url_expr_composes_in_select(spark):
     via_wrapper = canonicalize_url(df).select("canonical_url")
     assert via_expr.collect() == via_wrapper.collect()
     assert via_expr.collect()[0][0] == "https://example.com/a?q=1"
+
+
+def test_remove_duplicate_lines_scoped_by_domain(spark):
+    """RefinedWeb scoping (round 11): with scope_col set, a line
+    collapses only WITHIN its scope value — site chrome repeated
+    across one domain is stripped, a legitimately common line in two
+    unrelated domains survives in both; NULL scopes share one dedup
+    domain."""
+    import pandas as pd
+
+    from dfsql_spark.operators.dedup import remove_duplicate_lines
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "domain": ["a.com", "a.com", "b.org", None, None],
+                "text": [
+                    "nav bar\nstory one",
+                    "nav bar\nstory two",       # same domain: nav bar dies
+                    "nav bar\nstory three",     # other domain: nav bar lives
+                    "nav bar\nstory four",      # NULL scope: first keeps
+                    "nav bar\nstory five",      # NULL scope: repeat dies
+                ],
+            }
+        )
+    )
+    out = {
+        r.doc_id: r.text
+        for r in remove_duplicate_lines(
+            docs, min_line_chars=1, scope_col="domain"
+        ).collect()
+    }
+    assert out[1] == "nav bar\nstory one"
+    assert out[2] == "story two"
+    assert out[3] == "nav bar\nstory three"
+    assert out[4] == "nav bar\nstory four"
+    assert out[5] == "story five"
+
+    # a CONSTANT scope column degenerates to the global behavior
+    const = docs.withColumn("domain", F.lit("all"))
+    got_scoped = {
+        r.doc_id: (r.text, r.n_lines, r.n_kept)
+        for r in remove_duplicate_lines(
+            const, min_line_chars=1, scope_col="domain"
+        ).collect()
+    }
+    got_global = {
+        r.doc_id: (r.text, r.n_lines, r.n_kept)
+        for r in remove_duplicate_lines(docs, min_line_chars=1).collect()
+    }
+    assert got_scoped == got_global
+
+
+def test_remove_duplicate_lines_scoped_duckdb_mirror(docs, duck):
+    """Full-construction DuckDB mirror of the SCOPED variant on the
+    documents table (8-token synthetic lines, scope = source): first
+    occurrence per (source, line) by (doc_id, pos) survives, docs
+    reassemble in position order."""
+    from .conftest import assert_matches_oracle
+    from dfsql_spark.operators.dedup import remove_duplicate_lines
+
+    # synthesize multi-line docs exactly like d11 does (8-token lines)
+    lined = docs.select(
+        "doc_id",
+        "source",
+        F.regexp_replace(
+            F.col("text"), r"((?:\S+ ){7}\S+) ", "$1\n"
+        ).alias("text"),
+    )
+    got = remove_duplicate_lines(
+        lined, min_line_chars=2, scope_col="source"
+    ).select("doc_id", "text", "n_lines", "n_kept")
+    want = duck.sql(
+        r"""
+        WITH ml AS (
+            SELECT doc_id, source,
+                   string_split(
+                       regexp_replace(text,
+                           '((?:\S+ ){7}\S+) ', '\1' || chr(10), 'g'),
+                       chr(10)) AS ls
+            FROM documents
+        ), lines AS (
+            SELECT doc_id, source, u.i - 1 AS pos, ls[u.i] AS line
+            FROM ml, unnest(range(1, len(ls) + 1)) u(i)
+        ), kept AS (
+            SELECT doc_id, pos, line
+            FROM (
+                SELECT doc_id, pos, line,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source, line ORDER BY doc_id, pos
+                       ) AS rn
+                FROM lines WHERE length(line) >= 2
+            ) WHERE rn = 1
+            UNION ALL
+            SELECT doc_id, pos, line FROM lines WHERE length(line) < 2
+        ), rebuilt AS (
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY pos) AS text,
+                   CAST(count(*) AS BIGINT) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT m.doc_id,
+               COALESCE(r.text, '') AS text,
+               CAST(len(m.ls) AS INT) AS n_lines,
+               COALESCE(r.n_kept, 0) AS n_kept
+        FROM ml m LEFT JOIN rebuilt r ON m.doc_id = r.doc_id
+        """
+    ).df()
+    assert_matches_oracle(got, want, "remove_duplicate_lines_scoped")
