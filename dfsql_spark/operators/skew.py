@@ -129,3 +129,52 @@ def salted_skew_join(
         salted_big = salted_big.hint("merge")
         salted_small = salted_small.hint("merge")
     return salted_big.join(salted_small, keys + ["_salt"], how).drop("_salt")
+
+
+def key_skew_report(
+    df: DataFrame,
+    keys: "list[str] | str",
+    top_n: int = 20,
+) -> DataFrame:
+    """Hot-key diagnostic for join/aggregation planning: the ``top_n``
+    heaviest key values with their row counts, corpus fraction, skew
+    ratio (count ÷ mean rows-per-key), and a suggested salt factor —
+    the number the :func:`salted_groupby_agg` / :func:`salted_skew_join`
+    ``num_salts`` argument wants (``ceil(skew_ratio)`` spreads the hot
+    key over as many reduce tasks as it exceeds the average by).
+
+    At 100 TB this is the pre-flight check before any keyed shuffle: a
+    key holding 5% of a 100 TB fact table is a 5 TB reduce task that
+    no executor survives; this report is ONE map-side-combined count
+    aggregate (shuffle carries key + 8-byte count), one #keys-row
+    stats reduction broadcast back, and a TakeOrdered top-n — never a
+    global sort, never a second corpus scan.
+
+    Ties break by key value ascending so the report is deterministic
+    across runs and engines.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    if not key_list:
+        raise ValueError("keys must name at least one column")
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    counts = df.groupBy(*key_list).agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count(F.lit(1)).alias("_n_keys"),
+    )
+    ratio = F.col("n_rows") * F.col("_n_keys") / F.col("_total")
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            *key_list,
+            "n_rows",
+            (F.col("n_rows") / F.col("_total")).alias("row_frac"),
+            ratio.alias("skew_ratio"),
+            F.ceil(ratio).cast("int").alias("suggested_salts"),
+        )
+        .orderBy(
+            F.col("n_rows").desc(), *[F.col(k).asc() for k in key_list]
+        )
+        .limit(top_n)
+    )

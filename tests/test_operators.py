@@ -5643,3 +5643,79 @@ def test_remove_duplicate_lines_scoped_duckdb_mirror(docs, duck):
         """
     ).df()
     assert_matches_oracle(got, want, "remove_duplicate_lines_scoped")
+
+
+def test_key_skew_report_hand_pinned_and_mirror(spark, duck):
+    """Hot-key report: counts, fractions, skew ratio vs mean
+    rows-per-key, and the salt suggestion feeding salted_groupby_agg;
+    exact DuckDB mirror over events(user_id) incl. the deterministic
+    (count desc, key asc) tie-break."""
+    from .conftest import assert_matches_oracle
+    from dfsql_spark.operators.skew import key_skew_report
+
+    # hand frame: key 'h' holds 6 of 10 rows over 3 keys
+    df = spark.createDataFrame(
+        [("h",)] * 6 + [("a",)] * 3 + [("z",)], "k string"
+    )
+    rows = key_skew_report(df, "k", top_n=3).collect()
+    assert [r.k for r in rows] == ["h", "a", "z"]
+    h = rows[0]
+    assert h.n_rows == 6 and abs(h.row_frac - 0.6) < 1e-12
+    assert abs(h.skew_ratio - 1.8) < 1e-12  # 6 / (10/3)
+    assert h.suggested_salts == 2
+    assert rows[2].suggested_salts == 1  # cold key still salts >= 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        key_skew_report(df, [])
+    with _pytest.raises(ValueError, match="top_n"):
+        key_skew_report(df, "k", top_n=0)
+
+    # mirror on the events table
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = key_skew_report(events, "user_id", top_n=10)
+    want = duck.sql(
+        """
+        WITH c AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+            FROM events GROUP BY user_id
+        ), s AS (
+            SELECT CAST(sum(n_rows) AS DOUBLE) AS total,
+                   CAST(count(*) AS DOUBLE) AS n_keys
+            FROM c
+        )
+        SELECT user_id, n_rows,
+               n_rows / total AS row_frac,
+               n_rows * n_keys / total AS skew_ratio,
+               CAST(CEIL(n_rows * n_keys / total) AS INT) AS suggested_salts
+        FROM c, s
+        ORDER BY n_rows DESC, user_id ASC
+        LIMIT 10
+        """
+    ).df()
+    assert_matches_oracle(got, want, "key_skew_report")
+
+
+def test_key_skew_report_plan_take_ordered(spark):
+    """Scale pin: one map-side-combined count aggregate + a broadcast
+    of the 1-row stats frame + TakeOrdered — no Window, no global
+    Sort, no Python."""
+    from dfsql_spark.operators.skew import key_skew_report
+    from dfsql_spark.plans.audit import plan_summary
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    s = plan_summary(key_skew_report(events, "user_id", top_n=5))
+    assert "TakeOrderedAndProject" in s.text, s.text
+    assert "Window" not in s.text, s.text
+    # the 1-row stats frame crosses in as a BroadcastNestedLoopJoin —
+    # broadcast by construction, no hash join needed for 1 row
+    assert "BroadcastNestedLoopJoin" in s.text, s.text
+    assert "BroadcastExchange" in s.text, s.text
+    assert s.n_sortmerge_joins == 0, s.text
+    assert "EvalPython" not in s.text, s.text
+    # static plan: the counts subtree prints twice (top-n branch +
+    # stats branch) so its identical Exchange appears twice — Spark's
+    # ReuseExchange collapses them at runtime — plus the single-row
+    # stats exchange and the broadcast build
+    assert s.n_exchanges <= 4, s.text
