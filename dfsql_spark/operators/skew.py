@@ -178,3 +178,54 @@ def key_skew_report(
         )
         .limit(top_n)
     )
+
+
+def join_cardinality_report(
+    left: DataFrame,
+    right: DataFrame,
+    on: "list[str] | str",
+    top_n: int = 20,
+) -> DataFrame:
+    """EXACT equi-join output size, computed without running the join:
+    per-key counts on each side (two map-side-combined aggregates
+    whose shuffles carry key + 8-byte count), inner-joined on the key
+    — a #distinct-keys-sized join, not a row-level one — yield
+    ``n_left × n_right`` output rows per key.  Returns the ``top_n``
+    keys by contribution plus one ``__total__`` row (key columns
+    NULL) with the full join's output row count.
+
+    The 100 TB pre-flight this answers: a many-to-many key that looks
+    innocent on either side (10⁴ × 10⁴) contributes 10⁸ joined rows by
+    itself.  Running this report first costs two count aggregates;
+    running the join to find out costs the explosion.  Keys present on
+    one side only contribute nothing and are excluded (inner-join
+    semantics); ties break by key ascending, deterministic across
+    engines.
+
+    Composes with :func:`key_skew_report` (per-side row skew) and
+    :func:`salted_skew_join` (the fix when the report shows a hot
+    key): report -> decide broadcast / salt / pre-aggregate -> join.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if not keys:
+        raise ValueError("on must name at least one join column")
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_left"))
+    rc = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_right"))
+    per_key = lc.join(rc, keys).select(
+        *keys,
+        "n_left",
+        "n_right",
+        (F.col("n_left") * F.col("n_right")).alias("n_out"),
+    )
+    top = per_key.orderBy(
+        F.col("n_out").desc(), *[F.col(k).asc() for k in keys]
+    ).limit(top_n)
+    total = per_key.agg(
+        *[F.lit(None).cast(per_key.schema[k].dataType).alias(k) for k in keys],
+        F.sum("n_left").alias("n_left"),
+        F.sum("n_right").alias("n_right"),
+        F.sum("n_out").alias("n_out"),
+    )
+    return top.unionByName(total)

@@ -5719,3 +5719,60 @@ def test_key_skew_report_plan_take_ordered(spark):
     # ReuseExchange collapses them at runtime — plus the single-row
     # stats exchange and the broadcast build
     assert s.n_exchanges <= 4, s.text
+
+
+def test_join_cardinality_report_hand_pinned_and_mirror(spark, duck):
+    """Exact join-size pre-flight: per-key n_left x n_right plus the
+    __total__ row, without executing the row-level join; DuckDB mirror
+    on the many-to-many events self-join by user_id."""
+    from .conftest import assert_matches_oracle
+    from dfsql_spark.operators.skew import join_cardinality_report
+
+    left = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 2 + [("only_left",)], "k string"
+    )
+    right = spark.createDataFrame(
+        [("a",)] * 4 + [("b",)] * 5 + [("only_right",)], "k string"
+    )
+    rows = join_cardinality_report(left, right, "k", top_n=5).collect()
+    by_key = {r.k: (r.n_left, r.n_right, r.n_out) for r in rows}
+    assert by_key["a"] == (3, 4, 12)
+    assert by_key["b"] == (2, 5, 10)
+    assert "only_left" not in by_key and "only_right" not in by_key
+    assert by_key[None] == (5, 9, 22)  # the __total__ row
+    # verify against the actual join
+    assert left.join(right, "k").count() == 22
+    # contribution order: b (10) < a (12) -> a first
+    assert [r.k for r in rows] == ["a", "b", None]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="join column"):
+        join_cardinality_report(left, right, [])
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = join_cardinality_report(events, events, "user_id", top_n=8)
+    want = duck.sql(
+        """
+        WITH c AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id
+        ), per_key AS (
+            SELECT a.user_id, a.n AS n_left, b.n AS n_right,
+                   a.n * b.n AS n_out
+            FROM c a JOIN c b USING (user_id)
+        ), top AS (
+            SELECT * FROM per_key
+            ORDER BY n_out DESC, user_id ASC LIMIT 8
+        )
+        SELECT user_id, n_left, n_right, n_out FROM top
+        UNION ALL
+        SELECT NULL, SUM(n_left), SUM(n_right), SUM(n_out) FROM per_key
+        """
+    ).df()
+    assert_matches_oracle(got, want, "join_cardinality_report")
+    # and the total row really is the self-join's output size
+    total = [r for r in got.collect() if r.user_id is None][0]
+    assert total.n_out == events.join(
+        events.select("user_id"), "user_id"
+    ).count()
