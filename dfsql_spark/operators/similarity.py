@@ -1163,3 +1163,68 @@ def semantic_decontaminate(
             "contaminated", F.col("max_sim") >= F.lit(float(threshold))
         )
     return out.filter(F.col("max_sim") >= F.lit(float(threshold)))
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    seed: int = 42,
+    dim: "int | None" = None,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: multiply every vector
+    by a seeded Gaussian matrix ``R[dim, out_dim] / sqrt(out_dim)`` —
+    the standard dimensionality reduction in front of ANN / clustering
+    when the raw embedding width is the cost driver (JL: pairwise
+    distances are preserved within ``eps`` for
+    ``out_dim = O(log n / eps²)``, independent of the input width).
+
+    Scale shape: the matrix depends only on ``(seed, dim, out_dim)``
+    — a few MB even at 4096→256 — broadcast once; projection is one
+    Arrow-batched BLAS matmul per batch riding the scan, ZERO
+    shuffle, and the output column is ``out_dim/dim`` of the input
+    bytes, which every downstream shuffle/ANN stage then inherits.
+    Deterministic by construction: content-independent matrix +
+    per-row map, so results are identical across runs, partitionings,
+    and cluster sizes.  NULL / width-mismatched vectors project to
+    NULL (flag, don't guess — same posture as :func:`cosine`).
+
+    Composes: ``random_projection -> ivf_topk/pq_topk`` (cheaper
+    codebooks), ``-> semantic_dedup_pairs`` (cheaper in-cell tiles),
+    ``-> cluster_balanced_sample`` (cheaper KMeans).
+    """
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    in_dim = dim if dim is not None else len(
+        df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()[0]
+    )
+    rng = np.random.RandomState(seed)
+    r_mat = (rng.randn(in_dim, out_dim) / np.sqrt(out_dim)).astype(np.float64)
+    spark = df.sparkSession
+    b_r = spark.sparkContext.broadcast(r_mat)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def _proj(v: pd.Series) -> pd.Series:
+        r = b_r.value
+        n = len(v)
+        if not n:
+            return pd.Series([], dtype="object")
+        av = v.to_numpy()
+        valid = np.fromiter(
+            (x is not None and len(x) == r.shape[0] for x in av),
+            dtype=bool,
+            count=n,
+        )
+        out = np.full(n, None, dtype=object)
+        idx = np.nonzero(valid)[0]
+        if len(idx):
+            m = np.stack(av[idx]).astype(np.float64)
+            p = m @ r
+            for j, i in enumerate(idx):
+                out[i] = p[j].tolist()
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _proj(F.col(vec_col)))

