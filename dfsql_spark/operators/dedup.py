@@ -273,6 +273,39 @@ def exact_dedup(
 LAST_NGRAM_STRATEGY: dict = {}
 
 
+def _prefix_candidate_bound(sets: DataFrame, threshold: float) -> int:
+    """Upper bound on the prefix-filter join's raw candidate rows:
+    Σ over prefix shingles of C(posting_count, 2).  One linear pass
+    over the (materialized) shingle sets — the same frequency/window
+    stages the prefix path itself starts with — so gate-checking a
+    corpus costs a fraction of running the join.  An upper bound
+    because the PPJoin length filter and the id ordering prune
+    further; at the scales where this gate matters the bound and the
+    reality are the same order of magnitude (sf1 measured: bound
+    7.0e8, actual spill >80 GB)."""
+    from pyspark.sql import Window
+
+    ex = sets.select("id", F.explode("shs").alias("sh"))
+    freq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df_freq"))
+    w = Window.partitionBy("id").orderBy("df_freq", "sh")
+    ranked = ex.join(freq, "sh").select(
+        "id",
+        "sh",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("id")).alias("sz"),
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    )
+    row = (
+        prefix.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("pf"))
+        .agg(F.sum(F.col("pf") * (F.col("pf") - 1) / 2).alias("c"))
+        .collect()[0]
+    )
+    return int(row["c"] or 0)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -285,6 +318,8 @@ def ngram_jaccard_pairs(
     dense_max_docs: int = 500_000,
     dense_max_bytes: int = 256 << 20,
     dense_max_ops: float = 2e10,
+    dense_max_ops_fallback: float = 4e12,
+    prefix_max_candidates: float = 1e8,
     sets: DataFrame | None = None,
     n_docs: int | None = None,
     strategy_out: dict | None = None,
@@ -321,6 +356,17 @@ def ngram_jaccard_pairs(
     caller owns) receives this call's resolved strategy and gate
     inputs — the race-free per-call alternative to the module-level
     ``LAST_NGRAM_STRATEGY`` mirror.
+
+    The auto gate is layered (Gate 3 added in round 11 after the sf1
+    smoke disk-killed the node): cheap dense (``dense_max_ops``) →
+    prefix IF its candidate bound (:func:`_prefix_candidate_bound`,
+    one linear pass) stays under ``prefix_max_candidates`` → dense
+    fallback up to ``dense_max_ops_fallback`` (BLAS-bounded minutes
+    beat an unbounded candidate shuffle) → a refusing ``ValueError``
+    that names MinHash LSH / ``max_shingle_freq`` as the scale paths.
+    Corpora above ``dense_max_docs`` go straight to prefix unprofiled
+    — the real-web-text assumption (a Zipfian rare-shingle tail) that
+    makes prefix linear there.
     """
     pre_shingled = sets is not None
     requested = strategy
@@ -355,19 +401,52 @@ def ngram_jaccard_pairs(
             # is docs × ceil(vocab/8) bytes — gate on the PRODUCT, not
             # the caps independently (500k docs × 64k vocab would be a
             # 4 GB driver collect).  Compute: the dense compare is
-            # O(docs²/2 × ceil(vocab/8)) byte-ops — a corpus can fit
-            # the bitmap in memory yet cost hours of popcounts (50k
-            # docs × 20k vocab = 3e12 ops but only 125 MB; found by the
-            # sf1 scale run).  2e10 ops ≈ a few seconds across 32
-            # cores at ~10 GB/s/core of AND+popcount.
+            # O(docs²/2 × ceil(vocab/8)) byte-ops; 2e10 ≈ seconds.
             row_bytes = (vocab + 7) // 8
-            strategy = (
-                "dense"
-                if vocab <= dense_max_vocab
+            mem_ok = (
+                vocab <= dense_max_vocab
                 and docs * row_bytes <= dense_max_bytes
-                and (docs * docs / 2) * row_bytes <= dense_max_ops
-                else "prefix"
             )
+            ops = (docs * docs / 2) * row_bytes
+            if mem_ok and ops <= dense_max_ops:
+                strategy = "dense"
+            else:
+                # Gate 3 (round 11 — found by the sf1 smoke, which
+                # disk-killed the node): when the corpus has no
+                # rare-shingle tail (templated/synthetic text), prefix
+                # filtering prunes NOTHING — at sf1 the candidate
+                # upper bound was 7e8 pairs whose array-verify join
+                # spilled >80 GB and exhausted the disk.  Before
+                # committing to prefix, bound its candidate volume
+                # with one linear aggregation over the (already
+                # materialized) shingle sets: Σ_sh C(prefix_freq, 2).
+                # Bounded candidates -> prefix (the web-corpus fast
+                # path).  Exploding candidates but a feasible bitmap
+                # -> dense anyway (BLAS-bounded minutes beat an
+                # unbounded shuffle; sf1 measured 261 s at 2.7e12
+                # byte-ops, hence the 4e12 fallback cap ≈ minutes).
+                # Neither sane -> raise rather than detonate the
+                # cluster: exact all-pairs Jaccard on a corpus this
+                # shape needs MinHash LSH or a max_shingle_freq cap.
+                cand_ub = _prefix_candidate_bound(sets, threshold)
+                _info["cand_ub"] = cand_ub
+                if cand_ub <= prefix_max_candidates:
+                    strategy = "prefix"
+                elif mem_ok and ops <= dense_max_ops_fallback:
+                    strategy = "dense"
+                else:
+                    raise ValueError(
+                        f"ngram_jaccard_pairs: no sane exact plan — "
+                        f"prefix filtering would generate ~{cand_ub:.1e} "
+                        f"candidate pairs (> {prefix_max_candidates:.1e}; "
+                        "the corpus has no rare-shingle tail to prune "
+                        f"on) and the dense bitmap path needs "
+                        f"{ops:.1e} byte-ops / {docs * row_bytes / 1e6:.0f} MB "
+                        "(over its caps).  Use minhash_lsh_pairs / "
+                        "minhash_dedup (the scale path for near-dup), "
+                        "cap boilerplate with max_shingle_freq, or "
+                        "force a path with strategy='prefix'/'dense'."
+                    )
             _info["vocab"] = vocab
         _info["n_docs"] = docs
     _info.update(strategy=strategy, requested=requested)
@@ -459,11 +538,15 @@ def _ngram_jaccard_dense(
     2. broadcast the (n x ceil(V/8)) bitmap matrix to all executors
        (gated by ``dense_max_docs``; ~32 MB for 500k docs x 64B rows
        at V=512, 128 MB at V=2048 -- driver-collected once).
-    3. each task takes a slice of row positions p and compares row p
-       against all rows q > p with vectorized byte AND + popcount
-       lookup: |A ∩ B| = popcount(bm_a & bm_b); Jaccard from sizes.
-       Work is n^2/2 byte-ops spread evenly across tasks, shuffle is
-       only the qualifying pairs.
+    3. each task takes a block of row positions, unpacks its rows to
+       0/1 float32 ONCE, and streams corpus chunks through one sgemm
+       per tile: |A ∩ B| = dot(bits_a, bits_b) — float32 sums of 0/1
+       are exact below 2^24, far above any vocab this path admits —
+       then Jaccard from sizes, upper-triangle masked.  Work is
+       n^2/2 x V multiply-adds spread evenly across tasks at BLAS
+       throughput (the round-10 per-row AND+popcount loop measured
+       >9.5 min at 50k docs x 17k vocab; the GEMM form does the same
+       comparisons in ~1 min), shuffle is only the qualifying pairs.
 
     Exact: bitmaps encode the shingle sets losslessly, so results are
     bit-identical to the prefix-filter path.  Large-vocabulary corpora
@@ -519,33 +602,64 @@ def _ngram_jaccard_dense(
     b_ids = spark.sparkContext.broadcast(ids)
     b_szs = spark.sparkContext.broadcast(szs)
     b_mat = spark.sparkContext.broadcast(mat)
-    pop8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
 
     out_schema = "id_a bigint, id_b bigint, jaccard double"
     if n < 2:
         return spark.createDataFrame([], out_schema)
 
+    # Blocked BLAS compare (round 11 — the sf1 smoke found the per-row
+    # AND+popcount loop needed >9.5 min at 50k docs x 17k vocab):
+    # |A ∩ B| is a 0/1 dot product, so a tile of intersections is ONE
+    # sgemm of unpacked bit rows — float32 sums of 0/1 are exact below
+    # 2^24, far above any vocab this path admits, and BLAS runs the
+    # same byte traffic an order of magnitude faster than the lookup-
+    # table popcount.  Each task unpacks its row block once, streams
+    # corpus chunks, and emits only qualifying pairs; tile memory is
+    # BLOCK x CHUNK floats (~8 MB) + the two unpacked slices.
+    vocab_len = max(len(vocab), 1)
+    BLOCK, CHUNK = 1024, 2048
+    n_blocks = (n + BLOCK - 1) // BLOCK
+
     def compare(batches):
         ids_, szs_, mat_ = b_ids.value, b_szs.value, b_mat.value
+        nrows = len(ids_)
         for pdf in batches:
-            for p in pdf["pos"]:
-                p = int(p)
-                if p + 1 >= len(ids_):
+            for blk in pdf["blk"]:
+                lo = int(blk) * BLOCK
+                hi = min(lo + BLOCK, nrows)
+                if lo + 1 >= nrows:
                     continue
-                inter = pop8[mat_[p] & mat_[p + 1 :]].sum(axis=1).astype(np.int64)
-                union = szs_[p] + szs_[p + 1 :] - inter
-                jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
-                m = jac >= threshold
-                if m.any():
-                    qs = np.nonzero(m)[0] + p + 1
-                    yield pd.DataFrame(
-                        {"id_a": ids_[p], "id_b": ids_[qs], "jaccard": jac[m]}
+                a = np.unpackbits(
+                    mat_[lo:hi], axis=1, count=vocab_len, bitorder="little"
+                ).astype(np.float32)
+                sza = szs_[lo:hi]
+                pidx = np.arange(lo, hi, dtype=np.int64)[:, None]
+                for qlo in range(lo, nrows, CHUNK):
+                    qhi = min(qlo + CHUNK, nrows)
+                    b = np.unpackbits(
+                        mat_[qlo:qhi], axis=1, count=vocab_len, bitorder="little"
+                    ).astype(np.float32)
+                    inter = (a @ b.T).astype(np.int64)
+                    qidx = np.arange(qlo, qhi, dtype=np.int64)[None, :]
+                    union = sza[:, None] + szs_[qlo:qhi][None, :] - inter
+                    jac = np.where(
+                        union > 0, inter / np.maximum(union, 1), 0.0
                     )
+                    m = (qidx > pidx) & (jac >= threshold)
+                    if m.any():
+                        pi, qi = np.nonzero(m)
+                        yield pd.DataFrame(
+                            {
+                                "id_a": ids_[lo + pi],
+                                "id_b": ids_[qlo + qi],
+                                "jaccard": jac[pi, qi],
+                            }
+                        )
 
-    # spread positions round-robin: low positions compare against more
-    # rows, so contiguous ranges would skew task runtimes
+    # spread blocks round-robin: low blocks compare against more rows,
+    # so contiguous ranges would skew task runtimes
     par = spark.sparkContext.defaultParallelism
-    pos = spark.range(n).toDF("pos").repartition(par)
+    pos = spark.range(n_blocks).toDF("blk").repartition(par)
     return pos.mapInPandas(compare, out_schema)
 
 

@@ -5857,3 +5857,61 @@ def test_random_projection_plan_zero_shuffle(emb):
     assert s.n_exchanges == 0, s.text
     assert "ArrowEvalPython" in s.text, s.text
     assert s.n_sortmerge_joins == 0 and s.n_broadcast_joins == 0, s.text
+
+
+def test_ngram_jaccard_gate3_candidate_bound_escalation(spark):
+    """Round-11 gate (found by the sf1 smoke): when the cheap-dense
+    ops cap is exceeded AND the corpus has no rare-shingle tail to
+    make prefix filtering selective, auto must (a) take the dense
+    fallback while the bitmap is feasible, (b) refuse with guidance
+    when it is not — never launch the exploding prefix join.  A corpus
+    WITH a rare-token tail under the same tiny ops cap still goes
+    prefix."""
+    import pytest as _pytest
+
+    from dfsql_spark.operators.dedup import ngram_jaccard_pairs
+
+    # templated corpus: every doc shares the same base text (one hot
+    # shingle vocabulary, zero rare tail)
+    hot = spark.createDataFrame(
+        [(i, "the common boilerplate banner text shared by all") for i in range(40)],
+        "doc_id long, text string",
+    )
+    info: dict = {}
+    out = ngram_jaccard_pairs(
+        hot,
+        threshold=0.6,
+        dense_max_ops=1,          # force past the cheap-dense gate
+        prefix_max_candidates=10,  # candidate bound (C(40,2)=780) explodes
+        strategy_out=info,
+    )
+    assert info["strategy"] == "dense"
+    assert info["cand_ub"] > 10
+    # identical docs: every pair qualifies at jaccard 1.0
+    assert out.count() == 40 * 39 // 2
+
+    # same corpus, fallback also closed -> refuse with the scale advice
+    with _pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        ngram_jaccard_pairs(
+            hot,
+            threshold=0.6,
+            dense_max_ops=1,
+            dense_max_ops_fallback=1,
+            prefix_max_candidates=10,
+        )
+
+    # rare-token corpus: distinct texts -> candidate bound tiny ->
+    # prefix survives the same tiny ops cap
+    rare = spark.createDataFrame(
+        [
+            (i, f"document body {i} unique tokens {i * 7} and {i * 13} tail")
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    info2: dict = {}
+    ngram_jaccard_pairs(
+        rare, threshold=0.6, dense_max_ops=1, strategy_out=info2
+    ).count()
+    assert info2["strategy"] == "prefix"
+    assert info2["cand_ub"] <= 1e8
