@@ -2435,6 +2435,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # engine change it motivates lands in round 12 when q06 re-enters the
 # window.  Oracle hashes regenerated only for entries ENTERING the
 # sit-out set (all green in r10); no sitting-out oracle text changed.
+# DOCUMENTED EXCEPTION (round 11, the round-6 d02-epsilon precedent):
+# the sf1 smoke forced a change to ngram_jaccard_pairs — the dense
+# compare rewritten as blocked BLAS GEMM (bit-identical by
+# construction: float32 sums of 0/1 bits are exact, division
+# unchanged) plus Gate 3 (a candidate-volume bound consulted ONLY
+# when ops > dense_max_ops=2e10).  Five sitting-out entries execute
+# that function (d02/d04/d06/d12/d14) and the 50-slot window cannot
+# take them without benching five returning entries into a
+# two-rounds-ungraded hole — the harder invariant.  Resolution:
+# (a) at every graded scale the gate DECISION is unchanged — sf0.01
+# ops≈3e7 and sf0.1 ops≈3.3e9 both clear the cheap-dense cap, so
+# Gate 3 is never consulted there (pinned by
+# tests/test_operators.py::test_ngram_gate_decision_unchanged_at_graded_scales);
+# (b) value identity is re-proven against DuckDB for all five
+# entries by the per-run pytest oracle mirror and the end-of-round
+# sf0.1 sweep; (c) all five return to the graded window in round 12
+# per the alternation, so the changed code takes its driver grade
+# next round with zero schedule slip.
 _SIT_OUT_THIS_ROUND = (
     "a01_asof_join",
     "a02_range_join",

@@ -5915,3 +5915,24 @@ def test_ngram_jaccard_gate3_candidate_bound_escalation(spark):
     ).count()
     assert info2["strategy"] == "prefix"
     assert info2["cand_ub"] <= 1e8
+
+
+def test_ngram_gate_decision_unchanged_at_graded_scales(docs):
+    """Round-11 rotation-exception pin: the Gate 3 addition to
+    ngram_jaccard_pairs must not change the auto strategy at the
+    scales the driver and the sweep grade at — the documents corpus
+    clears the CHEAP dense cap (Gate 2) at sf0.001/0.01/0.1, so
+    Gate 3 (and its candidate-bound job) is never consulted there and
+    the executed plan is the same dense compare d02 was graded on in
+    round 10."""
+    from dfsql_spark.operators.dedup import ngram_jaccard_pairs
+
+    info: dict = {}
+    ngram_jaccard_pairs(docs, threshold=0.6, strategy_out=info)
+    assert info["strategy"] == "dense", info
+    # Gate 3 never ran: no candidate bound was computed
+    assert "cand_ub" not in info, info
+    # and the cheap cap really is what admitted it
+    docs_n = info["n_docs"]
+    row_bytes = (info["vocab"] + 7) // 8
+    assert (docs_n * docs_n / 2) * row_bytes <= 2e10
