@@ -273,7 +273,9 @@ def exact_dedup(
 LAST_NGRAM_STRATEGY: dict = {}
 
 
-def _prefix_candidate_bound(sets: DataFrame, threshold: float) -> int:
+def _prefix_candidate_bound(
+    sets: DataFrame, threshold: float, max_shingle_freq: "int | None" = None
+) -> int:
     """Upper bound on the prefix-filter join's raw candidate rows:
     Σ over prefix shingles of C(posting_count, 2).  One linear pass
     over the (materialized) shingle sets — the same frequency/window
@@ -287,6 +289,10 @@ def _prefix_candidate_bound(sets: DataFrame, threshold: float) -> int:
 
     ex = sets.select("id", F.explode("shs").alias("sh"))
     freq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df_freq"))
+    if max_shingle_freq is not None:
+        # mirror the prefix path's cap so the bound measures the join
+        # that would actually run
+        freq = freq.filter(F.col("df_freq") <= max_shingle_freq)
     w = Window.partitionBy("id").orderBy("df_freq", "sh")
     ranked = ex.join(freq, "sh").select(
         "id",
@@ -428,7 +434,9 @@ def ngram_jaccard_pairs(
                 # Neither sane -> raise rather than detonate the
                 # cluster: exact all-pairs Jaccard on a corpus this
                 # shape needs MinHash LSH or a max_shingle_freq cap.
-                cand_ub = _prefix_candidate_bound(sets, threshold)
+                cand_ub = _prefix_candidate_bound(
+                    sets, threshold, max_shingle_freq
+                )
                 _info["cand_ub"] = cand_ub
                 if cand_ub <= prefix_max_candidates:
                     strategy = "prefix"
