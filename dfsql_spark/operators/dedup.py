@@ -625,7 +625,51 @@ def _ngram_jaccard_dense(
     # corpus chunks, and emits only qualifying pairs; tile memory is
     # BLOCK x CHUNK floats (~8 MB) + the two unpacked slices.
     vocab_len = max(len(vocab), 1)
-    BLOCK, CHUNK = 1024, 2048
+    par = max(spark.sparkContext.defaultParallelism, 1)
+
+    # Kernel choice (round-11 bench): the two compare kernels win in
+    # different regimes.  SMALL vocab (packed rows of a few hundred
+    # bytes): the per-row AND+popcount sweep is pure memory traffic —
+    # ~8x less of it than unpacked float32 — and beats GEMM (bench
+    # sf0.1, vocab 2087: 3.2 s vs ~4.5 s).  LARGE vocab x many rows:
+    # the popcount sweep's per-row temporaries and python-level loop
+    # dominate while one sgemm per tile batches the same comparisons
+    # at BLAS rate (sf1, 50k docs x vocab 17k: >9.5 min -> 261 s).
+    # 4096 bits = 512-byte rows is the measured-side crossover with
+    # margin on both sides.
+    if vocab_len <= 4096:
+        pop8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+        def compare(batches):
+            ids_, szs_, mat_ = b_ids.value, b_szs.value, b_mat.value
+            for pdf in batches:
+                for p in pdf["pos"]:
+                    p = int(p)
+                    if p + 1 >= len(ids_):
+                        continue
+                    inter = (
+                        pop8[mat_[p] & mat_[p + 1 :]].sum(axis=1).astype(np.int64)
+                    )
+                    union = szs_[p] + szs_[p + 1 :] - inter
+                    jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+                    m = jac >= threshold
+                    if m.any():
+                        qs = np.nonzero(m)[0] + p + 1
+                        yield pd.DataFrame(
+                            {"id_a": ids_[p], "id_b": ids_[qs], "jaccard": jac[m]}
+                        )
+
+        # spread positions round-robin: low positions compare against
+        # more rows, so contiguous ranges would skew task runtimes
+        pos = spark.range(n).toDF("pos").repartition(par)
+        return pos.mapInPandas(compare, out_schema)
+
+    # GEMM kernel: BLOCK=1024 keeps each sgemm tile big enough for
+    # BLAS throughput and the corpus re-unpack amortized; at ≥ ~10k
+    # rows (the only regime that reaches here with vocab > 4096) that
+    # is also ≥ par blocks, so no slot starves.
+    BLOCK = 1024
+    CHUNK = 2048
     n_blocks = (n + BLOCK - 1) // BLOCK
 
     def compare(batches):
@@ -666,7 +710,6 @@ def _ngram_jaccard_dense(
 
     # spread blocks round-robin: low blocks compare against more rows,
     # so contiguous ranges would skew task runtimes
-    par = spark.sparkContext.defaultParallelism
     pos = spark.range(n_blocks).toDF("blk").repartition(par)
     return pos.mapInPandas(compare, out_schema)
 

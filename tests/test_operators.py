@@ -5936,3 +5936,49 @@ def test_ngram_gate_decision_unchanged_at_graded_scales(docs):
     docs_n = info["n_docs"]
     row_bytes = (info["vocab"] + 7) // 8
     assert (docs_n * docs_n / 2) * row_bytes <= 2e10
+
+
+def test_ngram_jaccard_dense_gemm_kernel_agrees(spark):
+    """The dense path picks its compare kernel by vocab width
+    (popcount sweep <= 4096 bits, blocked sgemm above); the corpus
+    fixtures are all small-vocab, so pin the GEMM kernel explicitly:
+    a >4096-shingle corpus with planted duplicate pairs must produce
+    the same pair set and jaccard values as the prefix path."""
+    import random
+
+    from dfsql_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(120):
+        words = " ".join(f"w{rng.randrange(10**6)}x{i}" for _ in range(30))
+        rows.append((2 * i, words))
+        if i % 4 == 0:  # planted near-dup: same text, one word changed
+            rows.append((2 * i + 1, words.rsplit(" ", 1)[0] + " zz9"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    dense = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.6, strategy="dense"
+        ).collect()
+    }
+    prefix = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.6, strategy="prefix"
+        ).collect()
+    }
+    assert dense == prefix
+    assert len(dense) >= 30  # the planted pairs are found
+    # and this corpus really exercised the GEMM branch
+    from dfsql_spark.operators.dedup import shingle_sets
+    from pyspark.sql import functions as _F
+
+    vocab = (
+        shingle_sets(docs, k=5)
+        .select(_F.explode("shs").alias("sh"))
+        .agg(_F.countDistinct("sh"))
+        .collect()[0][0]
+    )
+    assert vocab > 4096, vocab
