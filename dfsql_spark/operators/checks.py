@@ -355,3 +355,122 @@ def corpus_report(
             F.col("n_tokens_total").cast("double") / F.col("n_docs"),
         )
     )
+
+
+_NUMERIC_PREFIXES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal"
+)
+_ATOMIC_PREFIXES = _NUMERIC_PREFIXES + (
+    "string", "boolean", "date", "timestamp", "char", "varchar"
+)
+
+
+def column_profile(
+    df: DataFrame,
+    columns: "list[str] | None" = None,
+    ndv: str = "approx",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Schema-wide column profile in ONE aggregation pass — the
+    ingestion-time data card (pandas ``describe`` / deequ
+    ``ColumnProfiler`` analog) you run on every new 100 TB drop before
+    any pipeline stage trusts it.
+
+    One output row per profiled column, fixed schema::
+
+        (column, dtype, n_rows, n_null, null_frac, n_distinct,
+         min_num, max_num, mean, min_str, max_str)
+
+    Numeric and boolean columns fill the ``_num`` stats (booleans as
+    0/1); string/char/date/timestamp columns fill ``min_str``/
+    ``max_str`` (dates and timestamps via their canonical string
+    cast, so the report schema never depends on the input schema).
+    Complex types (array/map/struct/binary) get counts only — their
+    NDV and ordering stats are NULL rather than a guess.
+
+    ``ndv="approx"`` (default) uses HyperLogLog++
+    (``approx_count_distinct``, relative error ``rsd``): fixed-size
+    state per column, so the WHOLE profile is one map-side-combined
+    groupless aggregate — a single scan with a few KB of state per
+    column, no shuffle wider than one combine, at any corpus size.
+    ``ndv="exact"`` swaps in ``count(DISTINCT col)``: bit-exact (and
+    what the DuckDB mirror grades), but N distinct aggregates expand
+    the scan N-fold (Spark's Expand operator) — an audit mode for
+    bounded scales, not the 100 TB default.
+
+    NULL handling: ``n_distinct`` counts non-NULL values (both
+    engines' COUNT(DISTINCT) contract); an all-NULL column profiles
+    as ``n_distinct = 0`` with NULL min/max/mean.
+    """
+    if ndv not in ("approx", "exact"):
+        raise ValueError(f"ndv must be 'approx' or 'exact', got {ndv!r}")
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    if columns is None:
+        cols = list(fields)
+    else:
+        missing = [c for c in columns if c not in fields]
+        if missing:
+            raise ValueError(f"columns not in DataFrame: {missing}")
+        cols = list(columns)
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(cols):
+        dt = fields[c]
+        col = F.col(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"_null_{i}"))
+        if dt.startswith(_ATOMIC_PREFIXES):
+            aggs.append(
+                (
+                    F.countDistinct(col)
+                    if ndv == "exact"
+                    else F.approx_count_distinct(col, rsd)
+                ).alias(f"_ndv_{i}")
+            )
+            if dt.startswith(_NUMERIC_PREFIXES) or dt == "boolean":
+                num = col.cast("double")
+                aggs += [
+                    F.min(num).alias(f"_min_{i}"),
+                    F.max(num).alias(f"_max_{i}"),
+                    F.avg(num).alias(f"_avg_{i}"),
+                ]
+            else:
+                # min/max on the NATIVE type (string collation, date
+                # order), cast to string only for the report column
+                aggs += [
+                    F.min(col).cast("string").alias(f"_smin_{i}"),
+                    F.max(col).cast("string").alias(f"_smax_{i}"),
+                ]
+    one = df.agg(*aggs)
+
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
+    rows = []
+    for i, c in enumerate(cols):
+        dt = fields[c]
+        atomic = dt.startswith(_ATOMIC_PREFIXES)
+        numeric = dt.startswith(_NUMERIC_PREFIXES) or dt == "boolean"
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(dt).alias("dtype"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_null_{i}").alias("n_null"),
+                F.when(
+                    F.col("_n") > 0, F.col(f"_null_{i}") / F.col("_n")
+                ).alias("null_frac"),
+                (F.col(f"_ndv_{i}") if atomic else null_l).alias(
+                    "n_distinct"
+                ),
+                (F.col(f"_min_{i}") if numeric else null_d).alias("min_num"),
+                (F.col(f"_max_{i}") if numeric else null_d).alias("max_num"),
+                (F.col(f"_avg_{i}") if numeric else null_d).alias("mean"),
+                (
+                    F.col(f"_smin_{i}") if atomic and not numeric else null_s
+                ).alias("min_str"),
+                (
+                    F.col(f"_smax_{i}") if atomic and not numeric else null_s
+                ).alias("max_str"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

@@ -1888,3 +1888,130 @@ def pair_metrics(
             2 * prec * rec / (prec + rec),
         ).alias("f1"),
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "exact",
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every ORDERED pair of
+    sources ``(a, b)``, the fraction of ``a``'s documents that also
+    occur in ``b`` — the mix-auditing table you build before blending
+    N crawl/corpus sources (duplicate mass between sources silently
+    up-weights the shared documents; the matrix says where).
+
+    ``mode="exact"``: a document "occurs in b" when its normalized
+    content hash (:func:`normalize_text` → sha2-256, first 32 hex
+    chars = 128 bits) appears in ``b``.  Counts are over DISTINCT
+    hashes per source, so within-source duplicates can't inflate the
+    numerator or denominator; the matrix is complete (every ordered
+    pair, zeros included) and asymmetric by construction —
+    ``frac(a→b)`` divides by ``|a|``.  Rows with NULL source are
+    excluded (flag-don't-guess: a NULL crawl label is a data bug, not
+    an overlap fact).
+
+    ``mode="minhash"``: "occurs in b" relaxes to "has a MinHash-LSH
+    near-duplicate in b" (same banded join as :func:`minhash_lsh_pairs`
+    with ``verify_threshold=threshold``); counts are distinct
+    DOCUMENTS of ``a`` with ≥1 neighbor in ``b``, over all of ``a``'s
+    docs.  Sketch-based — property-tested against the exact mode, no
+    SQL oracle.
+
+    Scale shape (exact): one scan → distinct ``(source, hash128)``
+    (map-side combined); the self-join key is the 16-byte hash, the
+    per-pair count is ``#sources²`` rows, and the completing cross
+    join multiplies two #sources-sized aggregates — nothing corpus-
+    sized survives the first distinct.  (minhash): inherits the
+    banded-LSH join's shape; only ids and band hashes shuffle.
+
+    Output: ``(src_a, src_b, n_a, n_b, n_common, frac_a_in_b)``.
+    """
+    if mode not in ("exact", "minhash"):
+        raise ValueError(f"mode must be 'exact' or 'minhash', got {mode!r}")
+    src = F.col(source_col)
+    if mode == "exact":
+        d = (
+            df.filter(src.isNotNull())
+            .select(
+                src.alias("_src"),
+                F.sha2(normalize_text(F.col(text_col)), 256)
+                .substr(1, 32)
+                .alias("_h"),
+            )
+            .distinct()
+        )
+        sizes = d.groupBy("_src").agg(F.count(F.lit(1)).alias("_n"))
+        common = (
+            d.select(F.col("_src").alias("_sa"), "_h")
+            .join(d.select(F.col("_src").alias("_sb"), "_h"), "_h")
+            .filter(F.col("_sa") != F.col("_sb"))
+            .groupBy("_sa", "_sb")
+            .agg(F.count(F.lit(1)).alias("_nc"))
+        )
+    else:
+        docs = df.filter(src.isNotNull())
+        roster = docs.select(F.col(id_col).alias("_id"), src.alias("_src"))
+        sizes = roster.groupBy("_src").agg(F.count(F.lit(1)).alias("_n"))
+        pairs = minhash_lsh_pairs(
+            docs,
+            text_col=text_col,
+            id_col=id_col,
+            num_perm=num_perm,
+            bands=bands,
+            seed=seed,
+            verify_threshold=threshold,
+        )
+        # undirected pairs -> both directions, then source labels
+        directed = pairs.select(
+            F.col("id_a").alias("_ia"), F.col("id_b").alias("_ib")
+        ).union(
+            pairs.select(
+                F.col("id_b").alias("_ia"), F.col("id_a").alias("_ib")
+            )
+        )
+        labeled = (
+            directed.join(
+                roster.select(
+                    F.col("_id").alias("_ia"), F.col("_src").alias("_sa")
+                ),
+                "_ia",
+            )
+            .join(
+                roster.select(
+                    F.col("_id").alias("_ib"), F.col("_src").alias("_sb")
+                ),
+                "_ib",
+            )
+            .filter(F.col("_sa") != F.col("_sb"))
+        )
+        # distinct docs of a with >=1 neighbor in b
+        common = labeled.groupBy("_sa", "_sb").agg(
+            F.countDistinct("_ia").alias("_nc")
+        )
+    grid = (
+        sizes.select(F.col("_src").alias("_sa"), F.col("_n").alias("n_a"))
+        .crossJoin(
+            sizes.select(F.col("_src").alias("_sb"), F.col("_n").alias("n_b"))
+        )
+        .filter(F.col("_sa") != F.col("_sb"))
+    )
+    return (
+        grid.join(common, ["_sa", "_sb"], "left")
+        .select(
+            F.col("_sa").alias("src_a"),
+            F.col("_sb").alias("src_b"),
+            "n_a",
+            "n_b",
+            F.coalesce("_nc", F.lit(0)).alias("n_common"),
+            (F.coalesce("_nc", F.lit(0)) / F.col("n_a")).alias(
+                "frac_a_in_b"
+            ),
+        )
+    )

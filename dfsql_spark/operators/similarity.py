@@ -1228,3 +1228,108 @@ def random_projection(
         return pd.Series(out)
 
     return df.withColumn(out_col, _proj(F.col(vec_col)))
+
+
+def ann_recall_report(
+    truth: DataFrame,
+    approx: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    neighbor_id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query recall@k of an approximate ANN result against exact
+    ground truth — the evaluation loop you run on a query sample
+    BEFORE trusting :func:`lsh_topk` / :func:`ivf_topk` /
+    :func:`pq_topk` parameters on the full corpus (the ANN analog of
+    :func:`~dfsql_spark.operators.dedup.pair_metrics`; standard
+    ANN-benchmark methodology, e.g. ann-benchmarks.com).
+
+    Both inputs are ``(query_id, neighbor_id, rank, ...)`` result
+    tables as produced by every top-k operator in this module.  Each
+    side is truncated to its own ``rank <= k`` and deduplicated, so a
+    caller may pass results computed at a larger k.  Per query::
+
+        recall = |approx_topk ∩ truth_topk| / |truth_topk|
+
+    The denominator is the TRUTH list size (<= k — a query can have
+    fewer than k true neighbors in a small corpus), so recall is 1.0
+    exactly when the approximate list contains every true neighbor.
+    Queries present only in ``truth`` come back with recall 0 (the
+    index missed them entirely); queries only in ``approx`` are
+    ignored (no truth to score against).
+
+    Shape: both result tables are ``O(|queries| * k)`` rows — corpus-
+    independent — so this is a join of two already-tiny tables on
+    ``(query_id, neighbor_id)``; nothing wider than two ids ever
+    shuffles, and the corpus itself is never touched.  At 100 TB the
+    cost lives in producing ``truth`` (one exact pass over a bounded
+    query SAMPLE), not here.
+
+    Output: ``(query_id, n_truth, n_approx, n_hit, recall)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    qc, nc, rc = query_id_col, neighbor_id_col, rank_col
+
+    def topk(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col(rc) <= k)
+            .select(F.col(qc).alias("_q"), F.col(nc).alias("_n"))
+            .distinct()
+        )
+
+    t, a = topk(truth), topk(approx)
+    hits = a.withColumn("_hit", F.lit(1))
+    return (
+        t.join(hits, ["_q", "_n"], "left")
+        .groupBy("_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.sum(F.col("_hit")).alias("_nh"),
+        )
+        .join(
+            a.groupBy("_q").agg(F.count(F.lit(1)).alias("_na")), "_q", "left"
+        )
+        .select(
+            F.col("_q").alias(qc),
+            "n_truth",
+            F.coalesce("_na", F.lit(0)).alias("n_approx"),
+            F.coalesce("_nh", F.lit(0)).alias("n_hit"),
+            (F.coalesce("_nh", F.lit(0)) / F.col("n_truth")).alias("recall"),
+        )
+    )
+
+
+def ann_recall_summary(
+    truth: DataFrame,
+    approx: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    neighbor_id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """One-row corpus-level rollup of :func:`ann_recall_report` —
+    the number you actually tune ANN parameters against.
+
+    ``macro_recall`` averages per-query recall (every query counts
+    equally); ``micro_recall`` is total hits over total truth rows
+    (big-truth queries weigh more); ``min_recall`` is the worst query
+    and ``frac_perfect`` the fraction of queries with recall 1.0.
+    All four are exact relational aggregates of the per-query report
+    (no sketches), so the whole evaluation is deterministic and
+    mirrorable.  Output: ``(n_queries, macro_recall, micro_recall,
+    min_recall, frac_perfect)``.
+    """
+    rep = ann_recall_report(
+        truth, approx, k, query_id_col, neighbor_id_col, rank_col
+    )
+    return rep.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.avg("recall").alias("macro_recall"),
+        (
+            F.sum("n_hit").cast("double") / F.sum("n_truth")
+        ).alias("micro_recall"),
+        F.min("recall").alias("min_recall"),
+        F.avg((F.col("recall") == 1.0).cast("double")).alias("frac_perfect"),
+    )

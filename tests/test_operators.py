@@ -5982,3 +5982,397 @@ def test_ngram_jaccard_dense_gemm_kernel_agrees(spark):
         .collect()[0][0]
     )
     assert vocab > 4096, vocab
+
+
+# ---------------------------------------------------------------------------
+# ann_recall_report / ann_recall_summary (round 11)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ann_result_tables(spark):
+    """Hand-built truth/approx result tables with every edge the
+    report must handle: a perfect query, a partial-hit query, a query
+    the index missed entirely (truth-only), an approx-only query, a
+    truth list shorter than k, and rank rows beyond k on both sides
+    (must be truncated, not scored)."""
+    truth = spark.createDataFrame(
+        [
+            # q1: 3 true neighbors (full k)
+            (1, 101, 1), (1, 102, 2), (1, 103, 3),
+            # q2: short truth list (2 < k)
+            (2, 201, 1), (2, 202, 2),
+            # q3: index missed it entirely
+            (3, 301, 1), (3, 302, 2), (3, 303, 3),
+            # q1 beyond-k row: must NOT enter the denominator
+            (1, 199, 4),
+        ],
+        "query_id long, neighbor_id long, rank long",
+    )
+    approx = spark.createDataFrame(
+        [
+            # q1: 2 of 3 right, 1 wrong
+            (1, 101, 1), (1, 999, 2), (1, 103, 3),
+            # q2: both right (perfect)
+            (2, 202, 1), (2, 201, 2),
+            # q4: approx-only query — ignored
+            (4, 401, 1),
+            # q2 beyond-k row: must NOT count as a hit
+            (2, 203, 4),
+        ],
+        "query_id long, neighbor_id long, rank long",
+    )
+    return truth, approx
+
+
+def test_ann_recall_report_hand_pinned(ann_result_tables):
+    from dfsql_spark.operators.similarity import ann_recall_report
+
+    truth, approx = ann_result_tables
+    rows = {
+        r.query_id: r
+        for r in ann_recall_report(truth, approx, k=3).collect()
+    }
+    assert set(rows) == {1, 2, 3}  # q4 (approx-only) ignored
+    assert (rows[1].n_truth, rows[1].n_approx, rows[1].n_hit) == (3, 3, 2)
+    assert rows[1].recall == pytest.approx(2 / 3)
+    # q2: short truth list — denominator is 2, not k
+    assert (rows[2].n_truth, rows[2].n_approx, rows[2].n_hit) == (2, 2, 2)
+    assert rows[2].recall == 1.0
+    # q3: missed query scores 0, not dropped
+    assert (rows[3].n_truth, rows[3].n_approx, rows[3].n_hit) == (3, 0, 0)
+    assert rows[3].recall == 0.0
+    with pytest.raises(ValueError):
+        ann_recall_report(truth, approx, k=0)
+
+
+def test_ann_recall_report_matches_duckdb(ann_result_tables, duck):
+    from .conftest import assert_matches_oracle
+    from dfsql_spark.operators.similarity import (
+        ann_recall_report,
+        ann_recall_summary,
+    )
+
+    truth, approx = ann_result_tables
+    duck.register("ann_truth_pd", truth.toPandas())
+    duck.register("ann_approx_pd", approx.toPandas())
+    mirror = """
+        WITH t AS (SELECT DISTINCT query_id, neighbor_id
+                   FROM ann_truth_pd WHERE rank <= 3),
+             a AS (SELECT DISTINCT query_id, neighbor_id
+                   FROM ann_approx_pd WHERE rank <= 3),
+             an AS (SELECT query_id, count(*) AS n_approx FROM a
+                    GROUP BY query_id)
+        SELECT t.query_id,
+               count(*) AS n_truth,
+               coalesce(any_value(an.n_approx), 0) AS n_approx,
+               coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                                 THEN 1 END), 0) AS n_hit,
+               coalesce(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                                 THEN 1 END), 0)
+                   / count(*)::DOUBLE AS recall
+        FROM t
+        LEFT JOIN a USING (query_id, neighbor_id)
+        LEFT JOIN an ON an.query_id = t.query_id
+        GROUP BY t.query_id
+    """
+    assert_matches_oracle(
+        ann_recall_report(truth, approx, k=3),
+        duck.sql(mirror).df(),
+        "ann_recall_report",
+    )
+    summary_mirror = f"""
+        SELECT count(*) AS n_queries,
+               avg(recall) AS macro_recall,
+               sum(n_hit)::DOUBLE / sum(n_truth) AS micro_recall,
+               min(recall) AS min_recall,
+               avg(CASE WHEN recall = 1.0 THEN 1.0 ELSE 0.0 END)
+                   AS frac_perfect
+        FROM ({mirror})
+    """
+    assert_matches_oracle(
+        ann_recall_summary(truth, approx, k=3),
+        duck.sql(summary_mirror).df(),
+        "ann_recall_summary",
+    )
+
+
+def test_ann_recall_on_real_ann_stack(emb):
+    """End-to-end on the embeddings table: exact-vs-exact recall is
+    identically 1.0, and IVF probing EVERY cell is exhaustive, so its
+    recall is 1.0 too; LSH with few planes sits in [0, 1] and the
+    summary aggregates agree with the per-query report."""
+    from dfsql_spark.operators.similarity import (
+        ann_recall_report,
+        ann_recall_summary,
+        cosine_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    queries = emb.limit(8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = cosine_topk(emb, queries, k=5).cache()
+    try:
+        self_rep = ann_recall_report(truth, truth, k=5)
+        assert self_rep.filter(F.col("recall") < 1.0).count() == 0
+
+        ivf = ivf_topk(
+            emb, queries, k=5, n_cells=4, n_probe=4, seed=7, max_iter=4
+        )
+        (s,) = ann_recall_summary(truth, ivf, k=5).collect()
+        assert s.n_queries == 8
+        assert s.macro_recall == pytest.approx(1.0)
+        assert s.micro_recall == pytest.approx(1.0)
+        assert s.frac_perfect == 1.0
+
+        lsh = lsh_topk(emb, queries, k=5, num_planes=4)
+        (sl,) = ann_recall_summary(truth, lsh, k=5).collect()
+        assert 0.0 <= sl.min_recall <= sl.macro_recall <= 1.0
+        assert 0.0 <= sl.micro_recall <= 1.0
+    finally:
+        truth.unpersist()
+
+
+def test_ann_recall_plan_is_jvm_only(ann_result_tables):
+    """The evaluation join never leaves the JVM and never rescans a
+    corpus: no Python evaluators in the physical plan."""
+    from dfsql_spark.operators.similarity import ann_recall_report
+
+    truth, approx = ann_result_tables
+    plan = ann_recall_report(truth, approx, k=3)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "PythonEval" not in plan and "mapInPandas" not in plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# column_profile (round 11)
+# ---------------------------------------------------------------------------
+
+
+def test_column_profile_matches_duckdb_exact(spark, duck):
+    """Exact-NDV profile of lineitem (ints, doubles, strings, a
+    timestamp) mirrored column-by-column in DuckDB."""
+    from .conftest import SF_DIR, assert_matches_oracle
+    from dfsql_spark.operators.checks import column_profile
+
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    got = column_profile(df, ndv="exact")
+
+    pieces = []
+    for f in df.schema.fields:
+        c, dt = f.name, f.dataType.simpleString()
+        numeric = dt.startswith(
+            ("tinyint", "smallint", "int", "bigint", "float", "double",
+             "decimal")
+        )
+        if numeric:
+            mm = (f"min({c})::DOUBLE AS min_num, max({c})::DOUBLE AS max_num,"
+                  f" avg({c}::DOUBLE) AS mean,"
+                  " NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str")
+        else:
+            mm = ("NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num,"
+                  " NULL::DOUBLE AS mean,"
+                  f" min({c})::VARCHAR AS min_str,"
+                  f" max({c})::VARCHAR AS max_str")
+        pieces.append(
+            f"SELECT '{c}' AS column, '{dt}' AS dtype,"
+            f" count(*) AS n_rows,"
+            f" sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,"
+            f" sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+            f"   / count(*)::DOUBLE AS null_frac,"
+            f" count(DISTINCT {c}) AS n_distinct, {mm} FROM lineitem"
+        )
+    assert_matches_oracle(
+        got, duck.sql(" UNION ALL ".join(pieces)).df(), "column_profile"
+    )
+
+
+def test_column_profile_edges_and_validation(spark):
+    from dfsql_spark.operators.checks import column_profile
+
+    df = spark.createDataFrame(
+        [(1, None, True, [1.0]), (2, None, None, None)],
+        "k long, dead string, flag boolean, vec array<double>",
+    )
+    rows = {r.column: r for r in column_profile(df, ndv="exact").collect()}
+    # all-NULL string column: ndv 0, NULL ordering stats, null_frac 1
+    d = rows["dead"]
+    assert (d.n_null, d.null_frac, d.n_distinct) == (2, 1.0, 0)
+    assert d.min_str is None and d.max_str is None
+    # boolean profiles as 0/1 numerics
+    fl = rows["flag"]
+    assert (fl.min_num, fl.max_num, fl.mean, fl.n_distinct) == (
+        1.0, 1.0, 1.0, 1,
+    )
+    # complex type: counts only
+    v = rows["vec"]
+    assert v.n_distinct is None and v.min_num is None and v.min_str is None
+    assert (v.n_rows, v.n_null) == (2, 1)
+    # column subset preserves order; empty df gives NULL null_frac
+    sub = column_profile(df.filter("k < 0"), columns=["flag", "k"]).collect()
+    assert [r.column for r in sub] == ["flag", "k"]
+    assert sub[0].n_rows == 0 and sub[0].null_frac is None
+    with pytest.raises(ValueError):
+        column_profile(df, ndv="bogus")
+    with pytest.raises(ValueError):
+        column_profile(df, columns=["nope"])
+
+
+def test_column_profile_approx_is_single_pass(spark):
+    """The 100 TB default: one scan, one groupless aggregate, HLL
+    state — no Expand multiplication, no Python, and the approx NDV
+    lands within the configured error of exact on a known-cardinality
+    column."""
+    from .conftest import SF_DIR
+    from dfsql_spark.operators.checks import column_profile
+
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    prof = column_profile(df, ndv="approx", rsd=0.02)
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    assert "PythonEval" not in plan
+    assert plan.count("Scan parquet") == 1
+    exact = {
+        r.column: r.n_distinct
+        for r in column_profile(df, ndv="exact").collect()
+    }
+    for r in prof.collect():
+        assert abs(r.n_distinct - exact[r.column]) <= max(
+            3, 0.1 * exact[r.column]
+        ), (r.column, r.n_distinct, exact[r.column])
+
+
+# ---------------------------------------------------------------------------
+# source_overlap_matrix (round 11)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def overlap_corpus(spark):
+    """Three sources with engineered overlap: A∩B = 2 docs (one via a
+    whitespace/case variant — normalization must unify it), A∩C = 1,
+    B∩C = 0; a within-A duplicate that must NOT inflate counts; and a
+    NULL-source row that must be excluded."""
+    rows = [
+        (1, "A", "alpha document one"),
+        (2, "A", "beta document two"),
+        (3, "A", "gamma document three"),
+        (4, "A", "alpha document one"),          # within-A dup
+        (5, "B", "ALPHA   document one"),        # = doc 1 after normalize
+        (6, "B", "beta document two"),
+        (7, "B", "delta document four"),
+        (8, "C", "gamma document three"),
+        (9, "C", "epsilon document five"),
+        (10, None, "alpha document one"),        # NULL source: excluded
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_source_overlap_matrix_hand_pinned(overlap_corpus):
+    from dfsql_spark.operators.dedup import source_overlap_matrix
+
+    got = {
+        (r.src_a, r.src_b): r
+        for r in source_overlap_matrix(overlap_corpus).collect()
+    }
+    # complete ordered matrix, diagonal excluded
+    assert set(got) == {
+        ("A", "B"), ("B", "A"), ("A", "C"), ("C", "A"),
+        ("B", "C"), ("C", "B"),
+    }
+    ab = got[("A", "B")]
+    # |A| = 3 distinct hashes (docs 1/4 collapse), 2 shared with B
+    assert (ab.n_a, ab.n_b, ab.n_common) == (3, 3, 2)
+    assert ab.frac_a_in_b == pytest.approx(2 / 3)
+    assert got[("B", "A")].frac_a_in_b == pytest.approx(2 / 3)
+    assert got[("A", "C")].n_common == 1
+    # zero-overlap pair present with frac 0, not missing
+    assert got[("B", "C")].n_common == 0
+    assert got[("B", "C")].frac_a_in_b == 0.0
+    with pytest.raises(ValueError):
+        source_overlap_matrix(overlap_corpus, mode="fuzzy")
+
+
+def test_source_overlap_matrix_matches_duckdb(overlap_corpus, duck):
+    from .conftest import assert_matches_oracle
+    from dfsql_spark.operators.dedup import source_overlap_matrix
+
+    duck.register("overlap_pd", overlap_corpus.toPandas())
+    mirror = """
+        WITH d AS (
+            SELECT DISTINCT source AS src,
+                   substr(sha256(trim(regexp_replace(lower(text),
+                       '\\s+', ' ', 'g'))), 1, 32) AS h
+            FROM overlap_pd WHERE source IS NOT NULL
+        ), sizes AS (
+            SELECT src, count(*) AS n FROM d GROUP BY src
+        ), common AS (
+            SELECT a.src AS sa, b.src AS sb, count(*) AS nc
+            FROM d a JOIN d b USING (h)
+            WHERE a.src <> b.src
+            GROUP BY a.src, b.src
+        )
+        SELECT x.src AS src_a, y.src AS src_b,
+               x.n AS n_a, y.n AS n_b,
+               coalesce(common.nc, 0) AS n_common,
+               coalesce(common.nc, 0) / x.n::DOUBLE AS frac_a_in_b
+        FROM sizes x
+        JOIN sizes y ON x.src <> y.src
+        LEFT JOIN common ON common.sa = x.src AND common.sb = y.src
+    """
+    assert_matches_oracle(
+        source_overlap_matrix(overlap_corpus),
+        duck.sql(mirror).df(),
+        "source_overlap_matrix",
+    )
+
+
+def test_source_overlap_matrix_minhash_vs_exact(overlap_corpus):
+    """Exact duplicates share every MinHash band, so the minhash mode
+    must find at least the exact-mode overlaps on this corpus; its
+    denominators count DOCS (4 in A, incl. the within-A dup), and
+    fractions stay in [0, 1]."""
+    from dfsql_spark.operators.dedup import source_overlap_matrix
+
+    mh = {
+        (r.src_a, r.src_b): r
+        for r in source_overlap_matrix(
+            overlap_corpus, mode="minhash", threshold=0.9
+        ).collect()
+    }
+    assert mh[("A", "B")].n_a == 4  # doc-count denominator
+    # docs 1 AND 4 (both = doc 5 after normalize) have a neighbor in B,
+    # doc 2 = doc 6: at least the 3 exact-duplicate docs are found
+    assert mh[("A", "B")].n_common >= 3
+    assert mh[("A", "C")].n_common >= 1
+    for r in mh.values():
+        assert 0.0 <= r.frac_a_in_b <= 1.0
+        assert r.n_common <= r.n_a
+
+
+def test_remove_duplicate_lines_paragraph_unit(spark):
+    """The Dolma-style PARAGRAPH dedup recipe is `sep="\\n\\n"`: blocks
+    split on blank lines collapse corpus-wide, newlines inside a
+    paragraph are preserved, and reassembly uses the same separator."""
+    from dfsql_spark.operators.dedup import remove_duplicate_lines
+
+    boiler = "subscribe now\nall rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one\nstill intro\n\n{boiler}"),
+            (2, f"{boiler}\n\nbody two"),
+            (3, f"body three\n\n{boiler}\n\nmore three"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_lines(docs, sep="\n\n").collect()
+    }
+    # doc 1 holds the first (doc_id, pos) occurrence of the boilerplate
+    assert out[1].text == f"intro one\nstill intro\n\n{boiler}"
+    assert out[2].text == "body two"
+    assert out[3].text == "body three\n\nmore three"
+    assert (out[3].n_lines, out[3].n_kept) == (3, 2)
