@@ -2730,3 +2730,142 @@ def perplexity_buckets(
         bucket.cast("int").alias("bucket"),
         label.alias("bucket_label"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+    min_df: int = 1,
+    max_df_frac: float = 1.0,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the classic keyword
+    extraction / document-signature step (topic triage, cluster
+    labeling, dedup-cluster naming) over the shared whitespace
+    tokenizer (:func:`ws_tokens`, lowercased).
+
+    Uses the sklearn smooth formulation, chosen because every piece is
+    a plain relational aggregate (mirrorable bit-for-bit)::
+
+        tf(t, d)  = count of t in d        (repeats count)
+        idf(t)    = ln((1 + N) / (1 + df_t)) + 1
+        score     = tf * idf
+
+    ``min_df`` / ``max_df_frac`` drop too-rare / too-common terms
+    BEFORE ranking (a term in > ``max_df_frac`` of docs is corpus
+    boilerplate — IDF already down-weights it, the cutoff removes it).
+    Ties rank deterministically by ``(score desc, term asc)``.
+
+    Scale shape: explode → ``(doc, term)`` count (the one corpus-sized
+    shuffle, map-side combined), document frequency as a second
+    aggregate OVER that table (vocabulary-sized, never rescans the
+    corpus), joined back on the term key; N is a broadcast 1-row agg.
+    The final per-doc window re-shuffles the filtered ``(doc, term)``
+    table by doc id.  Nothing wider than (term, two longs) moves after
+    the first count.
+
+    Output: ``(id_col, term, tf, df_t, score, rank)``.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    if not (0.0 < max_df_frac <= 1.0):
+        raise ValueError(f"max_df_frac must be in (0, 1], got {max_df_frac}")
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        ws_tokens(text_col, lower=True).alias("_ts"),
+    )
+    n_docs = base.agg(F.count(F.lit(1)).alias("_n"))
+    tf = (
+        base.select("_id", F.explode("_ts").alias("term"))
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    w = Window.partitionBy("_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df_t") >= min_df)
+            & (F.col("df_t") <= F.col("_n") * F.lit(max_df_frac))
+        )
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (
+                F.log((1 + F.col("_n")) / (1 + F.col("df_t"))) + F.lit(1.0)
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("_id").alias(id_col), "term", "tf", "df_t", "score", "rank"
+        )
+    )
+
+
+def length_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    bucket_width: int = 64,
+    unit: str = "tokens",
+    stratum_col: "str | None" = None,
+) -> DataFrame:
+    """Fixed-width document-length histogram — the distribution you
+    read before choosing a training ``max_seq_len`` / packing target
+    (:func:`pack_sequences`) or a length-based quality cutoff: how
+    much of the corpus truncates at 2k? how heavy is the sub-64-token
+    junk tail?
+
+    ``unit="tokens"`` counts :func:`ws_tokens`; ``"chars"`` counts raw
+    characters (NULL text = 0, so every document lands in a bucket and
+    the fractions sum to 1).  Bucket ``i`` covers lengths
+    ``[i*bucket_width, (i+1)*bucket_width)``.  ``stratum_col``
+    produces one histogram per stratum (fractions within stratum),
+    NULL strata grouped together — same posture as
+    :func:`corpus_report`.
+
+    Scale shape: ONE scan into one map-side-combined groupBy on
+    ``(stratum, bucket)`` — fixed-size state, shuffle carries #buckets
+    x #strata rows; the within-stratum fraction is a window over that
+    already-tiny table, never the corpus.
+
+    Output: ``([stratum,] bucket, lo, hi, n_docs, frac)``, one row per
+    OCCUPIED bucket (empty buckets are absent, not zero — at 100 TB
+    the bucket table is sparse by design).
+    """
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
+    if unit not in ("tokens", "chars"):
+        raise ValueError(f"unit must be 'tokens' or 'chars', got {unit!r}")
+    from pyspark.sql.window import Window
+
+    n = (
+        F.size(ws_tokens(text_col))
+        if unit == "tokens"
+        else F.length(F.coalesce(F.col(text_col), F.lit("")))
+    )
+    keys = ([F.col(stratum_col).alias("stratum")] if stratum_col else []) + [
+        F.floor(n / bucket_width).cast("long").alias("bucket")
+    ]
+    hist = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        Window.partitionBy("stratum")
+        if stratum_col
+        else Window.partitionBy(F.lit(1))
+    )
+    return hist.select(
+        *(["stratum"] if stratum_col else []),
+        "bucket",
+        (F.col("bucket") * bucket_width).alias("lo"),
+        ((F.col("bucket") + 1) * bucket_width - 1).alias("hi"),
+        "n_docs",
+        (F.col("n_docs") / F.sum("n_docs").over(w)).alias("frac"),
+    )

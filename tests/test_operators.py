@@ -6376,3 +6376,158 @@ def test_remove_duplicate_lines_paragraph_unit(spark):
     assert out[2].text == "body two"
     assert out[3].text == "body three\n\nmore three"
     assert (out[3].n_lines, out[3].n_kept) == (3, 2)
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms (round 11)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tfidf_corpus(spark):
+    """Small corpus with a corpus-wide boilerplate term ('the' in every
+    doc), repeated terms inside one doc, a rare discriminative term,
+    a NULL document, and a tie that only the (score desc, term asc)
+    rule breaks."""
+    rows = [
+        (1, "the cat cat cat sat"),
+        (2, "the dog sat sat"),
+        (3, "the bird flew away quickly"),
+        (4, "the zebra apple"),  # zebra/apple: equal tf AND df -> tie
+        (5, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tfidf_top_terms_hand_pinned(tfidf_corpus):
+    import math
+
+    from dfsql_spark.operators.text import tfidf_top_terms
+
+    out = tfidf_top_terms(tfidf_corpus, top_k=2)
+    rows = {(r.doc_id, r.rank): r for r in out.collect()}
+    # doc 1: 'cat' tf=3 df=1 dominates
+    top1 = rows[(1, 1)]
+    assert (top1.term, top1.tf, top1.df_t) == ("cat", 3, 1)
+    assert top1.score == pytest.approx(3 * (math.log(6 / 2) + 1))
+    # doc 4 tie: apple before zebra (term asc)
+    assert rows[(4, 1)].term == "apple" and rows[(4, 2)].term == "zebra"
+    # NULL doc produces no terms
+    assert not [k for k in rows if k[0] == 5]
+    # max_df_frac drops the everywhere-term 'the' (df 4/5 docs)
+    no_boiler = tfidf_top_terms(tfidf_corpus, top_k=5, max_df_frac=0.7)
+    assert not [r for r in no_boiler.collect() if r.term == "the"]
+    # min_df keeps only terms in >= 2 docs
+    common = tfidf_top_terms(tfidf_corpus, top_k=5, min_df=2)
+    assert {r.term for r in common.collect()} <= {"the", "sat"}
+    with pytest.raises(ValueError):
+        tfidf_top_terms(tfidf_corpus, top_k=0)
+    with pytest.raises(ValueError):
+        tfidf_top_terms(tfidf_corpus, min_df=0)
+    with pytest.raises(ValueError):
+        tfidf_top_terms(tfidf_corpus, max_df_frac=0.0)
+
+
+def test_tfidf_top_terms_matches_duckdb(docs, duck):
+    """Exact mirror on the real documents table (sklearn smooth-idf
+    formulation, same tokenizer mirror as lm_score, same tie-break)."""
+    from .conftest import assert_matches_oracle
+    from dfsql_spark.operators.text import tfidf_top_terms
+
+    mirror = """
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(coalesce(lower(text), ''), '\\s+'),
+                x -> x <> '')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM toks GROUP BY doc_id, term
+        ), dfreq AS (
+            SELECT term, count(*) AS df_t FROM tf GROUP BY term
+        ), n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_t,
+                   tf.tf * (ln((1 + n.n) / (1 + df_t)::DOUBLE) + 1.0)
+                       AS score
+            FROM tf, dfreq, n
+            WHERE tf.term = dfreq.term
+              AND df_t >= 2 AND df_t <= 0.5 * n.n
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term ASC
+            ) AS rank
+            FROM scored
+        )
+        SELECT doc_id, term, tf, df_t, score, rank
+        FROM ranked WHERE rank <= 3
+    """
+    assert_matches_oracle(
+        tfidf_top_terms(docs, top_k=3, min_df=2, max_df_frac=0.5),
+        duck.sql(mirror).df(),
+        "tfidf_top_terms",
+    )
+
+
+def test_length_histogram_hand_pinned_and_strata(spark):
+    from dfsql_spark.operators.text import length_histogram
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", "one two three"),            # 3 tokens -> bucket 0
+            (2, "A", " ".join(["w"] * 5)),        # 5 tokens -> bucket 1
+            (3, "B", None),                       # NULL -> 0 -> bucket 0
+            (4, "B", " ".join(["w"] * 4)),        # 4 tokens -> bucket 1
+        ],
+        "doc_id long, source string, text string",
+    )
+    flat = {r.bucket: r for r in length_histogram(df, bucket_width=4).collect()}
+    assert (flat[0].n_docs, flat[1].n_docs) == (2, 2)
+    assert (flat[0].lo, flat[0].hi, flat[1].lo, flat[1].hi) == (0, 3, 4, 7)
+    assert flat[0].frac == 0.5 and flat[1].frac == 0.5
+    strat = {
+        (r.stratum, r.bucket): r
+        for r in length_histogram(
+            df, bucket_width=4, stratum_col="source"
+        ).collect()
+    }
+    # fractions are within-stratum
+    assert strat[("A", 0)].frac == 0.5 and strat[("B", 1)].frac == 0.5
+    chars = {
+        r.bucket: r.n_docs
+        for r in length_histogram(df, unit="chars", bucket_width=10).collect()
+    }
+    # NULL (0 chars), 'w w w w' (7), 'w w w w w' (9); doc 1 is 13 chars
+    assert chars[0] == 3 and chars[1] == 1
+    with pytest.raises(ValueError):
+        length_histogram(df, bucket_width=0)
+    with pytest.raises(ValueError):
+        length_histogram(df, unit="bytes")
+
+
+def test_length_histogram_matches_duckdb(docs, duck):
+    from .conftest import assert_matches_oracle
+    from dfsql_spark.operators.text import length_histogram
+
+    mirror = """
+        WITH lens AS (
+            SELECT lang, len(list_filter(
+                regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                x -> x <> '')) AS n
+            FROM documents
+        ), hist AS (
+            SELECT lang AS stratum, n // 32 AS bucket,
+                   count(*) AS n_docs
+            FROM lens GROUP BY lang, n // 32
+        )
+        SELECT stratum, bucket, bucket * 32 AS lo,
+               (bucket + 1) * 32 - 1 AS hi, n_docs,
+               n_docs / sum(n_docs) OVER (PARTITION BY stratum)::DOUBLE
+                   AS frac
+        FROM hist
+    """
+    assert_matches_oracle(
+        length_histogram(docs, bucket_width=32, stratum_col="lang"),
+        duck.sql(mirror).df(),
+        "length_histogram",
+    )
