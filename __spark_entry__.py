@@ -1340,6 +1340,40 @@ def bench_token_budget(spark, sf):
     )
 
 
+def bench_tfidf_terms(spark, sf):
+    """BENCH-ONLY: TF-IDF keyword extraction (round-11 library
+    operator) — times the corpus-sized (doc, term) count shuffle, the
+    vocabulary-sized document-frequency aggregate + join-back, and the
+    per-doc top-k window."""
+    from dfsql_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(
+        _t(spark, sf, "documents"), top_k=5, min_df=2, max_df_frac=0.5
+    )
+
+
+def bench_column_profile(spark, sf):
+    """BENCH-ONLY: schema-wide column profile of the largest table
+    (round-11 library operator) — times the single map-side-combined
+    groupless aggregate with HLL NDV state in its 100 TB default
+    (approx) mode."""
+    from dfsql_spark.operators.checks import column_profile
+
+    return column_profile(_t(spark, sf, "lineitem"), ndv="approx")
+
+
+def bench_source_overlap(spark, sf):
+    """BENCH-ONLY: cross-source contamination matrix (round-11 library
+    operator), exact mode — times the scan → distinct (source, hash128)
+    → hash self-join → #sources² aggregate pipeline over the
+    per-language document corpus."""
+    from dfsql_spark.operators.dedup import source_overlap_matrix
+
+    return source_overlap_matrix(
+        _t(spark, sf, "documents"), source_col="lang"
+    )
+
+
 def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Bench-only callables, OUTSIDE the driver contract: bench.py
     merges these with :func:`queries` for timing; they have no oracle
@@ -1357,6 +1391,9 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b_cluster_sample": bench_cluster_sample,
         "b_upsample_mix": bench_upsample_mix,
         "b_token_budget": bench_token_budget,
+        "b_tfidf_terms": bench_tfidf_terms,
+        "b_column_profile": bench_column_profile,
+        "b_source_overlap": bench_source_overlap,
     }
 
 

@@ -95,6 +95,13 @@ HEADLINE = [
     "b_cluster_sample",
     "b_upsample_mix",
     "b_token_budget",
+    # round-11: the new library operators get a trend — keyword
+    # extraction (corpus-sized (doc,term) shuffle), the one-agg HLL
+    # column profile over the largest table, and the exact
+    # source-overlap matrix (distinct + hash self-join)
+    "b_tfidf_terms",
+    "b_column_profile",
+    "b_source_overlap",
 ]
 
 

@@ -2869,3 +2869,144 @@ def length_histogram(
         "n_docs",
         (F.col("n_docs") / F.sum("n_docs").over(w)).alias("frac"),
     )
+
+
+def encoding_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_replacement_frac: float = 0.0,
+    max_control_frac: float = 0.001,
+) -> DataFrame:
+    """Per-document encoding-health signals — the broken-decode
+    detector that runs at INGESTION, before tokenization or any
+    dedup/quality stage wastes compute on mojibake: crawl pipelines
+    mis-sniff charsets, and the damage shows up as U+FFFD replacement
+    characters (a decoder already gave up) and raw C0 control bytes
+    (binary junk pasted into text).
+
+    Signals (all integer quotients over the raw char count, so the
+    report is bit-identical across engines)::
+
+        replacement_frac  U+FFFD chars / n_chars
+        control_frac      C0 controls minus tab/LF/CR, plus DEL,
+                          / n_chars
+        has_null_byte     any U+0000 (the strongest binary tell)
+        keep              replacement_frac <= max_replacement_frac
+                          AND control_frac <= max_control_frac
+                          AND NOT has_null_byte
+
+    NULL / empty text scores 0 on both fractions and keeps (nothing
+    to be broken; emptiness is :func:`c4_filters`' decision, not an
+    encoding fault).  Complements :func:`script_fractions` (which
+    catches wrong-script text that decoded CLEANLY).
+
+    Scale shape: pure per-row expressions inside whole-stage codegen —
+    zero shuffle, zero Python, prunes to (id, text) at the scan.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(c)
+    n_repl = F.regexp_count(c, F.lit(chr(0xFFFD)))
+    n_ctrl = F.regexp_count(
+        c, F.lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]")
+    )
+    repl_frac = F.when(n > 0, n_repl / n).otherwise(F.lit(0.0))
+    ctrl_frac = F.when(n > 0, n_ctrl / n).otherwise(F.lit(0.0))
+    has_null = c.contains(F.lit(chr(0)))
+    return df.select(
+        F.col(id_col),
+        n.alias("n_chars"),
+        repl_frac.alias("replacement_frac"),
+        ctrl_frac.alias("control_frac"),
+        has_null.alias("has_null_byte"),
+        (
+            (repl_frac <= F.lit(max_replacement_frac))
+            & (ctrl_frac <= F.lit(max_control_frac))
+            & ~has_null
+        ).alias("keep"),
+    )
+
+
+def collapse_repeated_blocks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_block_tokens: int = 8,
+) -> DataFrame:
+    """Collapse CONSECUTIVE repeated token blocks within each document
+    — the repair action for the pathology Gopher's dup-n-gram signals
+    (:func:`ngram_repetition_signals`) only measures: template spam
+    and generation loops repeat a phrase/paragraph back-to-back
+    ("buy now buy now buy now ..."), and dropping the whole document
+    throws away the good prefix.
+
+    For each block size ``b`` in 1..``max_block_tokens``, one
+    left-to-right pass deletes every block that exactly equals the
+    ``b`` tokens before it; passes repeat until a fixpoint, so
+    multi-scale repeats collapse fully ("a a b a a b" → b=1 → "a b a
+    b" → b=2 → "a b").  First occurrence always survives; the result
+    is idempotent by construction (it IS the fixpoint).
+
+    Token-level operation over :func:`ws_tokens`: inter-token
+    whitespace is normalized to single spaces in the output (the same
+    contract as every token-level rebuild here); NULL text comes back
+    as ``''`` with zero counts.
+
+    Scale shape: per-document Python in ONE Arrow-batched pandas_udf
+    riding the scan — zero shuffle, no corpus state, embarrassingly
+    parallel.  Python is justified: back-referencing fixpoint
+    rewriting is not expressible in relational/higher-order-function
+    form (same class as :func:`train_bpe`'s merge application).
+
+    Output: ``(id_col, text, n_tokens_before, n_tokens_after)``.
+    """
+    if max_block_tokens < 1:
+        raise ValueError(
+            f"max_block_tokens must be >= 1, got {max_block_tokens}"
+        )
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ws_re = _re.compile(r"\s+", _re.ASCII)
+    max_b = max_block_tokens
+
+    def _collapse(toks: "list[str]") -> "list[str]":
+        changed = True
+        while changed:
+            changed = False
+            for b in range(1, max_b + 1):
+                if len(toks) < 2 * b:
+                    continue
+                out = toks[:b]
+                i = b
+                while i < len(toks):
+                    if toks[i : i + b] == out[-b:] and i + b <= len(toks):
+                        i += b
+                        changed = True
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                toks = out
+        return toks
+
+    @pandas_udf(
+        "struct<text: string, n_tokens_before: int, n_tokens_after: int>"
+    )
+    def _fix(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            toks = [x for x in ws_re.split(t or "") if x]
+            kept = _collapse(list(toks))
+            rows.append((" ".join(kept), len(toks), len(kept)))
+        return pd.DataFrame(
+            rows, columns=["text", "n_tokens_before", "n_tokens_after"]
+        )
+
+    fixed = df.select(F.col(id_col), _fix(F.col(text_col)).alias("_r"))
+    return fixed.select(
+        id_col,
+        F.col("_r.text").alias(text_col),
+        F.col("_r.n_tokens_before").alias("n_tokens_before"),
+        F.col("_r.n_tokens_after").alias("n_tokens_after"),
+    )

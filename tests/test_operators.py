@@ -6531,3 +6531,267 @@ def test_length_histogram_matches_duckdb(docs, duck):
         duck.sql(mirror).df(),
         "length_histogram",
     )
+
+
+# ---------------------------------------------------------------------------
+# encoding_signals (round 11)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mojibake_corpus(spark):
+    import pandas as pd
+
+    repl = chr(0xFFFD)
+    rows = [
+        (1, "perfectly clean text"),
+        (2, f"half broken {repl}{repl} decode {repl}"),
+        (3, "binary\x00junk\x07here"),
+        (4, "tabs\tand\nnewlines\rare fine"),
+        (5, None),
+        (6, ""),
+        (7, "del char \x7f inside"),
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+
+
+def test_encoding_signals_hand_pinned(mojibake_corpus):
+    from dfsql_spark.operators.text import encoding_signals
+
+    out = {r.doc_id: r for r in encoding_signals(mojibake_corpus).collect()}
+    assert out[1].keep and out[1].replacement_frac == 0.0
+    # doc 2: 3 replacement chars
+    assert out[2].replacement_frac == pytest.approx(3 / out[2].n_chars)
+    assert not out[2].keep
+    # doc 3: NUL + BEL — null byte flagged, control_frac counts both
+    assert out[3].has_null_byte and not out[3].keep
+    assert out[3].control_frac == pytest.approx(2 / out[3].n_chars)
+    # tab/LF/CR are NOT control junk
+    assert out[4].control_frac == 0.0 and out[4].keep
+    # NULL and empty text: zero fractions, kept
+    for d in (5, 6):
+        assert out[d].n_chars == 0 and out[d].keep
+        assert out[d].replacement_frac == 0.0
+    # DEL counts as control
+    assert out[7].control_frac > 0 and not out[7].keep
+    # loose thresholds flip the keep decision
+    loose = {
+        r.doc_id: r
+        for r in encoding_signals(
+            mojibake_corpus,
+            max_replacement_frac=0.5,
+            max_control_frac=0.5,
+        ).collect()
+    }
+    assert loose[2].keep and loose[7].keep
+    assert not loose[3].keep  # null byte still fatal
+
+
+def test_encoding_signals_matches_duckdb(mojibake_corpus, duck):
+    from .conftest import assert_matches_oracle
+    from dfsql_spark.operators.text import encoding_signals
+
+    duck.register("moji_pd", mojibake_corpus.toPandas())
+    repl = chr(0xFFFD)
+    mirror = f"""
+        WITH base AS (
+            SELECT doc_id, coalesce(text, '') AS t FROM moji_pd
+        ), counts AS (
+            SELECT doc_id, length(t) AS n_chars,
+                   length(t) - length(replace(t, '{repl}', '')) AS n_repl,
+                   length(t) - length(regexp_replace(t,
+                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'))
+                       AS n_ctrl,
+                   contains(t, chr(0)) AS has_null_byte
+            FROM base
+        )
+        SELECT doc_id, n_chars,
+               CASE WHEN n_chars > 0 THEN n_repl / n_chars::DOUBLE
+                    ELSE 0.0 END AS replacement_frac,
+               CASE WHEN n_chars > 0 THEN n_ctrl / n_chars::DOUBLE
+                    ELSE 0.0 END AS control_frac,
+               has_null_byte,
+               (CASE WHEN n_chars > 0 THEN n_repl / n_chars::DOUBLE
+                     ELSE 0.0 END) <= 0.0
+               AND (CASE WHEN n_chars > 0 THEN n_ctrl / n_chars::DOUBLE
+                         ELSE 0.0 END) <= 0.001
+               AND NOT has_null_byte AS keep
+        FROM counts
+    """
+    assert_matches_oracle(
+        encoding_signals(mojibake_corpus),
+        duck.sql(mirror).df(),
+        "encoding_signals",
+    )
+
+
+def test_encoding_signals_plan_is_map_only(mojibake_corpus):
+    from dfsql_spark.operators.text import encoding_signals
+
+    plan = encoding_signals(mojibake_corpus)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan and "PythonEval" not in plan
+
+
+def test_ann_recall_fuzz_vs_numpy_reference(spark):
+    """Random result tables vs an independent pure-Python reference:
+    same per-query recall for every generated configuration (duplicate
+    rows, over-k ranks, disjoint query sets, empty approx)."""
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dfsql_spark.operators.similarity import ann_recall_report
+
+    k = 3
+    row = st.tuples(
+        st.integers(0, 4),   # query_id
+        st.integers(0, 9),   # neighbor_id
+        st.integers(1, 5),   # rank (can exceed k)
+    )
+    tables = st.tuples(
+        st.lists(row, min_size=1, max_size=25),
+        st.lists(row, min_size=0, max_size=25),
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(tables)
+    def inner(tt):
+        t_rows, a_rows = tt
+        truth = spark.createDataFrame(
+            pd.DataFrame(t_rows, columns=["query_id", "neighbor_id", "rank"])
+        )
+        approx = spark.createDataFrame(
+            pd.DataFrame(
+                a_rows or [(99, 99, 9)],  # empty frames lack a schema
+                columns=["query_id", "neighbor_id", "rank"],
+            )
+        )
+        got = {
+            r.query_id: (r.n_truth, r.n_approx, r.n_hit, r.recall)
+            for r in ann_recall_report(truth, approx, k=k).collect()
+        }
+        # independent reference: plain set arithmetic
+        tset, aset = {}, {}
+        for q, n, r in t_rows:
+            if r <= k:
+                tset.setdefault(q, set()).add(n)
+        for q, n, r in (a_rows or [(99, 99, 9)]):
+            if r <= k:
+                aset.setdefault(q, set()).add(n)
+        want = {
+            q: (
+                len(ts),
+                len(aset.get(q, set())),
+                len(ts & aset.get(q, set())),
+                len(ts & aset.get(q, set())) / len(ts),
+            )
+            for q, ts in tset.items()
+        }
+        assert got == want
+
+    inner()
+
+
+# ---------------------------------------------------------------------------
+# collapse_repeated_blocks (round 11)
+# ---------------------------------------------------------------------------
+
+
+def test_collapse_repeated_blocks_hand_pinned(spark):
+    from dfsql_spark.operators.text import collapse_repeated_blocks
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now limited offer"),
+            (2, "a a b a a b"),                     # multi-scale
+            (3, "no repeats at all here"),
+            (4, None),
+            (5, "la la la la la la la la"),
+            (6, "x y z x y z"),                     # block of 3
+            (7, "tabs\t\tand   spaces collapse"),   # ws normalization
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in collapse_repeated_blocks(df).collect()}
+    assert out[1].text == "buy now limited offer"
+    assert (out[1].n_tokens_before, out[1].n_tokens_after) == (8, 4)
+    assert out[2].text == "a b"
+    assert out[3].text == "no repeats at all here"
+    assert out[4].text == "" and out[4].n_tokens_before == 0
+    assert out[5].text == "la"
+    assert out[6].text == "x y z"
+    assert out[7].text == "tabs and spaces collapse"
+    # block longer than max_block_tokens is NOT collapsed
+    long = spark.createDataFrame(
+        [(1, "p q r s p q r s")], "doc_id long, text string"
+    )
+    kept = collapse_repeated_blocks(long, max_block_tokens=3).collect()[0]
+    assert kept.text == "p q r s p q r s"
+    full = collapse_repeated_blocks(long, max_block_tokens=4).collect()[0]
+    assert full.text == "p q r s"
+    with pytest.raises(ValueError):
+        collapse_repeated_blocks(df, max_block_tokens=0)
+
+
+def test_collapse_repeated_blocks_fuzz_vs_regex_reference(spark):
+    """Fixpoint equivalence against an INDEPENDENT regex-backreference
+    implementation of the same pass order, plus idempotence, on random
+    small-alphabet token streams (small alphabets maximize repeats)."""
+    import re
+
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dfsql_spark.operators.text import collapse_repeated_blocks
+
+    max_b = 3
+    pats = [
+        re.compile(r"(?<!\S)((?:\S+ ){%d}\S+)(?: \1)+(?!\S)" % (b - 1))
+        for b in range(1, max_b + 1)
+    ]
+
+    def ref(text):
+        s = " ".join((text or "").split())
+        changed = True
+        while changed:
+            changed = False
+            for pat in pats:
+                new = pat.sub(r"\1", s)
+                if new != s:
+                    s, changed = new, True
+        return s
+
+    texts = st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=14).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts)
+    def inner(ts):
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(ts)), "text": ts})
+        )
+        once = collapse_repeated_blocks(df, max_block_tokens=max_b)
+        got = {r.doc_id: r.text for r in once.collect()}
+        assert got == {i: ref(t) for i, t in enumerate(ts)}
+        # idempotence: running again changes nothing
+        twice = collapse_repeated_blocks(once, max_block_tokens=max_b)
+        assert {r.doc_id: r.text for r in twice.collect()} == got
+
+    inner()
