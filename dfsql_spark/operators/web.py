@@ -155,3 +155,99 @@ def url_dedup(
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+# Script/style/comment blocks vanish WITH their contents; block-level
+# closers become newlines so paragraph structure survives tag
+# stripping.  (?is) = case-insensitive + dotall; RE2- and Java-regex
+# compatible (no lookaround), so the DuckDB mirror reuses them
+# verbatim.
+HTML_DROP_RE = (
+    r"(?is)<script[^>]*>.*?</script\s*>|<style[^>]*>.*?</style\s*>"
+    r"|<noscript[^>]*>.*?</noscript\s*>|<template[^>]*>.*?</template\s*>"
+    r"|<head[^>]*>.*?</head\s*>|<!--.*?-->"
+)
+HTML_BLOCK_RE = (
+    r"(?i)</(p|div|li|ul|ol|dl|dt|dd|h[1-6]|tr|table|blockquote|pre"
+    r"|section|article|header|footer|nav|aside|figure|figcaption|form"
+    r"|fieldset|address)\s*>|<(br|hr)(\s[^>]*)?/?>"
+)
+HTML_TAG_RE = r"(?s)<[^>]*>"
+
+# Fixed entity set, decoded in ONE pass each, &amp; strictly LAST so
+# "&amp;lt;" decodes one level (to "&lt;") per HTML semantics instead
+# of double-decoding to "<".
+HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def html_text_expr(html_col: str = "html") -> Column:
+    """Column expression extracting readable text from raw HTML —
+    the crawl-frontend step AHEAD of every text operator here (real
+    pipelines reach for trafilatura/jusText; this is the deterministic
+    regex-stage fallback in the C4/WET tradition, fully expressible as
+    codegen'd column ops, so it runs at scan speed with zero Python).
+
+    Stages (each one ``regexp_replace``): (1) drop script / style /
+    noscript / template / head blocks WITH contents, and comments;
+    (2) CLOSING block-level tags plus ``<br>``/``<hr>`` → newline
+    (line structure survives — one line per block, the WET-extract
+    convention; :func:`~dfsql_spark.operators.dedup.
+    remove_duplicate_lines` consumes exactly this); (3) strip every
+    remaining tag to a space; (4) decode the fixed entity set
+    (``&amp;`` last — one decode level per HTML semantics); (5)
+    whitespace: space/tab runs collapse, whitespace runs containing a
+    newline collapse to ONE newline, edges trimmed.
+
+    Documented limitations (flag, don't guess): numeric entities
+    beyond ``&#39;`` are left as-is; malformed HTML (unclosed
+    ``<script``) degrades to tag-stripping; no readability scoring —
+    boilerplate REMOVAL is :func:`~dfsql_spark.operators.dedup.
+    remove_duplicate_lines`'s job downstream.  NULL html stays NULL.
+    """
+    t = F.regexp_replace(F.col(html_col), HTML_DROP_RE, " ")
+    t = F.regexp_replace(t, HTML_BLOCK_RE, "\n")
+    t = F.regexp_replace(t, HTML_TAG_RE, " ")
+    for ent, ch in HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.regexp_replace(t, r"[ \t\f\x0B]+", " ")    # within-line runs
+    t = F.regexp_replace(t, r" ?\n[ \n]*", "\n")     # newline runs -> one
+    # explicit edge trim: Spark's trim() strips spaces only, not \n
+    return F.regexp_replace(t, r"^[ \n]+|[ \n]+$", "")
+
+
+def html_title_expr(html_col: str = "html") -> Column:
+    """First ``<title>`` contents (entity-decoded, whitespace
+    collapsed); empty/missing/NULL → NULL."""
+    t = F.regexp_extract(
+        F.col(html_col), r"(?is)<title[^>]*>(.*?)</title\s*>", 1
+    )
+    for ent, ch in HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return F.when(t == "", F.lit(None).cast("string")).otherwise(t)
+
+
+def html_to_text(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "text",
+    title_col: "str | None" = "title",
+) -> DataFrame:
+    """Append extracted text (and optionally the page title) to a raw
+    HTML corpus: the entry stage of a crawl curation pipeline, feeding
+    :func:`canonicalize_url` siblings and every ``operators/text``
+    signal.  Pure narrow projection — no shuffle, no Python, fuses
+    into the scan at any scale.
+    """
+    out = df.withColumn(out_col, html_text_expr(html_col))
+    if title_col:
+        out = out.withColumn(title_col, html_title_expr(html_col))
+    return out

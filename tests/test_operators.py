@@ -6795,3 +6795,108 @@ def test_collapse_repeated_blocks_fuzz_vs_regex_reference(spark):
         assert {r.doc_id: r.text for r in twice.collect()} == got
 
     inner()
+
+
+# ---------------------------------------------------------------------------
+# html_to_text (round 11)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def html_corpus(spark):
+    rows = [
+        (1, "<html><head><title>My &amp; Page</title>"
+            "<style>p{color:red}</style></head><body>"
+            "<h1>Header</h1><p>First para with <b>bold</b> text.</p>"
+            "<script>var x = '<p>not text</p>';</script>"
+            "<p>Second&nbsp;para &lt;escaped&gt;.</p>"
+            "<!-- a comment --><div>List:<ul><li>one</li>"
+            "<li>two</li></ul></div></body></html>"),
+        (2, "plain text, no markup"),
+        (3, None),
+        (4, "<P CLASS='x'>upper-case   tags<BR>and spacing</P>"),
+        (5, "<body>&amp;lt; decodes ONE level</body>"),
+        (6, "<title></title>no title here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, html string")
+
+
+def test_html_to_text_hand_pinned(html_corpus):
+    from dfsql_spark.operators.web import html_to_text
+
+    out = {r.doc_id: r for r in html_to_text(html_corpus).collect()}
+    t1 = out[1].text
+    assert "Header" in t1 and "First para with bold text." in t1
+    # script/style/comment contents are GONE
+    assert "not text" not in t1 and "color:red" not in t1
+    assert "comment" not in t1
+    # entities decoded; nbsp became a plain space
+    assert "Second para <escaped>." in t1
+    # block structure became line structure (one line per block)
+    assert "one\ntwo" in t1
+    assert "\n\n" not in t1 and not t1.startswith("\n")
+    assert not t1.endswith("\n")
+    assert out[1].title == "My & Page"
+    assert out[2].text == "plain text, no markup" and out[2].title is None
+    assert out[3].text is None and out[3].title is None
+    assert out[4].text == "upper-case tags\nand spacing"
+    # &amp;lt; decodes exactly one level
+    assert out[5].text == "&lt; decodes ONE level"
+    assert out[6].title is None
+    # title_col=None skips the column
+    assert "title" not in html_to_text(html_corpus, title_col=None).columns
+
+
+def test_html_to_text_matches_duckdb(html_corpus, duck):
+    """The whole extraction chain (drop blocks, block tags -> newline,
+    strip tags, entity set, whitespace canon) re-spelled in DuckDB
+    from the SAME exported regex constants."""
+    from .conftest import assert_matches_oracle
+    from dfsql_spark.operators.web import (
+        HTML_BLOCK_RE,
+        HTML_DROP_RE,
+        HTML_ENTITIES,
+        HTML_TAG_RE,
+        html_to_text,
+    )
+
+    duck.register("html_pd", html_corpus.toPandas())
+    expr = f"regexp_replace(html, '{HTML_DROP_RE}', ' ', 'gs')"
+    expr = f"regexp_replace({expr}, '{HTML_BLOCK_RE}', chr(10), 'g')"
+    expr = f"regexp_replace({expr}, '{HTML_TAG_RE}', ' ', 'gs')"
+    for ent, ch in HTML_ENTITIES:
+        lit = ch.replace("'", "''")
+        expr = f"replace({expr}, '{ent}', '{lit}')"
+    expr = f"regexp_replace({expr}, '[ \\t\\f\\x0B]+', ' ', 'g')"
+    expr = f"regexp_replace({expr}, ' ?\\n[ \\n]*', chr(10), 'g')"
+    expr = f"regexp_replace({expr}, '^[ \\n]+|[ \\n]+$', '', 'g')"
+    assert_matches_oracle(
+        html_to_text(html_corpus, title_col=None).select("doc_id", "text"),
+        duck.sql(f"SELECT doc_id, {expr} AS text FROM html_pd").df(),
+        "html_to_text",
+    )
+
+
+def test_html_to_text_plan_is_map_only(html_corpus):
+    """Also pins the embed-in-wider-select contract of the raw
+    expressions (html_text_expr / html_title_expr)."""
+    from dfsql_spark.operators.web import (
+        html_text_expr,
+        html_title_expr,
+        html_to_text,
+    )
+
+    plan = html_to_text(html_corpus)._jdf.queryExecution().executedPlan(
+    ).toString()
+    assert "Exchange" not in plan and "PythonEval" not in plan
+    # raw expressions compose into one projection, same results
+    composed = html_corpus.select(
+        "doc_id",
+        html_text_expr("html").alias("text"),
+        html_title_expr("html").alias("title"),
+    )
+    assert sorted(map(tuple, composed.collect())) == sorted(
+        map(tuple, html_to_text(html_corpus).select(
+            "doc_id", "text", "title"
+        ).collect())
+    )
