@@ -130,3 +130,76 @@ def snapshot_diff_summary(
         .groupBy(by, "status")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def schema_drift_report(
+    old: DataFrame,
+    new: DataFrame,
+    ndv: str = "approx",
+) -> DataFrame:
+    """Column-level drift between two snapshot SCHEMAS and value
+    distributions — the companion to :func:`snapshot_diff` (which
+    diffs rows): an upstream producer silently widening a column,
+    nulling a field out, or re-encoding an enum shows up here before
+    any row-level diff or training run pays for it.
+
+    Internally profiles both sides with
+    :func:`~dfsql_spark.operators.checks.column_profile` (one
+    aggregation pass per side, ``ndv`` forwarded) and full-outer-joins
+    the two #columns-row profiles.  Per column::
+
+        status           added | removed | common
+        dtype_changed    simpleString inequality (common columns)
+        null_frac_delta  new - old
+        ndv_ratio        new / old (NULL when either side lacks NDV)
+        mean_delta       new - old (numeric columns)
+
+    Everything after the two profile scans is #columns-sized.  Output:
+    ``(column, status, dtype_old, dtype_new, dtype_changed,
+    null_frac_old, null_frac_new, null_frac_delta, ndv_old, ndv_new,
+    ndv_ratio, mean_old, mean_new, mean_delta)``.
+    """
+    from .checks import column_profile
+
+    po = column_profile(old, ndv=ndv).select(
+        F.col("column"),
+        F.col("dtype").alias("dtype_old"),
+        F.col("null_frac").alias("null_frac_old"),
+        F.col("n_distinct").alias("ndv_old"),
+        F.col("mean").alias("mean_old"),
+    )
+    pn = column_profile(new, ndv=ndv).select(
+        F.col("column"),
+        F.col("dtype").alias("dtype_new"),
+        F.col("null_frac").alias("null_frac_new"),
+        F.col("n_distinct").alias("ndv_new"),
+        F.col("mean").alias("mean_new"),
+    )
+    j = po.join(pn, "column", "full_outer")
+    status = (
+        F.when(F.col("dtype_old").isNull(), F.lit("added"))
+        .when(F.col("dtype_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("common"))
+    )
+    return j.select(
+        "column",
+        status.alias("status"),
+        "dtype_old",
+        "dtype_new",
+        F.when(
+            status == "common", F.col("dtype_old") != F.col("dtype_new")
+        ).alias("dtype_changed"),
+        "null_frac_old",
+        "null_frac_new",
+        (F.col("null_frac_new") - F.col("null_frac_old")).alias(
+            "null_frac_delta"
+        ),
+        "ndv_old",
+        "ndv_new",
+        F.when(
+            F.col("ndv_old") > 0, F.col("ndv_new") / F.col("ndv_old")
+        ).alias("ndv_ratio"),
+        "mean_old",
+        "mean_new",
+        (F.col("mean_new") - F.col("mean_old")).alias("mean_delta"),
+    )

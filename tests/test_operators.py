@@ -6900,3 +6900,62 @@ def test_html_to_text_plan_is_map_only(html_corpus):
             "doc_id", "text", "title"
         ).collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# schema_drift_report (round 11)
+# ---------------------------------------------------------------------------
+
+
+def test_schema_drift_report_hand_pinned(spark):
+    from dfsql_spark.operators.versioning import schema_drift_report
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0)],
+        "id long, tag string, score double",
+    )
+    new = spark.createDataFrame(
+        [(1, 10, None, "x"), (2, 20, None, "y")],
+        "id long, tag int, score double, extra string",
+    )
+    rows = {
+        r.column: r
+        for r in schema_drift_report(old, new, ndv="exact").collect()
+    }
+    assert rows["extra"].status == "added"
+    assert rows["extra"].dtype_old is None and rows["extra"].ndv_old is None
+    assert rows["id"].status == "common" and not rows["id"].dtype_changed
+    # tag: string -> int re-encode is flagged
+    assert rows["tag"].dtype_changed
+    # null_frac drift: tag 1/3 -> 0/2
+    assert rows["tag"].null_frac_delta == pytest.approx(0 - 1 / 3)
+    # score nulled out entirely: delta +1, ndv 3 -> 0
+    assert rows["score"].null_frac_delta == pytest.approx(1.0)
+    assert (rows["score"].ndv_old, rows["score"].ndv_new) == (3, 0)
+    assert rows["score"].ndv_ratio == 0.0
+    assert rows["score"].mean_old == pytest.approx(2.0)
+    assert rows["score"].mean_new is None
+    # id mean drift 2.0 -> 1.5
+    assert rows["id"].mean_delta == pytest.approx(-0.5)
+    # removed column: drop 'tag' from new entirely
+    rem = {
+        r.column: r.status
+        for r in schema_drift_report(
+            old, new.select("id", "score"), ndv="exact"
+        ).collect()
+    }
+    assert rem["tag"] == "removed"
+
+
+def test_schema_drift_report_identical_snapshots_are_quiet(spark):
+    """Self-drift is the zero report: every column common, nothing
+    changed, all deltas 0, ndv_ratio 1 — the property oracle."""
+    from .conftest import SF_DIR
+    from dfsql_spark.operators.versioning import schema_drift_report
+
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    for r in schema_drift_report(df, df, ndv="exact").collect():
+        assert r.status == "common" and not r.dtype_changed
+        assert r.null_frac_delta == 0.0
+        assert r.ndv_ratio == pytest.approx(1.0) or r.ndv_old == 0
+        assert r.mean_delta == 0.0 or r.mean_delta is None
