@@ -6959,3 +6959,120 @@ def test_schema_drift_report_identical_snapshots_are_quiet(spark):
         assert r.null_frac_delta == 0.0
         assert r.ndv_ratio == pytest.approx(1.0) or r.ndv_old == 0
         assert r.mean_delta == 0.0 or r.mean_delta is None
+
+
+def test_column_profile_fuzz_vs_pandas_reference(spark):
+    """Exact-NDV profiles of random mixed-type frames against an
+    independent pandas computation (nulls, NDV, min/max/mean)."""
+    import math
+
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dfsql_spark.operators.checks import column_profile
+
+    frames = st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-5, 5)),
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c", ""])),
+            st.one_of(st.none(), st.floats(-2.0, 2.0, allow_nan=False)),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(frames)
+    def inner(rows):
+        df = spark.createDataFrame(rows, "i long, s string, f double")
+        got = {
+            r.column: r for r in column_profile(df, ndv="exact").collect()
+        }
+        pdf = pd.DataFrame(rows, columns=["i", "s", "f"])
+        for c in pdf.columns:
+            col, want = got[c], pdf[c]
+            assert col.n_rows == len(pdf)
+            assert col.n_null == int(want.isna().sum())
+            assert col.n_distinct == want.nunique(dropna=True)
+            vals = want.dropna()
+            if c == "s":
+                if len(vals):
+                    assert col.min_str == min(vals)
+                    assert col.max_str == max(vals)
+                else:
+                    assert col.min_str is None and col.max_str is None
+            else:
+                if len(vals):
+                    assert col.min_num == pytest.approx(float(vals.min()))
+                    assert col.max_num == pytest.approx(float(vals.max()))
+                    assert col.mean == pytest.approx(float(vals.mean()))
+                else:
+                    assert col.mean is None
+                    assert not (
+                        col.min_num is not None and math.isnan(col.min_num)
+                    )
+
+    inner()
+
+
+def test_source_overlap_matrix_fuzz_vs_python_reference(spark):
+    """Exact-mode matrix vs an independent pure-Python set
+    computation over random (source, text) corpora — including
+    whitespace/case variants that must unify and NULL sources."""
+    import re
+
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dfsql_spark.operators.dedup import source_overlap_matrix
+
+    ws = re.compile(r"\s+")
+    corpora = st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.sampled_from(["A", "B", "C"])),
+            st.sampled_from(
+                ["x y", "X  y", "y z", "q", "Q ", "r s t", "x y "]
+            ),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(corpora)
+    def inner(rows):
+        pdf = pd.DataFrame(
+            [(i, s, t) for i, (s, t) in enumerate(rows)],
+            columns=["doc_id", "source", "text"],
+        )
+        df = spark.createDataFrame(pdf)
+        got = {
+            (r.src_a, r.src_b): (r.n_a, r.n_b, r.n_common, r.frac_a_in_b)
+            for r in source_overlap_matrix(df).collect()
+        }
+        # reference: normalized-text sets per source
+        sets: dict = {}
+        for s, t in rows:
+            if s is None:
+                continue
+            sets.setdefault(s, set()).add(ws.sub(" ", t.lower()).strip())
+        want = {}
+        for a, sa in sets.items():
+            for b, sb in sets.items():
+                if a == b:
+                    continue
+                c = len(sa & sb)
+                want[(a, b)] = (len(sa), len(sb), c, c / len(sa))
+        assert got == want
+
+    inner()
