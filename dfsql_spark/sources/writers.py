@@ -318,3 +318,81 @@ def merge_table(
     finally:
         if pinned:
             source.unpersist()
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: "int | None" = None,
+    shard_tokens: "int | None" = None,
+    key_col: str = "doc_id",
+    token_col: "str | None" = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    write_manifest: bool = True,
+) -> DataFrame:
+    """Export a curated corpus as content-addressed training shards
+    with a per-shard manifest — the hand-off step from this engine to
+    a training loader (WebDataset-style shard layout over hive dirs:
+    ``path/shard=N/``).
+
+    Shard assignment is the repo-wide determinism contract
+    (``operators/text.py:_salted_bucket``: first 8 hex chars of
+    ``md5('shard:' || key)`` mod ``n_shards``): stable across runs,
+    partitionings, engines, and dataset versions, so an incremental
+    re-export moves only documents whose KEY changed, and a DuckDB /
+    pandas loader can recompute any document's shard without Spark.
+    Size with EITHER ``n_shards`` (explicit) OR ``shard_tokens``
+    (target tokens per shard: one tiny aggregate over ``token_col``
+    derives ``n_shards = ceil(total/target)``).
+
+    Scale shape: ONE shuffle, hash-partitioned on the shard id, so
+    each shard directory is written by exactly the task that owns its
+    rows (no small-file explosion); content-addressed buckets balance
+    by law of large numbers.  The manifest (``shard, n_docs
+    [, n_tokens]``) is a #shards-row aggregate of the SAME shuffled
+    pass, returned as a DataFrame and (``write_manifest=True``)
+    written to ``path/_manifest`` as a single file.
+
+    Returns the manifest DataFrame.
+    """
+    if (n_shards is None) == (shard_tokens is None):
+        raise ValueError("pass exactly one of n_shards / shard_tokens")
+    if shard_tokens is not None and token_col is None:
+        raise ValueError("shard_tokens sizing requires token_col")
+    if fmt not in _VALID_FORMATS:
+        raise ValueError(
+            f"Unsupported format {fmt!r}; one of {sorted(_VALID_FORMATS)}"
+        )
+    import math
+
+    from pyspark.sql import functions as F
+
+    if shard_tokens is not None:
+        if shard_tokens < 1:
+            raise ValueError(f"shard_tokens must be >= 1, got {shard_tokens}")
+        total = df.agg(F.sum(F.col(token_col).cast("long"))).first()[0] or 0
+        n_shards = max(1, math.ceil(total / shard_tokens))
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+
+    h = F.md5(F.concat(F.lit("shard:"), F.col(key_col).cast("string")))
+    bucket = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % n_shards
+    ).cast("int")
+    sharded = df.withColumn("shard", bucket).repartition(n_shards, "shard")
+    sharded.write.mode(mode).format(fmt).partitionBy("shard").save(path)
+
+    # manifest from the files ON DISK (column-pruned to the partition
+    # dir + token column): audits what the export actually wrote, and
+    # costs a footer-level scan instead of a second source pass
+    written = sharded.sparkSession.read.format(fmt).load(path)
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if token_col is not None:
+        aggs.append(F.sum(F.col(token_col).cast("long")).alias("n_tokens"))
+    manifest = written.groupBy("shard").agg(*aggs)
+    if write_manifest:
+        manifest.coalesce(1).write.mode(mode).format("parquet").save(
+            path.rstrip("/") + "/_manifest"
+        )
+    return manifest

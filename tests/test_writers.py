@@ -266,3 +266,87 @@ def test_merge_table_rejects_duplicate_source_keys(ds, tmp_path):
     src2 = spark.createDataFrame(pd.DataFrame({"count": [1, 2], "v": [9.0, 8.0]}))
     merge_table(spark, tgt2, src2, key="count")
     assert spark.read.parquet(tgt2).count() == 2
+
+
+def test_write_training_shards_roundtrip_and_manifest(spark, tmp_path, duck):
+    """Shard export: every row lands exactly once, assignment matches
+    the repo determinism contract (DuckDB recomputes every shard id
+    from the same md5 formula), the manifest matches the files on
+    disk, and a repartitioned input produces the identical layout."""
+    import pandas as pd
+
+    from dfsql_spark.sources.writers import write_training_shards
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(200), "n_tok": [(i * 7) % 50 + 1 for i in range(200)]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(
+        df, out, n_shards=8, token_col="n_tok"
+    ).toPandas()
+
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    assert sorted(r.doc_id for r in back.collect()) == list(range(200))
+    # hive layout: one dir per occupied shard
+    dirs = {d for d in os.listdir(out) if d.startswith("shard=")}
+    assert dirs == {f"shard={r.shard}" for _, r in manifest.iterrows()}
+
+    # DuckDB recomputes the full manifest from the contract formula
+    duck.register("shard_src_pd", pdf)
+    want = duck.sql("""
+        SELECT CAST(CAST('0x' || substr(md5('shard:' || doc_id::VARCHAR),
+                   1, 8) AS BIGINT) % 8 AS INT) AS shard,
+               count(*) AS n_docs, sum(n_tok) AS n_tokens
+        FROM shard_src_pd GROUP BY 1
+    """).df()
+    got = manifest.sort_values("shard").reset_index(drop=True)
+    want = want.sort_values("shard").reset_index(drop=True)
+    assert got["shard"].tolist() == want["shard"].tolist()
+    assert got["n_docs"].tolist() == want["n_docs"].tolist()
+    assert [int(x) for x in got["n_tokens"]] == [
+        int(x) for x in want["n_tokens"]
+    ]
+    # written manifest file agrees with the returned frame
+    mf = spark.read.parquet(out + "/_manifest").toPandas()
+    assert mf.sort_values("shard").reset_index(drop=True).equals(got)
+
+    # determinism: a differently-partitioned input -> same assignment
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(
+        df.repartition(13), out2, n_shards=8, token_col="n_tok",
+        write_manifest=False,
+    )
+    a = spark.read.parquet(out).select("doc_id", "shard").toPandas()
+    b = spark.read.parquet(out2).select("doc_id", "shard").toPandas()
+    assert a.sort_values("doc_id").reset_index(drop=True).equals(
+        b.sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def test_write_training_shards_token_sizing_and_validation(spark, tmp_path):
+    import pandas as pd
+
+    from dfsql_spark.sources.writers import write_training_shards
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(60), "n_tok": [10] * 60})
+    )
+    # 600 tokens total / 150 target -> 4 shards
+    out = str(tmp_path / "sized")
+    m = write_training_shards(
+        df, out, shard_tokens=150, token_col="n_tok", write_manifest=False
+    ).toPandas()
+    assert m["shard"].nunique() <= 4 and m["n_docs"].sum() == 60
+    assert {d for d in os.listdir(out) if d.startswith("shard=")} <= {
+        f"shard={i}" for i in range(4)
+    }
+    with pytest.raises(ValueError, match="exactly one"):
+        write_training_shards(df, out, n_shards=4, shard_tokens=100)
+    with pytest.raises(ValueError, match="exactly one"):
+        write_training_shards(df, out)
+    with pytest.raises(ValueError, match="requires token_col"):
+        write_training_shards(df, out, shard_tokens=100)
+    with pytest.raises(ValueError, match="n_shards"):
+        write_training_shards(df, out, n_shards=0)
