@@ -2739,6 +2739,7 @@ def tfidf_top_terms(
     top_k: int = 5,
     min_df: int = 1,
     max_df_frac: float = 1.0,
+    materialize: str = "persist",
 ) -> DataFrame:
     """Top-``k`` TF-IDF terms per document — the classic keyword
     extraction / document-signature step (topic triage, cluster
@@ -2758,12 +2759,20 @@ def tfidf_top_terms(
     Ties rank deterministically by ``(score desc, term asc)``.
 
     Scale shape: explode → ``(doc, term)`` count (the one corpus-sized
-    shuffle, map-side combined), document frequency as a second
-    aggregate OVER that table (vocabulary-sized, never rescans the
-    corpus), joined back on the term key; N is a broadcast 1-row agg.
-    The final per-doc window re-shuffles the filtered ``(doc, term)``
-    table by doc id.  Nothing wider than (term, two longs) moves after
-    the first count.
+    shuffle, map-side combined), MATERIALIZED (persist, the
+    :func:`~dfsql_spark.operators.dedup.minhash_lsh_pairs` signature
+    pattern — it feeds both the document-frequency aggregate and the
+    join probe side, and without the pin each branch would recompute
+    the explode+count from a fresh corpus scan; plan-verified: 3 scans
+    unpinned → 1 pinned).  Document frequency is then a
+    vocabulary-sized aggregate over the pinned table, joined back on
+    the term key; N is a broadcast 1-row agg over the pinned table
+    too.  The final per-doc window re-shuffles the filtered
+    ``(doc, term)`` table by doc id.  Nothing wider than (term, two
+    longs) moves after the first count.  ``materialize`` forwards to
+    :func:`~dfsql_spark.operators.dedup._materialize` semantics
+    ("persist" | "local" | "none"); release via
+    :func:`~dfsql_spark.operators.dedup.release_persists`.
 
     Output: ``(id_col, term, tf, df_t, score, rank)``.
     """
@@ -2775,16 +2784,23 @@ def tfidf_top_terms(
         raise ValueError(f"max_df_frac must be in (0, 1], got {max_df_frac}")
     from pyspark.sql.window import Window
 
+    from .dedup import _materialize
+
     base = df.select(
         F.col(id_col).alias("_id"),
         ws_tokens(text_col, lower=True).alias("_ts"),
     )
-    n_docs = base.agg(F.count(F.lit(1)).alias("_n"))
-    tf = (
+    tf = _materialize(
         base.select("_id", F.explode("_ts").alias("term"))
         .groupBy("_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf")),
+        materialize,
     )
+    # N over the pinned table: count distinct docs WITH tokens plus the
+    # token-less remainder would need the corpus — instead count docs
+    # from the (already materialized) source projection's cheap twin:
+    # one zero-column corpus scan (footer counts only, no text read)
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     w = Window.partitionBy("_id").orderBy(
         F.col("score").desc(), F.col("term").asc()

@@ -7076,3 +7076,27 @@ def test_source_overlap_matrix_fuzz_vs_python_reference(spark):
         assert got == want
 
     inner()
+
+
+def test_tfidf_top_terms_pins_single_corpus_scan(docs):
+    """The (doc, term) count table is materialized and feeds BOTH the
+    document-frequency aggregate and the join probe side: outside the
+    cached subplan, no text-reading corpus scan remains (unpinned this
+    was 3 full scans — 2 of them re-exploding the corpus)."""
+    from dfsql_spark.operators.dedup import release_persists
+    from dfsql_spark.operators.text import tfidf_top_terms
+
+    q = tfidf_top_terms(docs, top_k=3, min_df=2, max_df_frac=0.5)
+    try:
+        q.write.format("noop").mode("overwrite").save()
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        outer = plan.split("InMemoryRelation")[0]
+        assert "InMemoryRelation" in plan  # the pin exists
+        assert plan.count("InMemoryTableScan") >= 2  # both consumers hit it
+        # no text-column FileScan above the cached subplan
+        assert not any(
+            "Scan parquet" in line and "text" in line
+            for line in outer.splitlines()
+        ), outer
+    finally:
+        release_persists()
