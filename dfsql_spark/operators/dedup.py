@@ -1900,6 +1900,7 @@ def source_overlap_matrix(
     num_perm: int = 64,
     bands: int = 16,
     seed: int = 42,
+    materialize: str = "persist",
 ) -> DataFrame:
     """Cross-source contamination matrix: for every ORDERED pair of
     sources ``(a, b)``, the fraction of ``a``'s documents that also
@@ -1925,11 +1926,16 @@ def source_overlap_matrix(
     SQL oracle.
 
     Scale shape (exact): one scan → distinct ``(source, hash128)``
-    (map-side combined); the self-join key is the 16-byte hash, the
+    (map-side combined), MATERIALIZED (``materialize``, forwarded to
+    :func:`_materialize`; release via :func:`release_persists`) —
+    it feeds the size aggregate AND both self-join sides, and without
+    the pin each consumer recomputes the scan+distinct (plan-verified
+    4 corpus scans → 1).  The self-join key is the 16-byte hash, the
     per-pair count is ``#sources²`` rows, and the completing cross
     join multiplies two #sources-sized aggregates — nothing corpus-
-    sized survives the first distinct.  (minhash): inherits the
-    banded-LSH join's shape; only ids and band hashes shuffle.
+    sized survives the pinned distinct.  (minhash): the candidate
+    pair table is materialized the same way (it is consumed once per
+    direction); only ids and band hashes shuffle.
 
     Output: ``(src_a, src_b, n_a, n_b, n_common, frac_a_in_b)``.
     """
@@ -1937,7 +1943,7 @@ def source_overlap_matrix(
         raise ValueError(f"mode must be 'exact' or 'minhash', got {mode!r}")
     src = F.col(source_col)
     if mode == "exact":
-        d = (
+        d = _materialize(
             df.filter(src.isNotNull())
             .select(
                 src.alias("_src"),
@@ -1945,7 +1951,8 @@ def source_overlap_matrix(
                 .substr(1, 32)
                 .alias("_h"),
             )
-            .distinct()
+            .distinct(),
+            materialize,
         )
         sizes = d.groupBy("_src").agg(F.count(F.lit(1)).alias("_n"))
         common = (
@@ -1959,14 +1966,18 @@ def source_overlap_matrix(
         docs = df.filter(src.isNotNull())
         roster = docs.select(F.col(id_col).alias("_id"), src.alias("_src"))
         sizes = roster.groupBy("_src").agg(F.count(F.lit(1)).alias("_n"))
-        pairs = minhash_lsh_pairs(
-            docs,
-            text_col=text_col,
-            id_col=id_col,
-            num_perm=num_perm,
-            bands=bands,
-            seed=seed,
-            verify_threshold=threshold,
+        pairs = _materialize(
+            minhash_lsh_pairs(
+                docs,
+                text_col=text_col,
+                id_col=id_col,
+                num_perm=num_perm,
+                bands=bands,
+                seed=seed,
+                verify_threshold=threshold,
+                materialize=materialize,
+            ),
+            materialize,
         )
         # undirected pairs -> both directions, then source labels
         directed = pairs.select(

@@ -1260,11 +1260,13 @@ def ann_recall_report(
     ignored (no truth to score against).
 
     Shape: both result tables are ``O(|queries| * k)`` rows — corpus-
-    independent — so this is a join of two already-tiny tables on
-    ``(query_id, neighbor_id)``; nothing wider than two ids ever
-    shuffles, and the corpus itself is never touched.  At 100 TB the
-    cost lives in producing ``truth`` (one exact pass over a bounded
-    query SAMPLE), not here.
+    independent — so this is ONE full-outer join of two already-tiny
+    tables on ``(query_id, neighbor_id)``, each input consumed exactly
+    once (an expensive caller-side ANN plan is never recomputed for a
+    second aggregate); nothing wider than two ids ever shuffles, and
+    the corpus itself is never touched.  At 100 TB the cost lives in
+    producing ``truth`` (one exact pass over a bounded query SAMPLE),
+    not here.
 
     Output: ``(query_id, n_truth, n_approx, n_hit, recall)``.
     """
@@ -1280,23 +1282,30 @@ def ann_recall_report(
         )
 
     t, a = topk(truth), topk(approx)
-    hits = a.withColumn("_hit", F.lit(1))
+    # ONE full-outer join consumes each input exactly once (the
+    # pair_metrics shape) — an expensive caller-side ANN plan is never
+    # recomputed for a second aggregate
+    j = t.withColumn("_t", F.lit(1)).join(
+        a.withColumn("_a", F.lit(1)), ["_q", "_n"], "full"
+    )
     return (
-        t.join(hits, ["_q", "_n"], "left")
-        .groupBy("_q")
+        j.groupBy("_q")
         .agg(
-            F.count(F.lit(1)).alias("n_truth"),
-            F.sum(F.col("_hit")).alias("_nh"),
+            F.count("_t").alias("n_truth"),
+            F.count("_a").alias("n_approx"),
+            F.sum(
+                (F.col("_t").isNotNull() & F.col("_a").isNotNull()).cast(
+                    "long"
+                )
+            ).alias("n_hit"),
         )
-        .join(
-            a.groupBy("_q").agg(F.count(F.lit(1)).alias("_na")), "_q", "left"
-        )
+        .filter(F.col("n_truth") > 0)  # approx-only queries are ignored
         .select(
             F.col("_q").alias(qc),
             "n_truth",
-            F.coalesce("_na", F.lit(0)).alias("n_approx"),
-            F.coalesce("_nh", F.lit(0)).alias("n_hit"),
-            (F.coalesce("_nh", F.lit(0)) / F.col("n_truth")).alias("recall"),
+            "n_approx",
+            "n_hit",
+            (F.col("n_hit") / F.col("n_truth")).alias("recall"),
         )
     )
 

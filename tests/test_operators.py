@@ -7100,3 +7100,39 @@ def test_tfidf_top_terms_pins_single_corpus_scan(docs):
         ), outer
     finally:
         release_persists()
+
+
+def test_source_overlap_matrix_pins_single_corpus_scan(docs):
+    """The distinct (source, hash) table is materialized and feeds the
+    size aggregate and both self-join sides from the pin: outside the
+    cached subplan no text-reading corpus scan remains (unpinned this
+    was 4 full scans)."""
+    from dfsql_spark.operators.dedup import (
+        release_persists,
+        source_overlap_matrix,
+    )
+
+    q = source_overlap_matrix(docs, source_col="lang")
+    try:
+        q.write.format("noop").mode("overwrite").save()
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        outer = plan.split("InMemoryRelation")[0]
+        assert "InMemoryRelation" in plan
+        assert plan.count("InMemoryTableScan") >= 3
+        assert not any(
+            "Scan parquet" in line and "text" in line
+            for line in outer.splitlines()
+        ), outer
+    finally:
+        release_persists()
+
+
+def test_ann_recall_single_join_consumes_inputs_once(ann_result_tables):
+    """One full-outer join, each input subplan present exactly once —
+    an expensive caller-side ANN plan is never recomputed."""
+    from dfsql_spark.operators.similarity import ann_recall_report
+
+    truth, approx = ann_result_tables
+    plan = ann_recall_report(truth, approx, k=3)._jdf.queryExecution(
+    ).optimizedPlan().toString()
+    assert plan.count("Join") == 1
