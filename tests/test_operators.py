@@ -7136,3 +7136,104 @@ def test_ann_recall_single_join_consumes_inputs_once(ann_result_tables):
     plan = ann_recall_report(truth, approx, k=3)._jdf.queryExecution(
     ).optimizedPlan().toString()
     assert plan.count("Join") == 1
+
+
+# ---------------------------------------------------------------------------
+# sniff_media_format / media_format_report (round 11)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def magic_corpus(spark):
+    """Real magic bytes for every rule, plus liars and junk: a PNG
+    claimed as jpeg, an HTML error page claimed as jpeg, a too-short
+    payload, and NULL."""
+    import pandas as pd
+
+    rows = [
+        (1, "png",  bytes.fromhex("89504E470D0A1A0A") + b"\x00" * 16),
+        (2, "jpeg", bytes.fromhex("FFD8FFE0") + b"JFIF" + b"\x00" * 8),
+        (3, "gif",  b"GIF89a" + b"\x00" * 10),
+        (4, "webp", b"RIFF\x10\x00\x00\x00WEBPVP8 "),
+        (5, "wav",  b"RIFF\x24\x00\x00\x00WAVEfmt "),
+        (6, "mp4",  b"\x00\x00\x00\x18ftypisom" + b"\x00" * 4),
+        (7, "mp3",  b"ID3\x04\x00" + b"\x00" * 11),
+        (8, "flac", b"fLaC" + b"\x00" * 12),
+        (9, "ogg",  b"OggS" + b"\x00" * 12),
+        (10, "pdf", b"%PDF-1.7\n" + b"\x00" * 7),
+        (11, "jpeg", bytes.fromhex("89504E470D0A1A0A") + b"\x00" * 8),  # liar
+        (12, "jpeg", b"<html><body>404</body></html>"),                # liar
+        (13, "png",  b"\x89P"),                                        # short
+        (14, "png",  None),
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "claimed", "payload"])
+    )
+
+
+def test_sniff_media_format_hand_pinned(magic_corpus):
+    from dfsql_spark.operators.multimodal import sniff_media_format
+
+    got = {
+        r.media_id: r.sniffed_format
+        for r in sniff_media_format(magic_corpus).collect()
+    }
+    want = {1: "png", 2: "jpeg", 3: "gif", 4: "webp", 5: "wav",
+            6: "mp4", 7: "mp3", 8: "flac", 9: "ogg", 10: "pdf",
+            11: "png", 12: None, 13: None, 14: None}
+    assert got == want
+
+
+def test_media_format_report_and_duckdb_mirror(magic_corpus, duck):
+    from .conftest import assert_matches_oracle
+    from dfsql_spark.operators.multimodal import (
+        MEDIA_MAGIC,
+        media_format_report,
+    )
+
+    rep = {
+        (r.sniffed_format, r.claimed, r.mismatch): r.n
+        for r in media_format_report(
+            magic_corpus, claimed_col="claimed"
+        ).collect()
+    }
+    # the two liars: PNG-claimed-jpeg is a mismatch; HTML junk sniffs
+    # NULL and is NOT counted as a mismatch
+    assert rep[("png", "jpeg", True)] == 1
+    assert rep[(None, "jpeg", False)] == 1
+    assert rep[("jpeg", "jpeg", False)] == 1
+
+    # mirror: the same hex-prefix rules drive a DuckDB CASE chain
+    duck.register("magic_pd", magic_corpus.toPandas())
+    case = " ".join(
+        f"WHEN substr(h, {2 * off + 1}, {len(p)}) = '{p}' THEN '{fmt}'"
+        for fmt, off, p in MEDIA_MAGIC
+    )
+    mirror = f"""
+        WITH heads AS (
+            SELECT media_id, claimed,
+                   substr(upper(hex(payload)), 1, 32) AS h
+            FROM magic_pd
+        ), sniffed AS (
+            SELECT media_id, claimed, CASE {case} END AS sniffed_format
+            FROM heads
+        )
+        SELECT sniffed_format, claimed,
+               coalesce(sniffed_format IS NOT NULL
+                        AND sniffed_format <> claimed, FALSE) AS mismatch,
+               count(*) AS n
+        FROM sniffed GROUP BY 1, 2, 3
+    """
+    assert_matches_oracle(
+        media_format_report(magic_corpus, claimed_col="claimed"),
+        duck.sql(mirror).df(),
+        "media_format_report",
+    )
+
+
+def test_sniff_media_format_plan_is_map_only(magic_corpus):
+    from dfsql_spark.operators.multimodal import sniff_media_format
+
+    plan = sniff_media_format(magic_corpus)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan and "PythonEval" not in plan
