@@ -1855,12 +1855,14 @@ def p01_curation_pipeline(spark, sf):
     resolution (d09); emit their PII-scrubbed text (t08 patterns on
     the raw text).  Output IS the curated corpus (doc_id, clean_text).
 
-    Composition shape here is operator-reuse (flag tables joined on
-    8-byte doc_id; the dedup side rides the d-block's shared persist).
-    At production scale the three per-row signals fuse into ONE
-    projection over the scan — only the duplicate-loser anti-join is
-    inherently a join.  DuckDB recomputes every filter, the recursive
-    closure, and the scrub."""
+    Composition shape (round 11): the three per-row signal operators
+    chain in their ``append=True`` mode, so Catalyst collapses them
+    into ONE projection over ONE corpus scan — the plan the docstring
+    always promised at production scale (pre-fusion this was 3 scans
+    + 2 doc_id joins; values identical, oracle unchanged).  Only the
+    duplicate-survivor join is inherently a join (the dedup side
+    rides the d-block's shared persist).  DuckDB recomputes every
+    filter, the recursive closure, and the scrub."""
     from dfsql_spark.operators.dedup import dedup_by_components
     from dfsql_spark.operators.text import (
         c4_filters,
@@ -1869,20 +1871,15 @@ def p01_curation_pipeline(spark, sf):
     )
 
     docs = _t(spark, sf, "documents")
-    keep_c4 = c4_filters(docs).filter("keep_doc").select("doc_id")
-    low_rep = (
-        repetition_ratio(docs)
-        .filter(F.col("rep_ratio") <= 0.2)
-        .select("doc_id")
+    fused = repetition_ratio(
+        c4_filters(pii_scrub(docs, append=True), append=True), append=True
     )
     survivors = dedup_by_components(
         docs, _exact_jaccard_pairs(spark, sf)
     ).select("doc_id")
     return (
-        pii_scrub(docs)
+        fused.filter(F.col("keep_doc") & (F.col("rep_ratio") <= 0.2))
         .select("doc_id", "clean_text")
-        .join(keep_c4, "doc_id")
-        .join(low_rep, "doc_id")
         .join(survivors, "doc_id")
     )
 

@@ -504,8 +504,11 @@ def pii_scrub(
     text_col: str = "text",
     id_col: str = "doc_id",
     patterns: "dict[str, str] | None" = None,
+    append: bool = False,
 ) -> DataFrame:
     """Redact PII spans and count per-pattern occurrences.
+    ``append=True`` keeps every input column (chain per-row signal
+    operators into one fused projection — the p01 capstone shape).
 
     Each pattern is applied as a chained ``regexp_replace`` (→
     ``[REDACTED_KIND]``) with a ``regexp_count`` per kind — all native
@@ -532,7 +535,11 @@ def pii_scrub(
             F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{kind}")
         )
         scrubbed = F.regexp_replace(scrubbed, pat, f"[REDACTED_{kind.upper()}]")
-    return df.select(F.col(id_col), scrubbed.alias("clean_text"), *counts)
+    outs = [scrubbed.alias("clean_text"), *counts]
+    if append:
+        # fuse with surrounding per-row signals in ONE projection
+        return df.select("*", *outs)
+    return df.select(F.col(id_col), *outs)
 
 
 def c4_filters(
@@ -542,6 +549,7 @@ def c4_filters(
     min_words: int = 50,
     min_mean_word_len: float = 3.0,
     max_mean_word_len: float = 10.0,
+    append: bool = False,
 ) -> DataFrame:
     """C4-style document-level heuristic filter signals (the public
     C4/Gopher cleaning recipe): word count, fraction of lines ending in
@@ -577,8 +585,7 @@ def c4_filters(
         & ~has_curly
         & ~has_lorem
     )
-    return df.select(
-        F.col(id_col),
+    outs = [
         n_words.cast("int").alias("n_words"),
         n_lines.cast("int").alias("n_lines"),
         (term_lines / n_lines).alias("term_punct_ratio"),
@@ -586,7 +593,10 @@ def c4_filters(
         has_curly.alias("has_curly"),
         has_lorem.alias("has_lorem"),
         keep.alias("keep_doc"),
-    )
+    ]
+    if append:
+        return df.select("*", *outs)
+    return df.select(F.col(id_col), *outs)
 
 
 PACK_SCHEMA = "doc_id bigint, source string, seq_id bigint, doc_tokens int"
@@ -1256,6 +1266,7 @@ def repetition_ratio(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 2,
+    append: bool = False,
 ) -> DataFrame:
     """Within-document repetition signal (Gopher-style duplicate
     n-gram fraction): 1 − distinct_ngrams / total_ngrams over word
@@ -1281,13 +1292,15 @@ def repetition_ratio(
     grams = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(n)])
     total = m
     distinct = F.size(F.array_distinct(grams))
-    return df.select(
-        F.col(id_col),
+    outs = [
         F.when(total > 0, 1.0 - distinct / total)
         .otherwise(F.lit(0.0))
         .alias("rep_ratio"),
         total.alias("n_grams"),
-    )
+    ]
+    if append:
+        return df.select("*", *outs)
+    return df.select(F.col(id_col), *outs)
 
 
 # ---------------------------------------------------------------------------

@@ -7237,3 +7237,49 @@ def test_sniff_media_format_plan_is_map_only(magic_corpus):
     plan = sniff_media_format(magic_corpus)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Exchange" not in plan and "PythonEval" not in plan
+
+
+def test_p01_fused_signals_single_projection(spark):
+    """The capstone's three per-row signal operators (pii_scrub /
+    c4_filters / repetition_ratio in append mode) collapse into ONE
+    corpus scan; only the dedup-survivor side reads the corpus again
+    (inherent — it feeds the pair join)."""
+    import __spark_entry__ as em
+    from .conftest import SF_DIR
+
+    df = em.queries()["p01_curation_pipeline"](spark, SF_DIR)
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        outer = plan.split("InMemoryRelation")[0]
+        scans = sum(
+            1
+            for l in outer.splitlines()
+            if "Scan parquet" in l and "documents" in l
+        )
+        assert scans <= 2, outer
+    finally:
+        em.release_caches()
+
+
+def test_append_mode_keeps_inputs_and_matches_select_mode(docs):
+    """append=True on the three signal ops preserves every input
+    column and computes identical signal values to the default
+    reduced form."""
+    from dfsql_spark.operators.text import (
+        c4_filters,
+        pii_scrub,
+        repetition_ratio,
+    )
+
+    for op, cols in (
+        (pii_scrub, ["clean_text"]),
+        (c4_filters, ["keep_doc", "n_words"]),
+        (repetition_ratio, ["rep_ratio", "n_grams"]),
+    ):
+        full = op(docs, append=True)
+        assert set(docs.columns) <= set(full.columns)
+        a = {r["doc_id"]: tuple(r[c] for c in cols)
+             for r in full.select("doc_id", *cols).collect()}
+        b = {r["doc_id"]: tuple(r[c] for c in cols)
+             for r in op(docs).select("doc_id", *cols).collect()}
+        assert a == b
