@@ -390,3 +390,37 @@ def test_quality_gates_run_unchanged_on_a_stream(spark, tmp_path):
     )
     assert got == want and len(got) == 30
     assert {r[1] for r in got} == {True, False}  # both gate outcomes
+
+
+def test_stateless_signal_ops_apply_to_streams(spark, tmp_path):
+    """The per-row signal operators are engine-agnostic maps: applied
+    to a file-source STREAM of documents they produce exactly the
+    batch results (append mode, no state, no watermark needed) — the
+    ingestion-time filter shape for a streaming curation pipeline."""
+    import pandas as pd
+
+    from dfsql_spark.operators.text import encoding_signals
+    from dfsql_spark.streaming.events import run_to_memory
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                "clean text", "also clean", None, "",
+                "bad \x00 byte", "mojibake " + chr(0xFFFD),
+            ],
+        }
+    )
+    src = str(tmp_path / "docs_stream")
+    spark.createDataFrame(pdf).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    assert stream.isStreaming
+
+    streamed = run_to_memory(
+        encoding_signals(stream), spark, "enc_stream", output_mode="append"
+    )
+    batch = encoding_signals(spark.read.parquet(src))
+    got = {r.doc_id: (r.keep, r.has_null_byte) for r in streamed.collect()}
+    want = {r.doc_id: (r.keep, r.has_null_byte) for r in batch.collect()}
+    assert got == want and len(got) == 6
