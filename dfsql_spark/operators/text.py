@@ -3039,3 +3039,84 @@ def collapse_repeated_blocks(
         F.col("_r.n_tokens_before").alias("n_tokens_before"),
         F.col("_r.n_tokens_after").alias("n_tokens_after"),
     )
+
+
+def zipf_report(
+    df: DataFrame,
+    text_col: str = "text",
+    top_ranks: int = 1000,
+) -> DataFrame:
+    """One-row corpus lexical data card: vocabulary size, type/token
+    ratio, hapax fraction, and the Zipf slope — the corpus-naturalness
+    sanity check (natural language sits near slope −1 on the log-log
+    rank/frequency line; keyboard mash, template spam, and synthetic
+    junk deviate hard, so a drifting slope between two crawls is an
+    early data-quality alarm).
+
+    Measures (whitespace tokens, lowercased — the shared tokenizer)::
+
+        n_tokens          total token occurrences
+        n_types           distinct tokens (vocabulary size)
+        type_token_ratio  n_types / n_tokens
+        hapax_frac        fraction of types occurring exactly once
+        zipf_slope        OLS slope of ln(freq) on ln(rank) over the
+                          ``top_ranks`` most frequent types (rank ties
+                          broken by token asc — deterministic)
+
+    Everything is a plain relational aggregate (exact, mirrorable):
+    one corpus-sized explode → token count shuffle (map-side
+    combined), a vocabulary-sized stats aggregate, and an OLS over
+    the ``top_ranks``-row head — slope = (n·Σxy − ΣxΣy) /
+    (n·Σx² − (Σx)²) computed as one aggregate, no fitting loop.
+
+    Scale shape: the shuffle carries (token, count); the rank window
+    runs over the ``top_ranks`` head only (a count-ordered TakeOrdered
+    -sized subset, never the vocabulary); output is ONE row.
+    """
+    if top_ranks < 2:
+        raise ValueError(f"top_ranks must be >= 2, got {top_ranks}")
+    from pyspark.sql.window import Window
+
+    from .dedup import _materialize
+
+    counts = _materialize(
+        df.select(
+            F.explode(ws_tokens(text_col, lower=True)).alias("_tok")
+        )
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_n")),
+        "persist",
+    )
+    stats = counts.agg(
+        F.sum("_n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((F.col("_n") == 1).cast("long")).alias("_hapax"),
+    )
+    # TakeOrderedAndProject (distributed per-partition top-k, the
+    # vocab_topk shape) extracts the head; the rank window then runs
+    # over only top_ranks rows, never the vocabulary
+    w = Window.orderBy(F.col("_n").desc(), F.col("_tok").asc())
+    head = (
+        counts.orderBy(F.col("_n").desc(), F.col("_tok").asc())
+        .limit(top_ranks)
+        .withColumn("_r", F.row_number().over(w))
+        .select(
+            F.log(F.col("_r").cast("double")).alias("_x"),
+            F.log(F.col("_n").cast("double")).alias("_y"),
+        )
+    )
+    slope = head.agg(
+        (
+            (F.count(F.lit(1)) * F.sum(F.col("_x") * F.col("_y"))
+             - F.sum("_x") * F.sum("_y"))
+            / (F.count(F.lit(1)) * F.sum(F.col("_x") * F.col("_x"))
+               - F.sum("_x") * F.sum("_x"))
+        ).alias("zipf_slope")
+    )
+    return stats.crossJoin(slope).select(
+        "n_tokens",
+        "n_types",
+        (F.col("n_types") / F.col("n_tokens")).alias("type_token_ratio"),
+        (F.col("_hapax") / F.col("n_types")).alias("hapax_frac"),
+        "zipf_slope",
+    )

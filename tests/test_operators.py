@@ -7283,3 +7283,106 @@ def test_append_mode_keeps_inputs_and_matches_select_mode(docs):
         b = {r["doc_id"]: tuple(r[c] for c in cols)
              for r in op(docs).select("doc_id", *cols).collect()}
         assert a == b
+
+
+# ---------------------------------------------------------------------------
+# zipf_report (round 11)
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_report_hand_pinned_and_duckdb(spark, duck):
+    """Exact mirror of every measure (incl. the OLS slope) on a small
+    engineered corpus, plus closed-form edge pins."""
+    import math
+
+    import pandas as pd
+
+    from .conftest import assert_matches_oracle
+    from dfsql_spark.operators.dedup import release_persists
+    from dfsql_spark.operators.text import zipf_report
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "text": [
+                "a a a a b b c",      # a:4(+2 below)=6, b:2(+1)=3, c:1(+1)=2
+                "a b c d",            # d hapax? d appears once total
+                "a e",                # e hapax
+                None,
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    try:
+        (r,) = zipf_report(df, top_ranks=3).collect()
+    finally:
+        release_persists()
+    assert r.n_tokens == 13 and r.n_types == 5
+    assert r.hapax_frac == pytest.approx(2 / 5)          # d, e
+    assert r.type_token_ratio == pytest.approx(5 / 13)
+    # closed-form OLS over (rank, freq) = (1,6),(2,3),(3,2)
+    xs = [math.log(i) for i in (1, 2, 3)]
+    ys = [math.log(f) for f in (6, 3, 2)]
+    n = 3
+    sl = (n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)) / (
+        n * sum(x * x for x in xs) - sum(xs) ** 2
+    )
+    assert r.zipf_slope == pytest.approx(sl)
+
+    duck.register("zipf_pd", pdf)
+    mirror = """
+        WITH toks AS (
+            SELECT unnest(list_filter(regexp_split_to_array(
+                coalesce(lower(text), ''), '\\s+'), x -> x <> '')) AS tok
+            FROM zipf_pd
+        ), counts AS (
+            SELECT tok, count(*) AS n FROM toks GROUP BY tok
+        ), stats AS (
+            SELECT sum(n) AS n_tokens, count(*) AS n_types,
+                   sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS hapax
+            FROM counts
+        ), head AS (
+            SELECT ln(row_number() OVER (ORDER BY n DESC, tok ASC)::DOUBLE)
+                       AS x,
+                   ln(n::DOUBLE) AS y
+            FROM counts ORDER BY n DESC, tok ASC LIMIT 3
+        ), slope AS (
+            SELECT (count(*) * sum(x * y) - sum(x) * sum(y))
+                   / (count(*) * sum(x * x) - sum(x) * sum(x))
+                       AS zipf_slope
+            FROM head
+        )
+        SELECT n_tokens, n_types,
+               n_types / n_tokens::DOUBLE AS type_token_ratio,
+               hapax / n_types::DOUBLE AS hapax_frac,
+               zipf_slope
+        FROM stats, slope
+    """
+    try:
+        assert_matches_oracle(
+            zipf_report(df, top_ranks=3), duck.sql(mirror).df(), "zipf_report"
+        )
+    finally:
+        release_persists()
+    with pytest.raises(ValueError):
+        zipf_report(df, top_ranks=1)
+
+
+def test_zipf_report_natural_corpus_slope(docs):
+    """The synthetic documents corpus should produce a negative slope
+    (frequencies decay in rank) with sane bounded measures, and the
+    plan must use TakeOrdered for the head — never a vocabulary-wide
+    single-partition window."""
+    from dfsql_spark.operators.dedup import release_persists
+    from dfsql_spark.operators.text import zipf_report
+
+    q = zipf_report(docs, top_ranks=200)
+    try:
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        (r,) = q.collect()
+        assert r.zipf_slope < 0
+        assert 0 < r.type_token_ratio <= 1 and 0 <= r.hapax_frac <= 1
+        assert r.n_types <= r.n_tokens
+    finally:
+        release_persists()
