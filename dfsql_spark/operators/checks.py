@@ -357,12 +357,22 @@ def corpus_report(
     )
 
 
-_NUMERIC_PREFIXES = (
-    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal"
-)
-_ATOMIC_PREFIXES = _NUMERIC_PREFIXES + (
-    "string", "boolean", "date", "timestamp", "char", "varchar"
-)
+# exact names + parameterized prefixes, NOT bare startswith: the
+# 'int' prefix would otherwise swallow 'interval day' (reproduced:
+# interval columns crashed the whole profile on cast-to-double)
+_NUMERIC_EXACT = {
+    "tinyint", "smallint", "int", "bigint", "float", "double"
+}
+_ATOMIC_EXACT = _NUMERIC_EXACT | {"string", "boolean", "date"}
+_ATOMIC_PREFIX = ("decimal", "timestamp", "char", "varchar")
+
+
+def _is_numeric_dtype(dt: str) -> bool:
+    return dt in _NUMERIC_EXACT or dt.startswith("decimal") or dt == "boolean"
+
+
+def _is_atomic_dtype(dt: str) -> bool:
+    return dt in _ATOMIC_EXACT or dt.startswith(_ATOMIC_PREFIX)
 
 
 def column_profile(
@@ -418,7 +428,7 @@ def column_profile(
         dt = fields[c]
         col = F.col(c)
         aggs.append(F.sum(col.isNull().cast("long")).alias(f"_null_{i}"))
-        if dt.startswith(_ATOMIC_PREFIXES):
+        if _is_atomic_dtype(dt):
             aggs.append(
                 (
                     F.countDistinct(col)
@@ -426,7 +436,7 @@ def column_profile(
                     else F.approx_count_distinct(col, rsd)
                 ).alias(f"_ndv_{i}")
             )
-            if dt.startswith(_NUMERIC_PREFIXES) or dt == "boolean":
+            if _is_numeric_dtype(dt):
                 num = col.cast("double")
                 aggs += [
                     F.min(num).alias(f"_min_{i}"),
@@ -448,8 +458,8 @@ def column_profile(
     rows = []
     for i, c in enumerate(cols):
         dt = fields[c]
-        atomic = dt.startswith(_ATOMIC_PREFIXES)
-        numeric = dt.startswith(_NUMERIC_PREFIXES) or dt == "boolean"
+        atomic = _is_atomic_dtype(dt)
+        numeric = _is_numeric_dtype(dt)
         rows.append(
             F.struct(
                 F.lit(c).alias("column"),

@@ -1916,7 +1916,9 @@ def source_overlap_matrix(
     pair, zeros included) and asymmetric by construction —
     ``frac(a→b)`` divides by ``|a|``.  Rows with NULL source are
     excluded (flag-don't-guess: a NULL crawl label is a data bug, not
-    an overlap fact).
+    an overlap fact), and so are NULL-text rows (their hash is NULL —
+    no content, no overlap identity; counting them would deflate
+    every fraction since a NULL key can never join).
 
     ``mode="minhash"``: "occurs in b" relaxes to "has a MinHash-LSH
     near-duplicate in b" (same banded join as :func:`minhash_lsh_pairs`
@@ -1943,6 +1945,10 @@ def source_overlap_matrix(
         raise ValueError(f"mode must be 'exact' or 'minhash', got {mode!r}")
     src = F.col(source_col)
     if mode == "exact":
+        # NULL text yields a NULL hash: drop it HERE — a NULL key can
+        # never join, so counting it in n_a/n_b would silently deflate
+        # every fraction (no content = no overlap identity, the same
+        # posture as url_dedup's NULL canonical URL)
         d = _materialize(
             df.filter(src.isNotNull())
             .select(
@@ -1951,6 +1957,7 @@ def source_overlap_matrix(
                 .substr(1, 32)
                 .alias("_h"),
             )
+            .where(F.col("_h").isNotNull())
             .distinct(),
             materialize,
         )

@@ -293,9 +293,7 @@ def sniff_media_format(
     other signal.  Unknown / NULL / too-short payloads sniff as NULL
     (flag, don't guess).
     """
-    head = F.hex(
-        F.expr(f"substring({bytes_col}, 1, {_MAGIC_HEAD_BYTES})")
-    )
+    head = F.hex(F.substring(F.col(bytes_col), 1, _MAGIC_HEAD_BYTES))
     expr = None
     for fmt, off, prefix in MEDIA_MAGIC:
         cond = F.substring(head, 2 * off + 1, len(prefix)) == F.lit(prefix)
@@ -322,9 +320,12 @@ def media_format_report(
     if claimed_col is not None:
         keys += [
             F.col(claimed_col).alias("claimed"),
-            (
+            # coalesce: a NULL claimed type is UNKNOWN, not a mismatch
+            # (and must match the DuckDB mirror bit-for-bit)
+            F.coalesce(
                 F.col("sniffed_format").isNotNull()
-                & (F.col("sniffed_format") != F.col(claimed_col))
+                & (F.col("sniffed_format") != F.col(claimed_col)),
+                F.lit(False),
             ).alias("mismatch"),
         ]
     return sniffed.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))

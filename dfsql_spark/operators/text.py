@@ -38,21 +38,19 @@ FINGERPRINT_MOD = 2147483647  # 2^31 - 1: (acc*31 + c) stays in int64
 
 
 def _salted_bucket(
-    text_col: str, buckets: int, salt: str | None = None
+    text_col: "str | Column", buckets: int, salt: str | None = None
 ) -> Column:
     """Content-addressed bucket in [0, buckets): first 8 hex chars of
     md5(salt ':' text) as a 32-bit int, mod buckets.  THE determinism
     contract shared by deterministic_split / stratified_sample /
-    rebalance_mix and their DuckDB oracles
+    rebalance_mix / write_training_shards and their DuckDB oracles
     (``CAST('0x' || substr(md5(...), 1, 8) AS BIGINT) % buckets``) —
     change it here and in every oracle together, never in one place.
     ``salt=None`` hashes the bare text (the split's assignment);
-    a salt decorrelates a sampler's keep decisions from the split."""
-    h = (
-        F.md5(F.col(text_col))
-        if salt is None
-        else F.md5(F.concat(F.lit(salt + ":"), F.col(text_col)))
-    )
+    a salt decorrelates a sampler's keep decisions from the split.
+    Accepts a Column for computed keys (cast ids, concatenations)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    h = F.md5(c) if salt is None else F.md5(F.concat(F.lit(salt + ":"), c))
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % buckets
 
 
@@ -2799,9 +2797,16 @@ def tfidf_top_terms(
 
     from .dedup import _materialize
 
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        ws_tokens(text_col, lower=True).alias("_ts"),
+    # pin the tokenized projection FIRST: N and the (doc, term) table
+    # both derive from it, so the upstream plan (which may be a whole
+    # curation pipeline, not a bare scan) executes exactly once —
+    # df.agg(count) on the raw input would re-run every upstream stage
+    base = _materialize(
+        df.select(
+            F.col(id_col).alias("_id"),
+            ws_tokens(text_col, lower=True).alias("_ts"),
+        ),
+        materialize,
     )
     tf = _materialize(
         base.select("_id", F.explode("_ts").alias("term"))
@@ -2809,11 +2814,7 @@ def tfidf_top_terms(
         .agg(F.count(F.lit(1)).alias("tf")),
         materialize,
     )
-    # N over the pinned table: count distinct docs WITH tokens plus the
-    # token-less remainder would need the corpus — instead count docs
-    # from the (already materialized) source projection's cheap twin:
-    # one zero-column corpus scan (footer counts only, no text read)
-    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    n_docs = base.agg(F.count(F.lit(1)).alias("_n"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     w = Window.partitionBy("_id").orderBy(
         F.col("score").desc(), F.col("term").asc()
@@ -3045,6 +3046,7 @@ def zipf_report(
     df: DataFrame,
     text_col: str = "text",
     top_ranks: int = 1000,
+    materialize: str = "persist",
 ) -> DataFrame:
     """One-row corpus lexical data card: vocabulary size, type/token
     ratio, hapax fraction, and the Zipf slope — the corpus-naturalness
@@ -3069,9 +3071,13 @@ def zipf_report(
     the ``top_ranks``-row head — slope = (n·Σxy − ΣxΣy) /
     (n·Σx² − (Σx)²) computed as one aggregate, no fitting loop.
 
-    Scale shape: the shuffle carries (token, count); the rank window
-    runs over the ``top_ranks`` head only (a count-ordered TakeOrdered
-    -sized subset, never the vocabulary); output is ONE row.
+    Scale shape: the shuffle carries (token, count), materialized
+    once (``materialize`` forwards to :func:`~dfsql_spark.operators.
+    dedup._materialize`; release via ``release_persists`` — the
+    sibling tfidf/source_overlap contract) because the stats aggregate
+    and the head both read it; the rank window runs over the
+    ``top_ranks`` head only (a count-ordered TakeOrdered-sized subset,
+    never the vocabulary); output is ONE row.
     """
     if top_ranks < 2:
         raise ValueError(f"top_ranks must be >= 2, got {top_ranks}")
@@ -3085,7 +3091,7 @@ def zipf_report(
         )
         .groupBy("_tok")
         .agg(F.count(F.lit(1)).alias("_n")),
-        "persist",
+        materialize,
     )
     stats = counts.agg(
         F.sum("_n").alias("n_tokens"),

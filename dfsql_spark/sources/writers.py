@@ -375,24 +375,46 @@ def write_training_shards(
         n_shards = max(1, math.ceil(total / shard_tokens))
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    # flag, don't guess: a NULL key would hash to a NULL shard and
+    # vanish into the hive default partition where no loader
+    # recomputing the documented formula could find it.  One
+    # key-column-pruned existence probe (limit(1), same pattern as
+    # merge_table's unique-key check).
+    if df.filter(F.col(key_col).isNull()).limit(1).count():
+        raise ValueError(
+            f"write_training_shards: NULL values in key_col {key_col!r} "
+            "cannot be shard-addressed; assign ids first"
+        )
 
-    h = F.md5(F.concat(F.lit("shard:"), F.col(key_col).cast("string")))
-    bucket = (
-        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % n_shards
+    from ..operators.text import _salted_bucket
+
+    # THE repo-wide determinism contract (one definition, never inlined)
+    bucket = _salted_bucket(
+        F.col(key_col).cast("string"), n_shards, salt="shard"
     ).cast("int")
     sharded = df.withColumn("shard", bucket).repartition(n_shards, "shard")
-    sharded.write.mode(mode).format(fmt).partitionBy("shard").save(path)
+    writer = sharded.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", "true")  # read-back needs names
+    writer.partitionBy("shard").save(path)
 
     # manifest from the files ON DISK (column-pruned to the partition
     # dir + token column): audits what the export actually wrote, and
     # costs a footer-level scan instead of a second source pass
-    written = sharded.sparkSession.read.format(fmt).load(path)
+    reader = sharded.sparkSession.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true").option(
+            "inferSchema", "true"
+        )
+    written = reader.load(path)
     aggs = [F.count(F.lit(1)).alias("n_docs")]
     if token_col is not None:
         aggs.append(F.sum(F.col(token_col).cast("long")).alias("n_tokens"))
     manifest = written.groupBy("shard").agg(*aggs)
     if write_manifest:
-        manifest.coalesce(1).write.mode(mode).format("parquet").save(
+        # ALWAYS overwrite: the manifest audits current directory
+        # state — appending would stack stale generations of counts
+        manifest.coalesce(1).write.mode("overwrite").format("parquet").save(
             path.rstrip("/") + "/_manifest"
         )
     return manifest

@@ -7386,3 +7386,85 @@ def test_zipf_report_natural_corpus_slope(docs):
         assert r.n_types <= r.n_tokens
     finally:
         release_persists()
+
+
+# ---------------------------------------------------------------------------
+# round-11 code-review fixes (regression pins)
+# ---------------------------------------------------------------------------
+
+
+def test_column_profile_interval_column_counts_only(spark):
+    """'interval day' must not prefix-match 'int': interval columns
+    take the counts-only path instead of crashing the whole profile
+    (reproduced crash pre-fix)."""
+    import datetime
+
+    from dfsql_spark.operators.checks import column_profile
+
+    df = spark.createDataFrame(
+        [(1, datetime.timedelta(days=3)), (2, None)],
+        "k long, span interval day",
+    )
+    rows = {r.column: r for r in column_profile(df, ndv="exact").collect()}
+    sp = rows["span"]
+    assert (sp.n_rows, sp.n_null) == (2, 1)
+    assert sp.n_distinct is None and sp.min_num is None and sp.min_str is None
+    assert rows["k"].n_distinct == 2  # numerics still fully profiled
+
+
+def test_source_overlap_matrix_null_text_excluded(spark):
+    """NULL-text rows have no content identity: they must not count in
+    n_a/n_b (pre-fix they deflated every fraction because a NULL hash
+    can never join)."""
+    from dfsql_spark.operators.dedup import source_overlap_matrix
+
+    df = spark.createDataFrame(
+        [(1, "A", None), (2, "A", "x"), (3, "B", None), (4, "B", "x")],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        (r.src_a, r.src_b): r for r in source_overlap_matrix(df).collect()
+    }
+    assert got[("A", "B")].n_a == 1 and got[("A", "B")].n_b == 1
+    assert got[("A", "B")].frac_a_in_b == 1.0
+
+
+def test_media_format_report_null_claimed_is_not_mismatch(spark):
+    """A NULL claimed type is UNKNOWN, not a mismatch — mismatch must
+    be FALSE (bit-identical to the DuckDB mirror), never NULL."""
+    import pandas as pd
+
+    from dfsql_spark.operators.multimodal import media_format_report
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, None, bytes.fromhex("89504E470D0A1A0A") + b"\x00" * 8)],
+            columns=["media_id", "claimed", "payload"],
+        )
+    )
+    (r,) = media_format_report(df, claimed_col="claimed").collect()
+    assert r.sniffed_format == "png" and r.claimed is None
+    assert r.mismatch is False
+
+
+def test_tfidf_derived_input_upstream_runs_once(spark):
+    """With a DERIVED input, the pinned base projection feeds both N
+    and the (doc, term) table: no FileScan survives outside the cached
+    subplans (pre-fix df.agg(count) re-ran the whole upstream plan)."""
+    from dfsql_spark.operators.dedup import release_persists
+    from dfsql_spark.operators.text import tfidf_top_terms
+    from .conftest import SF_DIR
+
+    derived = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter("length(text) > 10")
+        .withColumn("text", F.lower(F.col("text")))
+    )
+    q = tfidf_top_terms(derived, top_k=2, min_df=2)
+    try:
+        q.write.format("noop").mode("overwrite").save()
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        outer = plan.split("InMemoryRelation")[0]
+        assert "Scan parquet" not in outer, outer
+    finally:
+        release_persists()

@@ -350,3 +350,45 @@ def test_write_training_shards_token_sizing_and_validation(spark, tmp_path):
         write_training_shards(df, out, shard_tokens=100)
     with pytest.raises(ValueError, match="n_shards"):
         write_training_shards(df, out, n_shards=0)
+
+
+def test_write_training_shards_csv_null_key_and_append_manifest(
+    spark, tmp_path
+):
+    """Review-fix pins: (1) csv export round-trips with headers so the
+    manifest resolves token_col; (2) NULL keys raise instead of
+    vanishing into the hive default partition; (3) _manifest is always
+    overwritten — an append of data must not stack stale manifest
+    generations."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dfsql_spark.sources.writers import write_training_shards
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(40), "n_tok": [5] * 40})
+    )
+    # (1) csv format
+    out = str(tmp_path / "csv_shards")
+    m = write_training_shards(
+        df, out, n_shards=4, token_col="n_tok", fmt="csv"
+    ).toPandas()
+    assert m["n_docs"].sum() == 40 and int(m["n_tokens"].sum()) == 200
+    # (2) NULL key refuses
+    with_null = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, None], "n_tok": [5, 5]})
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        write_training_shards(
+            with_null, str(tmp_path / "nope"), n_shards=2, token_col="n_tok"
+        )
+    # (3) append mode: manifest reflects CURRENT directory state only
+    out2 = str(tmp_path / "appended")
+    write_training_shards(df, out2, n_shards=4, token_col="n_tok")
+    write_training_shards(
+        df.withColumn("doc_id", F.col("doc_id") + 100),
+        out2, n_shards=4, token_col="n_tok", mode="append",
+    )
+    mf = spark.read.parquet(out2 + "/_manifest").toPandas()
+    assert mf["n_docs"].sum() == 80  # one generation, full count
+    assert len(mf) == mf["shard"].nunique()
