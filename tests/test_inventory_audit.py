@@ -33,6 +33,7 @@ import pytest
 OPERATOR_MODULES = [
     "dfsql_spark.operators.checks",
     "dfsql_spark.operators.classify",
+    "dfsql_spark.operators.code",
     "dfsql_spark.operators.dedup",
     "dfsql_spark.operators.joins",
     "dfsql_spark.operators.multimodal",

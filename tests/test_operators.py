@@ -7468,3 +7468,158 @@ def test_tfidf_derived_input_upstream_runs_once(spark):
         assert "Scan parquet" not in outer, outer
     finally:
         release_persists()
+
+
+# ---------------------------------------------------------------------------
+# code-corpus curation: code_quality_signals / detect_license (round 11)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def code_corpus(spark):
+    mit = (
+        "// Permission is hereby granted, free of charge\n"
+        "fn main() { println!(\"hi\"); }\n"
+    )
+    spdx = "# SPDX-License-Identifier: Apache-2.0 WITH LLVM-exception\nx = 1\n"
+    gpl = (
+        "/* This program is free software: GNU General Public License */\n"
+        "int main(void) { return 0; }\n"
+    )
+    minified = "var a=" + "x" * 1500 + ";\nshort\n"       # huge line
+    autogen = "// Code generated by protoc. DO NOT EDIT.\npackage pb\n"
+    binaryish = ("\x01\x02" * 40) + "\n"                  # low alnum
+    normal = "def add(a, b):\n    return a + b\n"
+    rows = [
+        (1, mit), (2, spdx), (3, gpl), (4, minified),
+        (5, autogen), (6, binaryish), (7, normal), (8, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+def test_detect_license_hand_pinned(code_corpus):
+    from dfsql_spark.operators.code import detect_license, license_filter
+
+    got = {
+        r.doc_id: r.license for r in detect_license(code_corpus).collect()
+    }
+    assert got[1] == "mit"
+    # SPDX tag wins, normalized lowercase, expression preserved
+    assert got[2] == "apache-2.0 with llvm-exception"
+    assert got[3] == "gpl"
+    assert got[7] is None and got[8] is None
+    kept = {r.doc_id for r in license_filter(code_corpus).collect()}
+    # permissive only: MIT + the apache SPDX expression (prefix match);
+    # GPL and unknown-license files are dropped
+    assert kept == {1, 2}
+
+
+def test_code_quality_signals_hand_pinned(code_corpus):
+    from dfsql_spark.operators.code import code_quality_signals
+
+    got = {
+        r.doc_id: r for r in code_quality_signals(code_corpus).collect()
+    }
+    assert got[7].keep_file and not got[7].is_autogen
+    assert not got[4].keep_file and got[4].max_line_len > 1000
+    assert not got[5].keep_file and got[5].is_autogen
+    assert not got[6].keep_file and got[6].alnum_frac < 0.25
+    # NULL file: zero counts, dropped
+    assert got[8].n_lines == 1 and got[8].max_line_len == 0
+    assert not got[8].keep_file
+    # append mode keeps inputs
+    from pyspark.sql import functions as _F
+    full = code_quality_signals(code_corpus, append=True)
+    assert "content" in full.columns and "keep_file" in full.columns
+
+
+def test_code_ops_match_duckdb(code_corpus, duck):
+    from .conftest import assert_matches_oracle
+    from dfsql_spark.operators.code import (
+        AUTOGEN_MARKERS,
+        LICENSE_MARKERS,
+        SPDX_RE,
+        code_quality_signals,
+        detect_license,
+    )
+
+    duck.register("code_pd", code_corpus.toPandas())
+    lic_case = " ".join(
+        f"WHEN contains(head, '{p}') THEN '{lic}'"
+        for lic, p in LICENSE_MARKERS
+    )
+    lic_mirror = f"""
+        WITH heads AS (
+            SELECT doc_id, content,
+                   lower(substr(coalesce(content, ''), 1, 4000)) AS head
+            FROM code_pd
+        )
+        SELECT doc_id, content,
+               CASE WHEN trim(regexp_extract(head, '{SPDX_RE}', 1)) <> ''
+                    THEN trim(regexp_extract(head, '{SPDX_RE}', 1))
+                    ELSE CASE {lic_case} END
+               END AS license
+        FROM heads
+    """
+    assert_matches_oracle(
+        detect_license(code_corpus),
+        duck.sql(lic_mirror).df(),
+        "detect_license",
+    )
+
+    autogen_or = " OR ".join(
+        f"contains(lower(substr(c, 1, 4000)), '{m}')" for m in AUTOGEN_MARKERS
+    )
+    sig_mirror = f"""
+        WITH base AS (
+            SELECT doc_id, coalesce(content, '') AS c FROM code_pd
+        ), feats AS (
+            SELECT doc_id,
+                   len(str_split(c, chr(10))) AS n_lines,
+                   coalesce(list_max(list_transform(str_split(c, chr(10)),
+                       x -> length(x))), 0) AS max_line_len,
+                   length(c) AS n_chars,
+                   length(regexp_replace(c, '[^A-Za-z0-9]', '', 'g'))
+                       AS n_alnum,
+                   ({autogen_or}) AS is_autogen
+            FROM base
+        )
+        SELECT doc_id, n_lines, max_line_len,
+               CASE WHEN n_lines > 0
+                    THEN (n_chars - (n_lines - 1)) / n_lines::DOUBLE
+                    ELSE 0.0 END AS mean_line_len,
+               CASE WHEN n_chars > 0 THEN n_alnum / n_chars::DOUBLE
+                    ELSE 0.0 END AS alnum_frac,
+               is_autogen,
+               n_chars > 0 AND max_line_len <= 1000
+               AND (CASE WHEN n_lines > 0
+                         THEN (n_chars - (n_lines - 1)) / n_lines::DOUBLE
+                         ELSE 0.0 END) <= 100.0
+               AND (CASE WHEN n_chars > 0 THEN n_alnum / n_chars::DOUBLE
+                         ELSE 0.0 END) >= 0.25
+               AND NOT is_autogen AS keep_file
+        FROM feats
+    """
+    assert_matches_oracle(
+        code_quality_signals(code_corpus),
+        duck.sql(sig_mirror).df(),
+        "code_quality_signals",
+    )
+
+
+def test_code_ops_plans_are_map_only(code_corpus):
+    from dfsql_spark.operators.code import (
+        code_quality_signals,
+        detect_license,
+        detect_license_expr,
+        license_filter,
+    )
+
+    for q in (
+        detect_license(code_corpus),
+        code_quality_signals(code_corpus),
+        license_filter(code_corpus),
+        code_corpus.select(detect_license_expr().alias("l")),
+    ):
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "PythonEval" not in plan
