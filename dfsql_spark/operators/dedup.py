@@ -1945,19 +1945,26 @@ def source_overlap_matrix(
         raise ValueError(f"mode must be 'exact' or 'minhash', got {mode!r}")
     src = F.col(source_col)
     if mode == "exact":
-        # NULL text yields a NULL hash: drop it HERE — a NULL key can
-        # never join, so counting it in n_a/n_b would silently deflate
-        # every fraction (no content = no overlap identity, the same
-        # posture as url_dedup's NULL canonical URL)
+        # NULL text yields a NULL hash and empty/whitespace text
+        # normalizes to '' — drop BOTH here (no content, no overlap
+        # identity, the same posture as url_dedup's NULL canonical
+        # URL).  A NULL key can never join, so counting it in n_a/n_b
+        # would silently deflate every fraction; the '' identity is
+        # worse — sha2('') is one shared hash, so two sources that
+        # each hold a single blank doc would register as mutual
+        # overlap, inflating frac_a_in_b for small sources
+        # (round-11 advisor).
         d = _materialize(
             df.filter(src.isNotNull())
             .select(
                 src.alias("_src"),
-                F.sha2(normalize_text(F.col(text_col)), 256)
-                .substr(1, 32)
-                .alias("_h"),
+                normalize_text(F.col(text_col)).alias("_t"),
             )
-            .where(F.col("_h").isNotNull())
+            .where(F.col("_t").isNotNull() & (F.length("_t") > 0))
+            .select(
+                "_src",
+                F.sha2(F.col("_t"), 256).substr(1, 32).alias("_h"),
+            )
             .distinct(),
             materialize,
         )
@@ -1970,7 +1977,12 @@ def source_overlap_matrix(
             .agg(F.count(F.lit(1)).alias("_nc"))
         )
     else:
-        docs = df.filter(src.isNotNull())
+        # same no-content posture as exact mode: a blank doc has no
+        # shingles, so it can never have a neighbor — counting it in
+        # the denominator would deflate frac_a_in_b inconsistently
+        # with the exact mode's exclusion
+        norm = normalize_text(F.col(text_col))
+        docs = df.filter(src.isNotNull() & (F.length(norm) > 0))
         roster = docs.select(F.col(id_col).alias("_id"), src.alias("_src"))
         sizes = roster.groupBy("_src").agg(F.count(F.lit(1)).alias("_n"))
         pairs = _materialize(

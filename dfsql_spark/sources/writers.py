@@ -395,16 +395,40 @@ def write_training_shards(
     sharded = df.withColumn("shard", bucket).repartition(n_shards, "shard")
     writer = sharded.write.mode(mode).format(fmt)
     if fmt == "csv":
-        writer = writer.option("header", "true")  # read-back needs names
+        # header: read-back needs names.  escape='"' (RFC 4180 quote
+        # doubling, instead of Spark's '\' default) pins the quoting
+        # contract the manifest read-back below — and any external
+        # loader — depends on for newline/quote-bearing text fields.
+        # The whitespace-trim write defaults are disabled: a corpus
+        # export must round-trip text VERBATIM (leading/trailing
+        # whitespace is data, e.g. code indentation).
+        writer = (
+            writer.option("header", "true")
+            .option("escape", '"')
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
+        )
     writer.partitionBy("shard").save(path)
 
     # manifest from the files ON DISK (column-pruned to the partition
-    # dir + token column): audits what the export actually wrote, and
-    # costs a footer-level scan instead of a second source pass
+    # dir + token column): audits what the export actually wrote.  For
+    # parquet/orc that is a footer-level scan; for json Spark re-reads
+    # data but the format round-trips losslessly.  csv does NOT: a
+    # text corpus routinely carries embedded newlines, and a default
+    # (non-multiLine) read-back splits each such doc into several
+    # records — the manifest would silently overcount n_docs and
+    # miscount n_tokens (round-11 advisor).  So the csv read-back pins
+    # the writer's actual quoting contract (multiLine + '"' escape,
+    # matching Spark's csv writer defaults) and reuses the pre-write
+    # schema instead of inferSchema (which would force a second full
+    # parse just to guess types we already know).
     reader = sharded.sparkSession.read.format(fmt)
     if fmt == "csv":
-        reader = reader.option("header", "true").option(
-            "inferSchema", "true"
+        reader = (
+            reader.option("header", "true")
+            .option("multiLine", "true")
+            .option("escape", '"')
+            .schema(sharded.drop("shard").schema)
         )
     written = reader.load(path)
     aggs = [F.count(F.lit(1)).alias("n_docs")]

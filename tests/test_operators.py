@@ -6253,8 +6253,11 @@ def test_column_profile_approx_is_single_pass(spark):
 def overlap_corpus(spark):
     """Three sources with engineered overlap: A∩B = 2 docs (one via a
     whitespace/case variant — normalization must unify it), A∩C = 1,
-    B∩C = 0; a within-A duplicate that must NOT inflate counts; and a
-    NULL-source row that must be excluded."""
+    B∩C = 0; a within-A duplicate that must NOT inflate counts; a
+    NULL-source row that must be excluded; and one blank doc EACH in
+    A and B — empty/whitespace text normalizes to '' whose single
+    sha2('') identity must NOT register as A↔B overlap (round-11
+    advisor)."""
     rows = [
         (1, "A", "alpha document one"),
         (2, "A", "beta document two"),
@@ -6266,6 +6269,8 @@ def overlap_corpus(spark):
         (8, "C", "gamma document three"),
         (9, "C", "epsilon document five"),
         (10, None, "alpha document one"),        # NULL source: excluded
+        (11, "A", "   \t\n"),                    # blank: excluded
+        (12, "B", ""),                           # empty: excluded
     ]
     return spark.createDataFrame(rows, "doc_id long, source string, text string")
 
@@ -6305,7 +6310,10 @@ def test_source_overlap_matrix_matches_duckdb(overlap_corpus, duck):
             SELECT DISTINCT source AS src,
                    substr(sha256(trim(regexp_replace(lower(text),
                        '\\s+', ' ', 'g'))), 1, 32) AS h
-            FROM overlap_pd WHERE source IS NOT NULL
+            FROM overlap_pd
+            WHERE source IS NOT NULL
+              AND length(trim(regexp_replace(lower(text),
+                      '\\s+', ' ', 'g'))) > 0
         ), sizes AS (
             SELECT src, count(*) AS n FROM d GROUP BY src
         ), common AS (
@@ -7037,7 +7045,8 @@ def test_source_overlap_matrix_fuzz_vs_python_reference(spark):
         st.tuples(
             st.one_of(st.none(), st.sampled_from(["A", "B", "C"])),
             st.sampled_from(
-                ["x y", "X  y", "y z", "q", "Q ", "r s t", "x y "]
+                ["x y", "X  y", "y z", "q", "Q ", "r s t", "x y ",
+                 "", "   ", "\t\n"]
             ),
         ),
         min_size=1,
@@ -7065,7 +7074,11 @@ def test_source_overlap_matrix_fuzz_vs_python_reference(spark):
         for s, t in rows:
             if s is None:
                 continue
-            sets.setdefault(s, set()).add(ws.sub(" ", t.lower()).strip())
+            norm = ws.sub(" ", t.lower()).strip()
+            if not norm:  # no content, no overlap identity
+                continue
+            sets.setdefault(s, set()).add(norm)
+        sets = {s: v for s, v in sets.items() if v}
         want = {}
         for a, sa in sets.items():
             for b, sb in sets.items():
@@ -7567,8 +7580,14 @@ def test_code_ops_match_duckdb(code_corpus, duck):
         "detect_license",
     )
 
+    from dfsql_spark.operators.code import AUTOGEN_HEAD_LINES
+
+    head_sql = (
+        f"lower(array_to_string(list_slice(str_split(c, chr(10)), 1, "
+        f"{AUTOGEN_HEAD_LINES}), chr(10)))"
+    )
     autogen_or = " OR ".join(
-        f"contains(lower(substr(c, 1, 4000)), '{m}')" for m in AUTOGEN_MARKERS
+        f"contains({head_sql}, '{m}')" for m in AUTOGEN_MARKERS
     )
     sig_mirror = f"""
         WITH base AS (
@@ -7623,3 +7642,74 @@ def test_code_ops_plans_are_map_only(code_corpus):
     ):
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "PythonEval" not in plan
+
+
+def test_spdx_capture_bounded_to_expression_grammar(spark):
+    """Round-11 advisor pin: trailing prose on the SPDX tag line must
+    NOT be swallowed into the stored license id — the capture stops at
+    the expression grammar (ids joined by single-space WITH/OR/AND)."""
+    from dfsql_spark.operators.code import detect_license
+
+    rows = [
+        (1, "# SPDX-License-Identifier: MIT see LICENSE file\nx=1\n"),
+        (2, "# SPDX-License-Identifier: Apache-2.0 WITH "
+            "LLVM-exception (see NOTICE)\nx=1\n"),
+        (3, "# SPDX-License-Identifier: MIT AND GPL-3.0-only extra\n"),
+        (4, "# SPDX-License-Identifier: BSD-3-Clause\n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {r.doc_id: r.license for r in detect_license(df).collect()}
+    assert got[1] == "mit"
+    # WITH-exception kept; the parenthesized aside is prose, but the
+    # grammar admits '(' so '(see' would only attach via a connective —
+    # it doesn't, so the capture ends at the exception id
+    assert got[2] == "apache-2.0 with llvm-exception"
+    assert got[3] == "mit and gpl-3.0-only"
+    assert got[4] == "bsd-3-clause"
+
+
+def test_license_filter_spdx_connective_semantics(spark):
+    """Round-11 advisor pin: AND means every operand's obligations
+    apply — 'mit and gpl-3.0-only' must NOT pass a permissive-only
+    allow; OR is the licensee's choice — any allowed operand passes;
+    WITH-exceptions pass their base id; and allowed-id matching is no
+    longer a bare substring prefix ('mit' must not claim 'mitre-x')."""
+    from dfsql_spark.operators.code import license_filter
+
+    rows = [
+        (1, "# SPDX-License-Identifier: MIT AND GPL-3.0-only\n"),
+        (2, "# SPDX-License-Identifier: GPL-3.0-only OR MIT\n"),
+        (3, "# SPDX-License-Identifier: Apache-2.0 WITH LLVM-exception\n"),
+        (4, "# SPDX-License-Identifier: BSD-3-Clause\n"),
+        (5, "# SPDX-License-Identifier: (MIT OR Apache-2.0) AND Unlicense\n"),
+        (6, "# SPDX-License-Identifier: MITRE-x\n"),
+        (7, "# SPDX-License-Identifier: MIT AND Apache-2.0\n"),
+        (8, "// Permission is hereby granted, free of charge\n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    kept = {r.doc_id for r in license_filter(df).collect()}
+    assert kept == {2, 3, 4, 5, 7, 8}
+
+
+def test_autogen_markers_scoped_to_opening_lines(spark):
+    """Round-11 advisor pin: 'generated by' / 'do not edit' mentioned
+    in the file BODY (docs, string literals, codegen-tool source) must
+    not drop the file — only the opening AUTOGEN_HEAD_LINES lines are
+    marker-scanned, per the cited Stack recipe."""
+    from dfsql_spark.operators.code import (
+        AUTOGEN_HEAD_LINES,
+        code_quality_signals,
+    )
+
+    filler = "\n".join(f"x{i} = {i}" for i in range(AUTOGEN_HEAD_LINES + 2))
+    body_mention = (
+        filler + '\nHELP = "files generated by this tool. do not edit"\n'
+    )
+    head_mention = "// Code generated by protoc. DO NOT EDIT.\n" + filler
+    df = spark.createDataFrame(
+        [(1, body_mention), (2, head_mention)],
+        "doc_id long, content string",
+    )
+    got = {r.doc_id: r for r in code_quality_signals(df).collect()}
+    assert not got[1].is_autogen and got[1].keep_file
+    assert got[2].is_autogen and not got[2].keep_file

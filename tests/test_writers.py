@@ -392,3 +392,52 @@ def test_write_training_shards_csv_null_key_and_append_manifest(
     mf = spark.read.parquet(out2 + "/_manifest").toPandas()
     assert mf["n_docs"].sum() == 80  # one generation, full count
     assert len(mf) == mf["shard"].nunique()
+
+
+def test_write_training_shards_csv_newline_text(spark, tmp_path):
+    """Round-11 advisor pin: a curated TEXT corpus exported as csv
+    carries embedded newlines and quotes in the normal case; the
+    manifest's on-disk read-back must parse them as ONE record each
+    (multiLine + RFC-4180 quote doubling on both writer and reader)
+    instead of splitting every multi-line doc into several phantom
+    rows — and it must keep the pre-write schema (no inferSchema
+    second-guessing of token counts)."""
+    import pandas as pd
+
+    from dfsql_spark.sources.writers import write_training_shards
+
+    texts = [
+        "line one\nline two\nline three",
+        'she said "hi"\nthen left',
+        "plain single line",
+        "trailing newline\n",
+        "comma, separated, values\nand a second line",
+        'quote " and\nnewline together',
+    ] * 5
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "n_tok": [len(t.split()) for t in texts],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = str(tmp_path / "csv_nl_shards")
+    m = write_training_shards(
+        df, out, n_shards=3, token_col="n_tok", fmt="csv"
+    ).toPandas()
+    # the advisor's exact failure mode: phantom rows inflate n_docs
+    assert int(m["n_docs"].sum()) == len(texts)
+    assert int(m["n_tokens"].sum()) == int(pdf["n_tok"].sum())
+    # and the read-back contract round-trips the text verbatim
+    back = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .schema(df.schema)
+        .csv(out)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert back["text"].tolist() == pdf["text"].tolist()
