@@ -206,7 +206,18 @@ def main() -> None:
     def median3(xs: list[float]) -> float:
         return sorted(xs)[len(xs) // 2]
 
-    timings = {n: round(median3(ts), 3) for n, ts in per_rep.items()}
+    medians = {n: round(median3(ts), 3) for n, ts in per_rep.items()}
+    median_total = round(sum(medians.values()), 3)
+    # HEADLINE AGGREGATE = MIN (round-12, verdict r11 ask #6): the
+    # per-query minimum over the interleaved passes is the number a
+    # one-sided host stall cannot inflate — r9's "regressions" were
+    # pure steal-time artifacts on unchanged plans, and every round
+    # since has adjudicated medians-vs-mins by hand.  From r12 on,
+    # "value" and "queries" ARE the mins; medians stay as secondary
+    # fields for spread diagnosis.  Trend readers comparing r12+
+    # against r1-r11 BENCH files should compare against those files'
+    # "mins"/"min_total" fields (recorded since r10), not "queries".
+    timings = {n: round(min(ts), 3) for n, ts in per_rep.items()}
     total = round(sum(timings.values()), 3)
     # environment self-diagnosis (round-10 lesson: the r9 driver run's
     # medians were host-stall artifacts — spreads to 28s on unchanged
@@ -233,7 +244,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "reps": REPS,
-                "aggregate": "median",
+                "aggregate": "min",
                 "d02_strategy": (
                     d02_strategies[0]
                     if len(set(d02_strategies)) == 1
@@ -243,10 +254,12 @@ def main() -> None:
                     n: round(max(ts) - min(ts), 3)
                     for n, ts in per_rep.items()
                 },
-                "mins": {n: round(min(ts), 3) for n, ts in per_rep.items()},
-                "min_total": round(
-                    sum(min(ts) for ts in per_rep.values()), 3
-                ),
+                "medians": medians,
+                "median_total": median_total,
+                # kept for cross-round tooling that reads "mins"
+                # (identical to "queries" from r12 on)
+                "mins": timings,
+                "min_total": total,
                 # local_dir records WHERE shuffle scratch lived for
                 # this series (round-10 advisor): the tmpfs switch in
                 # round 10 is a measurement-environment discontinuity
