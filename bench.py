@@ -70,7 +70,10 @@ HEADLINE = [
     # CC/sketch overhead (the toy-scale grading device), which would
     # bench the harness, not the operator — same reasoning as d08.
     "t17_hashed_embeddings",
-    "t19_lm_score",
+    # t19 left the contract in the round-12 swap; same plan, same
+    # trend, now timed as the bench extra b_lm_score (trend readers:
+    # b_lm_score in r12+ == t19_lm_score in r8-r11)
+    "b_lm_score",
     "t22_bpe_pair_counts",
     "x05_quality_checks",
     # bench-only variants (em.bench_extras(), not contract queries):

@@ -31,15 +31,64 @@ from bench import HEADLINE  # noqa: E402
 from dfsql_spark.session import get_spark  # noqa: E402
 
 
+def _scale_extras():
+    """Round-12 additions (verdict r11 ask #4): the round-11 session-2
+    heavies that are NOT in bench.py's HEADLINE get sf1 rows here, so
+    a gate mis-sized by 10x is caught the way d02's was — the minhash
+    mode of the overlap matrix (banded LSH volume), the Zipf report
+    (vocabulary-sized stats agg), and the shard export (hash-
+    partitioned write + manifest read-back), each timed end to end."""
+    import shutil
+    import tempfile
+
+    from dfsql_spark.operators.dedup import source_overlap_matrix
+    from dfsql_spark.operators.text import zipf_report
+    from dfsql_spark.sources.writers import write_training_shards
+
+    def read(spark, sf_dir, name):
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    def zipf(spark, sf_dir):
+        return zipf_report(read(spark, sf_dir, "documents"))
+
+    def overlap_minhash(spark, sf_dir):
+        return source_overlap_matrix(
+            read(spark, sf_dir, "documents"), mode="minhash"
+        )
+
+    def shard_export(spark, sf_dir):
+        out = tempfile.mkdtemp(prefix="sf1-smoke-shards-")
+        try:
+            # the write (the thing being timed) happens inside; the
+            # returned manifest is footer-level
+            return write_training_shards(
+                read(spark, sf_dir, "documents"), out, n_shards=64
+            ).localCheckpoint()
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    return {
+        "x_zipf_report": zipf,
+        "x_source_overlap_minhash": overlap_minhash,
+        "x_write_training_shards": shard_export,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir", nargs="?", default=".benchdata/sf1")
     ap.add_argument("--warm-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated name filter (substring match)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="sf1-smoke")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = {**em.queries(), **em.bench_extras()}
+    extras = _scale_extras()
+    qs = {**em.queries(), **em.bench_extras(), **extras}
 
     def run(df):
         df.write.format("noop").mode("overwrite").save()
@@ -48,7 +97,11 @@ def main() -> None:
     failures: dict = {}
     from dfsql_spark.operators.dedup import LAST_NGRAM_STRATEGY
 
-    for name in HEADLINE:
+    names = list(HEADLINE) + list(extras)
+    if args.only:
+        keys = [k.strip() for k in args.only.split(",") if k.strip()]
+        names = [n for n in names if any(k in n for k in keys)]
+    for name in names:
         try:
             run(qs[name](spark, args.warm_dir))  # warm: codegen + workers
             t0 = time.perf_counter()

@@ -7713,3 +7713,29 @@ def test_autogen_markers_scoped_to_opening_lines(spark):
     got = {r.doc_id: r for r in code_quality_signals(df).collect()}
     assert not got[1].is_autogen and got[1].keep_file
     assert got[2].is_autogen and not got[2].keep_file
+
+
+# ---------------------------------------------------------------------------
+# approx-quantile sketch property (round 12)
+# ---------------------------------------------------------------------------
+
+
+def test_percentile_approx_within_band(spark):
+    """Contract entry x02_approx_quantiles left the contract in the
+    round-12 near-duplicate-shape swap (x01 grades the same
+    sketch-within-band contract for HLL distinct counts); the
+    percentile_approx accuracy claim keeps its pin here, verbatim:
+    the KLL-ish mergeable sketch (THE quantile at 100 TB, where exact
+    percentile means a full sort) lands within 1% relative error of
+    the exact percentile at accuracy=10000 on lineitem prices."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    row = li.agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))"
+        ).alias("ex"),
+        F.percentile_approx(
+            "l_extendedprice", [0.5, 0.95, 0.99], 10000
+        ).alias("ap"),
+    ).collect()[0]
+    for e, a in zip(row.ex, row.ap):
+        assert abs(a - e) <= 0.01 * abs(e), (e, a)

@@ -460,15 +460,14 @@ def test_quality_checks_contract_single_scan(spark):
 _ALLOWED_BROADCAST_HINTS = {
     "q17_scalar_subquery": (1, "one-row global-average aggregate"),
     "q22_flagship_revenue": (1, "nation: 25 rows at every sf"),
-    "s02_sim_topk_lsh": (1, "query buckets: n_queries x num_tables rows"),
     "s03_sim_ivf": (1, "query+probe cells: n_queries x n_probe rows"),
     "s04_sim_pq": (1, "raw query vectors: n_queries rows"),
     "s05_bm25": (3, "query terms (x2) + one-row corpus stats"),
     "s06_mmr_rerank": (1, "candidate pool: k x n_queries rows"),
     "t13_mix_rebalance": (2, "per-stratum targets/rates: <= #strata rows"),
     "t15_unigram_familiarity": (1, "top-V vocab: bounded by vocab_size"),
-    "t19_lm_score": (1, "bigram LM table: bounded by model vocab"),
     "t25_dsir_weights": (1, "bucket weight table: <= `buckets` rows by construction"),
+    "t26_tfidf_top_terms": (1, "one-row corpus-count aggregate"),
 }
 
 # Streaming executors run availableNow-to-memory on invocation and
@@ -500,14 +499,13 @@ _ALLOWED_PYTHON = {
     "d10_winnow_overlap": "Arrow winnowing fingerprint UDF",
     "d12_incremental_dedup": "Arrow shingling + signature UDFs",
     "d13_semantic_decontaminate": "broadcast eval-matrix BLAS map",
-    "d15_ngram_overlap": "Arrow word-n-gram UDF",
     "f01_custom_agg_sql": "user-registered pandas UDAF (the feature)",
     "f02_custom_scalar_sql": "user-registered scalar UDF (the feature)",
     "m02_media_decode": "Arrow media decode map",
     "m04_media_sim": "Arrow media decode + feature map",
     "s01_sim_topk": "per-partition BLAS top-k map",
-    "s02_sim_topk_lsh": "bucketed BLAS scoring map",
     "s03_sim_ivf": "probe-cell assignment + BLAS scoring",
+    "s07_ann_recall": "exact + sign-quantized BLAS top-k maps (s01's path, twice)",
     "s04_sim_pq": "PQ encode + LUT scoring maps",
     "s06_mmr_rerank": "per-query MMR selection (tiny groups)",
     "t04_fingerprint": "Arrow rolling-hash UDF (order-sensitive)",
