@@ -1113,9 +1113,23 @@ def connected_components(
     def _truncate(d: DataFrame) -> DataFrame:
         return d.localCheckpoint() if materialize == "local" else d.checkpoint()
 
+    # both orientations from ONE pass over the pair plan (round-12
+    # scan review: the old self-union re-executed `pairs` — often an
+    # expensive upstream dedup plan — twice before the truncation)
     edges = _truncate(
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
     )
     labels = _truncate(
@@ -1487,19 +1501,26 @@ def shared_substring_spans(
             F.count_distinct("id").alias("_df")
         ).filter(F.col("_df") <= max_gram_freq)
         grams = grams.join(freq.select("g"), "g")
-    a = grams.select(
-        F.col("id").alias("id_a"), F.col("pos").alias("pa"), "g"
-    )
-    b = grams.select(
-        F.col("id").alias("id_b"), F.col("pos").alias("pb"), "g"
-    )
     # merge-hinted like every corpus×corpus self-join in this module:
     # both sides are corpus-sized, broadcasting is a toy-scale trap.
+    # Round-12 scan review: both join inputs are the SAME plan object
+    # (aliased, renamed only after the join) so the two sort-merge
+    # exchanges canonicalize identically and Spark's exchange reuse
+    # executes the scan + Arrow gram UDF + shuffle WRITE once, reading
+    # the shuffle twice — the scale-correct shape (persisting the
+    # corpus-token-sized gram table instead would cost the corpus's
+    # own footprint in cache; plan-pinned in tests).
+    ga, gb = grams.alias("ga"), grams.alias("gb")
     matches = (
-        a.hint("merge")
-        .join(b.hint("merge"), "g")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "pa", "pb")
+        ga.hint("merge")
+        .join(gb.hint("merge"), F.col("ga.g") == F.col("gb.g"))
+        .filter(F.col("ga.id") < F.col("gb.id"))
+        .select(
+            F.col("ga.id").alias("id_a"),
+            F.col("gb.id").alias("id_b"),
+            F.col("ga.pos").alias("pa"),
+            F.col("gb.pos").alias("pb"),
+        )
     )
     w = Window.partitionBy("id_a", "id_b", F.col("pa") - F.col("pb")).orderBy("pa")
     islands = matches.withColumn(
@@ -1534,12 +1555,15 @@ def remove_shared_spans(
     intervals merge per doc with gaps-and-islands (running-max of the
     interval end — interval counts per doc are span-driven, tiny);
     merged intervals explode to (id, pos) delete keys; the corpus
-    posexplodes to (id, pos, token) and a LEFT ANTI join drops deleted
-    positions; reassembly is d11's groupBy + sort-by-pos array_join,
-    with a map-only roster LEFT join so fully-deleted documents
-    survive as empty text.  Shuffles: the anti join on (id, pos) and
-    the per-doc reassembly — both corpus-token-sized, both
-    skew-bounded by document length.
+    posexplodes ONCE to (id, pos, token) — ``posexplode_outer`` keeps
+    token-free docs as a NULL-position marker row and the per-doc
+    token count rides along, so no separate roster scan is needed
+    (round-12 scan review: was 2 corpus scans) — a LEFT join flags
+    deleted positions, and reassembly filters them inside d11's
+    groupBy + sort-by-pos array_join (fully-deleted documents survive
+    as empty text).  Shuffles: the flag join on (id, pos) and the
+    per-doc reassembly — both corpus-token-sized, both skew-bounded
+    by document length.
 
     Output: ``(id_col, text, n_tokens, n_kept)`` — ``text`` is
     whitespace-NORMALIZED (tokens re-joined with single spaces, the
@@ -1570,32 +1594,39 @@ def remove_shared_spans(
         .agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
     )
     del_pos = merged.select(
-        "_id", F.explode(F.sequence(F.col("_s"), F.col("_e") - 1)).alias("_pos")
+        "_id",
+        F.explode(F.sequence(F.col("_s"), F.col("_e") - 1)).alias("_pos"),
+        F.lit(True).alias("_del"),
     )
-    base = df.select(
-        F.col(id_col).alias("_id"), ws_tokens(text_col).alias("_ts")
+    # posexplode_outer: a token-free doc stays as one NULL-position
+    # marker row, so every doc reaches the reassembly aggregate and no
+    # id-roster rescan of the corpus is needed; n_tokens rides along
+    # as one extra int per token row
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(ws_tokens(text_col)).cast("bigint").alias("n_tokens"),
+        F.posexplode_outer(ws_tokens(text_col)).alias("_pos", "_tok"),
     )
-    roster = base.select("_id", F.size("_ts").cast("bigint").alias("n_tokens"))
-    toks = base.select("_id", F.posexplode("_ts").alias("_pos", "_tok"))
-    kept = toks.join(del_pos, ["_id", "_pos"], "left_anti")
-    rebuilt = kept.groupBy("_id").agg(
+    flagged = toks.join(del_pos, ["_id", "_pos"], "left")
+    keep_tok = F.col("_del").isNull() & F.col("_tok").isNotNull()
+    # collect_list skips the NULLs that when() yields for deleted
+    # tokens and marker rows, so the collected array holds exactly the
+    # kept (pos, token) structs
+    rebuilt = flagged.groupBy("_id").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                F.array_sort(
+                    F.collect_list(F.when(keep_tok, F.struct("_pos", "_tok")))
+                ),
                 lambda s: s["_tok"],
             ),
             " ",
         ).alias("text"),
-        F.count(F.lit(1)).alias("n_kept"),
+        F.max("n_tokens").alias("n_tokens"),
+        F.count(F.when(keep_tok, F.lit(1))).alias("n_kept"),
     )
-    return (
-        roster.join(rebuilt, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.coalesce("text", F.lit("")).alias("text"),
-            "n_tokens",
-            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-        )
+    return rebuilt.select(
+        F.col("_id").alias(id_col), "text", "n_tokens", "n_kept"
     )
 
 

@@ -1612,6 +1612,7 @@ def lm_score(
     id_col: str = "doc_id",
     alpha: float = 0.4,
     round_to: int = 6,
+    materialize: str = "persist",
 ) -> DataFrame:
     """Bigram-LM fluency scoring with Stupid Backoff (Brants et al.,
     EMNLP 2007) — the CCNet / KenLM-style quality signal: train token
@@ -1640,13 +1641,27 @@ def lm_score(
     stream then never shuffles — three broadcast-hash lookups ride the
     scan, and the per-doc aggregate is map-side combined down to one
     row per document before the only shuffle (explode keeps a doc's
-    bigrams inside one partition).  Train-side cost is two aggregates
-    over the slice.  Bigrams are built with ``slice``+``arrays_zip``
-    (codegen'd array ops), not a per-token window or self-join.
+    bigrams inside one partition).  Bigrams are built with
+    ``slice``+``arrays_zip`` (codegen'd array ops), not a per-token
+    window or self-join.
+
+    Scan accounting (round-12 scan review): the corpus is read ONCE —
+    ``explode_outer`` keeps bigram-free docs as a NULL-pair row, so
+    the old id-roster outer join (a second corpus scan) is gone — and
+    the train slice is read TWICE (one unigram aggregate, one bigram
+    aggregate).  The unigram table is MATERIALIZED (``materialize``
+    forwards to :func:`~dfsql_spark.operators.dedup._materialize`
+    semantics; release via :func:`~dfsql_spark.operators.dedup.
+    release_persists`): it feeds the n_total aggregate and both the
+    w1- and w2-lookup joins, each of which would otherwise recompute
+    the aggregate from a fresh train scan (6 scans → 3 total).  The
+    has-tokens probe reads the pinned table instead of re-exploding
+    the slice.
 
     Output: ``(id_col, n_bigrams, avg_logp)``; docs with < 2 tokens
-    keep ``n_bigrams = 0`` and NULL ``avg_logp`` via the roster join
-    (dropping them would make the filter step lose track of them).
+    keep ``n_bigrams = 0`` and NULL ``avg_logp`` via the NULL-pair
+    row (dropping them would make the filter step lose track of
+    them).
     Measured 100× scale check (sf0.1 → 100-fold corpus, local[32],
     fixed-size train slice): 6.0× wall — strongly sub-linear; the
     broadcast lookups pipeline into the scan and fixed costs amortize.
@@ -1662,20 +1677,23 @@ def lm_score(
     bigrams = F.arrays_zip(
         F.slice(toks, 1, m).alias("w1"), F.slice(toks, 2, m).alias("w2")
     )
-    # a token-free model (empty/whitespace-only/misfiltered train_df)
-    # would propagate a NULL n_total into every backoff branch and NULL
-    # out every score downstream — fail loudly instead.  explode +
-    # limit(1) short-circuits without a shuffle, and the train slice
-    # is curated-small by contract, so the probe is cheap.
-    if train_df.select(F.explode(toks)).filter(F.col("col") != "").limit(1).isEmpty():
-        raise ValueError("train_df has no tokens — check the train-slice filter")
+    from .dedup import _materialize
 
-    uni = (
+    uni = _materialize(
         train_df.select(F.explode(toks).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cu"))
+        .agg(F.count(F.lit(1)).alias("cu")),
+        materialize,
     )
+    # a token-free model (empty/whitespace-only/misfiltered train_df)
+    # would propagate a NULL n_total into every backoff branch and NULL
+    # out every score downstream — fail loudly instead.  The probe
+    # reads the pinned unigram table (empty iff the slice has no
+    # tokens), costing nothing beyond the materialization itself.
+    if uni.limit(1).isEmpty():
+        raise ValueError("train_df has no tokens — check the train-slice filter")
+
     total = uni.agg(F.sum("cu").alias("n_total"))
     bi = (
         train_df.select(F.explode(bigrams).alias("p"))
@@ -1684,10 +1702,15 @@ def lm_score(
         .agg(F.count(F.lit(1)).alias("cb"))
     )
 
-    ex = df.select(F.col(id_col).alias("_id"), F.explode(bigrams).alias("p")).select(
-        "_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
-    )
+    # explode_outer: a bigram-free doc (NULL/empty/1-token text) stays
+    # in the stream as one NULL-pair row, so the per-doc aggregate
+    # below sees every doc and no separate id-roster scan is needed
+    ex = df.select(
+        F.col(id_col).alias("_id"), F.explode_outer(bigrams).alias("p")
+    ).select("_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     logp = F.when(
+        F.col("w1").isNull(), F.lit(None).cast("double")
+    ).when(
         F.col("cb").isNotNull(),
         F.log10(F.col("cb").cast("double") / F.col("cu1")),
     ).otherwise(
@@ -1718,15 +1741,14 @@ def lm_score(
         .crossJoin(F.broadcast(total))
         .groupBy("_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
+            # count(w1) skips the NULL-pair marker rows -> 0 for
+            # bigram-free docs; avg() skips their NULL logp -> NULL
+            F.count("w1").alias("n_bigrams"),
             F.round(F.avg(logp), round_to).alias("avg_logp"),
         )
     )
-    roster = df.select(F.col(id_col).alias("_id"))
-    return roster.join(scored, "_id", "left").select(
-        F.col("_id").alias(id_col),
-        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
-        F.col("avg_logp"),
+    return scored.select(
+        F.col("_id").alias(id_col), "n_bigrams", "avg_logp"
     )
 
 

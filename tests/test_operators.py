@@ -740,7 +740,44 @@ def test_remove_shared_spans_end_to_end(spark):
     assert out[3].text == "" and out[3].n_kept == 0 and out[3].n_tokens == 8
 
 
-def test_round9_operators_partitioning_invariant(docs):
+def test_substring_dedup_scan_shape(spark):
+    """Round-12 scan review pins: (1) the gram self-join feeds BOTH
+    sort-merge sides from ONE aliased plan, so AQE's exchange reuse
+    executes the scan + Arrow gram UDF + shuffle write once (the
+    scale-correct alternative to persisting a corpus-token-sized gram
+    table); (2) remove_shared_spans reads the corpus ONCE — the
+    posexplode_outer marker row replaced the id-roster rescan.
+
+    Deliberately a FRESH parquet read, not the cached fixture: AQE
+    reuses canonically-equal shuffle stages over raw scans (the
+    driver/bench/100 TB shape), but table-cache stages get distinct
+    output attrs and defeat the match — a cached toy input would pin
+    the wrong plan.  Reads the sf0.01 sibling table because Spark's
+    cache manager substitutes the module fixture's cached relation
+    for any canonically-equal read of the SF_DIR path."""
+    import os
+
+    from dfsql_spark.operators.dedup import (
+        remove_shared_spans,
+        shared_substring_spans,
+    )
+
+    smoke_dir = os.path.join(os.path.dirname(SF_DIR), "sf0.01")
+    docs = spark.read.parquet(f"{smoke_dir}/documents.parquet")
+    spans = shared_substring_spans(docs, min_tokens=8, hash_grams=True)
+    spans.collect()  # AQE finalizes stage reuse at execution time
+    plan = spans._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "ReusedExchange" in final, final
+    assert final.count("ArrowEvalPython") == 1, final
+
+    # one corpus scan: with the spans input pre-materialized (no
+    # parquet lineage), the only documents.parquet read left feeds the
+    # posexplode_outer token stream
+    removed = remove_shared_spans(docs, spans.localCheckpoint())
+    rplan = removed._jdf.queryExecution().executedPlan().toString()
+    assert rplan.count("documents.parquet") == 1, rplan
     """The determinism contracts of the round-9 operators: survivors /
     counts / merges are functions of the DATA alone, identical under
     different partitionings (content-addressed md5 priority for the
@@ -2359,6 +2396,20 @@ def test_lm_score_plan_is_broadcast_only(spark):
     )
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+    # round-12 scan review: ONE corpus scan (explode_outer carries the
+    # bigram-free docs, no id-roster rescan) + two train-slice scans
+    # (unigram and bigram aggregates); the pinned unigram table serves
+    # n_total and both lookup joins as InMemoryTableScans instead of
+    # re-aggregating the slice (raw "Scan parquet" substring counts
+    # overcount here — each cached reference prints the cached plan's
+    # build subtree, which contains the one build-time scan)
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    # corpus side: exactly one scan reads the text column outside the
+    # cached-model subtrees
+    import re as _re
+
+    top = plan.split("InMemoryRelation")[0]
+    assert len(_re.findall(r"ReadSchema: struct<doc_id", top)) <= 1, top
 
 
 def test_dedup_keep_best_prefers_score_over_min_id(spark):
