@@ -1495,6 +1495,20 @@ def bench_token_budget(spark, sf):
     )
 
 
+def bench_minhash_op(spark, sf):
+    """BENCH-ONLY variant of d03 (round-12, the b_d08 pattern): times
+    the MinHash-LSH OPERATOR alone — Arrow shingling + signature maps,
+    banded equi-join, verify filter — without d03's all-pairs exact
+    ground truth, a toy-scale grading device whose wall dominates the
+    contract entry at every smoke scale (~3.6 s of d03's sf0.1 wall
+    and ~350 s at sf1 are the ground truth, not the operator)."""
+    from dfsql_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf, "documents"), verify_threshold=0.5
+    )
+
+
 def bench_tfidf_terms(spark, sf):
     """BENCH-ONLY: TF-IDF keyword extraction (round-11 library
     operator) — times the corpus-sized (doc, term) count shuffle, the
@@ -1546,6 +1560,7 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b_cluster_sample": bench_cluster_sample,
         "b_upsample_mix": bench_upsample_mix,
         "b_token_budget": bench_token_budget,
+        "b_minhash_op": bench_minhash_op,
         "b_tfidf_terms": bench_tfidf_terms,
         "b_lm_score": bench_lm_score,
         "b_column_profile": bench_column_profile,

@@ -105,6 +105,9 @@ HEADLINE = [
     "b_tfidf_terms",
     "b_column_profile",
     "b_source_overlap",
+    # round-12: the MinHash-LSH operator gets a trend without d03's
+    # exact-ground-truth grading device (the b_d08 pattern)
+    "b_minhash_op",
 ]
 
 

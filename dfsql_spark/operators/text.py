@@ -353,6 +353,58 @@ def deterministic_split(
     return df.select(F.col(id_col), expr.alias("split"))
 
 
+def grouped_split(
+    df: DataFrame,
+    group_col: str,
+    weights: "dict[str, float] | None" = None,
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    salt: str = "gsplit",
+) -> DataFrame:
+    """Group-cohesive train/val/test assignment: every row of a group
+    (domain, source site, crawl seed, author) lands in the SAME split
+    — the leakage-safe split for web corpora, where documents from one
+    domain share templates, boilerplate, and near-duplicate content
+    that :func:`deterministic_split`'s per-document assignment would
+    smear across train and test (the sklearn ``GroupShuffleSplit``
+    contract, content-addressed).
+
+    The split key is the md5 bucket of the GROUP value (``salt``
+    namespaces it away from the samplers), so the assignment is stable
+    across dataset versions, re-partitionings, and engines, and a
+    domain keeps its split when the corpus is re-scraped.  Realized
+    proportions track ``weights`` in GROUPS, not rows — a heavy domain
+    drags its whole row mass with it, which is exactly the point.
+
+    NULL groups get a NULL split (flag, don't guess: silently pooling
+    every unattributed document into one pseudo-group would both skew
+    the split and hide the missing metadata).  Pure per-row map — one
+    hash + one comparison chain, no shuffle, pipelines into the scan
+    at any scale.
+
+    Output: ``(id_col, group_col, split)``.
+    """
+    weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {weights}")
+    bucket = _salted_bucket(group_col, buckets, salt)
+    expr = None
+    edge = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        edge += weights[name]
+        cond = bucket < int(round(edge * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.when(F.col(group_col).isNotNull(), expr).alias("split"),
+    )
+
+
 def vocab_topk(
     df: DataFrame,
     k: int = 50,

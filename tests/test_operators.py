@@ -475,6 +475,71 @@ def test_deterministic_split_proportions(docs):
     assert 0.80 <= counts.get("train", 0) / total <= 0.97
 
 
+def test_grouped_split_group_cohesion_and_edges(spark):
+    """Every row of a group shares one split (the leakage contract);
+    NULL groups get NULL split (flag, don't guess); bad weights
+    rejected; split set bounded by the weight names."""
+    import pandas as pd
+
+    from dfsql_spark.operators.text import grouped_split
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(8),
+                "domain": ["a.com", "a.com", "a.com", "b.org", "b.org",
+                           "c.net", None, None],
+            }
+        )
+    )
+    out = {r.doc_id: r for r in grouped_split(df, "domain").collect()}
+    by_group: dict = {}
+    for r in out.values():
+        if r.domain is not None:
+            by_group.setdefault(r.domain, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_group.values()), by_group
+    assert out[6].split is None and out[7].split is None
+    assert {s for g in by_group.values() for s in g} <= {
+        "train", "val", "test"
+    }
+    with pytest.raises(ValueError, match="sum to 1"):
+        grouped_split(df, "domain", weights={"train": 0.7})
+
+
+def test_grouped_split_matches_duckdb(docs, duck):
+    """Exact DuckDB mirror of the assignment over documents grouped by
+    source — the shared _salted_bucket md5 contract, salt 'gsplit',
+    default 90/5/5 edges at buckets=10000."""
+    from .conftest import assert_matches_oracle
+    from dfsql_spark.operators.text import grouped_split
+
+    mirror = """
+        SELECT doc_id, source,
+               CASE WHEN source IS NULL THEN NULL
+                    WHEN CAST('0x' || substr(md5('gsplit:' || source), 1, 8)
+                         AS BIGINT) % 10000 < 9000 THEN 'train'
+                    WHEN CAST('0x' || substr(md5('gsplit:' || source), 1, 8)
+                         AS BIGINT) % 10000 < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """
+    assert_matches_oracle(
+        grouped_split(docs, "source"), duck.sql(mirror).df(), "grouped_split"
+    )
+
+
+def test_grouped_split_plan_is_map_only(docs):
+    from dfsql_spark.operators.text import grouped_split
+
+    plan = (
+        grouped_split(docs, "source")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
+
+
 def test_vocab_topk_deterministic_tiebreak(spark):
     import pandas as pd
 
