@@ -335,9 +335,21 @@ def deterministic_split(
     shape.
     """
     weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
+    expr = _split_expr(_salted_bucket(text_col, buckets), weights, buckets)
+    return df.select(F.col(id_col), expr.alias("split"))
+
+
+def _split_expr(
+    bucket: Column, weights: "dict[str, float]", buckets: int
+) -> Column:
+    """Cumulative-edge split assignment over a [0, buckets) bucket —
+    THE quantization shared by :func:`deterministic_split` and
+    :func:`grouped_split` and mirrored by their DuckDB oracles
+    (``bucket < round(cum_weight * buckets)`` edges, last name as the
+    otherwise): change the edge rounding here and in the oracles
+    together, never in one operator's copy."""
     if abs(sum(weights.values()) - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {weights}")
-    bucket = _salted_bucket(text_col, buckets)
     expr = None
     edge = 0.0
     names = list(weights)
@@ -345,12 +357,7 @@ def deterministic_split(
         edge += weights[name]
         cond = bucket < int(round(edge * buckets))
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    expr = (
-        F.lit(names[-1])
-        if expr is None
-        else expr.otherwise(names[-1])
-    )
-    return df.select(F.col(id_col), expr.alias("split"))
+    return F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
 
 
 def grouped_split(
@@ -385,18 +392,8 @@ def grouped_split(
     Output: ``(id_col, group_col, split)``.
     """
     weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
-    if abs(sum(weights.values()) - 1.0) > 1e-9:
-        raise ValueError(f"split weights must sum to 1, got {weights}")
-    bucket = _salted_bucket(group_col, buckets, salt)
-    expr = None
-    edge = 0.0
-    names = list(weights)
-    for name in names[:-1]:
-        edge += weights[name]
-        cond = bucket < int(round(edge * buckets))
-        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    expr = (
-        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    expr = _split_expr(
+        _salted_bucket(group_col, buckets, salt), weights, buckets
     )
     return df.select(
         F.col(id_col),
@@ -1700,15 +1697,15 @@ def lm_score(
     Scan accounting (round-12 scan review): the corpus is read ONCE —
     ``explode_outer`` keeps bigram-free docs as a NULL-pair row, so
     the old id-roster outer join (a second corpus scan) is gone — and
-    the train slice is read TWICE (one unigram aggregate, one bigram
-    aggregate).  The unigram table is MATERIALIZED (``materialize``
+    the train slice is read TWICE in full (one unigram aggregate, one
+    bigram aggregate) plus a shuffle-free limit-1 token probe that
+    fails fast on an empty model before anything is computed or
+    persisted.  The unigram table is MATERIALIZED (``materialize``
     forwards to :func:`~dfsql_spark.operators.dedup._materialize`
     semantics; release via :func:`~dfsql_spark.operators.dedup.
     release_persists`): it feeds the n_total aggregate and both the
     w1- and w2-lookup joins, each of which would otherwise recompute
-    the aggregate from a fresh train scan (6 scans → 3 total).  The
-    has-tokens probe reads the pinned table instead of re-exploding
-    the slice.
+    the aggregate from a fresh train scan (6 full scans → 3 total).
 
     Output: ``(id_col, n_bigrams, avg_logp)``; docs with < 2 tokens
     keep ``n_bigrams = 0`` and NULL ``avg_logp`` via the NULL-pair
@@ -1729,6 +1726,16 @@ def lm_score(
     bigrams = F.arrays_zip(
         F.slice(toks, 1, m).alias("w1"), F.slice(toks, 2, m).alias("w2")
     )
+    # a token-free model (empty/whitespace-only/misfiltered train_df)
+    # would propagate a NULL n_total into every backoff branch and NULL
+    # out every score downstream — fail loudly instead, BEFORE the
+    # unigram aggregate is computed/persisted: explode + limit(1)
+    # short-circuits without a shuffle, the error path registers no
+    # persist, and materialize='none' callers never pay an aggregate
+    # just to probe.
+    if train_df.select(F.explode(toks)).filter(F.col("col") != "").limit(1).isEmpty():
+        raise ValueError("train_df has no tokens — check the train-slice filter")
+
     from .dedup import _materialize
 
     uni = _materialize(
@@ -1738,14 +1745,6 @@ def lm_score(
         .agg(F.count(F.lit(1)).alias("cu")),
         materialize,
     )
-    # a token-free model (empty/whitespace-only/misfiltered train_df)
-    # would propagate a NULL n_total into every backoff branch and NULL
-    # out every score downstream — fail loudly instead.  The probe
-    # reads the pinned unigram table (empty iff the slice has no
-    # tokens), costing nothing beyond the materialization itself.
-    if uni.limit(1).isEmpty():
-        raise ValueError("train_df has no tokens — check the train-slice filter")
-
     total = uni.agg(F.sum("cu").alias("n_total"))
     bi = (
         train_df.select(F.explode(bigrams).alias("p"))

@@ -843,6 +843,9 @@ def test_substring_dedup_scan_shape(spark):
     removed = remove_shared_spans(docs, spans.localCheckpoint())
     rplan = removed._jdf.queryExecution().executedPlan().toString()
     assert rplan.count("documents.parquet") == 1, rplan
+
+
+def test_round9_operators_partitioning_invariant(docs):
     """The determinism contracts of the round-9 operators: survivors /
     counts / merges are functions of the DATA alone, identical under
     different partitionings (content-addressed md5 priority for the
@@ -2716,8 +2719,15 @@ def test_lm_score_empty_train_raises(spark):
     with _pytest.raises(ValueError, match="train_df has no tokens"):
         lm_score(docs, empty)
     ws = spark.createDataFrame(pd.DataFrame({"doc_id": [9], "text": ["   "]}))
+    # the probe runs BEFORE the unigram materialization (round-12
+    # review pin): the error path must register no persist for a
+    # retry loop to accumulate
+    from dfsql_spark.operators import dedup as _dedup
+
+    n_before = len(_dedup._LIVE_PERSISTS)
     with _pytest.raises(ValueError, match="train_df has no tokens"):
         lm_score(docs, ws)
+    assert len(_dedup._LIVE_PERSISTS) == n_before
 
 
 def test_epoch_shuffle_deterministic_and_uniform(spark):
