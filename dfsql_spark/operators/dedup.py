@@ -1183,6 +1183,74 @@ def dedup_by_components(
     return df.join(losers, df[id_col] == losers.id, "left_anti")
 
 
+def dedup_report(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    **cc_kwargs,
+) -> DataFrame:
+    """One-row dedup data card — the summary every curation run logs
+    before anyone trusts (or ships) a deduplicated corpus: how much
+    duplication was found, how it clusters, and what the min-id
+    survivor policy would remove.
+
+    Output (all exact integers / int-ratio doubles)::
+
+        (n_docs, n_pairs, n_dup_docs, n_clusters, max_cluster_size,
+         n_removed, frac_docs_duplicated, frac_removed)
+
+    ``n_pairs`` counts distinct undirected pairs; ``n_dup_docs`` is
+    the number of docs appearing in any pair; ``n_clusters`` the
+    connected components over the pair graph; ``n_removed`` =
+    ``n_dup_docs − n_clusters`` (what :func:`dedup_by_components`
+    deletes — one survivor per cluster); the fractions are over the
+    full corpus.  Composes with any pair producer here (exact,
+    n-gram Jaccard, MinHash, SimHash, embedding near-dup).
+
+    Scale shape: one corpus count (the only corpus-sized input —
+    column-pruned to the id), one pair-graph distinct, and
+    :func:`connected_components` over the graph (dup-cluster-sized,
+    a small fraction of any corpus worth keeping); everything after
+    is a handful of one-row aggregates cross-joined together.
+    """
+    comp = connected_components(pairs, **cc_kwargs)
+    und = pairs.select(
+        F.least("id_a", "id_b").alias("_a"),
+        F.greatest("id_a", "id_b").alias("_b"),
+    ).distinct()
+    cluster_sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("_sz")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_pairs = und.agg(F.count(F.lit(1)).alias("n_pairs"))
+    cstats = cluster_sizes.agg(
+        F.coalesce(F.sum("_sz"), F.lit(0)).alias("n_dup_docs"),
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.coalesce(F.max("_sz"), F.lit(0)).cast("bigint").alias(
+            "max_cluster_size"
+        ),
+    )
+    return (
+        n_docs.crossJoin(n_pairs)
+        .crossJoin(cstats)
+        .select(
+            "n_docs",
+            "n_pairs",
+            "n_dup_docs",
+            "n_clusters",
+            "max_cluster_size",
+            (F.col("n_dup_docs") - F.col("n_clusters")).alias("n_removed"),
+            (F.col("n_dup_docs") / F.col("n_docs")).alias(
+                "frac_docs_duplicated"
+            ),
+            (
+                (F.col("n_dup_docs") - F.col("n_clusters"))
+                / F.col("n_docs")
+            ).alias("frac_removed"),
+        )
+    )
+
+
 def dedup_keep_best(
     df: DataFrame,
     pairs: DataFrame,

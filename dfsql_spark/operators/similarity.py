@@ -1165,6 +1165,67 @@ def semantic_decontaminate(
     return out.filter(F.col("max_sim") >= F.lit(float(threshold)))
 
 
+def truncate_embeddings(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    out_col: "str | None" = None,
+    renormalize: bool = True,
+) -> DataFrame:
+    """Matryoshka-style prefix truncation: keep the first ``dim``
+    components of each embedding — the zero-compute compression lever
+    for MRL-trained embedding models (Kusupati et al., NeurIPS 2022),
+    where the leading coordinates carry a usable coarse representation
+    and serving cost scales with the width you keep.  Compose with
+    :func:`ann_recall_summary` to measure what a width buys before
+    committing the index to it (truncate → :func:`cosine_topk` /
+    :func:`ivf_topk` → recall vs the full-width truth).
+
+    ``renormalize=True`` (the MRL serving convention) rescales the
+    prefix to unit L2 norm so cosine scores stay calibrated.  NULL
+    vectors, vectors shorter than ``dim``, and zero-norm prefixes come
+    back NULL — flag, don't guess (a silently half-width or
+    unnormalizable vector would poison every downstream score).
+
+    Pure codegen column expressions (slice / fold / transform): zero
+    shuffle, zero Python, rides the scan at any scale; the output
+    column is ``dim/width`` of the input bytes, which every downstream
+    shuffle and ANN stage then inherits.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    out = out_col or vec_col
+    v = F.col(vec_col)
+    # staged through materialized columns so the prefix is sliced once
+    # and the norm fold runs once per ROW — an expression inlined into
+    # the transform lambda would re-run per ELEMENT (the same
+    # beside-a-generator re-evaluation class pinned in
+    # remove_shared_spans; CollapseProject keeps multi-referenced
+    # aliases materialized)
+    staged = df.withColumn(
+        "_t_sliced",
+        F.when(
+            v.isNotNull() & (F.size(v) >= dim),
+            F.transform(F.slice(v, 1, dim), lambda x: x.cast("double")),
+        ),
+    )
+    if not renormalize:
+        return staged.withColumn(out, F.col("_t_sliced")).drop("_t_sliced")
+    staged = staged.withColumn(
+        "_t_norm",
+        F.sqrt(
+            F.aggregate(
+                F.col("_t_sliced"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ),
+    )
+    scaled = F.when(
+        F.col("_t_norm") > 0.0,
+        F.transform(F.col("_t_sliced"), lambda x: x / F.col("_t_norm")),
+    )
+    return staged.withColumn(out, scaled).drop("_t_sliced", "_t_norm")
+
+
 def random_projection(
     df: DataFrame,
     out_dim: int,

@@ -7865,3 +7865,209 @@ def test_percentile_approx_within_band(spark):
     ).collect()[0]
     for e, a in zip(row.ex, row.ap):
         assert abs(a - e) <= 0.01 * abs(e), (e, a)
+
+
+# ---------------------------------------------------------------------------
+# dedup_report / truncate_embeddings (round 12)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_report_hand_pinned_and_consistent(spark):
+    """Engineered graph: chain {1,2,3} + pair {10,11} + isolated 20.
+    Counts are exact; n_removed agrees with what dedup_by_components
+    actually deletes; duplicate/reversed pair rows don't inflate
+    n_pairs."""
+    import pandas as pd
+
+    from dfsql_spark.operators.dedup import dedup_by_components, dedup_report
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 10, 11, 20]})
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id_a": [1, 2, 10, 2, 11],
+                "id_b": [2, 3, 11, 1, 10],  # 2-1 and 11-10 are dups
+            }
+        )
+    )
+    (r,) = dedup_report(docs, pairs).collect()
+    assert (r.n_docs, r.n_pairs, r.n_dup_docs) == (6, 3, 5)
+    assert (r.n_clusters, r.max_cluster_size, r.n_removed) == (2, 3, 3)
+    assert r.frac_docs_duplicated == 5 / 6 and r.frac_removed == 3 / 6
+    survivors = dedup_by_components(docs, pairs).count()
+    assert survivors == r.n_docs - r.n_removed
+
+
+def test_dedup_report_matches_duckdb(spark, duck):
+    """Recursive-CTE mirror (the d06 oracle shape) over a planted
+    graph: components = min reachable id, then the same aggregates."""
+    import pandas as pd
+
+    from .conftest import assert_matches_oracle
+    from dfsql_spark.operators.dedup import dedup_report
+
+    docs_pd = pd.DataFrame({"doc_id": range(30)})
+    pairs_pd = pd.DataFrame(
+        {
+            "id_a": [0, 1, 5, 6, 10, 20, 21],
+            "id_b": [1, 2, 6, 7, 11, 21, 22],
+        }
+    )
+    docs = spark.createDataFrame(docs_pd)
+    pairs = spark.createDataFrame(pairs_pd)
+    duck.register("dr_docs", docs_pd)
+    duck.register("dr_pairs", pairs_pd)
+    mirror = """
+        WITH RECURSIVE edges AS (
+            SELECT id_a AS a, id_b AS b FROM dr_pairs
+            UNION SELECT id_b, id_a FROM dr_pairs
+        ), nodes AS (SELECT DISTINCT a AS id FROM edges),
+        reach AS (
+            SELECT id, id AS r FROM nodes
+            UNION SELECT reach.id, edges.b
+            FROM reach JOIN edges ON reach.r = edges.a
+        ), comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY component),
+        und AS (SELECT DISTINCT least(id_a, id_b) AS a,
+                       greatest(id_a, id_b) AS b FROM dr_pairs)
+        SELECT (SELECT count(*) FROM dr_docs) AS n_docs,
+               (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_pairs,
+               CAST(sum(sz) AS BIGINT) AS n_dup_docs,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(max(sz) AS BIGINT) AS max_cluster_size,
+               CAST(sum(sz) - count(*) AS BIGINT) AS n_removed,
+               sum(sz) / (SELECT count(*) FROM dr_docs)::DOUBLE
+                   AS frac_docs_duplicated,
+               (sum(sz) - count(*)) / (SELECT count(*) FROM dr_docs)::DOUBLE
+                   AS frac_removed
+        FROM sizes
+    """
+    assert_matches_oracle(
+        dedup_report(docs, pairs), duck.sql(mirror).df(), "dedup_report"
+    )
+
+
+def test_truncate_embeddings_semantics(spark):
+    """Hand pins: prefix slice + unit renorm; NULL vector, too-short
+    vector, and zero-norm prefix all come back NULL; renormalize=False
+    keeps raw prefix values; validation error on dim < 1."""
+    import math
+
+    import pandas as pd
+
+    from dfsql_spark.operators.similarity import truncate_embeddings
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [1, 2, 3, 4],
+                "embedding": [
+                    [3.0, 4.0, 9.0, 9.0],
+                    None,
+                    [1.0, 1.0],          # shorter than dim=3
+                    [0.0, 0.0, 0.0, 5.0],  # zero-norm prefix at dim=3
+                ],
+            }
+        )
+    )
+    out = {
+        r.vec_id: r.embedding
+        for r in truncate_embeddings(df, 3, out_col="embedding").collect()
+    }
+    got = out[1]
+    assert got is not None and len(got) == 3
+    assert abs(math.sqrt(sum(x * x for x in got)) - 1.0) < 1e-12
+    assert abs(got[0] - 3.0 / math.sqrt(9 + 16 + 81)) < 1e-12
+    assert out[2] is None and out[3] is None and out[4] is None
+    raw = {
+        r.vec_id: r.trunc
+        for r in truncate_embeddings(
+            df, 2, out_col="trunc", renormalize=False
+        ).collect()
+    }
+    assert raw[1] == [3.0, 4.0] and raw[3] == [1.0, 1.0]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dim must be"):
+        truncate_embeddings(df, 0)
+
+
+def test_truncate_embeddings_matches_duckdb(emb, duck):
+    """DuckDB mirror over the real embeddings table (float-tolerant
+    compare — renormalized doubles): slice, fold the squared norm,
+    divide; NULL/short/zero-norm gating identical."""
+    import pyspark.sql.functions as F
+
+    from .conftest import assert_matches_oracle
+    from dfsql_spark.operators.similarity import truncate_embeddings
+
+    dim = 16
+    got = truncate_embeddings(emb, dim, out_col="trunc").select(
+        "vec_id", F.posexplode("trunc").alias("i", "x")
+    )
+    duck.register("te_emb", emb.select("vec_id", "embedding").toPandas())
+    mirror = f"""
+        WITH s AS (
+            SELECT vec_id,
+                   CASE WHEN embedding IS NOT NULL
+                             AND len(embedding) >= {dim}
+                        THEN list_transform(embedding[1:{dim}],
+                                            x -> CAST(x AS DOUBLE))
+                   END AS p
+            FROM te_emb
+        ), n AS (
+            SELECT vec_id, p,
+                   sqrt(list_sum(list_transform(p, x -> x * x))) AS nrm
+            FROM s
+        )
+        SELECT vec_id, CAST(u.i - 1 AS INT) AS i, p[u.i] / nrm AS x
+        FROM n, unnest(range(1, len(p) + 1)) u(i)
+        WHERE nrm > 0
+    """
+    assert_matches_oracle(got, duck.sql(mirror).df(), "truncate_embeddings")
+
+
+def test_truncate_embeddings_recall_and_plan(emb):
+    """The MRL tuning loop: full-width 'truncation' is exactly the
+    identity ranking (recall 1.0); half-width recall is measured and
+    structurally bounded — every query keeps ITSELF as a truncated
+    top-k neighbor (cosine 1.0 at any prefix), so per-query recall is
+    >= 1/k — but on this ISOTROPIC synthetic corpus it is expected to
+    be weak (~0.4: no MRL training concentrated information in the
+    prefix), which is exactly why the measuring loop exists.  The
+    operator's plan is a pure map: no shuffle, no Python."""
+    from dfsql_spark.operators.similarity import (
+        ann_recall_summary,
+        cosine_topk,
+        truncate_embeddings,
+    )
+
+    qs = emb.filter("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = cosine_topk(emb, qs, k=5)
+    full = truncate_embeddings(emb, 64)
+    qfull = full.filter("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    (ident,) = ann_recall_summary(
+        truth, cosine_topk(full, qfull, k=5), k=5
+    ).collect()
+    assert ident.macro_recall == 1.0
+    half = truncate_embeddings(emb, 32)
+    qhalf = half.filter("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    (s,) = ann_recall_summary(
+        truth, cosine_topk(half, qhalf, k=5), k=5
+    ).collect()
+    assert s.macro_recall <= 1.0 and s.min_recall >= 1.0 / 5, s
+    plan = (
+        truncate_embeddings(emb, 32)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
