@@ -1186,7 +1186,8 @@ def dedup_by_components(
 def dedup_report(
     df: DataFrame,
     pairs: DataFrame,
-    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
     **cc_kwargs,
 ) -> DataFrame:
     """One-row dedup data card — the summary every curation run logs
@@ -1204,17 +1205,23 @@ def dedup_report(
     connected components over the pair graph; ``n_removed`` =
     ``n_dup_docs − n_clusters`` (what :func:`dedup_by_components`
     deletes — one survivor per cluster); the fractions are over the
-    full corpus.  Composes with any pair producer here (exact,
-    n-gram Jaccard, MinHash, SimHash, embedding near-dup).
+    full corpus (``n_docs`` = row count of ``df``, matching what the
+    dedup operators actually filter).  Composes with any pair
+    producer here (exact, n-gram Jaccard, MinHash, SimHash, embedding
+    near-dup).
 
-    Scale shape: one corpus count (the only corpus-sized input —
-    column-pruned to the id), one pair-graph distinct, and
-    :func:`connected_components` over the graph (dup-cluster-sized,
-    a small fraction of any corpus worth keeping); everything after
-    is a handful of one-row aggregates cross-joined together.
+    Scale shape: one corpus count (nothing but the count is read from
+    the corpus), and the PAIR PLAN — often an expensive upstream
+    dedup join — is materialized once (``localCheckpoint``, pair
+    tables are dup-cluster-sized) and feeds both the undirected
+    distinct and :func:`connected_components`; everything after is a
+    handful of one-row aggregates cross-joined together.
     """
-    comp = connected_components(pairs, **cc_kwargs)
-    und = pairs.select(
+    p = pairs.select(
+        F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b")
+    ).localCheckpoint()
+    comp = connected_components(p, **cc_kwargs)
+    und = p.select(
         F.least("id_a", "id_b").alias("_a"),
         F.greatest("id_a", "id_b").alias("_b"),
     ).distinct()

@@ -1183,9 +1183,13 @@ def truncate_embeddings(
 
     ``renormalize=True`` (the MRL serving convention) rescales the
     prefix to unit L2 norm so cosine scores stay calibrated.  NULL
-    vectors, vectors shorter than ``dim``, and zero-norm prefixes come
-    back NULL — flag, don't guess (a silently half-width or
-    unnormalizable vector would poison every downstream score).
+    vectors, vectors shorter than ``dim``, and zero-norm or
+    NaN-norm prefixes come back NULL — flag, don't guess (a silently
+    half-width or unnormalizable vector would poison every downstream
+    score; the NaN gate matters because Spark SQL orders NaN above
+    every number, so a bare ``norm > 0`` would wave NaN through).
+    With ``renormalize=False`` the prefix components pass through
+    verbatim (including NaNs — slice semantics, no score is implied).
 
     Pure codegen column expressions (slice / fold / transform): zero
     shuffle, zero Python, rides the scan at any scale; the output
@@ -1194,6 +1198,12 @@ def truncate_embeddings(
     """
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
+    for c in ("_t_sliced", "_t_norm"):
+        if c in df.columns:
+            raise ValueError(
+                f"input already has a column named {c!r} (reserved as a "
+                "truncate_embeddings staging column) — rename it first"
+            )
     out = out_col or vec_col
     v = F.col(vec_col)
     # staged through materialized columns so the prefix is sliced once
@@ -1219,8 +1229,10 @@ def truncate_embeddings(
             )
         ),
     )
+    # NOT isnan + > 0: Spark orders NaN above every number, so a bare
+    # `norm > 0` would pass a NaN norm and emit an all-NaN vector
     scaled = F.when(
-        F.col("_t_norm") > 0.0,
+        ~F.isnan(F.col("_t_norm")) & (F.col("_t_norm") > 0.0),
         F.transform(F.col("_t_sliced"), lambda x: x / F.col("_t_norm")),
     )
     return staged.withColumn(out, scaled).drop("_t_sliced", "_t_norm")

@@ -7898,6 +7898,13 @@ def test_dedup_report_hand_pinned_and_consistent(spark):
     assert r.frac_docs_duplicated == 5 / 6 and r.frac_removed == 3 / 6
     survivors = dedup_by_components(docs, pairs).count()
     assert survivors == r.n_docs - r.n_removed
+    # review pin: renamed pair columns flow through BOTH the component
+    # resolution and the undirected pair count
+    renamed = pairs.withColumnRenamed("id_a", "src").withColumnRenamed(
+        "id_b", "dst"
+    )
+    (r2,) = dedup_report(docs, renamed, id_a="src", id_b="dst").collect()
+    assert r2 == r
 
 
 def test_dedup_report_matches_duckdb(spark, duck):
@@ -7992,6 +7999,17 @@ def test_truncate_embeddings_semantics(spark):
 
     with _pytest.raises(ValueError, match="dim must be"):
         truncate_embeddings(df, 0)
+    # review pins: a NaN-component prefix yields NULL under
+    # renormalize (Spark orders NaN above numbers — a bare `norm > 0`
+    # would wave it through as an all-NaN vector); staging-column
+    # collisions error instead of silently eating a user column
+    nan_df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [9], "embedding": [[float("nan"), 1.0, 2.0]]})
+    )
+    (nr,) = truncate_embeddings(nan_df, 2, out_col="t").collect()
+    assert nr.t is None
+    with _pytest.raises(ValueError, match="_t_sliced"):
+        truncate_embeddings(df.withColumn("_t_sliced", F.lit(1)), 2)
 
 
 def test_truncate_embeddings_matches_duckdb(emb, duck):
