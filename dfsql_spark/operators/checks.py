@@ -367,6 +367,68 @@ _ATOMIC_EXACT = _NUMERIC_EXACT | {"string", "boolean", "date"}
 _ATOMIC_PREFIX = ("decimal", "timestamp", "char", "varchar")
 
 
+def group_keep_report(
+    df: DataFrame,
+    flag_col: str,
+    group_col: str,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Per-group keep-rate table with Wilson score intervals — the
+    domain-level filtering decision: a curation run scores documents
+    (C4/Gopher/classifier ``keep`` booleans), then cuts WHOLE domains
+    whose keep-rate upper bound is still below threshold, instead of
+    paying per-document filtering on a source that is overwhelmingly
+    junk (and, symmetrically, trusts domains whose LOWER bound is
+    high).  The Wilson interval (Wilson 1927, the standard binomial
+    proportion interval) keeps small-n groups honest: 2 kept of 2
+    docs is not a 100%-quality domain.
+
+    NULL flags are counted (``n_flag_null``) and EXCLUDED from the
+    rate — treating unknown as False would silently condemn a domain
+    whose scorer erred; a NULL group is its own row (the missing-
+    metadata bucket is exactly what you want surfaced).  Groups with
+    no evaluable flags get NULL rate/bounds.
+
+    Output: ``(group_col, n_docs, n_kept, n_flag_null, keep_rate,
+    ci_low, ci_high)`` — rates are plain double arithmetic on exact
+    counts (closed form, no sampling).
+
+    Scale shape: ONE map-side-combined groupBy carrying three counts;
+    the Wilson algebra runs on the already-#groups-sized table.
+    """
+    flag = F.col(flag_col)
+    agg = df.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(flag, F.lit(1))).alias("n_kept"),
+        F.count(F.when(flag.isNull(), F.lit(1))).alias("n_flag_null"),
+    )
+    n = (F.col("n_docs") - F.col("n_flag_null")).cast("double")
+    k = F.col("n_kept").cast("double")
+    p = k / n
+    z2 = F.lit(z * z)
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (2 * n)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+        / denom
+    )
+    has_eval = n > 0
+    return agg.select(
+        group_col,
+        "n_docs",
+        "n_kept",
+        "n_flag_null",
+        F.when(has_eval, p).alias("keep_rate"),
+        F.when(has_eval, F.greatest(center - half, F.lit(0.0))).alias(
+            "ci_low"
+        ),
+        F.when(has_eval, F.least(center + half, F.lit(1.0))).alias(
+            "ci_high"
+        ),
+    )
+
+
 def _is_numeric_dtype(dt: str) -> bool:
     return dt in _NUMERIC_EXACT or dt.startswith("decimal") or dt == "boolean"
 

@@ -738,6 +738,55 @@ def pack_sequences(
     return thin.groupBy("source").applyInPandas(pack, schema=PACK_SCHEMA)
 
 
+def packing_report(
+    packed: DataFrame,
+    budget: int,
+    shard_col: str = "source",
+    seq_col: str = "seq_id",
+    tokens_col: str = "doc_tokens",
+) -> DataFrame:
+    """One-row efficiency card for a :func:`pack_sequences` output —
+    the number that decides whether the packing budget (max_seq_len)
+    is costing you compute: every unfilled token slot in a training
+    sequence is padding the trainer still pays attention FLOPs for.
+
+    Output (exact integers / int-ratio doubles)::
+
+        (n_sequences, n_docs, total_tokens, budget, mean_fill,
+         min_fill, max_fill, waste_frac)
+
+    ``*_fill`` are per-sequence token sums over ``budget``;
+    ``waste_frac`` = 1 − total_tokens / (n_sequences × budget), the
+    padding fraction of the whole run.  Pairs with
+    :func:`length_histogram` (what document lengths drove the waste)
+    when deciding between a bigger budget and document chunking.
+
+    Scale shape: one map-side-combined groupBy on the (shard, seq)
+    key ``pack_sequences`` already partitioned by, then a one-row
+    rollup — nothing wider than three longs shuffles.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    per_seq = packed.groupBy(shard_col, seq_col).agg(
+        F.sum(tokens_col).alias("_fill"),
+        F.count(F.lit(1)).alias("_n_docs"),
+    )
+    b = F.lit(float(budget))
+    return per_seq.agg(
+        F.count(F.lit(1)).alias("n_sequences"),
+        F.sum("_n_docs").alias("n_docs"),
+        F.sum("_fill").alias("total_tokens"),
+        F.lit(budget).alias("budget"),
+        (F.avg(F.col("_fill") / b)).alias("mean_fill"),
+        F.min(F.col("_fill") / b).alias("min_fill"),
+        F.max(F.col("_fill") / b).alias("max_fill"),
+        (
+            F.lit(1.0)
+            - F.sum("_fill") / (F.count(F.lit(1)) * b)
+        ).alias("waste_frac"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: "dict[str, float]",

@@ -8089,3 +8089,258 @@ def test_truncate_embeddings_recall_and_plan(emb):
         .toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_substring_spans_and_removal_fuzz_vs_reference(spark):
+    """The gram-diagonal islands construction and the interval-merge
+    removal against an INDEPENDENT plain-Python implementation of the
+    same semantics, on random small-alphabet corpora (small alphabets
+    maximize shared runs, chains, and overlapping delete intervals —
+    the cases the gaps-and-islands logic must get right)."""
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dfsql_spark.operators.dedup import (
+        remove_shared_spans,
+        shared_substring_spans,
+    )
+
+    k = 3
+
+    def ref_spans(toks_by_id):
+        out = set()
+        grams = {
+            i: [tuple(t[j : j + k]) for j in range(len(t) - k + 1)]
+            for i, t in toks_by_id.items()
+        }
+        ids = sorted(toks_by_id)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                bydiag: dict = {}
+                for pa, ga in enumerate(grams[a]):
+                    for pb, gb in enumerate(grams[b]):
+                        if ga == gb:
+                            bydiag.setdefault(pa - pb, []).append(pa)
+                for d, pas in bydiag.items():
+                    pas = sorted(pas)
+                    start = prev = pas[0]
+                    for p in pas[1:] + [None]:
+                        if p is not None and p == prev + 1:
+                            prev = p
+                            continue
+                        out.add((a, b, start, start - d, prev - start + k))
+                        if p is not None:
+                            start = prev = p
+        return out
+
+    def ref_remove(toks_by_id, spans):
+        iv: dict = {}
+        for (_a, b, _sa, sb, n) in spans:
+            iv.setdefault(b, []).append((sb, sb + n))
+        out = {}
+        for i, t in toks_by_id.items():
+            dele = set()
+            for s, e in iv.get(i, []):
+                dele.update(range(s, e))
+            kept = [tok for j, tok in enumerate(t) if j not in dele]
+            out[i] = (" ".join(kept), len(t), len(kept))
+        return out
+
+    corpora = st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=12),
+        min_size=2,
+        max_size=5,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(corpora)
+    def inner(token_lists):
+        toks_by_id = {i: t for i, t in enumerate(token_lists)}
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": list(toks_by_id),
+                    "text": [" ".join(t) for t in toks_by_id.values()],
+                }
+            )
+        )
+        spans = shared_substring_spans(df, min_tokens=k)
+        got = {
+            (r.id_a, r.id_b, r.start_a, r.start_b, r.n_tokens)
+            for r in spans.collect()
+        }
+        assert got == ref_spans(toks_by_id)
+        removed = {
+            r.doc_id: (r.text, r.n_tokens, r.n_kept)
+            for r in remove_shared_spans(df, spans).collect()
+        }
+        assert removed == ref_remove(toks_by_id, got)
+
+    inner()
+
+
+def test_group_keep_report_hand_pinned(spark):
+    """Wilson bounds against an independent Python spelling; NULL
+    flags excluded from the rate but counted; NULL group is its own
+    row; all-NULL-flag group gets NULL rate/bounds."""
+    import math
+
+    import pandas as pd
+
+    from dfsql_spark.operators.checks import group_keep_report
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(9),
+                "domain": ["a", "a", "a", "a", "b", "b", None, "c", "c"],
+                "keep": [
+                    True, True, True, False,       # a: 3/4
+                    True, None,                    # b: 1/1 eval, 1 null
+                    False,                         # NULL group
+                    None, None,                    # c: no evaluable flags
+                ],
+            }
+        )
+    )
+    out = {r.domain: r for r in group_keep_report(df, "keep", "domain").collect()}
+
+    def wilson(k, n, z=1.959963984540054):
+        p = k / n
+        d = 1 + z * z / n
+        c = (p + z * z / (2 * n)) / d
+        h = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / d
+        return max(c - h, 0.0), min(c + h, 1.0)
+
+    a = out["a"]
+    assert (a.n_docs, a.n_kept, a.n_flag_null) == (4, 3, 0)
+    lo, hi = wilson(3, 4)
+    assert a.keep_rate == 0.75
+    assert abs(a.ci_low - lo) < 1e-12 and abs(a.ci_high - hi) < 1e-12
+    b = out["b"]
+    assert (b.n_docs, b.n_kept, b.n_flag_null) == (2, 1, 1)
+    assert b.keep_rate == 1.0 and b.ci_high == 1.0 and 0 < b.ci_low < 1
+    assert out[None].n_docs == 1 and out[None].keep_rate == 0.0
+    c = out["c"]
+    assert (c.n_docs, c.n_flag_null) == (2, 2)
+    assert c.keep_rate is None and c.ci_low is None and c.ci_high is None
+
+
+def test_group_keep_report_matches_duckdb(docs, duck):
+    """Exact-counts + closed-form Wilson mirror over documents with a
+    derived keep flag (length threshold), grouped by language."""
+    import pyspark.sql.functions as F
+
+    from .conftest import assert_matches_oracle
+    from dfsql_spark.operators.checks import group_keep_report
+
+    flagged = docs.withColumn("keep", F.col("n_chars") > 200)
+    z = 1.959963984540054
+    mirror = f"""
+        WITH g AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(CASE WHEN n_chars > 200 THEN 1 END)
+                        AS BIGINT) AS n_kept,
+                   CAST(0 AS BIGINT) AS n_flag_null
+            FROM documents GROUP BY lang
+        )
+        SELECT lang, n_docs, n_kept, n_flag_null,
+               n_kept / n_docs::DOUBLE AS keep_rate,
+               greatest(
+                   ((n_kept / n_docs::DOUBLE) + {z}*{z}/(2*n_docs))
+                       / (1 + {z}*{z}/n_docs)
+                   - {z} * sqrt((n_kept / n_docs::DOUBLE)
+                                * (1 - n_kept / n_docs::DOUBLE) / n_docs
+                                + {z}*{z}/(4*n_docs*n_docs))
+                       / (1 + {z}*{z}/n_docs), 0.0) AS ci_low,
+               least(
+                   ((n_kept / n_docs::DOUBLE) + {z}*{z}/(2*n_docs))
+                       / (1 + {z}*{z}/n_docs)
+                   + {z} * sqrt((n_kept / n_docs::DOUBLE)
+                                * (1 - n_kept / n_docs::DOUBLE) / n_docs
+                                + {z}*{z}/(4*n_docs*n_docs))
+                       / (1 + {z}*{z}/n_docs), 1.0) AS ci_high
+        FROM g
+    """
+    assert_matches_oracle(
+        group_keep_report(flagged, "keep", "lang"),
+        duck.sql(mirror).df(),
+        "group_keep_report",
+    )
+
+
+def test_group_keep_report_plan_single_agg(docs):
+    import pyspark.sql.functions as F
+
+    from dfsql_spark.operators.checks import group_keep_report
+
+    plan = (
+        group_keep_report(
+            docs.withColumn("keep", F.col("n_chars") > 200), "keep", "lang"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan  # one grouped agg, map-side combined
+    assert "Python" not in plan
+
+
+def test_packing_report_hand_pinned_and_composed(spark):
+    """Hand-pinned fills/waste on an engineered packed table, then
+    composition: report over a real pack_sequences run agrees with
+    recomputing the same stats from the packed output."""
+    import pandas as pd
+
+    from dfsql_spark.operators.text import pack_sequences, packing_report
+
+    packed = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "source": ["s", "s", "s", "t", "t"],
+                "seq_id": [0, 0, 1, 0, 0],
+                "doc_tokens": [6, 4, 3, 5, 5],
+            }
+        )
+    )
+    (r,) = packing_report(packed, budget=10).collect()
+    assert (r.n_sequences, r.n_docs, r.total_tokens, r.budget) == (3, 5, 23, 10)
+    assert r.min_fill == 0.3 and r.max_fill == 1.0
+    assert abs(r.mean_fill - (1.0 + 0.3 + 1.0) / 3) < 1e-12
+    assert abs(r.waste_frac - (1 - 23 / 30)) < 1e-12
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget must be"):
+        packing_report(packed, 0)
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(20),
+                "source": ["x"] * 10 + ["y"] * 10,
+                "text": [" ".join(["w"] * (3 + i % 5)) for i in range(20)],
+            }
+        )
+    )
+    out = pack_sequences(docs, budget=8)
+    (rep,) = packing_report(out, budget=8).collect()
+    rows = out.collect()
+    fills: dict = {}
+    for row in rows:
+        fills[(row.source, row.seq_id)] = (
+            fills.get((row.source, row.seq_id), 0) + row.doc_tokens
+        )
+    assert rep.n_sequences == len(fills) and rep.n_docs == len(rows)
+    assert rep.total_tokens == sum(fills.values())
+    assert rep.max_fill == max(fills.values()) / 8
+    assert abs(
+        rep.waste_frac - (1 - sum(fills.values()) / (len(fills) * 8))
+    ) < 1e-12
