@@ -757,13 +757,18 @@ def packing_report(
 
     ``*_fill`` are per-sequence token sums over ``budget``;
     ``waste_frac`` = 1 − total_tokens / (n_sequences × budget), the
-    padding fraction of the whole run.  Pairs with
+    padding fraction of the whole run — identically ``1 − mean_fill``
+    (every sequence shares the one budget denominator), kept as its
+    own column because it is the alerting number, computed FROM
+    mean_fill so the identity can't drift.  Pairs with
     :func:`length_histogram` (what document lengths drove the waste)
     when deciding between a bigger budget and document chunking.
 
-    Scale shape: one map-side-combined groupBy on the (shard, seq)
-    key ``pack_sequences`` already partitioned by, then a one-row
-    rollup — nothing wider than three longs shuffles.
+    Scale shape: one map-side-combined groupBy keyed on
+    (shard, sequence) — a fresh doc-grain exchange (applyInPandas
+    output partitioning is not reusable, and :func:`pack_sequences`
+    partitions by shard alone), carrying nothing wider than three
+    longs — then a one-row rollup over the #sequences-sized table.
     """
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
@@ -780,11 +785,7 @@ def packing_report(
         (F.avg(F.col("_fill") / b)).alias("mean_fill"),
         F.min(F.col("_fill") / b).alias("min_fill"),
         F.max(F.col("_fill") / b).alias("max_fill"),
-        (
-            F.lit(1.0)
-            - F.sum("_fill") / (F.count(F.lit(1)) * b)
-        ).alias("waste_frac"),
-    )
+    ).withColumn("waste_frac", F.lit(1.0) - F.col("mean_fill"))
 
 
 def stratified_sample(

@@ -8344,3 +8344,14 @@ def test_packing_report_hand_pinned_and_composed(spark):
     assert abs(
         rep.waste_frac - (1 - sum(fills.values()) / (len(fills) * 8))
     ) < 1e-12
+    # plan pin (review): exactly the documented shuffles on a packed
+    # input — one doc-grain (shard, seq) agg exchange + the one-row
+    # rollup's single partition; no Python
+    plan = (
+        packing_report(packed, budget=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 2, plan
+    assert "Python" not in plan
