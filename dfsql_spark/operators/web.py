@@ -57,19 +57,13 @@ DEFAULT_TRACKING_RE = (
 )
 
 
-def canonical_url_expr(
-    url_col: str = "url",
-    *,
-    strip_www: bool = True,
-    default_scheme: str = "http",
-    tracking_re: str = DEFAULT_TRACKING_RE,
-) -> Column:
-    """Column expression computing the canonical form of ``url_col``.
-
-    Shared by :func:`canonicalize_url` and :func:`url_dedup`; exposed
-    so pipelines can embed the expression in a wider ``select``
-    without an extra projection.
-    """
+def _scheme_and_host(
+    url_col: str, strip_www: bool, default_scheme: str
+) -> "tuple[Column, Column, Column]":
+    """Shared parse head of :func:`canonical_url_expr` and
+    :func:`url_host_expr`: (whitespace-cleaned url, scheme, normalized
+    host) — one spelling so the canonical form and the bare host can
+    never disagree about what the host IS."""
     # ALL whitespace removed pre-parse (raw whitespace is invalid in
     # URLs; crawlers strip it) — also what keeps garbage with interior
     # or trailing whitespace idempotent.  Explicit class, not \s:
@@ -91,6 +85,49 @@ def canonical_url_expr(
     )
     if strip_www:
         host = F.regexp_replace(host, r"^(www\.)+", "")
+    return u, scheme, host
+
+
+def url_host_expr(
+    url_col: str = "url",
+    *,
+    strip_www: bool = True,
+    default_scheme: str = "http",
+) -> Column:
+    """Normalized host of ``url_col`` (lowercased, userinfo and
+    default ports stripped, ``www.`` prefixes removed) — THE group key
+    the domain-level operators consume: :func:`~dfsql_spark.operators.
+    text.grouped_split` (leakage-safe splits), :func:`~dfsql_spark.
+    operators.checks.group_keep_report` (domain blocklisting),
+    :func:`~dfsql_spark.operators.text.cap_per_key` (per-domain caps).
+    Same parse as :func:`canonical_url_expr` (one shared spelling);
+    NULL and authority-less inputs come back NULL.  Pure codegen —
+    embeds in any select, zero shuffle.
+
+    Deliberately the HOST, not the registrable domain (eTLD+1):
+    public-suffix resolution needs the Mozilla PSL list, and a
+    truncate-to-two-labels heuristic would silently merge
+    ``a.co.uk`` with ``b.co.uk`` — flag-don't-guess applies to
+    grouping keys too.
+    """
+    _, _, host = _scheme_and_host(url_col, strip_www, default_scheme)
+    return F.when(host == "", F.lit(None).cast("string")).otherwise(host)
+
+
+def canonical_url_expr(
+    url_col: str = "url",
+    *,
+    strip_www: bool = True,
+    default_scheme: str = "http",
+    tracking_re: str = DEFAULT_TRACKING_RE,
+) -> Column:
+    """Column expression computing the canonical form of ``url_col``.
+
+    Shared by :func:`canonicalize_url` and :func:`url_dedup`; exposed
+    so pipelines can embed the expression in a wider ``select``
+    without an extra projection.
+    """
+    u, scheme, host = _scheme_and_host(url_col, strip_www, default_scheme)
 
     path = F.regexp_replace(F.regexp_extract(u, URL_PARSE_RE, 3), "/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)

@@ -8355,3 +8355,105 @@ def test_packing_report_hand_pinned_and_composed(spark):
     )
     assert plan.count("Exchange") == 2, plan
     assert "Python" not in plan
+
+
+def test_url_host_expr_hand_pinned_and_composed(spark, duck):
+    """Host extraction shares one parse with canonical_url_expr: same
+    lowercase/userinfo/port/www rules, NULL for no-authority inputs;
+    DuckDB mirror from the same regex constant; composes as the group
+    key for grouped_split (whole domains move together)."""
+    import pandas as pd
+
+    from .conftest import assert_matches_oracle
+    from dfsql_spark.operators.text import grouped_split
+    from dfsql_spark.operators.web import (
+        URL_PARSE_RE,
+        canonical_url_expr,
+        url_host_expr,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "url": [
+                "HTTP://WWW.Example.COM:80/a?x=1",
+                "https://user:pw@www.www.site.org:443/b",
+                "example.com/path",          # schemeless -> default http
+                "http://host.net:8080/c",    # non-default port kept
+                "/relative/only",            # no authority -> NULL
+                "",                          # empty -> NULL
+                None,                        # NULL -> NULL
+                "https://Example.com/a?utm_source=x",
+            ],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    got = {
+        r.doc_id: r.host
+        for r in df.select(
+            "doc_id", url_host_expr("url").alias("host")
+        ).collect()
+    }
+    assert got[0] == "example.com"
+    assert got[1] == "site.org"
+    assert got[2] == "example.com"
+    assert got[3] == "host.net:8080"
+    assert got[4] is None and got[5] is None and got[6] is None
+    assert got[7] == "example.com"
+
+    duck.register("uh_pd", rows)
+    mirror = f"""
+        WITH c AS (
+            SELECT doc_id,
+                   regexp_replace(url, '[ \\t\\n\\r\\f\\x0B]+', '', 'g') AS u
+            FROM uh_pd
+        ), p AS (
+            SELECT doc_id,
+                   CASE WHEN lower(regexp_extract(u, '{URL_PARSE_RE}', 1)) = ''
+                        THEN 'http'
+                        ELSE lower(regexp_extract(u, '{URL_PARSE_RE}', 1))
+                   END AS scheme,
+                   lower(regexp_replace(
+                       regexp_extract(u, '{URL_PARSE_RE}', 2), '^.*@', ''))
+                       AS h0
+            FROM c
+        ), n AS (
+            SELECT doc_id,
+                   regexp_replace(
+                       CASE WHEN scheme = 'http'
+                                THEN regexp_replace(h0, '(:80)+$', '')
+                            WHEN scheme = 'https'
+                                THEN regexp_replace(h0, '(:443)+$', '')
+                            ELSE h0 END,
+                       '^(www\\.)+', '') AS h
+            FROM p
+        )
+        SELECT doc_id, nullif(h, '') AS host FROM n
+    """
+    assert_matches_oracle(
+        df.select("doc_id", url_host_expr("url").alias("host")),
+        duck.sql(mirror).df(),
+        "url_host_expr",
+    )
+
+    # one shared parse: the host is a prefix component of the
+    # canonical form whenever both are non-NULL
+    both = df.select(
+        url_host_expr("url").alias("h"),
+        canonical_url_expr("url").alias("c"),
+    ).collect()
+    for r in both:
+        assert (r.h is None) == (r.c is None)
+        if r.h is not None:
+            assert f"://{r.h}" in r.c
+
+    # composition: grouped_split over the extracted host keeps every
+    # url of a domain in one split
+    split = grouped_split(
+        df.withColumn("host", url_host_expr("url")), "host", id_col="doc_id"
+    )
+    by_host: dict = {}
+    for r in split.collect():
+        if r.host is not None:
+            by_host.setdefault(r.host, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_host.values())
