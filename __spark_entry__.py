@@ -2643,6 +2643,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # regenerated only for the contract add/remove and for entries
 # ENTERING the sit-out set (all green in r11); no sitting-out oracle
 # text changed.
+# ROUND-13 HANDOFF: the alternation continues (this round's graded
+# block sits out, the 50 below return).  Changed-operator accounting
+# queued for r13: connected_components' one-pass edge build (round-12
+# scan review) is executed by d06/d09/d12/d14 — all graded THIS round
+# (r12), so no exception is needed; no graded-path code changed after
+# the r12 window was set.  Contract-promotion candidates with
+# DuckDB-exact mirrors already in tests/test_operators.py:
+# dedup_report (recursive-CTE oracle), group_keep_report (closed-form
+# Wilson mirror; round floats to 6dp for the contract), grouped_split
+# and url_host_expr (md5/regex mirrors).  Near-duplicate-shape
+# swap-out candidates among the r13-returning entries: q24/q25
+# (verdict-r11-named overlap) and t10/t18 (same md5-filter keep
+# contract) — one of each pair can vacate a slot.
 _SIT_OUT_THIS_ROUND = (
     "d03_dedup_minhash_lsh",
     "d07_decontaminate",
