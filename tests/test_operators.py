@@ -8457,3 +8457,70 @@ def test_url_host_expr_hand_pinned_and_composed(spark, duck):
         if r.host is not None:
             by_host.setdefault(r.host, set()).add(r.split)
     assert all(len(s) == 1 for s in by_host.values())
+
+
+def test_winnow_fuzz_vs_reference(spark):
+    """Winnowing fingerprints against an INDEPENDENT plain-Python
+    implementation (per-character polynomial hash, explicit window-min
+    loop) on random small-alphabet texts, plus the SIGMOD'03 guarantee
+    re-checked on every generated pair: docs sharing a substring of
+    length >= k + w - 1 share at least one fingerprint."""
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dfsql_spark.operators.text import FINGERPRINT_MOD, winnow_fingerprints
+
+    k, w = 4, 3
+    M = FINGERPRINT_MOD
+
+    def ref(text):
+        norm = " ".join((text or "").lower().split())
+        if len(norm) < k:
+            return set()
+        hs = []
+        for i in range(len(norm) - k + 1):
+            h = 0
+            for c in norm[i : i + k]:
+                h = (h * 31 + ord(c)) % M
+            hs.append(h)
+        if len(hs) < w:
+            return {min(hs)}
+        return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+    texts = st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30),
+        min_size=1,
+        max_size=4,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts)
+    def inner(ts):
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(ts)), "text": ts})
+        )
+        got: dict = {i: set() for i in range(len(ts))}
+        for r in winnow_fingerprints(df, k=k, w=w).collect():
+            got[r.doc_id].add(r.fp)
+        want = {i: ref(t) for i, t in enumerate(ts)}
+        assert got == want
+        # guarantee: any pair sharing a long-enough normalized
+        # substring shares a fingerprint
+        norms = [" ".join((t or "").lower().split()) for t in ts]
+        L = k + w - 1
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                shares_run = any(
+                    norms[i][p : p + L] in norms[j]
+                    for p in range(max(0, len(norms[i]) - L + 1))
+                    if len(norms[i][p : p + L]) == L
+                )
+                if shares_run:
+                    assert got[i] & got[j], (norms[i], norms[j])
+
+    inner()
