@@ -8355,6 +8355,20 @@ def test_packing_report_hand_pinned_and_composed(spark):
     )
     assert plan.count("Exchange") == 2, plan
     assert "Python" not in plan
+    # and the COMPOSED pipeline (second review pass): the docstring's
+    # scale claim is that applyInPandas output partitioning is NOT
+    # reusable — the report adds a fresh (shard, seq) exchange on top
+    # of packing's shard exchange and rollup, and the only Python
+    # stage is the packer itself.  If a future Spark makes the
+    # partitioning reusable, this pin flags the docstring for update.
+    composed = (
+        packing_report(out, budget=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert composed.count("Exchange") == 3, composed
+    assert composed.count("FlatMapGroupsInPandas") == 1, composed
 
 
 def test_url_host_expr_hand_pinned_and_composed(spark, duck):
