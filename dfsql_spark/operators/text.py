@@ -3165,6 +3165,101 @@ def collapse_repeated_blocks(
     )
 
 
+def vocab_coverage(
+    df: DataFrame,
+    mass_fracs: "tuple[float, ...]" = (0.5, 0.9, 0.95, 0.99),
+    text_col: str = "text",
+    lower: bool = True,
+) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-sizing number: the
+    MINIMUM number of vocabulary types (taken most-frequent-first)
+    whose occurrences cover each requested fraction of the corpus's
+    token mass.  "32k types cover 95% of tokens" is the classic input
+    to choosing a vocab size / OOV budget; pairs with
+    :func:`zipf_report` (shape of the tail) and
+    :func:`unigram_familiarity` (what a head-vocab misses per doc).
+
+    Output: one row per requested fraction, ``(mass_frac, n_types,
+    covered_frac)`` — ``covered_frac`` is the exact mass fraction the
+    ``n_types`` head actually covers (≥ ``mass_frac``; int/int, exact
+    cross-engine).  ``n_types`` is well-defined despite count ties:
+    every type in a tie bucket carries identical mass, so the minimum
+    count never depends on tie order.  An empty vocabulary (empty /
+    all-whitespace corpus) yields zero rows — no mass to cover.
+
+    Scale shape — deliberately NO global sort and NO vocabulary-sized
+    window (the naive cumsum-over-sorted-vocab runs a single-partition
+    window over tens of millions of types at 100 TB): one corpus-sized
+    (token, count) aggregate (map-side combined), then the vocabulary
+    collapses to the per-COUNT-VALUE histogram ``(count, n_types)`` —
+    Zipfian corpora have ~O(√tokens) distinct count values — and the
+    cumulative walk + threshold arithmetic run entirely on that tiny
+    table (the :func:`select_token_budget` histogram-threshold
+    pattern, applied to types instead of documents).
+    """
+    fr = sorted(set(mass_fracs))
+    if not fr or any(not (0.0 < f <= 1.0) for f in fr):
+        raise ValueError(
+            f"mass_fracs must be non-empty, each in (0, 1], got {mass_fracs}"
+        )
+    from pyspark.sql.window import Window
+
+    vocab = (
+        df.select(F.explode(ws_tokens(text_col, lower=lower)).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # tiny: one row per distinct count value
+    hist = vocab.groupBy("c").agg(F.count(F.lit(1)).alias("n_types"))
+    w = Window.orderBy(F.col("c").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # _total as a whole-table window over the SAME tiny histogram —
+    # a broadcast one-row aggregate would re-execute the corpus-sized
+    # vocab plan a second time (the scan-review class)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = (
+        hist.select(
+            "c",
+            "n_types",
+            (F.col("c") * F.col("n_types")).alias("_mass"),
+        )
+        .withColumn("_cum_mass", F.sum("_mass").over(w))
+        .withColumn("_cum_types", F.sum("n_types").over(w))
+        .withColumn("_total", F.sum("_mass").over(w_all))
+    )
+    fracs = F.explode(
+        F.array(*[F.lit(float(f)) for f in fr])
+    ).alias("mass_frac")
+    # first bucket (count-descending) whose cumulative mass reaches the
+    # target: previous buckets in full + ceil of the remainder at this
+    # bucket's per-type mass
+    hit = cum.select("*", fracs).filter(
+        (F.col("_cum_mass") >= F.col("mass_frac") * F.col("_total"))
+        & (
+            F.col("_cum_mass") - F.col("_mass")
+            < F.col("mass_frac") * F.col("_total")
+        )
+    )
+    need = F.ceil(
+        (F.col("mass_frac") * F.col("_total") - (F.col("_cum_mass") - F.col("_mass")))
+        / F.col("c")
+    ).cast("bigint")
+    n_types = F.col("_cum_types") - F.col("n_types") + need
+    covered = (
+        (F.col("_cum_mass") - F.col("_mass") + need * F.col("c"))
+        / F.col("_total")
+    )
+    return hit.select(
+        "mass_frac",
+        n_types.alias("n_types"),
+        covered.alias("covered_frac"),
+    )
+
+
 def zipf_report(
     df: DataFrame,
     text_col: str = "text",

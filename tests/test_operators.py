@@ -8538,3 +8538,117 @@ def test_winnow_fuzz_vs_reference(spark):
                     assert got[i] & got[j], (norms[i], norms[j])
 
     inner()
+
+
+# ---------------------------------------------------------------------------
+# vocab_coverage (round 12)
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_coverage_hand_pinned(spark):
+    """Exact head sizes on a hand-computable mass distribution
+    (a:6 b:3 c:1), tie buckets, boundary targets, empty corpus,
+    validation."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from dfsql_spark.operators.text import vocab_coverage
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a a a b b c", "a a a b"]})
+    )
+    out = {
+        r.mass_frac: r
+        for r in vocab_coverage(df, (0.5, 0.6, 0.7, 1.0)).collect()
+    }
+    # total mass 10: a=6, b=3, c=1
+    assert (out[0.5].n_types, out[0.5].covered_frac) == (1, 0.6)
+    assert (out[0.6].n_types, out[0.6].covered_frac) == (1, 0.6)
+    assert (out[0.7].n_types, out[0.7].covered_frac) == (2, 0.9)
+    assert (out[1.0].n_types, out[1.0].covered_frac) == (3, 1.0)
+    # tie bucket: both types carry equal mass, minimum is unambiguous
+    ties = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["x y x y"]})
+    )
+    (t,) = vocab_coverage(ties, (0.5,)).collect()
+    assert (t.n_types, t.covered_frac) == (1, 0.5)
+    # empty vocabulary -> zero rows
+    empty = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["   "]})
+    )
+    assert vocab_coverage(empty, (0.5,)).count() == 0
+    with _pytest.raises(ValueError, match="mass_fracs"):
+        vocab_coverage(df, (0.0,))
+    with _pytest.raises(ValueError, match="mass_fracs"):
+        vocab_coverage(df, ())
+
+
+def test_vocab_coverage_matches_duckdb(docs, duck):
+    """Exact mirror on documents: same tokenizer, same count
+    histogram, same cumulative threshold arithmetic."""
+    from .conftest import assert_matches_oracle
+    from dfsql_spark.operators.text import vocab_coverage
+
+    mirror = """
+        WITH toks AS (
+            SELECT unnest(list_filter(
+                regexp_split_to_array(coalesce(lower(text), ''), '\\s+'),
+                x -> x <> '')) AS t
+            FROM documents
+        ), vocab AS (
+            SELECT t, count(*) AS c FROM toks GROUP BY t
+        ), hist AS (
+            SELECT c, CAST(count(*) AS BIGINT) AS n_types
+            FROM vocab GROUP BY c
+        ), cum AS (
+            SELECT c, n_types, c * n_types AS mass,
+                   sum(c * n_types) OVER (ORDER BY c DESC) AS cum_mass,
+                   sum(n_types) OVER (ORDER BY c DESC) AS cum_types,
+                   sum(c * n_types) OVER () AS total
+            FROM hist
+        ), fr AS (
+            SELECT unnest([0.5, 0.9, 0.95, 0.99]) AS mass_frac
+        )
+        SELECT fr.mass_frac,
+               CAST(cum_types - n_types
+                    + ceil((mass_frac * total - (cum_mass - mass)) / c)
+                    AS BIGINT) AS n_types,
+               ((cum_mass - mass)
+                + ceil((mass_frac * total - (cum_mass - mass)) / c) * c)
+                   / total::DOUBLE AS covered_frac
+        FROM cum JOIN fr
+          ON cum_mass >= mass_frac * total
+         AND cum_mass - mass < mass_frac * total
+    """
+    assert_matches_oracle(
+        vocab_coverage(docs), duck.sql(mirror).df(), "vocab_coverage"
+    )
+
+
+def test_vocab_coverage_properties_and_plan(docs):
+    """Monotonicity (higher fraction -> no fewer types), covered_frac
+    >= requested, head never exceeds the vocabulary; plan: the
+    windows run over the count HISTOGRAM, so the only corpus-sized
+    exchange is the (token, count) aggregate — one corpus scan, no
+    Python."""
+    from dfsql_spark.operators.text import vocab_coverage, vocab_topk
+
+    rows = sorted(
+        vocab_coverage(docs).collect(), key=lambda r: r.mass_frac
+    )
+    assert all(
+        a.n_types <= b.n_types for a, b in zip(rows, rows[1:])
+    )
+    assert all(r.covered_frac >= r.mass_frac for r in rows)
+    vocab_size = vocab_topk(docs, k=10**9).count()
+    assert rows[-1].n_types <= vocab_size
+    plan = (
+        vocab_coverage(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan
+    assert plan.count("documents.parquet") <= 1 or plan.count(
+        "InMemoryTableScan"
+    ) >= 1, plan
