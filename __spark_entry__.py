@@ -2296,7 +2296,11 @@ def bench_lm_score(spark, sf):
 
     docs = _t(spark, sf, "documents")
     train = docs.filter(F.col("source").isin("src0", "src1"))
-    return lm_score(docs, train)
+    # explicit persist opt-in (the library default is stateless
+    # 'none'): the harness releases via release_caches() between
+    # passes, so the 6-scans->3 unigram reuse is safe here and keeps
+    # the r8+ trend comparable
+    return lm_score(docs, train, materialize="persist")
 
 
 def t20_epoch_shuffle(spark, sf):
@@ -3505,7 +3509,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e CROSS JOIN q
             ) t WHERE rank <= 5
         """,
-        # s02/s03 property oracles: DuckDB brute-force recomputes each
+        # s03 property oracle: DuckDB brute-force recomputes each
         # query's exact rank-2 neighbor (rank-1 is the query itself;
         # s01 proves both engines agree on the full cosine ranking);
         # the recall@5 >= 0.6 boolean is the engine-side claim.
@@ -3974,9 +3978,6 @@ def oracle_sql() -> dict[str, str]:
                                 WHEN 'src1' THEN 5000
                                 ELSE 2000 END
         """,
-        # x02: both engines compute the same linear-interpolation exact
-        # quantiles (identical doubles in, identical doubles out); the
-        # sketch-accuracy booleans are the engine-side claim, s02-style.
         "m01_media_stats": """
             WITH m AS (
                 SELECT doc_id,

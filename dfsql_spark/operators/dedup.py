@@ -1217,9 +1217,23 @@ def dedup_report(
     distinct and :func:`connected_components`; everything after is a
     handful of one-row aggregates cross-joined together.
     """
-    p = pairs.select(
-        F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b")
-    ).localCheckpoint()
+    p = (
+        pairs.select(F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b"))
+        # Degenerate rows would skew the card: a self-pair (a, a)
+        # survives the least/greatest distinct as one undirected pair
+        # and becomes a size-1 component — inflating n_pairs,
+        # n_dup_docs and frac_docs_duplicated even though the survivor
+        # policy removes nothing for it; NULL ids match nothing
+        # downstream.  dedup_by_components is immune (a singleton
+        # component keeps its only member), so filtering here keeps
+        # the report's n_removed == docs − survivors invariant intact.
+        .where(
+            F.col("id_a").isNotNull()
+            & F.col("id_b").isNotNull()
+            & (F.col("id_a") != F.col("id_b"))
+        )
+        .localCheckpoint()
+    )
     comp = connected_components(p, **cc_kwargs)
     und = p.select(
         F.least("id_a", "id_b").alias("_a"),

@@ -1711,13 +1711,22 @@ def lm_score(
     id_col: str = "doc_id",
     alpha: float = 0.4,
     round_to: int = 6,
-    materialize: str = "persist",
+    materialize: str = "none",
 ) -> DataFrame:
     """Bigram-LM fluency scoring with Stupid Backoff (Brants et al.,
     EMNLP 2007) — the CCNet / KenLM-style quality signal: train token
     statistics on a curated reference slice (``train_df``), score every
     document by its average per-bigram log-probability under that
-    model.  Low scores flag boilerplate, gibberish, and
+    model.
+
+    Pass ``materialize='persist'`` to cache the unigram table (it
+    feeds three plan branches; persisting cuts 6 train scans to 3) —
+    but that registers a live persist the CALLER must release via
+    :func:`~dfsql_spark.operators.dedup.release_persists` after the
+    scored DataFrame is consumed; repeated calls without a release
+    accumulate cached tables and pin executor memory.  The default
+    ``'none'`` keeps the operator stateless (the harnesses opt in and
+    release between passes).  Low scores flag boilerplate, gibberish, and
     out-of-distribution text; the score feeds :func:`weighted_sample`
     or a threshold filter.
 

@@ -828,6 +828,11 @@ def test_substring_dedup_scan_shape(spark):
     )
 
     smoke_dir = os.path.join(os.path.dirname(SF_DIR), "sf0.01")
+    if not os.path.isfile(f"{smoke_dir}/documents.parquet"):
+        # advisor r12: the sibling-dataset dependency is an
+        # environment fact, not an operator property — don't fail the
+        # operator for a missing fixture dir
+        pytest.skip(f"sibling dataset {smoke_dir} not present")
     docs = spark.read.parquet(f"{smoke_dir}/documents.parquet")
     spans = shared_substring_spans(docs, min_tokens=8, hash_grams=True)
     spans.collect()  # AQE finalizes stage reuse at execution time
@@ -2456,8 +2461,11 @@ def test_lm_score_plan_is_broadcast_only(spark):
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     train = docs.filter("source IN ('src0', 'src1')")
+    # materialize='persist' is the harness opt-in (library default is
+    # stateless 'none' per advisor r12); this test pins the PERSISTED
+    # plan shape, so opt in explicitly
     plan = (
-        lm_score(docs, train)
+        lm_score(docs, train, materialize="persist")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -7905,6 +7913,17 @@ def test_dedup_report_hand_pinned_and_consistent(spark):
     )
     (r2,) = dedup_report(docs, renamed, id_a="src", id_b="dst").collect()
     assert r2 == r
+    # advisor r12 pin: degenerate pair rows — self-pairs (a, a) and
+    # NULL ids — must not inflate the card (a self-pair would count as
+    # an undirected pair and a size-1 "cluster" even though the
+    # survivor policy removes nothing for it)
+    degenerate = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20), (None, 1), (3, None)],
+        schema="id_a bigint, id_b bigint",
+    )
+    (r3,) = dedup_report(docs, degenerate).collect()
+    assert (r3.n_docs, r3.n_pairs, r3.n_dup_docs) == (6, 3, 5)
+    assert (r3.n_clusters, r3.max_cluster_size, r3.n_removed) == (2, 3, 3)
 
 
 def test_dedup_report_matches_duckdb(spark, duck):
