@@ -112,6 +112,15 @@ HEADLINE = [
 
 
 def main() -> None:
+    # SOLE-JSON-LINE CONTRACT (verdict r12 ask #6): the driver parses
+    # stdout as one JSON line, but the JVM writes its own startup
+    # noise ("WARNING: Using incubator modules", log4j bootstrap) to
+    # FD 1 before log levels apply — Python-level sys.stdout games
+    # can't intercept that.  Re-point FD 1 at stderr for the whole
+    # run and keep a private dup of the real stdout for the final
+    # JSON, so the gate line is the ONLY byte stream the driver sees.
+    json_fd = os.dup(1)
+    os.dup2(2, 1)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -241,8 +250,17 @@ def main() -> None:
         load1 = round(os.getloadavg()[0], 2)
     except OSError:
         load1 = None
-    print(
-        json.dumps(
+    # min-vs-median divergence (advisor r12): min is the stall-proof
+    # statistic but the most optimistic one — a change that adds
+    # variance or cache pressure shows in medians first.  Surface the
+    # gap explicitly so a widening spread is itself an alert, and give
+    # trend readers both aggregates in one field.
+    divergence = {
+        n: round(medians[n] - timings[n], 3)
+        for n in HEADLINE
+        if medians[n] - timings[n] > max(0.15, 0.25 * timings[n])
+    }
+    payload = json.dumps(
             {
                 "metric": "headline_suite_seconds",
                 "value": total,
@@ -266,6 +284,10 @@ def main() -> None:
                 # (identical to "queries" from r12 on)
                 "mins": timings,
                 "min_total": total,
+                # queries whose median exceeds their min by >0.15s AND
+                # >25% — the variance alert the min aggregate alone
+                # would mask (empty = tight spreads everywhere)
+                "min_median_divergence": divergence,
                 # local_dir records WHERE shuffle scratch lived for
                 # this series (round-10 advisor): the tmpfs switch in
                 # round 10 is a measurement-environment discontinuity
@@ -282,7 +304,10 @@ def main() -> None:
                 },
             }
         )
-    )
+    # the one write to the REAL stdout (see the dup2 at the top of
+    # main) — everything else this process printed went to stderr
+    with os.fdopen(json_fd, "w") as out:
+        out.write(payload + "\n")
 
 
 if __name__ == "__main__":
