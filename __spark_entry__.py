@@ -1563,6 +1563,7 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b_minhash_op": bench_minhash_op,
         "b_tfidf_terms": bench_tfidf_terms,
         "b_lm_score": bench_lm_score,
+        "b_winnow_fingerprints": bench_winnow_fingerprints,
         "b_column_profile": bench_column_profile,
         "b_source_overlap": bench_source_overlap,
     }
@@ -1587,6 +1588,23 @@ def t12_c4_filters(spark, sf):
 
     docs = _t(spark, sf, "documents")
     return c4_filters(docs)
+
+
+def t27_grouped_split(spark, sf):
+    """Leakage-safe GROUP-cohesive train/val/test split
+    (operators/text.py:363) — promoted to the contract in round 13:
+    every document of a source lands in the SAME split (the sklearn
+    GroupShuffleSplit contract, content-addressed via the salted md5
+    bucket of the GROUP value), so near-duplicate and shared-template
+    documents from one origin can't straddle train and test the way
+    t06's per-document assignment allows.  NULL groups get a NULL
+    split (flag, don't guess).  Pure per-row map — one hash + one
+    comparison chain, zero shuffle at any scale (plan-pinned).  DuckDB
+    recomputes every assignment from the same md5 contract."""
+    from dfsql_spark.operators.text import grouped_split
+
+    docs = _t(spark, sf, "documents")
+    return grouped_split(docs, "source")
 
 
 def t10_stratified_sample(spark, sf):
@@ -1914,6 +1932,26 @@ def d06_dedup_connected(spark, sf):
     from dfsql_spark.operators.dedup import connected_components
 
     return connected_components(_exact_jaccard_pairs(spark, sf))
+
+
+def d16_dedup_report(spark, sf):
+    """The one-row dedup data card (operators/dedup.py:1186) —
+    promoted to the contract in round 13: how much duplication the
+    pair producer found, how it clusters, and what the min-id survivor
+    policy removes (``n_removed = n_dup_docs − n_clusters``), all as
+    exact integers / int-ratio doubles over the full corpus.  Composed
+    over the shared exact-Jaccard pair relation (same corpus, same
+    k/threshold as d02/d06/d09 — the whole d-block still runs ONE
+    shingling pass), so the report grades the same graph the other
+    dedup entries grade.  Scale shape: the pair plan is materialized
+    once and feeds both the undirected distinct and the connected
+    components; everything downstream is histogram-sized.  Oracle:
+    DuckDB recomputes the pair relation (the d06 CTE) and the same
+    aggregates over a recursive-CTE transitive closure."""
+    from dfsql_spark.operators.dedup import dedup_report
+
+    docs = _t(spark, sf, "documents")
+    return dedup_report(docs, _exact_jaccard_pairs(spark, sf))
 
 
 def d09_dedup_survivors(spark, sf):
@@ -2282,6 +2320,20 @@ def t18_weighted_sample(spark, sf):
     )
 
 
+def bench_winnow_fingerprints(spark, sf):
+    """BENCH-ONLY (contract entry t14 until round 13 — left the
+    contract in the round-13 swap as a shape-duplicate of the
+    winnowing relation d10_winnow_overlap grades through its
+    fingerprint join; the operator keeps its exact DuckDB mirror AND
+    its independent-Python fuzz in tests/test_operators.py and keeps
+    its perf trend here under the name ``b_winnow_fingerprints``;
+    trend readers: b_winnow_fingerprints in r13+ ==
+    t14_winnow_fingerprints in r6-r12).  Winnowing fingerprints
+    (SIGMOD'03): k-gram rolling hashes, window-min selection, per-doc
+    distinct — pure map + explode, zero shuffle (plan-pinned)."""
+    return t14_winnow_fingerprints(spark, sf)
+
+
 def bench_lm_score(spark, sf):
     """BENCH-ONLY (contract entry t19 until round 12 — left the
     contract in the round-12 swap as a shape-duplicate of
@@ -2427,6 +2479,84 @@ def w01_url_dedup(spark, sf):
         )
     )
     return url_dedup(docs.withColumn("url", url))
+
+
+def w02_url_host(spark, sf):
+    """Normalized-host extraction (operators/web.py:91) — promoted to
+    the contract in round 13: THE group key the domain-level curation
+    operators share (grouped_split's leakage-safe splits,
+    group_keep_report's domain blocklisting, cap_per_key's per-domain
+    caps).  The documents table has no URL column, so each doc gets a
+    deterministic messy URL exercising every rule on real data: WWW +
+    uppercase scheme/host + default :80 / userinfo + :443 / scheme-less
+    / non-default port kept / authority-less → NULL.  Pure codegen —
+    the parse embeds in the select, zero shuffle.  DuckDB re-runs the
+    IDENTICAL regex chain from the same exported URL_PARSE_RE
+    constant."""
+    from dfsql_spark.operators.web import url_host_expr
+
+    docs = _t(spark, sf, "documents")
+    host = F.concat(F.lit("site"), (F.col("doc_id") % 25).cast("string"))
+    v = F.col("doc_id") % 5
+    url = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("HTTP://WWW."), host, F.lit(".Example.COM:80/p/"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("https://user:pw@www."), host,
+                F.lit(".example.org:443/q"),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(host, F.lit(".example.net/r")),
+        )
+        .when(
+            v == 3,
+            F.concat(F.lit("http://"), host, F.lit(".example.com:8080/s")),
+        )
+        .otherwise(F.lit("/relative/only"))
+    )
+    return docs.withColumn("url", url).select(
+        "doc_id", url_host_expr("url").alias("host")
+    )
+
+
+def x07_group_keep_report(spark, sf):
+    """Per-domain keep-rate table with Wilson score intervals
+    (operators/checks.py:370) — promoted to the contract in round 13:
+    the domain-level filtering decision (cut WHOLE groups whose
+    keep-rate upper bound is below threshold) instead of per-document
+    filtering on overwhelmingly-junk sources.  The keep flag is
+    derived on real data (n_chars > 200) with a planted NULL stripe
+    (doc_id % 11 == 0) so the NULL-flag accounting — counted, excluded
+    from the rate — is value-graded, not just unit-tested.  ONE
+    map-side-combined groupBy carrying three counts; the Wilson
+    algebra runs on the #groups-sized table (plan-pinned single agg).
+    Rates rounded to 6 dp on both sides (the x06 cross-engine float
+    contract); DuckDB recomputes the closed form from the same z."""
+    from dfsql_spark.operators.checks import group_keep_report
+
+    docs = _t(spark, sf, "documents")
+    keep = F.when(
+        F.col("doc_id") % 11 == 0, F.lit(None).cast("boolean")
+    ).otherwise(F.col("n_chars") > 200)
+    rep = group_keep_report(docs.withColumn("keep", keep), "keep", "lang")
+    return rep.select(
+        "lang",
+        "n_docs",
+        "n_kept",
+        "n_flag_null",
+        F.round("keep_rate", 6).alias("keep_rate"),
+        F.round("ci_low", 6).alias("ci_low"),
+        F.round("ci_high", 6).alias("ci_high"),
+    )
 
 
 def x05_quality_checks(spark, sf):
@@ -2647,70 +2777,107 @@ def entry(spark: SparkSession) -> DataFrame:
 # regenerated only for the contract add/remove and for entries
 # ENTERING the sit-out set (all green in r11); no sitting-out oracle
 # text changed.
-# ROUND-13 HANDOFF: the alternation continues (this round's graded
+# ROUND 13 honors the alternation: the round-12 graded block (exactly
+# the 50 all-green rows of CORRECTNESS_r12.json) sits out below, and
+# the 50 round-12 sit-outs return to the graded window.  No
+# changed-operator exceptions were pending (the round-12 handoff
+# confirmed the connected-components change took its grade in-window
+# in r12); the round-13 code changes touch dedup_report (graded THIS
+# round via the new d16 entry) and lm_score's materialize default (a
+# caching knob, not a value path; its bench extra keeps the old plan
+# via an explicit opt-in).
+# CONTRACT SWAP (round 13, verdict r12 ask #2): the four
+# handoff-named library operators enter the contract and are graded
+# in their FIRST round, as new entries must be —
+#   d16_dedup_report     (the one-row dedup data card over the shared
+#                         exact-Jaccard pair graph; recursive-CTE oracle),
+#   t27_grouped_split    (leakage-safe GROUP-cohesive split; md5 mirror),
+#   w02_url_host         (the shared domain group key; URL_PARSE_RE
+#                         regex-chain mirror),
+#   x07_group_keep_report (per-domain Wilson keep-rates with a planted
+#                         NULL-flag stripe; closed-form mirror, 6 dp).
+# Four returning entries with near-duplicate graded shapes leave the
+# contract to hold the graded window at exactly 50 (implementations
+# stay; each keeps its exact pytest mirror in tests/test_operators.py):
+#   q24_union            (verdict-r11-named overlap with q25: both set
+#                         ops over the same nationkey legs; q25 grades
+#                         EXCEPT + INTERSECT and stays),
+#   t18_weighted_sample  (same salted-md5-filter keep contract t10
+#                         grades; the weighted variant stays
+#                         mirror-pinned),
+#   t14_winnow_fingerprints (same winnowing fingerprint relation
+#                         d10_winnow_overlap grades through its join;
+#                         keeps its mirror AND its perf trend as bench
+#                         extra b_winnow_fingerprints),
+#   x03_hll_sketch_rollup (same HLL sketch-within-band shape x01
+#                         grades; the mergeability property stays
+#                         mirror-pinned).
+# Total stays at 100 (50 graded + 50 sitting out).  Oracle hashes
+# regenerated only for the contract add/remove; no sitting-out oracle
+# text changed.
+# ROUND-14 HANDOFF: the alternation continues (this round's graded
 # block sits out, the 50 below return).  Changed-operator accounting
-# queued for r13: connected_components' one-pass edge build (round-12
-# scan review) is executed by d06/d09/d12/d14 — all graded THIS round
-# (r12), so no exception is needed; no graded-path code changed after
-# the r12 window was set.  Contract-promotion candidates with
-# DuckDB-exact mirrors already in tests/test_operators.py:
-# dedup_report (recursive-CTE oracle), group_keep_report (closed-form
-# Wilson mirror; round floats to 6dp for the contract), grouped_split
-# and url_host_expr (md5/regex mirrors).  Near-duplicate-shape
-# swap-out candidates among the r13-returning entries: q24/q25
-# (verdict-r11-named overlap) and t10/t18 (same md5-filter keep
-# contract) — one of each pair can vacate a slot.
+# queued for r14: none pending if the round-13 window completes as
+# planned.  The contract is saturated at 100 while the library has
+# ~177 public callables — the remaining never-graded operators
+# (vocab_coverage, packing_report, truncate_embeddings, zipf_report,
+# write_training_shards, normalize_nfc, heavy_hitter_ngrams,
+# cap_per_key, train_bpe/bpe_encode, threshold_sweep,
+# schema_drift_report, media sniffing) need either more driver slots
+# or further shape-duplicate swaps; candidates with mirrors ready:
+# vocab_coverage (count-histogram walk, DuckDB-exact) and
+# packing_report (waste card over t09's packing, DuckDB-exact).
 _SIT_OUT_THIS_ROUND = (
-    "d03_dedup_minhash_lsh",
-    "d07_decontaminate",
-    "d08_semantic_dedup",
-    "d09_dedup_survivors",
-    "d10_winnow_overlap",
-    "d11_line_dedup",
-    "e03_json_props",
-    "f01_custom_agg_sql",
-    "f02_custom_scalar_sql",
-    "m02_media_decode",
-    "m03_media_dedup",
-    "m04_media_sim",
-    "p01_curation_pipeline",
-    "q09_count_distinct",
-    "q10_having_alias",
-    "q11_join_inner",
-    "q12_join_left",
-    "q13_join_right",
-    "q14_join_full",
-    "q15_self_join",
-    "q16_in_subquery",
-    "q17_scalar_subquery",
-    "q18_from_subquery",
-    "q19_like_regex",
-    "q20_string_funcs",
-    "q21_power",
-    "q23_case_when",
-    "q24_union",
-    "q25_except_intersect",
-    "q26_anti_join",
-    "q28_rollup",
-    "q29_exists_correlated",
-    "q30_grouping_sets",
-    "q31_pivot",
-    "s04_sim_pq",
-    "s05_bm25",
-    "t06_deterministic_split",
-    "t07_vocab_topk",
-    "t08_pii_scrub",
-    "t09_pack_sequences",
-    "t10_stratified_sample",
-    "t11_repetition",
-    "t12_c4_filters",
-    "t13_mix_rebalance",
-    "t14_winnow_fingerprints",
-    "t15_unigram_familiarity",
-    "t16_chunk_documents",
-    "t18_weighted_sample",
-    "x03_hll_sketch_rollup",
-    "x04_snapshot_diff",
+    "a01_asof_join",
+    "a02_range_join",
+    "c01_code_filters",
+    "d01_dedup_exact",
+    "d02_dedup_ngram_jaccard",
+    "d04_dedup_simhash",
+    "d05_embedding_neardup",
+    "d06_dedup_connected",
+    "d12_incremental_dedup",
+    "d13_semantic_decontaminate",
+    "d14_dedup_keep_best",
+    "e01_windowed_counts",
+    "e02_sessionize",
+    "e06_stream_dedupe",
+    "e07_interval_join",
+    "e09_stream_upsert_sink",
+    "m01_media_stats",
+    "n01_html_to_text",
+    "q01_projection",
+    "q02_filter",
+    "q03_cast",
+    "q04_distinct",
+    "q05_orderby_limit_offset",
+    "q06_groupby_agg",
+    "q07_groupby_expr",
+    "q08_implicit_agg",
+    "q22_flagship_revenue",
+    "q27_window_topk",
+    "s01_sim_topk",
+    "s03_sim_ivf",
+    "s06_mmr_rerank",
+    "s07_ann_recall",
+    "sk01_salted_agg",
+    "sk02_salted_join",
+    "t01_text_stats",
+    "t02_quality_score",
+    "t03_lang_id",
+    "t04_fingerprint",
+    "t05_token_count",
+    "t17_hashed_embeddings",
+    "t20_epoch_shuffle",
+    "t22_bpe_pair_counts",
+    "t23_char_entropy",
+    "t24_gopher_filters",
+    "t25_dsir_weights",
+    "t26_tfidf_top_terms",
+    "w01_url_dedup",
+    "x01_approx_distinct_pruned",
+    "x05_quality_checks",
+    "x06_column_profile",
 )
 
 # rows-only sketch queries (``no_oracle``); always last.  Empty since
@@ -2734,6 +2901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d02_dedup_ngram_jaccard": d02_dedup_ngram_jaccard,
         "d05_embedding_neardup": d05_embedding_neardup,
         "d06_dedup_connected": d06_dedup_connected,
+        "d16_dedup_report": d16_dedup_report,
         "d07_decontaminate": d07_decontaminate,
         "d08_semantic_dedup": d08_semantic_dedup,
         "d09_dedup_survivors": d09_dedup_survivors,
@@ -2774,7 +2942,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_power": q21_power,
         "q22_flagship_revenue": q22_flagship_revenue,
         "q23_case_when": q23_case_when,
-        "q24_union": q24_union,
         "q25_except_intersect": q25_except_intersect,
         "q26_anti_join": q26_anti_join,
         "q27_window_topk": q27_window_topk,
@@ -2801,15 +2968,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t11_repetition": t11_repetition,
         "t12_c4_filters": t12_c4_filters,
         "t13_mix_rebalance": t13_mix_rebalance,
-        "t14_winnow_fingerprints": t14_winnow_fingerprints,
         "t15_unigram_familiarity": t15_unigram_familiarity,
         "t16_chunk_documents": t16_chunk_documents,
         "t24_gopher_filters": t24_gopher_filters,
         "t25_dsir_weights": t25_dsir_weights,
         "t26_tfidf_top_terms": t26_tfidf_top_terms,
+        "t27_grouped_split": t27_grouped_split,
         "w01_url_dedup": w01_url_dedup,
+        "w02_url_host": w02_url_host,
         "x01_approx_distinct_pruned": x01_approx_distinct_pruned,
-        "x03_hll_sketch_rollup": x03_hll_sketch_rollup,
+        "x07_group_keep_report": x07_group_keep_report,
         "x04_snapshot_diff": x04_snapshot_diff,
         "d03_dedup_minhash_lsh": d03_dedup_minhash_lsh,
         "d04_dedup_simhash": d04_dedup_simhash,
@@ -2821,7 +2989,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d14_dedup_keep_best": d14_dedup_keep_best,
         "s06_mmr_rerank": s06_mmr_rerank,
         "t17_hashed_embeddings": t17_hashed_embeddings,
-        "t18_weighted_sample": t18_weighted_sample,
         "t20_epoch_shuffle": t20_epoch_shuffle,
         "t22_bpe_pair_counts": t22_bpe_pair_counts,
         "t23_char_entropy": t23_char_entropy,
@@ -3000,11 +3167,67 @@ def _x06_oracle() -> str:
     return " UNION ALL ".join(pieces)
 
 
+def _w02_oracle() -> str:
+    """DuckDB mirror of w02_url_host: the IDENTICAL messy-URL
+    construction in SQL, then the host-extraction chain re-spelled
+    from the SAME exported URL_PARSE_RE constant (the test_operators
+    mirror, parameterized over the synthetic URLs)."""
+    from dfsql_spark.operators.web import URL_PARSE_RE
+
+    return f"""
+            WITH u AS (
+                SELECT doc_id,
+                       'site' || CAST(doc_id % 25 AS VARCHAR) AS h,
+                       doc_id % 5 AS v
+                FROM documents
+            ), raw AS (
+                SELECT doc_id,
+                       CASE v
+                           WHEN 0 THEN 'HTTP://WWW.' || h
+                               || '.Example.COM:80/p/'
+                               || CAST(doc_id AS VARCHAR)
+                           WHEN 1 THEN 'https://user:pw@www.' || h
+                               || '.example.org:443/q'
+                           WHEN 2 THEN h || '.example.net/r'
+                           WHEN 3 THEN 'http://' || h || '.example.com:8080/s'
+                           ELSE '/relative/only'
+                       END AS url
+                FROM u
+            ), c AS (
+                SELECT doc_id,
+                       regexp_replace(url, '[ \\t\\n\\r\\f\\x0B]+', '', 'g') AS s
+                FROM raw
+            ), p AS (
+                SELECT doc_id,
+                       CASE WHEN lower(regexp_extract(s, '{URL_PARSE_RE}', 1)) = ''
+                            THEN 'http'
+                            ELSE lower(regexp_extract(s, '{URL_PARSE_RE}', 1))
+                       END AS scheme,
+                       lower(regexp_replace(
+                           regexp_extract(s, '{URL_PARSE_RE}', 2), '^.*@', ''))
+                           AS h0
+                FROM c
+            ), n AS (
+                SELECT doc_id,
+                       regexp_replace(
+                           CASE WHEN scheme = 'http'
+                                    THEN regexp_replace(h0, '(:80)+$', '')
+                                WHEN scheme = 'https'
+                                    THEN regexp_replace(h0, '(:443)+$', '')
+                                ELSE h0 END,
+                           '^(www\\.)+', '') AS h
+                FROM p
+            )
+            SELECT doc_id, nullif(h, '') AS host FROM n
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "n01_html_to_text": _n01_oracle(),
         "c01_code_filters": _c01_oracle(),
         "x06_column_profile": _x06_oracle(),
+        "w02_url_host": _w02_oracle(),
         "t26_tfidf_top_terms": """
             WITH toks AS (
                 SELECT doc_id, unnest(list_filter(
@@ -3033,6 +3256,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, term, tf, df_t,
                    round(score, 6) AS score, rank
             FROM ranked WHERE rank <= 3
+        """,
+        # t27: the shared _salted_bucket md5 contract (salt 'gsplit',
+        # buckets 10000) applied to the GROUP value — default 90/5/5
+        # edges; NULL groups stay NULL (flag, don't guess)
+        "t27_grouped_split": """
+            SELECT doc_id, source,
+                   CASE WHEN source IS NULL THEN NULL
+                        WHEN CAST('0x' || substr(md5('gsplit:' || source), 1, 8)
+                             AS BIGINT) % 10000 < 9000 THEN 'train'
+                        WHEN CAST('0x' || substr(md5('gsplit:' || source), 1, 8)
+                             AS BIGINT) % 10000 < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        # x07: exact counts + the closed-form Wilson interval from the
+        # same z; n excludes NULL flags (counted separately); rates
+        # rounded to 6 dp on both sides (the x06 float contract)
+        "x07_group_keep_report": """
+            WITH f AS (
+                SELECT lang,
+                       CASE WHEN doc_id % 11 = 0 THEN NULL
+                            ELSE n_chars > 200 END AS keep
+                FROM documents
+            ), g AS (
+                SELECT lang,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT)
+                           AS n_kept,
+                       CAST(count(CASE WHEN keep IS NULL THEN 1 END)
+                            AS BIGINT) AS n_flag_null
+                FROM f GROUP BY lang
+            ), w AS (
+                SELECT lang, n_docs, n_kept, n_flag_null,
+                       (n_docs - n_flag_null)::DOUBLE AS n,
+                       n_kept::DOUBLE AS k,
+                       1.959963984540054 AS z
+                FROM g
+            )
+            SELECT lang, n_docs, n_kept, n_flag_null,
+                   CASE WHEN n > 0 THEN round(k / n, 6) END AS keep_rate,
+                   CASE WHEN n > 0 THEN round(greatest(
+                       ((k / n) + z*z/(2*n)) / (1 + z*z/n)
+                       - z * sqrt((k / n) * (1 - k / n) / n
+                                  + z*z/(4*n*n)) / (1 + z*z/n),
+                       0.0), 6) END AS ci_low,
+                   CASE WHEN n > 0 THEN round(least(
+                       ((k / n) + z*z/(2*n)) / (1 + z*z/n)
+                       + z * sqrt((k / n) * (1 - k / n) / n
+                                  + z*z/(4*n*n)) / (1 + z*z/n),
+                       1.0), 6) END AS ci_high
+            FROM w
         """,
         "s07_ann_recall": """
             WITH qt AS (
@@ -3249,11 +3523,6 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'large' END AS size_class,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM orders GROUP BY 1
-        """,
-        "q24_union": """
-            SELECT c_nationkey AS nk FROM customer
-            UNION
-            SELECT s_nationkey AS nk FROM supplier
         """,
         "q25_except_intersect": """
             SELECT 'except' AS leg, nk FROM (
@@ -3750,6 +4019,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM documents
             WHERE doc_id NOT IN (SELECT id FROM losers)
         """,
+        # d16: the same shingle -> exact-Jaccard pair relation as
+        # d02/d06/d09, then the data-card aggregates over a
+        # recursive-CTE transitive closure (cluster sizes are
+        # labeling-invariant, so min-reachable-id components suffice).
+        "d16_dedup_report": """
+            WITH sh AS (SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id,
+                       unnest([substr(t, i, 5)
+                               for i in range(1, greatest(length(t),5)-3)]) AS s
+                FROM (SELECT doc_id,
+                             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                      FROM documents))),
+            sz AS (SELECT doc_id, count(*) c FROM sh GROUP BY doc_id),
+            p0 AS (SELECT a.doc_id ia, b.doc_id ib, count(*) n
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+            pairs AS (SELECT ia id_a, ib id_b
+                      FROM p0 JOIN sz za ON za.doc_id = ia
+                              JOIN sz zb ON zb.doc_id = ib
+                      WHERE n * 1.0 / (za.c + zb.c - n) >= 0.6),
+            edges AS (SELECT id_a s, id_b d FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+                WITH RECURSIVE r(s, d) AS (
+                    SELECT s, d FROM edges
+                    UNION
+                    SELECT r.s, e.d FROM r JOIN edges e ON r.d = e.s
+                ) SELECT * FROM r
+            ),
+            comp AS (SELECT s AS id, least(s, min(d)) AS component
+                     FROM reach GROUP BY s),
+            sizes AS (SELECT component, count(*) AS szc
+                      FROM comp GROUP BY component),
+            und AS (SELECT DISTINCT least(id_a, id_b) AS a,
+                           greatest(id_a, id_b) AS b FROM pairs)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+                   (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_pairs,
+                   CAST(sum(szc) AS BIGINT) AS n_dup_docs,
+                   CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(max(szc) AS BIGINT) AS max_cluster_size,
+                   CAST(sum(szc) - count(*) AS BIGINT) AS n_removed,
+                   sum(szc) / (SELECT count(*) FROM documents)::DOUBLE
+                       AS frac_docs_duplicated,
+                   (sum(szc) - count(*))
+                       / (SELECT count(*) FROM documents)::DOUBLE
+                       AS frac_removed
+            FROM sizes
+        """,
         "t05_token_count": """
             SELECT doc_id,
                    CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
@@ -3893,11 +4210,6 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
             )
             GROUP BY l_returnflag
-        """,
-        "x03_hll_sketch_rollup": """
-            SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact_users,
-                   TRUE AS merged_est_within_5pct
-            FROM events
         """,
         # x04: DuckDB mirrors the deterministic snapshot mutation and
         # classifies by direct column comparison (coalesce-to-'' to
@@ -4110,39 +4422,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(coalesce(v.n, 0)) AS BIGINT) AS freq_mass
             FROM t2 LEFT JOIN vocab v ON t2.token = v.token
             GROUP BY t2.doc_id
-        """,
-        # t14: winnowing — k-gram polynomial hashes (weights 31^7..31^0
-        # spelled out), sliding-window min, per-doc distinct.
-        "t14_winnow_fingerprints": """
-            WITH t AS (
-                SELECT doc_id,
-                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-                FROM documents
-            ),
-            hs AS (
-                SELECT doc_id,
-                       [ (  ascii(substr(t, i    , 1)) * 27512614111
-                          + ascii(substr(t, i + 1, 1)) * CAST(887503681 AS BIGINT)
-                          + ascii(substr(t, i + 2, 1)) * CAST(28629151 AS BIGINT)
-                          + ascii(substr(t, i + 3, 1)) * CAST(923521 AS BIGINT)
-                          + ascii(substr(t, i + 4, 1)) * CAST(29791 AS BIGINT)
-                          + ascii(substr(t, i + 5, 1)) * CAST(961 AS BIGINT)
-                          + ascii(substr(t, i + 6, 1)) * CAST(31 AS BIGINT)
-                          + ascii(substr(t, i + 7, 1))
-                         ) % 2147483647
-                         for i in range(1, length(t) - 6) ] AS h
-                FROM t WHERE length(t) >= 8
-            ),
-            mins AS (
-                SELECT doc_id,
-                       CASE WHEN len(h) < 4 THEN [list_min(h)]
-                            ELSE [ list_min(h[i:i+3])
-                                   for i in range(1, len(h) - 2) ]
-                       END AS m
-                FROM hs
-            )
-            SELECT DISTINCT doc_id, CAST(unnest(m) AS BIGINT) AS fp
-            FROM mins
         """,
         "p01_curation_pipeline": """
             WITH c4 AS (
@@ -4540,14 +4819,6 @@ def oracle_sql() -> dict[str, str]:
             FROM toks GROUP BY 1, 2
             HAVING sum(CASE WHEN CAST(('0x' || substr(md5(':' || t), 9, 1))
                             AS BIGINT) < 8 THEN 1.0 ELSE -1.0 END) != 0
-        """,
-        "t18_weighted_sample": """
-            SELECT doc_id, source, CAST(doc_id % 10 AS DOUBLE) AS wt
-            FROM documents
-            WHERE CAST(('0x' || substr(md5('wsample:' || text), 1, 8)) AS BIGINT)
-                      % 1000000
-                  < least(greatest(CAST(doc_id % 10 AS DOUBLE) * 0.08, 0.0), 1.0)
-                      * 1000000
         """,
         "t20_epoch_shuffle": """
             SELECT doc_id, source,

@@ -56,7 +56,11 @@ HEADLINE = [
     "t09_pack_sequences",
     "t12_c4_filters",
     "t13_mix_rebalance",
-    "t14_winnow_fingerprints",
+    # t14 left the contract in the round-13 swap; same plan, same
+    # trend, now timed as the bench extra b_winnow_fingerprints
+    # (trend readers: b_winnow_fingerprints in r13+ ==
+    # t14_winnow_fingerprints in r6-r12)
+    "b_winnow_fingerprints",
     "m03_media_dedup",
     "p01_curation_pipeline",
     "e01_windowed_counts",

@@ -42,8 +42,10 @@ def test_projection_reads_only_needed_columns(spark):
 
 
 def test_winnow_is_shuffle_free(spark):
-    """t14 is a pure map + explode: zero exchanges at any scale."""
-    df = em.queries()["t14_winnow_fingerprints"](spark, SF)
+    """Winnowing is a pure map + explode: zero exchanges at any scale
+    (t14 left the contract in the round-13 swap; the entry function
+    stays as the bench extra b_winnow_fingerprints)."""
+    df = em.t14_winnow_fingerprints(spark, SF)
     assert plan_summary(df).n_exchanges == 0
 
 
@@ -511,8 +513,9 @@ _ALLOWED_PYTHON = {
     "t04_fingerprint": "Arrow rolling-hash UDF (order-sensitive)",
     "t09_pack_sequences": "greedy packing via applyInPandas",
     "t25_dsir_weights": "Arrow word-n-gram UDF (shared with d07/d15)",
-    "t14_winnow_fingerprints": "Arrow winnowing fingerprint UDF",
     "t23_char_entropy": "Arrow codepoint-entropy UDF",
+    "d16_dedup_report": "Arrow shingling UDF via the shared exact-Jaccard"
+    " pair relation (d02's path; the report itself adds no Python)",
 }
 
 
@@ -608,8 +611,9 @@ def test_cap_per_key_salted_two_phase_plan(spark):
 def test_weighted_sample_contract_is_pure_filter(spark):
     """t18 (explicit scale): the keep decision is a content-addressed
     md5 filter that pipelines into the scan — zero exchanges, zero
-    Python, no derivation aggregate in the plan."""
-    df = em.queries()["t18_weighted_sample"](spark, SF)
+    Python, no derivation aggregate in the plan.  (t18 left the
+    contract in the round-13 swap; the entry function stays.)"""
+    df = em.t18_weighted_sample(spark, SF)
     s = plan_summary(df)
     assert s.n_exchanges == 0, s.text
     assert "EvalPython" not in s.text
