@@ -97,7 +97,24 @@ def main() -> None:
     failures: dict = {}
     from dfsql_spark.operators.dedup import LAST_NGRAM_STRATEGY
 
-    names = list(HEADLINE) + list(extras)
+    # contract entries not in bench.py's HEADLINE that still deserve a
+    # 10x row: the round-12 promotions as a set (verdict r12 ask #4 —
+    # b_crawl_frontend proxies n01 only partially) and the round-13
+    # promotions (d16 composes dedup_report over the exact-Jaccard
+    # pair graph, a different upstream than the round-12 library smoke
+    # timed)
+    contract_adds = [
+        "n01_html_to_text",
+        "c01_code_filters",
+        "t26_tfidf_top_terms",
+        "x06_column_profile",
+        "s07_ann_recall",
+        "d16_dedup_report",
+        "t27_grouped_split",
+        "w02_url_host",
+        "x07_group_keep_report",
+    ]
+    names = list(HEADLINE) + contract_adds + list(extras)
     if args.only:
         keys = [k.strip() for k in args.only.split(",") if k.strip()]
         names = [n for n in names if any(k in n for k in keys)]
