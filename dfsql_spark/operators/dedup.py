@@ -1082,7 +1082,10 @@ def connected_components(
     dedup resolves *clusters* first.  This is min-label propagation
     (HashToMin family): each round every node takes the smallest label
     among itself and its neighbors; rounds needed = graph diameter
-    (near-dup clusters are small, so a handful).
+    (near-dup clusters are small, so a handful).  If the graph's
+    diameter exceeds ``max_iter`` the operator RAISES rather than
+    return partially-propagated labels (silent under-dedup); raise
+    ``max_iter`` for pathological chain-shaped graphs.
 
     Iterative-join mechanics at scale: each round is ONE shuffle
     (join + groupBy on node); every round the labels are re-materialized
@@ -1163,6 +1166,17 @@ def connected_components(
         labels = cand.select("node", "label")
         if changed == 0:
             break
+    else:
+        # Min-label propagation converges in diameter rounds; a graph
+        # whose diameter exceeds max_iter would otherwise return
+        # PARTIALLY-propagated labels — silent under-dedup, the worst
+        # failure mode for a dedup backbone.  Flag, don't guess.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds ({changed} labels still changing) — the"
+            " pair graph has a component with diameter >"
+            f" {max_iter}; raise max_iter"
+        )
     return labels.select(F.col("node").alias("id"), F.col("label").alias("component"))
 
 

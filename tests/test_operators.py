@@ -442,6 +442,86 @@ def test_connected_components_chain_semantics(spark):
     assert survivors == [1, 10, 20]  # one per cluster + untouched row
 
 
+def test_connected_components_fuzz_vs_union_find(spark):
+    """Components against an INDEPENDENT plain-Python union-find on
+    random graphs (chains, stars, cliques, isolated pairs, self-loops
+    all arise from uniform edge sampling over a small node universe).
+    The Spark side is min-label propagation — a different algorithm
+    family — so agreement is meaningful; labels are canonicalized to
+    min-id on both sides (the operator's documented contract)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dfsql_spark.operators.dedup import connected_components
+
+    edges = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=14),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(edges)
+    def inner(pairs):
+        # independent reference: union-find with path compression
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for a, b in pairs:
+            union(a, b)
+        # canonicalize to min id per component (the operator contract)
+        groups: dict = {}
+        for n in parent:
+            groups.setdefault(find(n), []).append(n)
+        want = {n: min(ms) for ms in groups.values() for n in ms}
+
+        df = spark.createDataFrame(pairs, schema="id_a bigint, id_b bigint")
+        got = {
+            r.id: r.component
+            for r in connected_components(df, max_iter=60).collect()
+        }
+        assert got == want, (sorted(pairs), got, want)
+
+    inner()
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A component whose diameter exceeds max_iter must RAISE, never
+    return partially-propagated labels (silent under-dedup); the same
+    graph resolves fine with a sufficient max_iter."""
+    from dfsql_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], schema="id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3).collect()
+    comp = {
+        r.id: r.component
+        for r in connected_components(chain, max_iter=30).collect()
+    }
+    assert set(comp.values()) == {0} and len(comp) == 13
+
+
 def test_deterministic_split_content_addressed(spark):
     """Same text → same split regardless of id (the leakage defense);
     bad weights rejected; all rows assigned a known split name."""
