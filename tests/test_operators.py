@@ -1014,6 +1014,136 @@ def test_train_bpe_hand_checked_and_reference(spark):
         train_bpe(df, num_merges=0)
 
 
+def test_train_bpe_fuzz_vs_reference(spark):
+    """train_bpe against the independent Counter-based trainer on
+    RANDOM small-alphabet corpora (hypothesis): tiny alphabets force
+    dense pair collisions, ties, hapax tails, and repeated-symbol
+    words (aaa -> overlapping pairs) that a fixed corpus can't cover.
+    One histogram aggregate per example; merge loops run driver-side
+    in both implementations."""
+    from collections import Counter
+
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dfsql_spark.operators.text import train_bpe
+
+    word = st.text(alphabet="ab", min_size=1, max_size=5)
+    corpus = st.lists(
+        st.lists(word, min_size=0, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+
+    def reference(rows, num_merges):
+        hist = Counter()
+        for t in rows:
+            for w in t.split():
+                hist[w] += 1
+        vocab = {tuple(w): c for w, c in hist.items()}
+        want = []
+        for _ in range(num_merges):
+            pc = Counter()
+            for syms, c in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += c
+            if not pc:
+                break
+            best = max(pc.items(), key=lambda kv: (kv[1], kv[0]))
+            if best[1] < 2:
+                break
+            a, b = best[0]
+            nv = Counter()
+            for syms, c in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (a, b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nv[tuple(out)] += c
+            vocab = dict(nv)
+            want.append((a, b))
+        return want
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(corpus)
+    def inner(rows):
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(rows)), "text": rows})
+        )
+        assert train_bpe(df, num_merges=5) == reference(rows, 5)
+
+    inner()
+
+
+def test_pack_sequences_fuzz_vs_reference(spark):
+    """Unsalted greedy packing against an independent plain-Python
+    greedy on RANDOM per-doc token counts (hypothesis): zero-token
+    docs, exact-budget fills, over-budget docs (clamped to budget),
+    and multi-shard interleavings all arise from the sampler.  The
+    Spark side runs the real applyInPandas path."""
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dfsql_spark.operators.text import pack_sequences
+
+    BUDGET = 5
+    docs = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),   # token count (8 > budget)
+            st.sampled_from(["s0", "s1"]),           # shard
+        ),
+        min_size=1,
+        max_size=14,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(docs)
+    def inner(rows):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(len(rows)),
+                "text": ["w " * n for n, _ in rows],
+                "source": [s for _, s in rows],
+            }
+        )
+        got = {
+            (r.source, r.doc_id): (r.seq_id, r.doc_tokens)
+            for r in pack_sequences(
+                spark.createDataFrame(pdf), budget=BUDGET
+            ).collect()
+        }
+        # independent greedy per shard in doc_id order
+        want = {}
+        for shard in ("s0", "s1"):
+            seq, cum = 0, 0
+            for i, (n, s) in enumerate(rows):
+                if s != shard:
+                    continue
+                t = min(n, BUDGET)
+                if cum + t > BUDGET:
+                    seq += 1
+                    cum = 0
+                want[(shard, i)] = (seq, t)
+                cum += t
+        assert got == want, (rows, got, want)
+
+    inner()
+
+
 def test_bpe_encode_roundtrip_and_compression(docs, spark):
     """bpe_encode invariants on the corpus: with no merges, pieces are
     exactly the characters of the whitespace tokens; with trained
