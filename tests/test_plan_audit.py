@@ -220,6 +220,31 @@ def test_round10_contract_entry_plan_shapes(spark):
     assert "BatchEvalPython" not in t25.text  # Arrow n-gram UDF only
 
 
+def test_round13_contract_entry_plan_shapes(spark):
+    """Shape pins for the round-13 contract promotions, at the ENTRY
+    level (the operator-level pins live in test_operators): t27
+    (grouped split) and w02 (url host) are zero-exchange codegen maps
+    that pipeline into the scan; x07 (group keep report) pays exactly
+    one map-side-combined aggregation exchange with the Wilson algebra
+    on the #groups-sized table; d16 (dedup report) adds no Python of
+    its own beyond the shared exact-Jaccard pair relation's Arrow
+    shingling (fleet Python audit covers the allowlist)."""
+    qs = em.queries()
+
+    for name in ("t27_grouped_split", "w02_url_host"):
+        s = plan_summary(qs[name](spark, SF))
+        assert s.n_exchanges == 0, (name, s.text)
+        assert "EvalPython" not in s.text, (name, s.text)
+
+    x07 = plan_summary(qs["x07_group_keep_report"](spark, SF))
+    assert x07.n_exchanges == 1, x07.text
+    assert "EvalPython" not in x07.text
+    # the one shuffle carries the three counts, never document text
+    for line in x07.text.splitlines():
+        if "hashpartitioning" in line:
+            assert "text" not in line, line
+
+
 def test_lsh_and_ivf_topk_never_shuffle_embeddings(spark):
     """The round-10 Arrow scoring must keep the documented shuffle
     contract: cosine is computed right after the (broadcast) candidate
