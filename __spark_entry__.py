@@ -1564,6 +1564,7 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b_tfidf_terms": bench_tfidf_terms,
         "b_lm_score": bench_lm_score,
         "b_winnow_fingerprints": bench_winnow_fingerprints,
+        "b_distribution_drift": bench_distribution_drift,
         "b_column_profile": bench_column_profile,
         "b_source_overlap": bench_source_overlap,
     }
@@ -2317,6 +2318,28 @@ def t18_weighted_sample(spark, sf):
     )
     return weighted_sample(docs, "wt", scale=0.08).select(
         "doc_id", "source", "wt"
+    )
+
+
+def bench_distribution_drift(spark, sf):
+    """BENCH-ONLY (round-13 library addition): PSI distribution drift
+    (operators/versioning.py:distribution_drift) between the corpus
+    and its x04-style deterministic mutation — numeric n_chars bins +
+    categorical source/lang pooling.  Times the full two-side
+    histogram construction: one broadcast edges agg, two TakeOrdered
+    head jobs, one generate -> map-side-combined count per side."""
+    from dfsql_spark.operators.versioning import distribution_drift
+
+    docs = _t(spark, sf, "documents")
+    new = docs.filter(F.col("doc_id") % 97 != 0).withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") % 3 == 0, F.col("n_chars") * 2).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    return distribution_drift(
+        docs, new, numeric_cols=["n_chars"],
+        categorical_cols=["source", "lang"],
     )
 
 

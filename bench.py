@@ -112,6 +112,9 @@ HEADLINE = [
     # round-12: the MinHash-LSH operator gets a trend without d03's
     # exact-ground-truth grading device (the b_d08 pattern)
     "b_minhash_op",
+    # round-13: PSI distribution drift between snapshots (two-side
+    # histogram construction over the corpus)
+    "b_distribution_drift",
 ]
 
 

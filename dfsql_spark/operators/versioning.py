@@ -203,3 +203,202 @@ def schema_drift_report(
         "mean_new",
         (F.col("mean_new") - F.col("mean_old")).alias("mean_delta"),
     )
+
+
+def distribution_drift(
+    old: DataFrame,
+    new: DataFrame,
+    numeric_cols: "list[str] | None" = None,
+    categorical_cols: "list[str] | None" = None,
+    bins: int = 10,
+    top_k: int = 20,
+    epsilon: float = 1e-6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Value-DISTRIBUTION drift between two snapshots: the Population
+    Stability Index (PSI, the standard model/data-monitoring metric)
+    per column — the missing third leg next to :func:`snapshot_diff`
+    (row churn) and :func:`schema_drift_report` (schema/moment drift):
+    a crawl refresh that keeps every row key and every column mean can
+    still shift the SHAPE of a length, score, or source distribution
+    enough to move a trained model.
+
+    Semantics (deterministic, engine-portable — a DuckDB oracle
+    reproduces it): bucket boundaries come from the OLD snapshot (the
+    reference), so the metric answers "how far has NEW moved from
+    where OLD was":
+
+    * numeric columns — ``bins`` equal-width buckets between old
+      min/max; NEW values outside the old range clamp to the edge
+      buckets (the standard PSI convention); a constant or all-NULL
+      old column puts every non-NULL value in bucket 0.
+    * categorical (string) columns — the ``top_k`` most frequent old
+      values (count desc, value asc tie-break), everything else
+      pooled to ``__other__``.
+    * NULL is its own ``__null__`` bucket on both kinds — a null-rate
+      shift IS distribution drift.
+
+    Per column ``PSI = Σ_b (q_b − p_b) · ln(q_b / p_b)`` over buckets,
+    with ``p`` (old fraction) and ``q`` (new fraction) floored at
+    ``epsilon`` so buckets empty on one side contribute a large-but-
+    finite term (the standard smoothing).  Rule of thumb: < 0.1
+    stable, 0.1–0.25 moderate shift, > 0.25 investigate.  PSI is
+    rounded to ``round_to`` dp (cross-engine float contract).
+
+    Column selection defaults to every column shared by both frames:
+    numeric dtypes → numeric, string → categorical (others skipped —
+    PSI over complex types would be a guess).
+
+    Scale shape: one single-row min/max aggregate over old (numeric
+    edges, broadcast back — never collected), one TakeOrdered top-k
+    job per categorical column (vocabulary-sized aggregate, parameter-
+    bounded result — the vocab-head pattern), then ONE scan per side
+    building every column's bucket label in a single generate →
+    map-side-combined (column, bucket) count whose shuffle is
+    (#cols × #buckets × partitions) partial rows, never corpus-sized.
+    Everything after is algebra on the (#cols × #buckets) table.
+
+    Output: ``(column, kind, psi, n_buckets, null_frac_old,
+    null_frac_new)``, one row per profiled column.
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    if not 0.0 < epsilon < 1.0:
+        raise ValueError(f"epsilon must be in (0, 1), got {epsilon}")
+    old_fields = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    new_fields = {f.name for f in new.schema.fields}
+    shared = [c for c in old_fields if c in new_fields]
+    _NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double")
+    if numeric_cols is None and categorical_cols is None:
+        numeric_cols = [
+            c for c in shared
+            if old_fields[c] in _NUMERIC or old_fields[c].startswith("decimal")
+        ]
+        categorical_cols = [c for c in shared if old_fields[c] == "string"]
+    numeric_cols = list(numeric_cols or [])
+    categorical_cols = list(categorical_cols or [])
+    missing = [
+        c for c in numeric_cols + categorical_cols
+        if c not in old_fields or c not in new_fields
+    ]
+    if missing:
+        raise ValueError(f"columns not in both snapshots: {missing}")
+    if not numeric_cols and not categorical_cols:
+        raise ValueError("no profiled columns (nothing shared or selected)")
+
+    # numeric reference edges: ONE single-row aggregate over old,
+    # broadcast back into both bucketing scans (never collected)
+    edge_aggs = []
+    for c in numeric_cols:
+        num = F.col(c).cast("double")
+        edge_aggs += [
+            F.min(num).alias(f"_lo_{c}"),
+            F.max(num).alias(f"_hi_{c}"),
+        ]
+    edges = old.agg(*edge_aggs) if edge_aggs else None
+
+    # categorical reference heads: one TakeOrdered top-k per column
+    # (vocabulary-sized aggregate, parameter-bounded result)
+    heads: "dict[str, list[str]]" = {}
+    for c in categorical_cols:
+        heads[c] = [
+            r["v"]
+            for r in old.filter(F.col(c).isNotNull())
+            .groupBy(F.col(c).alias("v"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("v").asc())
+            .limit(top_k)
+            .collect()
+        ]
+
+    def bucketed_counts(df: DataFrame, side: str) -> DataFrame:
+        entries = []
+        for c in numeric_cols:
+            num = F.col(c).cast("double")
+            lo, hi = F.col(f"_lo_{c}"), F.col(f"_hi_{c}")
+            width = (hi - lo) / F.lit(float(bins))
+            idx = F.least(
+                F.greatest(
+                    F.floor((num - lo) / width).cast("int"), F.lit(0)
+                ),
+                F.lit(bins - 1),
+            )
+            label = F.when(F.col(c).isNull(), F.lit("__null__")).otherwise(
+                F.when(
+                    lo.isNull() | (width <= 0), F.lit("b0")
+                ).otherwise(F.concat(F.lit("b"), idx.cast("string")))
+            )
+            entries.append(
+                F.struct(F.lit(c).alias("column"), label.alias("bucket"))
+            )
+        for c in categorical_cols:
+            label = F.when(F.col(c).isNull(), F.lit("__null__")).otherwise(
+                F.when(
+                    F.col(c).isin(heads[c]) if heads[c] else F.lit(False),
+                    F.col(c),
+                ).otherwise(F.lit("__other__"))
+            )
+            entries.append(
+                F.struct(F.lit(c).alias("column"), label.alias("bucket"))
+            )
+        base = df.crossJoin(F.broadcast(edges)) if edges is not None else df
+        return (
+            base.select(F.explode(F.array(*entries)).alias("e"))
+            .groupBy(F.col("e.column").alias("column"),
+                     F.col("e.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias(f"n_{side}"))
+        )
+
+    h = bucketed_counts(old, "old").join(
+        bucketed_counts(new, "new"), ["column", "bucket"], "full_outer"
+    ).select(
+        "column",
+        "bucket",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    totals = h.groupBy("column").agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    )
+    ht = h.join(totals, "column")
+    p = F.greatest(F.col("n_old") / F.col("t_old"), F.lit(epsilon))
+    q = F.greatest(F.col("n_new") / F.col("t_new"), F.lit(epsilon))
+    term = (q - p) * F.log(q / p)
+    kind_map = {c: "numeric" for c in numeric_cols}
+    kind_map.update({c: "categorical" for c in categorical_cols})
+    kind = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in kind_map.items() for x in kv]
+        ),
+        F.col("column"),
+    )
+    return (
+        ht.groupBy("column")
+        .agg(
+            F.round(
+                F.sum(F.when((F.col("t_old") > 0) & (F.col("t_new") > 0), term)),
+                round_to,
+            ).alias("psi"),
+            F.count(F.lit(1)).cast("int").alias("n_buckets"),
+            (
+                F.sum(F.when(F.col("bucket") == "__null__", F.col("n_old")))
+                .cast("double")
+                / F.max("t_old")
+            ).alias("_nfo"),
+            (
+                F.sum(F.when(F.col("bucket") == "__null__", F.col("n_new")))
+                .cast("double")
+                / F.max("t_new")
+            ).alias("_nfn"),
+        )
+        .select(
+            "column",
+            kind.alias("kind"),
+            "psi",
+            "n_buckets",
+            F.coalesce("_nfo", F.lit(0.0)).alias("null_frac_old"),
+            F.coalesce("_nfn", F.lit(0.0)).alias("null_frac_new"),
+        )
+    )

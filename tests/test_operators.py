@@ -7313,6 +7313,261 @@ def test_schema_drift_report_identical_snapshots_are_quiet(spark):
         assert r.mean_delta == 0.0 or r.mean_delta is None
 
 
+def _psi_reference(old_vals, new_vals, bins=10, top_k=20, eps=1e-6):
+    """Independent plain-Python PSI: numeric equal-width bins from the
+    old values (clamped), or categorical top-k pooling, NULL its own
+    bucket — the distribution_drift contract re-spelled from scratch."""
+    import math
+    from collections import Counter
+
+    def _is_null(v):
+        return v is None or (isinstance(v, float) and v != v)
+
+    numeric = any(
+        isinstance(v, (int, float)) and not _is_null(v)
+        for v in old_vals + new_vals
+    )
+
+    def bucket_of(v, lo, width):
+        if v is None or (isinstance(v, float) and v != v):  # None/NaN
+            return "__null__"
+        if lo is None or not width or width <= 0:
+            return "b0"
+        return f"b{min(max(math.floor((float(v) - lo) / width), 0), bins - 1)}"
+
+    if numeric:
+        nn = [float(v) for v in old_vals if not _is_null(v)]
+        lo = min(nn) if nn else None
+        width = ((max(nn) - lo) / bins) if nn else None
+        ob = Counter(bucket_of(v, lo, width) for v in old_vals)
+        nb = Counter(bucket_of(v, lo, width) for v in new_vals)
+    else:
+        heads = [
+            v for v, _ in sorted(
+                Counter(v for v in old_vals if not _is_null(v)).items(),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[:top_k]
+        ]
+
+        def cat(v):
+            if _is_null(v):
+                return "__null__"
+            return v if v in heads else "__other__"
+
+        ob = Counter(cat(v) for v in old_vals)
+        nb = Counter(cat(v) for v in new_vals)
+    to, tn = sum(ob.values()), sum(nb.values())
+    psi = 0.0
+    for b in set(ob) | set(nb):
+        p = max(ob.get(b, 0) / to, eps)
+        q = max(nb.get(b, 0) / tn, eps)
+        psi += (q - p) * math.log(q / p)
+    return round(psi, 6)
+
+
+def test_distribution_drift_hand_pinned(spark):
+    """PSI against the independent reference on an engineered shift:
+    a numeric column whose mass moves up-range, a categorical column
+    with a vanishing head value and a new NULL stripe; identical
+    snapshots give exactly 0; validation rejects bad params."""
+    import pandas as pd
+
+    from dfsql_spark.operators.versioning import distribution_drift
+
+    old = pd.DataFrame(
+        {
+            "score": [1.0, 1.0, 2.0, 2.0, 3.0, 9.0, None, 5.0],
+            "lang": ["en", "en", "en", "de", "de", "fr", "fr", None],
+        }
+    )
+    new = pd.DataFrame(
+        {
+            "score": [8.0, 8.0, 9.0, 9.0, 9.0, 1.0, 12.0, -3.0],  # clamps
+            "lang": ["en", "de", "de", "de", None, None, None, "it"],
+        }
+    )
+    so, sn = spark.createDataFrame(old), spark.createDataFrame(new)
+    out = {r.column: r for r in distribution_drift(so, sn, bins=4, top_k=2).collect()}
+    assert out["score"].kind == "numeric"
+    assert out["lang"].kind == "categorical"
+    assert out["score"].psi == _psi_reference(
+        list(old["score"]), list(new["score"]), bins=4
+    )
+    assert out["lang"].psi == _psi_reference(
+        [v if isinstance(v, str) else None for v in old["lang"]],
+        [v if isinstance(v, str) else None for v in new["lang"]],
+        top_k=2,
+    )
+    assert out["score"].null_frac_old == 1 / 8 and out["score"].null_frac_new == 0.0
+    assert out["lang"].null_frac_new == 3 / 8
+    # self-drift is exactly zero (p == q in every bucket)
+    for r in distribution_drift(so, so, bins=4, top_k=2).collect():
+        assert r.psi == 0.0, r
+    with pytest.raises(ValueError, match="bins"):
+        distribution_drift(so, sn, bins=1)
+    with pytest.raises(ValueError, match="columns not in both"):
+        distribution_drift(so, sn, numeric_cols=["nope"])
+
+
+def test_distribution_drift_matches_duckdb(spark, duck):
+    """Exact DuckDB mirror of the full construction over documents:
+    old = the corpus, new = the x04-style deterministic mutation
+    (drop doc_id % 97, text-length shifts via the n_chars column,
+    source re-mix) — equal-width n_chars bins from OLD min/max,
+    top-3 source pooling, eps-floored PSI, round 6."""
+    import pyspark.sql.functions as F
+
+    from .conftest import SF_DIR, assert_matches_oracle
+    from dfsql_spark.operators.versioning import distribution_drift
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    new = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .withColumn(
+            "n_chars",
+            F.when(F.col("doc_id") % 3 == 0, F.col("n_chars") * 2).otherwise(
+                F.col("n_chars")
+            ),
+        )
+        .withColumn(
+            "source",
+            F.when(F.col("doc_id") % 5 == 0, F.lit("srcX")).otherwise(
+                F.col("source")
+            ),
+        )
+    )
+    got = distribution_drift(
+        docs, new, numeric_cols=["n_chars"], categorical_cols=["source"],
+        bins=10, top_k=3,
+    )
+    mirror = """
+        WITH newsnap AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN n_chars * 2
+                        ELSE n_chars END AS n_chars,
+                   CASE WHEN doc_id % 5 = 0 THEN 'srcX' ELSE source END
+                       AS source
+            FROM documents WHERE doc_id % 97 <> 0
+        ), edges AS (
+            SELECT min(n_chars)::DOUBLE AS lo,
+                   (max(n_chars)::DOUBLE - min(n_chars)::DOUBLE) / 10.0
+                       AS width
+            FROM documents
+        ), heads AS (
+            SELECT source AS v FROM documents WHERE source IS NOT NULL
+            GROUP BY source ORDER BY count(*) DESC, source ASC LIMIT 3
+        ), bo AS (
+            SELECT 'n_chars' AS "column",
+                   CASE WHEN n_chars IS NULL THEN '__null__'
+                        ELSE 'b' || CAST(least(greatest(CAST(floor(
+                            (n_chars::DOUBLE - lo) / width) AS INT), 0), 9)
+                            AS VARCHAR) END AS bucket,
+                   count(*) AS n FROM documents, edges GROUP BY 1, 2
+            UNION ALL
+            SELECT 'source',
+                   CASE WHEN source IS NULL THEN '__null__'
+                        WHEN source IN (SELECT v FROM heads) THEN source
+                        ELSE '__other__' END,
+                   count(*) FROM documents GROUP BY 1, 2
+        ), bn AS (
+            SELECT 'n_chars' AS "column",
+                   CASE WHEN n_chars IS NULL THEN '__null__'
+                        ELSE 'b' || CAST(least(greatest(CAST(floor(
+                            (n_chars::DOUBLE - lo) / width) AS INT), 0), 9)
+                            AS VARCHAR) END AS bucket,
+                   count(*) AS n FROM newsnap, edges GROUP BY 1, 2
+            UNION ALL
+            SELECT 'source',
+                   CASE WHEN source IS NULL THEN '__null__'
+                        WHEN source IN (SELECT v FROM heads) THEN source
+                        ELSE '__other__' END,
+                   count(*) FROM newsnap GROUP BY 1, 2
+        ), h AS (
+            SELECT coalesce(bo."column", bn."column") AS "column",
+                   coalesce(bo.bucket, bn.bucket) AS bucket,
+                   coalesce(bo.n, 0) AS n_old, coalesce(bn.n, 0) AS n_new
+            FROM bo FULL OUTER JOIN bn
+              ON bo."column" = bn."column" AND bo.bucket = bn.bucket
+        ), t AS (
+            SELECT "column", sum(n_old) AS t_old, sum(n_new) AS t_new
+            FROM h GROUP BY "column"
+        )
+        SELECT h."column",
+               CASE h."column" WHEN 'n_chars' THEN 'numeric'
+                    ELSE 'categorical' END AS kind,
+               round(sum((greatest(n_new / t_new::DOUBLE, 1e-6)
+                          - greatest(n_old / t_old::DOUBLE, 1e-6))
+                         * ln(greatest(n_new / t_new::DOUBLE, 1e-6)
+                              / greatest(n_old / t_old::DOUBLE, 1e-6))),
+                     6) AS psi,
+               CAST(count(*) AS INT) AS n_buckets,
+               coalesce(sum(CASE WHEN bucket = '__null__' THEN n_old END)
+                        / max(t_old)::DOUBLE, 0.0) AS null_frac_old,
+               coalesce(sum(CASE WHEN bucket = '__null__' THEN n_new END)
+                        / max(t_new)::DOUBLE, 0.0) AS null_frac_new
+        FROM h JOIN t ON h."column" = t."column"
+        GROUP BY h."column"
+    """
+    assert_matches_oracle(got, duck.sql(mirror).df(), "distribution_drift")
+
+
+def test_distribution_drift_fuzz_vs_reference(spark):
+    """Random paired numeric samples (hypothesis) against the
+    independent PSI: edge-bucket clamping, constant old columns,
+    all-NULL stripes, one-sided empty buckets (the epsilon floor)."""
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dfsql_spark.operators.versioning import distribution_drift
+
+    vals = st.lists(
+        st.one_of(st.none(), st.integers(min_value=-6, max_value=6)),
+        min_size=1,
+        max_size=20,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(vals, vals)
+    def inner(old_vals, new_vals):
+        so = spark.createDataFrame(
+            pd.DataFrame({"x": pd.array(old_vals, dtype="Int64")})
+        )
+        sn = spark.createDataFrame(
+            pd.DataFrame({"x": pd.array(new_vals, dtype="Int64")})
+        )
+        (r,) = distribution_drift(so, sn, numeric_cols=["x"], bins=5).collect()
+        want = _psi_reference(old_vals, new_vals, bins=5)
+        assert r.psi == pytest.approx(want, abs=1e-9), (old_vals, new_vals)
+
+    inner()
+
+
+def test_distribution_drift_plan_no_corpus_shuffle(spark):
+    """The corpus reaches only the generate -> map-side-combined
+    (column, bucket) count; no Python anywhere; the numeric edges ride
+    a broadcast, never a collect."""
+    from .conftest import SF_DIR
+    from dfsql_spark.operators.versioning import distribution_drift
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        distribution_drift(
+            docs, docs, numeric_cols=["n_chars"], categorical_cols=["source"]
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan, plan
+    assert "partial_count" in plan, plan  # map-side combine before the shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
 def test_column_profile_fuzz_vs_pandas_reference(spark):
     """Exact-NDV profiles of random mixed-type frames against an
     independent pandas computation (nulls, NDV, min/max/mean)."""
