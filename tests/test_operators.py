@@ -442,6 +442,63 @@ def test_connected_components_chain_semantics(spark):
     assert survivors == [1, 10, 20]  # one per cluster + untouched row
 
 
+def test_operators_empty_corpus_safe(spark):
+    """Empty-input safety net: at 100 TB empty shards and all-filtered
+    partitions are routine, so every major operator must handle a
+    0-row corpus without crashing and return a sane shape — 0 rows for
+    per-doc/per-pair ops, a defined degenerate row for the one-row
+    report cards.  (Round-13 sweep: every operator already passed;
+    this pins it.)"""
+    import pyspark.sql.functions as F
+
+    from .conftest import SF_DIR
+    from dfsql_spark.operators import checks as C
+    from dfsql_spark.operators import dedup as D
+    from dfsql_spark.operators import similarity as S
+    from dfsql_spark.operators import text as T
+    from dfsql_spark.operators import versioning as V
+
+    full = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    empty = full.filter(F.lit(False))
+    emb_full = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    emb_empty = emb_full.filter(F.lit(False))
+    empty_pairs = empty.select(
+        F.col("doc_id").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+
+    zero_rows = {
+        "text_stats": T.text_stats(empty),
+        "vocab_topk": T.vocab_topk(empty),
+        "grouped_split": T.grouped_split(empty, "source"),
+        "pack_sequences": T.pack_sequences(empty),
+        "cap_per_key": T.cap_per_key(empty, "source", cap=5),
+        "vocab_coverage": T.vocab_coverage(empty),
+        "ngram_jaccard_pairs": D.ngram_jaccard_pairs(empty, k=5, threshold=0.6),
+        "minhash_lsh_pairs": D.minhash_lsh_pairs(empty),
+        "connected_components": D.connected_components(empty_pairs),
+        "group_keep_report": C.group_keep_report(
+            empty.withColumn("keep", F.lit(True)), "keep", "lang"
+        ),
+        "cosine_topk": S.cosine_topk(
+            emb_empty,
+            emb_full.limit(2).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ),
+        ),
+    }
+    for name, df in zero_rows.items():
+        assert df.count() == 0, name
+
+    assert T.train_bpe(empty, num_merges=3) == []
+    (card,) = D.dedup_report(empty, empty_pairs).collect()
+    assert card.n_docs == 0 and card.n_pairs == 0 and card.n_removed == 0
+    # drift against an empty side yields defined rows (NULL psi when a
+    # side has no mass), never a crash
+    for a, b in ((full, empty), (empty, full)):
+        rows = V.distribution_drift(a, b, numeric_cols=["n_chars"]).collect()
+        assert len(rows) == 1
+
+
 def test_connected_components_fuzz_vs_union_find(spark):
     """Components against an INDEPENDENT plain-Python union-find on
     random graphs (chains, stars, cliques, isolated pairs, self-loops
