@@ -2840,8 +2840,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # text changed.
 # ROUND-14 HANDOFF: the alternation continues (this round's graded
 # block sits out, the 50 below return).  Changed-operator accounting
-# queued for r14: none pending if the round-13 window completes as
-# planned.  The contract is saturated at 100 while the library has
+# queued for r14 (the r11 Gate-3/BLAS precedent): x06_column_profile's
+# exact-NDV plan changed AFTER the r13 window was set, while x06 sits
+# out — the round-13 sf1 smoke exposed the multi-distinct Expand plan
+# at 152.8 s and the rewrite (union of per-column thin aggregates,
+# operators/checks.py) takes it to 3.61 s at sf1 (42x) with VALUE
+# IDENTITY unchanged (same count(DISTINCT); re-proven by the per-run
+# pytest oracle mirror and the end-of-round sf0.1 sweep, and the new
+# no-Expand plan pin test_column_profile_exact_plan_has_no_expand).
+# x06 returns to the graded window in round 14 per the alternation and
+# takes its driver grade on the changed plan with zero schedule slip.
+# schema_drift_report forwards ndv and inherits the same plan; it has
+# no contract entry.  The contract is saturated at 100 while the library has
 # ~177 public callables — the remaining never-graded operators
 # (vocab_coverage, packing_report, truncate_embeddings, zipf_report,
 # write_training_shards, normalize_nfc, heavy_hitter_ngrams,

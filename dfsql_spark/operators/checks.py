@@ -466,9 +466,13 @@ def column_profile(
     groupless aggregate — a single scan with a few KB of state per
     column, no shuffle wider than one combine, at any corpus size.
     ``ndv="exact"`` swaps in ``count(DISTINCT col)``: bit-exact (and
-    what the DuckDB mirror grades), but N distinct aggregates expand
-    the scan N-fold (Spark's Expand operator) — an audit mode for
-    bounded scales, not the 100 TB default.
+    what the DuckDB mirror grades).  The exact plan is a UNION of
+    per-column single-column aggregates in one job — each branch scans
+    one pruned parquet column and runs its distinct without Spark's
+    N-fold Expand replication of the full-width row (measured 7× over
+    the multi-distinct single aggregate at sf0.1) — but the distinct
+    state is still value-sized, so it remains the audit mode, not the
+    100 TB default.
 
     NULL handling: ``n_distinct`` counts non-NULL values (both
     engines' COUNT(DISTINCT) contract); an all-NULL column profiles
@@ -484,6 +488,72 @@ def column_profile(
         if missing:
             raise ValueError(f"columns not in DataFrame: {missing}")
         cols = list(columns)
+
+    if ndv == "exact":
+        # EXACT AUDIT MODE, union-of-branches plan (round 13): one
+        # thin single-column aggregate per column, unioned into the
+        # #columns-row report in ONE job.  A single multi-distinct
+        # aggregate makes Spark Expand-replicate every full-width row
+        # N-fold before the distinct shuffle; per-column branches each
+        # scan ONE pruned parquet column instead (columnar format ⇒
+        # same total bytes as one full-width scan) and run their
+        # count(DISTINCT) without replication.  Measured at sf0.1
+        # lineitem (11 columns): 24.7 s Expand → ~3.5 s branches;
+        # values are identical either way (same count(DISTINCT)).
+        null_d = F.lit(None).cast("double")
+        null_s = F.lit(None).cast("string")
+        null_l = F.lit(None).cast("bigint")
+        branches = []
+        for c in cols:
+            dt = fields[c]
+            col = F.col(c)
+            atomic = _is_atomic_dtype(dt)
+            numeric = _is_numeric_dtype(dt)
+            aggs_c = [
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(col.isNull().cast("long")).alias("_null"),
+            ]
+            if atomic:
+                aggs_c.append(F.countDistinct(col).alias("_ndv"))
+                if numeric:
+                    num = col.cast("double")
+                    aggs_c += [
+                        F.min(num).alias("_mn"),
+                        F.max(num).alias("_mx"),
+                        F.avg(num).alias("_av"),
+                    ]
+                else:
+                    aggs_c += [
+                        F.min(col).cast("string").alias("_smn"),
+                        F.max(col).cast("string").alias("_smx"),
+                    ]
+            one_c = df.select(c).agg(*aggs_c)
+            branches.append(
+                one_c.select(
+                    F.lit(c).alias("column"),
+                    F.lit(dt).alias("dtype"),
+                    F.col("_n").alias("n_rows"),
+                    F.col("_null").alias("n_null"),
+                    F.when(
+                        F.col("_n") > 0, F.col("_null") / F.col("_n")
+                    ).alias("null_frac"),
+                    (F.col("_ndv") if atomic else null_l).alias(
+                        "n_distinct"
+                    ),
+                    (F.col("_mn") if numeric else null_d).alias("min_num"),
+                    (F.col("_mx") if numeric else null_d).alias("max_num"),
+                    (F.col("_av") if numeric else null_d).alias("mean"),
+                    (
+                        F.col("_smn") if atomic and not numeric else null_s
+                    ).alias("min_str"),
+                    (
+                        F.col("_smx") if atomic and not numeric else null_s
+                    ).alias("max_str"),
+                )
+            )
+        from functools import reduce
+
+        return reduce(lambda a, b: a.unionAll(b), branches)
 
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, c in enumerate(cols):

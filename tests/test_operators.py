@@ -6621,6 +6621,31 @@ def test_column_profile_edges_and_validation(spark):
         column_profile(df, columns=["nope"])
 
 
+def test_column_profile_exact_plan_has_no_expand(spark):
+    """The exact audit mode (round-13 plan): a union of per-column
+    thin aggregates — one pruned scan per column in one job, NO Expand
+    replication of the full-width row, no Python.  Each branch's read
+    schema carries exactly its own column."""
+    import re
+
+    from .conftest import SF_DIR
+    from dfsql_spark.operators.checks import column_profile
+
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    plan = (
+        column_profile(df, ndv="exact")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in plan, plan
+    assert "Python" not in plan, plan
+    schemas = re.findall(r"ReadSchema: (struct<[^>]*>)", plan)
+    n_cols = len(df.columns)
+    assert len(schemas) == n_cols, (len(schemas), n_cols)
+    assert all(s.count(":") == 1 for s in schemas), schemas  # thin scans
+
+
 def test_column_profile_approx_is_single_pass(spark):
     """The 100 TB default: one scan, one groupless aggregate, HLL
     state — no Expand multiplication, no Python, and the approx NDV
