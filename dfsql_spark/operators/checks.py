@@ -108,6 +108,16 @@ def run_checks(df: DataFrame, checks: "list[Check]") -> DataFrame:
     per check, computed by a single job: the agg produces one wide row
     (2 columns per check), then a codegen'd ``stack`` unpivots it —
     no second scan, no driver-side loop over checks.
+
+    Scale caveat: ``unique()`` compiles to an exact ``count(DISTINCT
+    col)``.  One such check folds into the single aggregate cleanly,
+    but TWO OR MORE unique() checks on DIFFERENT columns make Spark
+    Expand-replicate every input row once per distinct column before
+    the shuffle (the multi-distinct plan :func:`column_profile`'s
+    exact mode deliberately avoids).  For wide uniqueness audits run
+    one ``run_checks`` per unique() column, or use
+    :func:`column_profile` (``n_distinct`` vs ``n_rows``), and keep
+    the combined suite for the fixed-size-state checks.
     """
     if not checks:
         raise ValueError("checks must contain at least one Check")
@@ -561,12 +571,10 @@ def column_profile(
         col = F.col(c)
         aggs.append(F.sum(col.isNull().cast("long")).alias(f"_null_{i}"))
         if _is_atomic_dtype(dt):
+            # exact mode returned early above; this single-aggregate
+            # path is approx-only (fixed-size HLL state per column)
             aggs.append(
-                (
-                    F.countDistinct(col)
-                    if ndv == "exact"
-                    else F.approx_count_distinct(col, rsd)
-                ).alias(f"_ndv_{i}")
+                F.approx_count_distinct(col, rsd).alias(f"_ndv_{i}")
             )
             if _is_numeric_dtype(dt):
                 num = col.cast("double")
