@@ -2858,8 +2858,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # cap_per_key, train_bpe/bpe_encode, threshold_sweep,
 # schema_drift_report, media sniffing) need either more driver slots
 # or further shape-duplicate swaps; candidates with mirrors ready:
-# vocab_coverage (count-histogram walk, DuckDB-exact) and
-# packing_report (waste card over t09's packing, DuckDB-exact).
+# vocab_coverage (count-histogram walk, DuckDB-exact), packing_report
+# (waste card over t09's packing, DuckDB-exact), and the round-13
+# addition distribution_drift (PSI between snapshots — exact DuckDB
+# full-construction mirror + independent-Python fuzz already in
+# tests/test_operators.py; benched as b_distribution_drift).
 _SIT_OUT_THIS_ROUND = (
     "a01_asof_join",
     "a02_range_join",

@@ -7628,6 +7628,35 @@ def test_distribution_drift_fuzz_vs_reference(spark):
 
     inner()
 
+    # categorical: tiny alphabet forces top-k tie-breaks, pooled
+    # __other__ mass, and one-sided categories
+    cats = st.lists(
+        st.one_of(st.none(), st.sampled_from(["a", "b", "c", "d", ""])),
+        min_size=1,
+        max_size=20,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(cats, cats)
+    def inner_cat(old_vals, new_vals):
+        so = spark.createDataFrame(
+            pd.DataFrame({"x": pd.array(old_vals, dtype="string")})
+        )
+        sn = spark.createDataFrame(
+            pd.DataFrame({"x": pd.array(new_vals, dtype="string")})
+        )
+        (r,) = distribution_drift(
+            so, sn, categorical_cols=["x"], top_k=2
+        ).collect()
+        want = _psi_reference(old_vals, new_vals, top_k=2)
+        assert r.psi == pytest.approx(want, abs=1e-9), (old_vals, new_vals)
+
+    inner_cat()
+
 
 def test_distribution_drift_plan_no_corpus_shuffle(spark):
     """The corpus reaches only the generate -> map-side-combined
