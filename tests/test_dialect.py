@@ -138,3 +138,145 @@ class TestPowerProperty:
     @pytest.fixture(autouse=True)
     def _attach_spark(self, spark):
         TestPowerProperty._spark = spark
+
+
+# ---------------------------------------------------------------------------
+# end-to-end generative fuzz: random typed expression ASTs rendered
+# twice — dfsql dialect (through the FULL sql_query public path,
+# dialect rewrite + Arrow + reduce_output included) and ANSI for
+# DuckDB — evaluated over the same frame and compared.  Covers the
+# composition space the unit quirks can't: ^ inside comparisons,
+# string ops under WHERE, CAST chains feeding arithmetic.
+# NULLs are deliberately absent from the data: the engine's non-3VL
+# AND/OR divergence is a documented choice (COVERAGE.md §2.8), not a
+# fuzz target.
+# ---------------------------------------------------------------------------
+
+
+def _render(node, dialect):
+    kind = node[0]
+    if kind == "lit":
+        v = node[1]
+        return f"'{v}'" if isinstance(v, str) else str(v)
+    if kind == "col":
+        return node[1]
+    if kind == "bin":
+        _, op, l, r = node
+        return f"({_render(l, dialect)} {op} {_render(r, dialect)})"
+    if kind == "pow":
+        _, l, r = node
+        if dialect == "dfsql":
+            return f"({_render(l, dialect)} ^ {_render(r, dialect)})"
+        return f"power({_render(l, dialect)}, {_render(r, dialect)})"
+    if kind == "fn":
+        _, name, arg = node
+        return f"{name}({_render(arg, dialect)})"
+    if kind == "concat":
+        _, l, r = node
+        return f"({_render(l, dialect)} || {_render(r, dialect)})"
+    if kind == "cast_float":
+        if dialect == "dfsql":
+            return f"CAST({_render(node[1], dialect)} AS float)"
+        return f"CAST({_render(node[1], dialect)} AS DOUBLE)"
+    if kind == "cmp":
+        _, op, l, r = node
+        return f"({_render(l, dialect)} {op} {_render(r, dialect)})"
+    if kind == "bool":
+        _, op, l, r = node
+        return f"({_render(l, dialect)} {op} {_render(r, dialect)})"
+    if kind == "not":
+        return f"(NOT {_render(node[1], dialect)})"
+    raise AssertionError(node)
+
+
+@st.composite
+def _num_node(draw, depth=0):
+    if depth >= 3 or draw(st.booleans()):
+        return draw(
+            st.sampled_from(
+                [("col", "a"), ("col", "b"), ("lit", 2), ("lit", 3)]
+            )
+        )
+    kind = draw(st.sampled_from(["bin", "bin", "pow", "cast_float"]))
+    if kind == "bin":
+        op = draw(st.sampled_from(["+", "-", "*"]))
+        return ("bin", op, draw(_num_node(depth=depth + 1)),
+                draw(_num_node(depth=depth + 1)))
+    if kind == "pow":
+        # small literal exponent keeps magnitudes sane
+        return ("pow", draw(_num_node(depth=depth + 1)),
+                ("lit", draw(st.integers(min_value=1, max_value=2))))
+    return ("cast_float", draw(_num_node(depth=depth + 1)))
+
+
+@st.composite
+def _str_node(draw, depth=0):
+    if depth >= 2 or draw(st.booleans()):
+        return draw(
+            st.sampled_from([("col", "s"), ("lit", "x"), ("lit", "Yz")])
+        )
+    kind = draw(st.sampled_from(["fn", "concat"]))
+    if kind == "fn":
+        return ("fn", draw(st.sampled_from(["lower", "upper"])),
+                draw(_str_node(depth=depth + 1)))
+    return ("concat", draw(_str_node(depth=depth + 1)),
+            draw(_str_node(depth=depth + 1)))
+
+
+@st.composite
+def _bool_node(draw, depth=0):
+    if depth >= 2 or draw(st.booleans()):
+        op = draw(st.sampled_from(["<", "<=", ">", ">=", "=", "!="]))
+        return ("cmp", op, draw(_num_node(depth=2)), draw(_num_node(depth=2)))
+    kind = draw(st.sampled_from(["bool", "bool", "not"]))
+    if kind == "not":
+        return ("not", draw(_bool_node(depth=depth + 1)))
+    return ("bool", draw(st.sampled_from(["AND", "OR"])),
+            draw(_bool_node(depth=depth + 1)),
+            draw(_bool_node(depth=depth + 1)))
+
+
+class TestEndToEndDialectFuzz:
+    @settings(max_examples=25, deadline=None)
+    @given(_num_node(), _str_node(), _bool_node())
+    def test_select_where_matches_duckdb(self, num, sn, bn):
+        import duckdb
+        import pandas as pd
+
+        from dfsql_spark import sql_query
+
+        pdf = TestEndToEndDialectFuzz._pdf
+        d_sql = (
+            f"SELECT id, {_render(num, 'dfsql')} AS v,"
+            f" {_render(sn, 'dfsql')} AS w FROM t"
+            f" WHERE {_render(bn, 'dfsql')}"
+        )
+        a_sql = (
+            f"SELECT id, {_render(num, 'duck')} AS v,"
+            f" {_render(sn, 'duck')} AS w FROM t"
+            f" WHERE {_render(bn, 'duck')}"
+        )
+        got = sql_query(d_sql, t=pdf, reduce_output=False)
+        con = duckdb.connect()
+        con.register("t", pdf)
+        want = con.sql(a_sql).df()
+        con.close()
+        got = got.sort_values("id").reset_index(drop=True)
+        want = want.sort_values("id").reset_index(drop=True)
+        assert list(got["id"]) == list(want["id"]), (d_sql, a_sql)
+        for gv, wv in zip(got["v"], want["v"]):
+            assert float(gv) == pytest.approx(float(wv), rel=1e-12), d_sql
+        assert list(got["w"].astype(str)) == list(want["w"].astype(str)), d_sql
+
+    @pytest.fixture(autouse=True)
+    def _attach(self, spark):
+        import pandas as pd
+
+        TestEndToEndDialectFuzz._pdf = pd.DataFrame(
+            {
+                "id": range(8),
+                "a": [1, 2, 3, 4, 5, 2, 3, 1],
+                "b": [0.5, 1.25, 2.0, 3.5, 1.0, 2.75, 0.25, 4.0],
+                "s": ["ab", "cD", "x", "", "yz", "Ab", "q", "zz"],
+            }
+        )
