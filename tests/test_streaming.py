@@ -67,6 +67,39 @@ def test_session_window_equals_gaps_islands(spark, batch_events):
     assert sw == gi
 
 
+def test_session_gap_boundary_semantics(spark):
+    """Exact-gap boundaries, where > vs >= semantics diverge and real
+    timestamps never land: an event EXACTLY `gap` after its
+    predecessor continues the session; one microsecond past the gap
+    starts a new one — and session_window and the gaps-and-islands
+    formulation agree on BOTH edges (probed round 13; this pins it)."""
+    import datetime as dt
+
+    from dfsql_spark.streaming.events import session_agg, sessionize_batch
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("u1", "e1", base, 1.0),
+        ("u1", "e2", base + dt.timedelta(minutes=30), 1.0),  # == gap
+        ("u1", "e3", base + dt.timedelta(minutes=60, microseconds=1), 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id string, event_id string, event_time timestamp, value double",
+    )
+    gi = sorted(
+        (r.session_start, r.n_events)
+        for r in sessionize_batch(df, gap_minutes=30).collect()
+    )
+    sw = sorted(
+        (r.session_start, r.n_events)
+        for r in session_agg(df, gap="30 minutes").collect()
+    )
+    want = [("2024-01-01 00:00:00", 2), ("2024-01-01 01:00:00", 1)]
+    assert gi == want, gi
+    assert sw == want, sw
+
+
 def test_stream_dedupe_noop_on_unique_ids(spark, batch_events):
     from dfsql_spark.streaming.events import dedupe_stream, run_to_memory
 
