@@ -100,6 +100,37 @@ def test_session_gap_boundary_semantics(spark):
     assert sw == want, sw
 
 
+def test_interval_join_boundary_inclusivity(spark):
+    """The lookback window is CLOSED on both ends: a view exactly
+    `lookback` before the click joins, a view one microsecond earlier
+    does not, and a view at the click instant joins (<=).  Real-data
+    twins/oracles never land on these edges; this pins the contract
+    the e07 oracle SQL spells with >= / <=."""
+    import datetime as dt
+
+    from dfsql_spark.streaming.events import interval_join_batch
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("c1", "u1", "click", t0, 0.0),
+        ("v_edge", "u1", "view", t0 - dt.timedelta(minutes=10), 1.0),
+        ("v_past", "u1", "view",
+         t0 - dt.timedelta(minutes=10, microseconds=1), 1.0),
+        ("v_now", "u1", "view", t0, 1.0),
+        ("v_future", "u1", "view", t0 + dt.timedelta(microseconds=1), 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id string, user_id string, event_type string,"
+        " event_time timestamp, value double",
+    )
+    got = sorted(
+        r.view_id
+        for r in interval_join_batch(df, lookback="10 minutes").collect()
+    )
+    assert got == ["v_edge", "v_now"], got
+
+
 def test_stream_dedupe_noop_on_unique_ids(spark, batch_events):
     from dfsql_spark.streaming.events import dedupe_stream, run_to_memory
 
