@@ -100,6 +100,33 @@ def test_session_gap_boundary_semantics(spark):
     assert sw == want, sw
 
 
+def test_tumbling_window_edge_assignment(spark):
+    """Window buckets are [start, end): an event exactly on the hour
+    belongs to the window it STARTS, never the one it ends — no event
+    is double-counted or dropped at the edge (the e01 oracle's
+    date_trunc spells the same convention)."""
+    import datetime as dt
+
+    from dfsql_spark.streaming.events import windowed_counts
+
+    h = dt.datetime(2024, 1, 1, 13, 0, 0)
+    rows = [
+        ("e1", "u1", "click", h - dt.timedelta(microseconds=1), 1.0),
+        ("e2", "u1", "click", h, 1.0),                       # exact edge
+        ("e3", "u1", "click", h + dt.timedelta(microseconds=1), 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id string, user_id string, event_type string,"
+        " event_time timestamp, value double",
+    )
+    got = {
+        r.window_start: r.n_events
+        for r in windowed_counts(df, window="1 hour").collect()
+    }
+    assert got == {"2024-01-01 12:00:00": 1, "2024-01-01 13:00:00": 2}, got
+
+
 def test_interval_join_boundary_inclusivity(spark):
     """The lookback window is CLOSED on both ends: a view exactly
     `lookback` before the click joins, a view one microsecond earlier
