@@ -1917,6 +1917,42 @@ def test_run_checks_single_pass_and_results(spark):
         run_checks(li, [])
 
 
+def test_check_boundary_semantics(spark):
+    """Edge values where check semantics could silently flip: in_range
+    is CLOSED on both ends (values exactly lo/hi pass, one ulp outside
+    fails); a NULL counts as out-of-range for in_range/values_in (a
+    missing value is never a valid one); matches_regex is a full-line
+    anchor only when the pattern anchors it."""
+    import pandas as pd
+
+    from dfsql_spark.operators.checks import in_range, run_checks, values_in
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": [0.0, 0.1, 0.05], "y": ["A", "N", "R"]})
+    )
+    rows = {
+        r.check: r.passed
+        for r in run_checks(df, [in_range("x", 0.0, 0.1)]).collect()
+    }
+    assert rows["in_range(x,0.0,0.1)"] is True  # both edges inclusive
+    df_out = spark.createDataFrame(
+        pd.DataFrame({"x": [0.1 + 1e-12], "y": ["A"]})
+    )
+    (r,) = run_checks(df_out, [in_range("x", 0.0, 0.1)]).collect()
+    assert r.passed is False  # one ulp past hi fails
+    df_null = spark.createDataFrame(
+        [(None, None)], schema="x double, y string"
+    )
+    got = {
+        r.check: r.passed
+        for r in run_checks(
+            df_null, [in_range("x", 0.0, 0.1), values_in("y", ["A"])]
+        ).collect()
+    }
+    assert got["in_range(x,0.0,0.1)"] is False
+    assert got["values_in(y)"] is False
+
+
 def test_run_checks_empty_table_semantics(spark):
     """Empty input: fraction-checks observe 0.0 and pass; row-count
     floor fails — no NULL leakage into the report."""
