@@ -442,6 +442,60 @@ def test_connected_components_chain_semantics(spark):
     assert survivors == [1, 10, 20]  # one per cluster + untouched row
 
 
+def test_chunk_documents_fuzz_vs_reference(spark):
+    """Chunking against an independent plain-Python chunker on random
+    (text length, max_chars, overlap) combinations: the off-by-one
+    space — exact-multiple lengths, len == max_chars, len < stride,
+    1-char texts — plus the coverage property (concatenating chunk
+    cores reconstructs the text) on every example."""
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dfsql_spark.operators.text import chunk_documents
+
+    params = st.tuples(
+        st.integers(min_value=1, max_value=30),   # text length
+        st.integers(min_value=2, max_value=12),   # max_chars
+        st.integers(min_value=0, max_value=6),    # overlap (clamped below)
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(params, min_size=1, max_size=4))
+    def inner(cases):
+        for n_len, mc, ov in cases:
+            ov = min(ov, mc - 1)
+            stride = mc - ov
+            text = "".join(chr(ord("a") + i % 26) for i in range(n_len))
+            df = spark.createDataFrame(
+                pd.DataFrame({"doc_id": [0], "text": [text]})
+            )
+            got = sorted(
+                (r.chunk_idx, r.chunk_start, r.chunk)
+                for r in chunk_documents(
+                    df, max_chars=mc, overlap=ov
+                ).collect()
+            )
+            # independent reference: same contract re-derived
+            import math
+
+            n_chunks = 1 + math.ceil(max(n_len - mc, 0) / stride)
+            want = []
+            for i in range(n_chunks):
+                s = i * stride           # 0-based
+                want.append((i, s + 1, text[s:s + mc]))
+            assert got == want, (n_len, mc, ov, got, want)
+            # coverage: stitching chunk heads + the last tail equals text
+            rebuilt = "".join(c[:stride] for _, _, c in want[:-1]) + want[-1][2]
+            assert rebuilt == text, (n_len, mc, ov)
+
+    inner()
+
+
 def test_operators_empty_corpus_safe(spark):
     """Empty-input safety net: at 100 TB empty shards and all-filtered
     partitions are routine, so every major operator must handle a
