@@ -442,6 +442,45 @@ def test_connected_components_chain_semantics(spark):
     assert survivors == [1, 10, 20]  # one per cluster + untouched row
 
 
+def test_pii_scrub_idempotent_and_residue_free(spark):
+    """The scrubber's two load-bearing properties, checked on texts
+    with adjacent/nested/boundary PII: (1) residue-free — rescanning
+    the scrubbed output with every pattern finds ZERO matches (a
+    replacement must never expose or synthesize a new match);
+    (2) idempotent — scrubbing twice equals scrubbing once."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from dfsql_spark.operators.text import PII_PATTERNS, pii_scrub
+
+    texts = [
+        "mail a@b.co then c.d+x@e-f.org back to back a@b.co c@d.io",
+        "ssn 123-45-6789 phone +1 (555) 123-4567 ip 10.0.0.1 end",
+        "a@b.co123-45-6789",          # adjacent, no separator
+        "edge@case.com",              # pattern spans the whole text
+        "email (parens@dom.net), trailing dot a@b.co.",
+        "4111 1111 1111 1111 card next to 192.168.0.255",
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    once = pii_scrub(df)
+    # residue-free: no pattern matches anything in the scrubbed text
+    residue_cols = [
+        F.sum(F.regexp_count(F.col("clean_text"), F.lit(p))).alias(k)
+        for k, p in PII_PATTERNS.items()
+    ]
+    (res,) = once.agg(*residue_cols).collect()
+    assert all((v or 0) == 0 for v in res.asDict().values()), res
+    # idempotent: scrub(scrub(x)) == scrub(x)
+    again = pii_scrub(
+        once.select("doc_id", F.col("clean_text").alias("text"))
+    )
+    first = {r.doc_id: r.clean_text for r in once.collect()}
+    second = {r.doc_id: r.clean_text for r in again.collect()}
+    assert first == second
+
+
 def test_chunk_documents_fuzz_vs_reference(spark):
     """Chunking against an independent plain-Python chunker on random
     (text length, max_chars, overlap) combinations: the off-by-one
