@@ -1085,7 +1085,11 @@ def connected_components(
     (near-dup clusters are small, so a handful).  If the graph's
     diameter exceeds ``max_iter`` the operator RAISES rather than
     return partially-propagated labels (silent under-dedup); raise
-    ``max_iter`` for pathological chain-shaped graphs.
+    ``max_iter`` for pathological chain-shaped graphs.  ``max_iter``
+    bounds the PROPAGATION rounds; one extra quiet round runs
+    internally so a graph whose diameter is exactly ``max_iter``
+    converges (changed-count detection needs a round that observes
+    zero changes) instead of raising spuriously.
 
     Iterative-join mechanics at scale: each round is ONE shuffle
     (join + groupBy on node); every round the labels are re-materialized
@@ -1112,6 +1116,8 @@ def connected_components(
         raise ValueError(
             f"materialize must be 'local' or 'checkpoint', got {materialize!r}"
         )
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
 
     def _truncate(d: DataFrame) -> DataFrame:
         return d.localCheckpoint() if materialize == "local" else d.checkpoint()
@@ -1141,7 +1147,12 @@ def connected_components(
         .withColumn("label", F.col("node"))
     )
 
-    for _ in range(max_iter):
+    # max_iter + 1: convergence is observed, not predicted — a graph
+    # that finishes propagating on round max_iter still needs one
+    # quiet round to measure changed == 0, and that detection round
+    # must not count against the propagation budget.
+    changed = -1
+    for _ in range(max_iter + 1):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy(F.col("src").alias("nd"))

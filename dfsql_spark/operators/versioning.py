@@ -237,6 +237,14 @@ def distribution_drift(
       pooled to ``__other__``.
     * NULL is its own ``__null__`` bucket on both kinds — a null-rate
       shift IS distribution drift.
+    * an EMPTY snapshot (either side) raises ``ValueError`` — PSI
+      against nothing is undefined, and a silently NULL psi reads as
+      "no drift" to a monitoring caller (advisor r13).
+    * internal bucket labels prefix real categorical values with
+      ``v:`` so data that literally contains the strings
+      ``__null__``/``__other__`` can never merge into the sentinel
+      buckets (advisor r13); labels are internal — the output carries
+      only per-column aggregates.
 
     Per column ``PSI = Σ_b (q_b − p_b) · ln(q_b / p_b)`` over buckets,
     with ``p`` (old fraction) and ``q`` (new fraction) floored at
@@ -250,13 +258,16 @@ def distribution_drift(
     PSI over complex types would be a guess).
 
     Scale shape: one single-row min/max aggregate over old (numeric
-    edges, broadcast back — never collected), one TakeOrdered top-k
-    job per categorical column (vocabulary-sized aggregate, parameter-
-    bounded result — the vocab-head pattern), then ONE scan per side
-    building every column's bucket label in a single generate →
-    map-side-combined (column, bucket) count whose shuffle is
-    (#cols × #buckets × partitions) partial rows, never corpus-sized.
-    Everything after is algebra on the (#cols × #buckets) table.
+    edges, broadcast back — never collected), ONE job collecting every
+    categorical column's top-k head (exploded (column, value) counts +
+    a ``row_number() ≤ top_k`` window over the vocabulary-sized count
+    table; the collect is #cols × top_k rows — a 200-string-column
+    schema costs one Spark job, not 200 serial driver round-trips),
+    then ONE scan per side building every column's bucket label in a
+    single generate → map-side-combined (column, bucket) count whose
+    shuffle is (#cols × #buckets × partitions) partial rows, never
+    corpus-sized.  Everything after is algebra on the
+    (#cols × #buckets) table.
 
     Output: ``(column, kind, psi, n_buckets, null_frac_old,
     null_frac_new)``, one row per profiled column.
@@ -287,6 +298,13 @@ def distribution_drift(
         raise ValueError(f"columns not in both snapshots: {missing}")
     if not numeric_cols and not categorical_cols:
         raise ValueError("no profiled columns (nothing shared or selected)")
+    # PSI against an empty snapshot is undefined; flag, don't emit a
+    # NULL psi a monitor would read as "no drift" (each check is a
+    # limit-1 scan — first-non-empty-partition cheap at any scale)
+    if old.isEmpty():
+        raise ValueError("old (reference) snapshot is empty — PSI undefined")
+    if new.isEmpty():
+        raise ValueError("new snapshot is empty — PSI undefined")
 
     # numeric reference edges: ONE single-row aggregate over old,
     # broadcast back into both bucketing scans (never collected)
@@ -299,19 +317,44 @@ def distribution_drift(
         ]
     edges = old.agg(*edge_aggs) if edge_aggs else None
 
-    # categorical reference heads: one TakeOrdered top-k per column
-    # (vocabulary-sized aggregate, parameter-bounded result)
-    heads: "dict[str, list[str]]" = {}
-    for c in categorical_cols:
-        heads[c] = [
-            r["v"]
-            for r in old.filter(F.col(c).isNotNull())
-            .groupBy(F.col(c).alias("v"))
+    # categorical reference heads: ONE job for every column (advisor
+    # r13 batched the old per-column TakeOrdered loop — a serial
+    # driver round-trip per string column): explode to (column, value)
+    # in one scan, map-side-combined count, row_number ≤ top_k per
+    # column (count desc, value asc tie-break), single collect of
+    # #cols × top_k rows
+    heads: "dict[str, list[str]]" = {c: [] for c in categorical_cols}
+    if categorical_cols:
+        from pyspark.sql.window import Window
+
+        counts = (
+            old.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("column"),
+                                F.col(c).cast("string").alias("v"),
+                            )
+                            for c in categorical_cols
+                        ]
+                    )
+                ).alias("e")
+            )
+            .select("e.column", "e.v")
+            .filter(F.col("v").isNotNull())
+            .groupBy("column", "v")
             .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.col("n").desc(), F.col("v").asc())
-            .limit(top_k)
+        )
+        w = Window.partitionBy("column").orderBy(
+            F.col("n").desc(), F.col("v").asc()
+        )
+        for r in (
+            counts.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= top_k)
             .collect()
-        ]
+        ):
+            heads[r["column"]].append(r["v"])
 
     def bucketed_counts(df: DataFrame, side: str) -> DataFrame:
         entries = []
@@ -334,10 +377,14 @@ def distribution_drift(
                 F.struct(F.lit(c).alias("column"), label.alias("bucket"))
             )
         for c in categorical_cols:
+            # real values carry a "v:" prefix so a literal "__null__"
+            # or "__other__" string in the DATA (or in the head set)
+            # stays its own bucket instead of merging into a sentinel
+            sval = F.col(c).cast("string")
             label = F.when(F.col(c).isNull(), F.lit("__null__")).otherwise(
                 F.when(
-                    F.col(c).isin(heads[c]) if heads[c] else F.lit(False),
-                    F.col(c),
+                    sval.isin(heads[c]) if heads[c] else F.lit(False),
+                    F.concat(F.lit("v:"), sval),
                 ).otherwise(F.lit("__other__"))
             )
             entries.append(
@@ -374,13 +421,12 @@ def distribution_drift(
         ),
         F.col("column"),
     )
+    # no (t_old > 0) & (t_new > 0) gate: empty snapshots raise at
+    # entry, so every column's totals are >= 1 by construction
     return (
         ht.groupBy("column")
         .agg(
-            F.round(
-                F.sum(F.when((F.col("t_old") > 0) & (F.col("t_new") > 0), term)),
-                round_to,
-            ).alias("psi"),
+            F.round(F.sum(term), round_to).alias("psi"),
             F.count(F.lit(1)).cast("int").alias("n_buckets"),
             (
                 F.sum(F.when(F.col("bucket") == "__null__", F.col("n_old")))

