@@ -2615,6 +2615,95 @@ def x05_quality_checks(spark, sf):
     )
 
 
+def x08_distribution_drift(spark, sf):
+    """PSI distribution drift between snapshots
+    (operators/versioning.py:208) — promoted to the contract in round
+    14 (named in the r13 handoff): the third monitoring leg next to
+    snapshot_diff (row churn) and schema_drift_report (schema/moment
+    drift).  new = the x04-style deterministic mutation (docs with
+    id % 97 dropped, n_chars doubled on id % 3, source re-mixed to
+    srcX on id % 5) so both a numeric shape shift and a categorical
+    head shift are value-graded.  Bucket edges come from OLD (bins=10
+    equal-width for n_chars, top-3 source heads), NULL its own bucket,
+    epsilon-floored PSI rounded 6 dp (the x06 float contract).  ONE
+    head-collection job + one generate → map-side-combined
+    (column, bucket) count per side — the corpus never shuffles.
+    DuckDB reconstructs the full pipeline (edges, heads, 'v:'-prefixed
+    collision-proof labels, epsilon floor) from scratch."""
+    from dfsql_spark.operators.versioning import distribution_drift
+
+    docs = _t(spark, sf, "documents")
+    new = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .withColumn(
+            "n_chars",
+            F.when(
+                F.col("doc_id") % 3 == 0, F.col("n_chars") * 2
+            ).otherwise(F.col("n_chars")),
+        )
+        .withColumn(
+            "source",
+            F.when(F.col("doc_id") % 5 == 0, F.lit("srcX")).otherwise(
+                F.col("source")
+            ),
+        )
+    )
+    return distribution_drift(
+        docs,
+        new,
+        numeric_cols=["n_chars"],
+        categorical_cols=["source"],
+        bins=10,
+        top_k=3,
+    )
+
+
+def t28_vocab_coverage(spark, sf):
+    """Vocabulary coverage curve (operators/text.py:3177) — promoted
+    to the contract in round 14 (named in the r13 handoff): the
+    tokenizer-sizing number ("N types cover 95% of token mass").
+    Deliberately NO global sort and NO vocabulary-sized window: the
+    corpus-sized work is ONE (token, count) map-side-combined
+    aggregate; the cumulative walk runs over the per-count-value
+    histogram (~O(√tokens) rows on Zipfian text) and the threshold
+    arithmetic is exact int/int, so covered_frac is bit-identical
+    cross-engine.  DuckDB mirrors tokenizer, histogram, and ceil
+    arithmetic from scratch."""
+    from dfsql_spark.operators.text import vocab_coverage
+
+    docs = _t(spark, sf, "documents")
+    return vocab_coverage(docs)
+
+
+def t29_packing_report(spark, sf):
+    """Packing-efficiency card (operators/text.py:741) over a real
+    t09-style pack_sequences run — promoted to the contract in round
+    14 (named in the r13 handoff): the number that decides whether the
+    packing budget is costing attention FLOPs (every unfilled slot is
+    padding).  Fill ratios are k/512 — exact dyadic doubles, so sums
+    and min/max are bit-identical cross-engine; mean_fill/waste_frac
+    are rounded 6 dp on both sides (the x06 float contract) to stay
+    independent of either engine's avg() accumulation order.  One
+    doc-grain (shard, seq) exchange + a one-row rollup on top of the
+    packer's shard shuffle.  DuckDB replays the greedy packing
+    recurrence (the t09 recursive CTE) and re-aggregates the report
+    from scratch."""
+    from dfsql_spark.operators.text import pack_sequences, packing_report
+
+    docs = _t(spark, sf, "documents")
+    rep = packing_report(pack_sequences(docs, budget=512), budget=512)
+    return rep.select(
+        "n_sequences",
+        "n_docs",
+        "total_tokens",
+        "budget",
+        F.round("mean_fill", 6).alias("mean_fill"),
+        "min_fill",
+        "max_fill",
+        F.round("waste_frac", 6).alias("waste_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2863,57 +2952,120 @@ def entry(spark: SparkSession) -> DataFrame:
 # addition distribution_drift (PSI between snapshots — exact DuckDB
 # full-construction mirror + independent-Python fuzz already in
 # tests/test_operators.py; benched as b_distribution_drift).
+# ROUND 14 honors the alternation: the round-13 graded block (exactly
+# the 50 all-green rows of CORRECTNESS_r13.json) sits out below, and
+# the 50 round-13 sit-outs return to the graded window — including
+# x06_column_profile, which takes its driver grade on the rewritten
+# exact-NDV plan THIS round per the r13 handoff's queued
+# changed-operator exception (value identity re-proven by the per-run
+# pytest oracle mirror; no-Expand plan pin in tests/test_operators.py).
+# Round-14 code changes and their grading status:
+#   connected_components (max_iter validation + the internal quiet
+#     detection round, advisor r13) — graded THIS round through
+#     d06_dedup_connected (returning) and the d09/d16 pair-graph
+#     consumers' pytest mirrors;
+#   distribution_drift (batched one-job head collection, empty-
+#     snapshot raise, collision-proof 'v:' labels) — graded THIS
+#     round via the NEW x08 entry below.
+# CONTRACT SWAP (round 14, verdict r13 ask #2): the three
+# handoff-named library operators enter the contract and are graded
+# in their FIRST round, as new entries must be —
+#   x08_distribution_drift (PSI between snapshots; exact DuckDB
+#                         full-construction mirror),
+#   t28_vocab_coverage   (coverage curve over the count-value
+#                         histogram; exact int/int mirror),
+#   t29_packing_report   (waste card over t09's packing; recursive-CTE
+#                         greedy replay mirror, 6-dp float contract).
+# Three RETURNING entries with near-duplicate graded shapes leave the
+# contract to hold the graded window at exactly 50 (implementations
+# stay; each keeps its exact pytest mirror in tests/test_operators.py).
+# NOTE on the verdict's named candidates (q23/q28/q30, t10-vs-t27):
+# those entries were GRADED in r13, so they sit out r14 — removing
+# them would shrink the sit-out block below the machine-checked
+# invariant "sit-outs = exactly the prior graded block" and push the
+# graded window past the driver's 50-row capture.  The leavers must
+# come from the returning block, so:
+#   sk01_salted_agg      (its graded rows are BY CONSTRUCTION the
+#                         plain groupBy-agg rows — the A1 shape
+#                         q06_groupby_agg grades this same round;
+#                         salted==plain stays pinned by
+#                         test_salted_agg_equals_plain_groupby and
+#                         sk02 keeps grading the skew-join half),
+#   d14_dedup_keep_best  (per-cluster survivor selection over the
+#                         same 5-gram Jaccard pair graph d09 grades
+#                         min-id survivors on and d16 reports on;
+#                         the argmax stays pinned by its recursive-
+#                         CTE DuckDB closure mirror),
+#   t23_char_entropy     (map-only per-doc scalar text metric — the
+#                         shape t01/t02/t05 grade, all returning this
+#                         round; the exact unnest-chars DuckDB mirror
+#                         and zero-exchange plan pin stay).
+# Total stays at 100 (50 graded + 50 sitting out).  Oracle hashes
+# regenerated only for the contract add/remove; no sitting-out oracle
+# text changed.
+# ROUND-15 HANDOFF: the alternation continues (this round's graded
+# block sits out, the 50 below return).  No changed-operator
+# exceptions are pending: every r14 code change (connected_components
+# edge semantics, distribution_drift hardening) is graded in-window
+# this round.  The contract stays saturated at 100 while the library
+# holds ~177 public callables — never-graded operators with mirrors
+# ready: truncate_embeddings, zipf_report, write_training_shards,
+# normalize_nfc, heavy_hitter_ngrams, cap_per_key, train_bpe/
+# bpe_encode, threshold_sweep, schema_drift_report, media sniffing.
+# The shape-duplicate pool is nearly exhausted (18 slots swapped over
+# rounds 10/12/13/14); see the README "Driver contract note" for the
+# standing grading-cap ask with concrete driver-side options.
 _SIT_OUT_THIS_ROUND = (
-    "a01_asof_join",
-    "a02_range_join",
-    "c01_code_filters",
-    "d01_dedup_exact",
-    "d02_dedup_ngram_jaccard",
-    "d04_dedup_simhash",
-    "d05_embedding_neardup",
-    "d06_dedup_connected",
-    "d12_incremental_dedup",
-    "d13_semantic_decontaminate",
-    "d14_dedup_keep_best",
-    "e01_windowed_counts",
-    "e02_sessionize",
-    "e06_stream_dedupe",
-    "e07_interval_join",
-    "e09_stream_upsert_sink",
-    "m01_media_stats",
-    "n01_html_to_text",
-    "q01_projection",
-    "q02_filter",
-    "q03_cast",
-    "q04_distinct",
-    "q05_orderby_limit_offset",
-    "q06_groupby_agg",
-    "q07_groupby_expr",
-    "q08_implicit_agg",
-    "q22_flagship_revenue",
-    "q27_window_topk",
-    "s01_sim_topk",
-    "s03_sim_ivf",
-    "s06_mmr_rerank",
-    "s07_ann_recall",
-    "sk01_salted_agg",
-    "sk02_salted_join",
-    "t01_text_stats",
-    "t02_quality_score",
-    "t03_lang_id",
-    "t04_fingerprint",
-    "t05_token_count",
-    "t17_hashed_embeddings",
-    "t20_epoch_shuffle",
-    "t22_bpe_pair_counts",
-    "t23_char_entropy",
-    "t24_gopher_filters",
-    "t25_dsir_weights",
-    "t26_tfidf_top_terms",
-    "w01_url_dedup",
-    "x01_approx_distinct_pruned",
-    "x05_quality_checks",
-    "x06_column_profile",
+    "d03_dedup_minhash_lsh",
+    "d07_decontaminate",
+    "d08_semantic_dedup",
+    "d09_dedup_survivors",
+    "d10_winnow_overlap",
+    "d11_line_dedup",
+    "d16_dedup_report",
+    "e03_json_props",
+    "f01_custom_agg_sql",
+    "f02_custom_scalar_sql",
+    "m02_media_decode",
+    "m03_media_dedup",
+    "m04_media_sim",
+    "p01_curation_pipeline",
+    "q09_count_distinct",
+    "q10_having_alias",
+    "q11_join_inner",
+    "q12_join_left",
+    "q13_join_right",
+    "q14_join_full",
+    "q15_self_join",
+    "q16_in_subquery",
+    "q17_scalar_subquery",
+    "q18_from_subquery",
+    "q19_like_regex",
+    "q20_string_funcs",
+    "q21_power",
+    "q23_case_when",
+    "q25_except_intersect",
+    "q26_anti_join",
+    "q28_rollup",
+    "q29_exists_correlated",
+    "q30_grouping_sets",
+    "q31_pivot",
+    "s04_sim_pq",
+    "s05_bm25",
+    "t06_deterministic_split",
+    "t07_vocab_topk",
+    "t08_pii_scrub",
+    "t09_pack_sequences",
+    "t10_stratified_sample",
+    "t11_repetition",
+    "t12_c4_filters",
+    "t13_mix_rebalance",
+    "t15_unigram_familiarity",
+    "t16_chunk_documents",
+    "t27_grouped_split",
+    "w02_url_host",
+    "x04_snapshot_diff",
+    "x07_group_keep_report",
 )
 
 # rows-only sketch queries (``no_oracle``); always last.  Empty since
@@ -2989,7 +3141,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s04_sim_pq": s04_sim_pq,
         "s05_bm25": s05_bm25,
         "s07_ann_recall": s07_ann_recall,
-        "sk01_salted_agg": sk01_salted_agg,
         "sk02_salted_join": sk02_salted_join,
         "t01_text_stats": t01_text_stats,
         "t02_quality_score": t02_quality_score,
@@ -3010,10 +3161,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t25_dsir_weights": t25_dsir_weights,
         "t26_tfidf_top_terms": t26_tfidf_top_terms,
         "t27_grouped_split": t27_grouped_split,
+        "t28_vocab_coverage": t28_vocab_coverage,
+        "t29_packing_report": t29_packing_report,
         "w01_url_dedup": w01_url_dedup,
         "w02_url_host": w02_url_host,
         "x01_approx_distinct_pruned": x01_approx_distinct_pruned,
         "x07_group_keep_report": x07_group_keep_report,
+        "x08_distribution_drift": x08_distribution_drift,
         "x04_snapshot_diff": x04_snapshot_diff,
         "d03_dedup_minhash_lsh": d03_dedup_minhash_lsh,
         "d04_dedup_simhash": d04_dedup_simhash,
@@ -3022,12 +3176,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m03_media_dedup": m03_media_dedup,
         "d12_incremental_dedup": d12_incremental_dedup,
         "d13_semantic_decontaminate": d13_semantic_decontaminate,
-        "d14_dedup_keep_best": d14_dedup_keep_best,
         "s06_mmr_rerank": s06_mmr_rerank,
         "t17_hashed_embeddings": t17_hashed_embeddings,
         "t20_epoch_shuffle": t20_epoch_shuffle,
         "t22_bpe_pair_counts": t22_bpe_pair_counts,
-        "t23_char_entropy": t23_char_entropy,
         "x05_quality_checks": x05_quality_checks,
         "x06_column_profile": x06_column_profile,
     }
@@ -3305,6 +3457,151 @@ def oracle_sql() -> dict[str, str]:
                              AS BIGINT) % 10000 < 9500 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        # t28: same tokenizer, same count-value histogram, same
+        # cumulative ceil arithmetic — covered_frac is exact int/int
+        "t28_vocab_coverage": """
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(coalesce(lower(text), ''), '\\s+'),
+                    x -> x <> '')) AS t
+                FROM documents
+            ), vocab AS (
+                SELECT t, count(*) AS c FROM toks GROUP BY t
+            ), hist AS (
+                SELECT c, CAST(count(*) AS BIGINT) AS n_types
+                FROM vocab GROUP BY c
+            ), cum AS (
+                SELECT c, n_types, c * n_types AS mass,
+                       sum(c * n_types) OVER (ORDER BY c DESC) AS cum_mass,
+                       sum(n_types) OVER (ORDER BY c DESC) AS cum_types,
+                       sum(c * n_types) OVER () AS total
+                FROM hist
+            ), fr AS (
+                SELECT CAST(unnest([0.5, 0.9, 0.95, 0.99]) AS DOUBLE)
+                           AS mass_frac
+            )
+            SELECT fr.mass_frac,
+                   CAST(cum_types - n_types
+                        + ceil((mass_frac * total - (cum_mass - mass)) / c)
+                        AS BIGINT) AS n_types,
+                   ((cum_mass - mass)
+                    + ceil((mass_frac * total - (cum_mass - mass)) / c) * c)
+                       / total::DOUBLE AS covered_frac
+            FROM cum JOIN fr
+              ON cum_mass >= mass_frac * total
+             AND cum_mass - mass < mass_frac * total
+        """,
+        # t29: replay t09's greedy packing recurrence (recursive CTE),
+        # then the report rollup; fills are k/512 dyadic-exact, the
+        # mean/waste pair rides the 6-dp float contract
+        "t29_packing_report": """
+            WITH RECURSIVE d AS (
+                SELECT doc_id, source,
+                       CAST(least(len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                                  x -> x <> '')), 512) AS INT) AS doc_tokens,
+                       ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM documents
+            ), pack AS (
+                SELECT doc_id, source, rn, doc_tokens,
+                       CAST(0 AS BIGINT) AS seq_id, doc_tokens AS cum
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.doc_id, d.source, d.rn, d.doc_tokens,
+                       CASE WHEN p.cum + d.doc_tokens > 512
+                            THEN p.seq_id + 1 ELSE p.seq_id END,
+                       CASE WHEN p.cum + d.doc_tokens > 512
+                            THEN d.doc_tokens ELSE p.cum + d.doc_tokens END
+                FROM d JOIN pack p
+                  ON d.source = p.source AND d.rn = p.rn + 1
+            ), per_seq AS (
+                SELECT source, seq_id,
+                       CAST(sum(doc_tokens) AS BIGINT) AS fill,
+                       CAST(count(*) AS BIGINT) AS nd
+                FROM pack GROUP BY source, seq_id
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_sequences,
+                   CAST(sum(nd) AS BIGINT) AS n_docs,
+                   CAST(sum(fill) AS BIGINT) AS total_tokens,
+                   512 AS budget,
+                   round(avg(fill / 512.0), 6) AS mean_fill,
+                   min(fill / 512.0) AS min_fill,
+                   max(fill / 512.0) AS max_fill,
+                   round(1.0 - avg(fill / 512.0), 6) AS waste_frac
+            FROM per_seq
+        """,
+        # x08: full PSI reconstruction — old edges/heads, the
+        # collision-proof 'v:' value labels, epsilon floor, round 6;
+        # labels are internal so only the per-column aggregates surface
+        "x08_distribution_drift": """
+            WITH newsnap AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN n_chars * 2
+                            ELSE n_chars END AS n_chars,
+                       CASE WHEN doc_id % 5 = 0 THEN 'srcX' ELSE source END
+                           AS source
+                FROM documents WHERE doc_id % 97 <> 0
+            ), edges AS (
+                SELECT min(n_chars)::DOUBLE AS lo,
+                       (max(n_chars)::DOUBLE - min(n_chars)::DOUBLE) / 10.0
+                           AS width
+                FROM documents
+            ), heads AS (
+                SELECT source AS v FROM documents WHERE source IS NOT NULL
+                GROUP BY source ORDER BY count(*) DESC, source ASC LIMIT 3
+            ), bo AS (
+                SELECT 'n_chars' AS "column",
+                       CASE WHEN n_chars IS NULL THEN '__null__'
+                            ELSE 'b' || CAST(least(greatest(CAST(floor(
+                                (n_chars::DOUBLE - lo) / width) AS INT), 0), 9)
+                                AS VARCHAR) END AS bucket,
+                       count(*) AS n FROM documents, edges GROUP BY 1, 2
+                UNION ALL
+                SELECT 'source',
+                       CASE WHEN source IS NULL THEN '__null__'
+                            WHEN source IN (SELECT v FROM heads)
+                                THEN 'v:' || source
+                            ELSE '__other__' END,
+                       count(*) FROM documents GROUP BY 1, 2
+            ), bn AS (
+                SELECT 'n_chars' AS "column",
+                       CASE WHEN n_chars IS NULL THEN '__null__'
+                            ELSE 'b' || CAST(least(greatest(CAST(floor(
+                                (n_chars::DOUBLE - lo) / width) AS INT), 0), 9)
+                                AS VARCHAR) END AS bucket,
+                       count(*) AS n FROM newsnap, edges GROUP BY 1, 2
+                UNION ALL
+                SELECT 'source',
+                       CASE WHEN source IS NULL THEN '__null__'
+                            WHEN source IN (SELECT v FROM heads)
+                                THEN 'v:' || source
+                            ELSE '__other__' END,
+                       count(*) FROM newsnap GROUP BY 1, 2
+            ), h AS (
+                SELECT coalesce(bo."column", bn."column") AS "column",
+                       coalesce(bo.bucket, bn.bucket) AS bucket,
+                       coalesce(bo.n, 0) AS n_old, coalesce(bn.n, 0) AS n_new
+                FROM bo FULL OUTER JOIN bn
+                  ON bo."column" = bn."column" AND bo.bucket = bn.bucket
+            ), t AS (
+                SELECT "column", sum(n_old) AS t_old, sum(n_new) AS t_new
+                FROM h GROUP BY "column"
+            )
+            SELECT h."column",
+                   CASE h."column" WHEN 'n_chars' THEN 'numeric'
+                        ELSE 'categorical' END AS kind,
+                   round(sum((greatest(n_new / t_new::DOUBLE, 1e-6)
+                              - greatest(n_old / t_old::DOUBLE, 1e-6))
+                             * ln(greatest(n_new / t_new::DOUBLE, 1e-6)
+                                  / greatest(n_old / t_old::DOUBLE, 1e-6))),
+                         6) AS psi,
+                   CAST(count(*) AS INT) AS n_buckets,
+                   coalesce(sum(CASE WHEN bucket = '__null__' THEN n_old END)
+                            / max(t_old)::DOUBLE, 0.0) AS null_frac_old,
+                   coalesce(sum(CASE WHEN bucket = '__null__' THEN n_new END)
+                            / max(t_new)::DOUBLE, 0.0) AS null_frac_new
+            FROM h JOIN t ON h."column" = t."column"
+            GROUP BY h."column"
         """,
         # x07: exact counts + the closed-form Wilson interval from the
         # same z; n excludes NULL flags (counted separately); rates
@@ -3625,15 +3922,6 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM orders o
                 WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
             )
-        """,
-        "sk01_salted_agg": """
-            SELECT l_returnflag,
-                   SUM(l_quantity) AS sum_qty,
-                   CAST(COUNT(*) AS BIGINT) AS n_rows,
-                   AVG(l_extendedprice) AS avg_price,
-                   MAX(l_discount) AS max_disc
-            FROM lineitem
-            GROUP BY l_returnflag
         """,
         "sk02_salted_join": """
             SELECT c_mktsegment,
@@ -4676,75 +4964,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, eid AS nearest_eval_id, ROUND(s, 6) AS max_sim
             FROM best WHERE rn = 1 AND s >= 0.3
         """,
-        # d14: full independent replay — pair graph (d02's shingle SQL
-        # at 0.6) -> recursive-CTE closure -> per-cluster argmax by
-        # (quality DESC, id ASC); quality is t02's integer-quotient
-        # formula, bit-exact cross-engine.
-        "d14_dedup_keep_best": """
-            WITH RECURSIVE n AS (
-                SELECT doc_id AS id,
-                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
-                FROM documents
-            ),
-            sh AS (
-                SELECT DISTINCT id,
-                       UNNEST(list_distinct(list_transform(
-                           range(1, greatest(length(nt), 5) - 3),
-                           i -> substring(nt, i, 5)))) AS sh
-                FROM n
-            ),
-            sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
-            common AS (
-                SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS nc
-                FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
-                GROUP BY a.id, b.id
-            ),
-            p AS (
-                SELECT id_a, id_b FROM common
-                JOIN sizes sa ON sa.id = id_a
-                JOIN sizes sb ON sb.id = id_b
-                WHERE nc / (sa.sz + sb.sz - nc) >= 0.6
-            ),
-            edges AS (
-                SELECT id_a AS src, id_b AS dst FROM p
-                UNION SELECT id_b, id_a FROM p
-            ),
-            reach AS (
-                SELECT src AS node, src AS lbl FROM edges
-                UNION
-                SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
-            ),
-            comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
-            qs AS (
-                SELECT doc_id,
-                       len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
-                                       x -> x <> '')) AS n_tokens,
-                       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) AS alpha_ratio,
-                       len(list_distinct(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
-                                                     x -> x <> '')))
-                           / len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
-                                             x -> x <> '')) AS ttr,
-                       (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
-                           / length(text) AS punct_ratio
-                FROM documents
-            ),
-            q AS (
-                SELECT doc_id,
-                       0.35 * alpha_ratio + 0.25 * ttr
-                       + 0.25 * least(n_tokens / 64.0, 1.0)
-                       + 0.15 * (1.0 - least(punct_ratio * 4, 1.0)) AS quality
-                FROM qs
-            ),
-            losers AS (
-                SELECT c.node
-                FROM comp c JOIN q ON q.doc_id = c.node
-                QUALIFY ROW_NUMBER() OVER (
-                    PARTITION BY c.component
-                    ORDER BY q.quality DESC, c.node ASC) > 1
-            )
-            SELECT doc_id, source FROM documents
-            WHERE doc_id NOT IN (SELECT node FROM losers)
-        """,
         # s06: the greedy MMR selection replayed as 5 chained argmax
         # CTEs (k=5, lam=0.7) over the identical top-8 shortlist; ranks
         # only — mmr scores differ in the last ulp across engines.
@@ -4876,25 +5095,6 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY pair
             ORDER BY n DESC, pair
             LIMIT 50
-        """,
-        "t23_char_entropy": """
-            WITH c AS (
-              SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
-              FROM documents, UNNEST(generate_series(1, length(text))) AS t(i)
-            ), h AS (
-              SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS c
-              FROM c GROUP BY doc_id, ch
-            ), n AS (
-              SELECT doc_id, SUM(c) AS n FROM h GROUP BY doc_id
-            ), e AS (
-              SELECT h.doc_id,
-                     ROUND(-SUM((c/n.n)*log2(c/n.n)), 6) AS entropy_bits,
-                     CAST(ANY_VALUE(n.n) AS BIGINT) AS nch
-              FROM h JOIN n USING (doc_id) GROUP BY h.doc_id
-            )
-            SELECT d.doc_id, e.entropy_bits,
-                   CAST(COALESCE(e.nch, 0) AS INT) AS n_chars
-            FROM (SELECT doc_id FROM documents) d LEFT JOIN e USING (doc_id)
         """,
         "x05_quality_checks": """
             WITH s AS (
