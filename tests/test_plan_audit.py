@@ -245,6 +245,42 @@ def test_round13_contract_entry_plan_shapes(spark):
             assert "text" not in line, line
 
 
+def test_round14_contract_entry_plan_shapes(spark):
+    """Shape pins for the round-14 contract promotions, at the ENTRY
+    level (operator-level pins live in test_operators): x08
+    (distribution drift) is Python-free with map-side-combined
+    (column, bucket) counts and no exchange ever carries document
+    text; t28 (vocab coverage) is Python-free and its exchanges ship
+    tokens/counts, never the text column; t29 (packing report) runs
+    exactly one Python stage — the t09 packer it replays — and the
+    documented three exchanges (shard shuffle for the packer, fresh
+    doc-grain (shard, seq) agg, one-row rollup)."""
+    qs = em.queries()
+
+    x08 = plan_summary(qs["x08_distribution_drift"](spark, SF))
+    assert "EvalPython" not in x08.text, x08.text
+    assert "partial_count" in x08.text, x08.text
+    for line in x08.text.splitlines():
+        if "hashpartitioning" in line:
+            assert "text" not in line, line
+
+    t28 = plan_summary(qs["t28_vocab_coverage"](spark, SF))
+    assert "EvalPython" not in t28.text, t28.text
+    for line in t28.text.splitlines():
+        if "hashpartitioning" in line:
+            assert "text" not in line, line
+
+    import re
+
+    t29 = plan_summary(qs["t29_packing_report"](spark, SF))
+    # tree-node count (the formatted text repeats node names in the
+    # per-node detail blocks, so a raw substring count would double)
+    n_packers = len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", t29.text))
+    assert n_packers == 1, t29.text
+    assert "BatchEvalPython" not in t29.text
+    assert t29.n_exchanges == 3, t29.text
+
+
 def test_lsh_and_ivf_topk_never_shuffle_embeddings(spark):
     """The round-10 Arrow scoring must keep the documented shuffle
     contract: cosine is computed right after the (broadcast) candidate
@@ -495,6 +531,13 @@ _ALLOWED_BROADCAST_HINTS = {
     "t15_unigram_familiarity": (1, "top-V vocab: bounded by vocab_size"),
     "t25_dsir_weights": (1, "bucket weight table: <= `buckets` rows by construction"),
     "t26_tfidf_top_terms": (1, "one-row corpus-count aggregate"),
+    "x08_distribution_drift": (
+        4,
+        "one-row numeric-edges aggregate, broadcast into the old and"
+        " new bucketing scans (2 hints); the analyzed tree prints the"
+        " histogram subtree twice (totals join + psi join), doubling"
+        " the SAME two hints in the text",
+    ),
 }
 
 # Streaming executors run availableNow-to-memory on invocation and
@@ -537,8 +580,9 @@ _ALLOWED_PYTHON = {
     "s06_mmr_rerank": "per-query MMR selection (tiny groups)",
     "t04_fingerprint": "Arrow rolling-hash UDF (order-sensitive)",
     "t09_pack_sequences": "greedy packing via applyInPandas",
+    "t29_packing_report": "replays t09's applyInPandas packing; the"
+    " report itself adds no Python (thin agg + one-row rollup)",
     "t25_dsir_weights": "Arrow word-n-gram UDF (shared with d07/d15)",
-    "t23_char_entropy": "Arrow codepoint-entropy UDF",
     "d16_dedup_report": "Arrow shingling UDF via the shared exact-Jaccard"
     " pair relation (d02's path; the report itself adds no Python)",
 }
