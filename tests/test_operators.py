@@ -585,11 +585,13 @@ def test_operators_empty_corpus_safe(spark):
     assert T.train_bpe(empty, num_merges=3) == []
     (card,) = D.dedup_report(empty, empty_pairs).collect()
     assert card.n_docs == 0 and card.n_pairs == 0 and card.n_removed == 0
-    # drift against an empty side yields defined rows (NULL psi when a
-    # side has no mass), never a crash
+    # drift against an empty side is the one DELIBERATE raise (round
+    # 14, advisor r13): PSI against nothing is undefined, and a NULL
+    # psi reads as "no drift" to a monitor — a clear ValueError at
+    # entry IS the safe behavior here, never a crash mid-plan
     for a, b in ((full, empty), (empty, full)):
-        rows = V.distribution_drift(a, b, numeric_cols=["n_chars"]).collect()
-        assert len(rows) == 1
+        with pytest.raises(ValueError, match="empty"):
+            V.distribution_drift(a, b, numeric_cols=["n_chars"])
 
 
 def test_connected_components_fuzz_vs_union_find(spark):
