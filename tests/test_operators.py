@@ -7794,9 +7794,17 @@ def test_distribution_drift_fuzz_vs_reference(spark):
     inner()
 
     # categorical: tiny alphabet forces top-k tie-breaks, pooled
-    # __other__ mass, and one-sided categories
+    # __other__ mass, and one-sided categories; the LITERAL sentinel
+    # strings are in the alphabet so the fuzz itself catches a
+    # sentinel-bucket merge (advisor r13: before the 'v:' labels,
+    # engine and references shared the collision so no test could see
+    # it — the updated _psi_reference distinguishes them by
+    # construction, making this fuzz collision-sensitive)
     cats = st.lists(
-        st.one_of(st.none(), st.sampled_from(["a", "b", "c", "d", ""])),
+        st.one_of(
+            st.none(),
+            st.sampled_from(["a", "b", "c", "d", "", "__null__", "__other__"]),
+        ),
         min_size=1,
         max_size=20,
     )
@@ -9447,6 +9455,76 @@ def test_vocab_coverage_matches_duckdb(docs, duck):
     assert_matches_oracle(
         vocab_coverage(docs), duck.sql(mirror).df(), "vocab_coverage"
     )
+
+
+def test_vocab_coverage_fuzz_vs_reference(spark):
+    """Coverage heads against an INDEPENDENT plain-Python reference
+    (sort the full vocabulary most-frequent-first and walk it type by
+    type — the naive construction the operator's histogram-walk
+    deliberately avoids): random tiny corpora force tie buckets,
+    single-type vocabularies, boundary fractions (1.0), repeated
+    tokens, and empty documents."""
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dfsql_spark.operators.text import vocab_coverage
+
+    def reference(texts, fracs):
+        from collections import Counter
+
+        counts = Counter(
+            t for x in texts for t in (x or "").lower().split() if t
+        )
+        total = sum(counts.values())
+        if not total:
+            return {}
+        # most-frequent-first, walk type by type; ties share a count so
+        # any tie order yields the same minimum (equal per-type mass)
+        ordered = sorted(counts.values(), key=lambda c: -c)
+        out = {}
+        for f in fracs:
+            # smallest head whose cumulative mass reaches f * total —
+            # the same double-vs-int comparison the engines make
+            target = f * total
+            cum = n = 0
+            for c in ordered:
+                n += 1
+                cum += c
+                if cum >= target:
+                    break
+            out[f] = (n, cum / total)
+        return out
+
+    texts_st = st.lists(
+        st.text(alphabet="ab c", max_size=12), min_size=0, max_size=8
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts_st)
+    def inner(texts):
+        fracs = (0.25, 0.5, 0.75, 1.0)
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": range(len(texts)), "text": pd.array(texts, dtype="string")}
+            ),
+            schema="doc_id long, text string",
+        )
+        got = {
+            r.mass_frac: (r.n_types, r.covered_frac)
+            for r in vocab_coverage(df, fracs).collect()
+        }
+        want = reference(texts, fracs)
+        assert set(got) == set(want), (texts, got, want)
+        for f in want:
+            assert got[f][0] == want[f][0], (texts, f, got[f], want[f])
+            assert got[f][1] == pytest.approx(want[f][1], abs=1e-12)
+
+    inner()
 
 
 def test_vocab_coverage_properties_and_plan(docs):
