@@ -2267,6 +2267,81 @@ def compression_ratio(
     )
 
 
+# Mojibake detector families, shared verbatim with the DuckDB test
+# mirror (the pii_scrub constant-export pattern).  UTF-8 text decoded
+# as Latin-1/cp1252 leaves fingerprints no clean text contains:
+#   * U+00C3 ("Ã") followed by a byte-range char — every 2-byte UTF-8
+#     sequence for U+00C0–U+00FF (é, ü, ñ, …) mis-decodes to this pair;
+#   * U+00E2 U+20AC ("â€") — the E2 80 xx lead of the curly-quote /
+#     dash / ellipsis family read as cp1252;
+#   * U+00C2 ("Â") before NBSP-range punctuation — the C2 A0 artifact;
+#   * U+FFFD — the replacement character a lossy decode inserts;
+#   * raw C1 controls U+0080–U+009F — Latin-1 decodes of continuation
+#     bytes cp1252 leaves unmapped.
+# The trailer class = U+0080–U+00BF plus the cp1252 remaps of
+# 0x80–0x9F (€ ‚ ƒ „ … † ‡ ˆ ‰ Š ‹ Œ Ž ' ' " " • – — ˜ ™ š › œ ž Ÿ).
+_CP1252_REMAP = (
+    "\u20ac\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030\u0160"
+    "\u2039\u0152\u017d\u2018\u2019\u201c\u201d\u2022\u2013\u2014"
+    "\u02dc\u2122\u0161\u203a\u0153\u017e\u0178"
+)
+MOJIBAKE_RE = (
+    "(?:\u00c3[\u0080-\u00bf" + _CP1252_REMAP + "]"
+    "|\u00e2\u20ac"
+    "|\u00c2[\u00a0-\u00bf]"
+    "|\ufffd"
+    "|[\u0080-\u009f])"
+)
+
+
+def mojibake_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encoding-corruption score — the CCNet/RefinedWeb-class filter
+    signal for crawl text that went through a wrong-charset decode
+    (UTF-8 read as Latin-1/cp1252: "Ã©" for é, "â€™" for ', the
+    U+FFFD replacement character, raw C1 controls).  Mojibake survives
+    language-ID and quality heuristics (the words are still there) but
+    poisons tokenizers and dedup hashes, so corpora filter or re-decode
+    on exactly these fingerprints.
+
+    Counts non-overlapping :data:`MOJIBAKE_RE` matches (each match is
+    one corruption site, the two-char families counted once, not per
+    char).  Output: ``(id, n_chars, n_mojibake, mojibake_frac,
+    has_replacement)`` — ``mojibake_frac`` = sites over characters
+    (0.0 for empty/NULL text: no evidence is not corruption), and
+    ``has_replacement`` flags U+FFFD specifically (proof of a LOSSY
+    decode, the strongest single signal).  Thresholding is the
+    caller's policy (corpus studies use frac > ~0.001 or any
+    replacement char); the fraction composes with
+    :func:`quality_score` / :func:`c4_filters` as one more per-row
+    gate.
+
+    Detection only, by design: repair ("demojibake") needs an
+    iterative re-encode/decode search (the ftfy algorithm) that can
+    misfire on legitimately mixed text — flag here, route flagged docs
+    to a re-decode of the ORIGINAL bytes upstream.
+
+    Pure zero-shuffle codegen map (``regexp_count`` + ``length``),
+    pipelines into the scan at any corpus scale; DuckDB reproduces
+    every count from the same exported pattern.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(t)
+    n_moji = F.regexp_count(t, F.lit(MOJIBAKE_RE))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_moji.alias("n_mojibake"),
+        F.when(n_chars > 0, n_moji.cast("double") / n_chars)
+        .otherwise(F.lit(0.0))
+        .alias("mojibake_frac"),
+        t.contains("\ufffd").alias("has_replacement"),
+    )
+
+
 def blocklist_filter(
     df: DataFrame,
     words: "list[str]",

@@ -9554,3 +9554,110 @@ def test_vocab_coverage_properties_and_plan(docs):
     assert plan.count("documents.parquet") <= 1 or plan.count(
         "InMemoryTableScan"
     ) >= 1, plan
+
+
+# ---------------------------------------------------------------------------
+# mojibake_score (round 14)
+# ---------------------------------------------------------------------------
+
+
+def test_mojibake_score_hand_pinned(spark):
+    """Exact counts on engineered corruption: the Latin-1 2-byte
+    artifact, the cp1252 curly-quote family (counted once per site,
+    not per char), replacement chars, the C2/NBSP artifact, bare C1
+    controls — while REAL accents and typographic punctuation stay at
+    zero (the false-positive class that matters: flagging every French
+    document would be worse than no filter)."""
+    import pandas as pd
+
+    from dfsql_spark.operators.text import mojibake_score
+
+    rows = {
+        1: "caf\u00c3\u00a9 bar",                 # 1 site
+        2: "it\u00e2\u20ac\u2122s fine",         # 1 site (2-char lead)
+        3: "x\ufffd y\ufffd",                     # 2 replacement chars
+        4: "clean ascii text.",                     # 0
+        5: "legit: caf\u00e9 na\u00efve \u2014 ok\u2019",  # 0
+        6: "\u00c2\u00a0padded",                  # 1 (C2 A0)
+        7: "raw\u0080ctl",                         # 1 (bare C1)
+        8: None,                                    # NULL text
+        9: "",                                      # empty text
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": list(rows), "text": pd.array(list(rows.values()), dtype="string")}
+        ),
+        schema="doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in mojibake_score(df).collect()}
+    want_counts = {1: 1, 2: 1, 3: 2, 4: 0, 5: 0, 6: 1, 7: 1, 8: 0, 9: 0}
+    for i, want in want_counts.items():
+        assert got[i].n_mojibake == want, (i, got[i])
+    assert got[3].has_replacement and not got[2].has_replacement
+    # NULL/empty: no evidence is not corruption — frac 0.0, not NULL
+    assert got[8].n_chars == 0 and got[8].mojibake_frac == 0.0
+    assert got[9].mojibake_frac == 0.0 and not got[9].has_replacement
+    assert got[1].mojibake_frac == pytest.approx(1 / got[1].n_chars)
+
+
+def test_mojibake_score_matches_duckdb(docs, duck):
+    """Exact DuckDB mirror over documents with planted corruption (the
+    synthetic corpus is clean ASCII, so each doc_id stripe gets a
+    deterministic artifact appended — both engines build the SAME
+    envelope, and the mirror counts with the SAME exported
+    MOJIBAKE_RE)."""
+    import pyspark.sql.functions as F
+
+    from .conftest import assert_matches_oracle
+    from dfsql_spark.operators.text import MOJIBAKE_RE, mojibake_score
+
+    suffix = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" caf\u00c3\u00a9"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" it\u00e2\u20ac\u2122s"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" bad\ufffd"))
+        .otherwise(F.lit(" clean."))
+    )
+    planted = docs.select(
+        "doc_id", F.concat(F.coalesce(F.col("text"), F.lit("")), suffix).alias("text")
+    )
+    got = mojibake_score(planted)
+    sql_suffix = (
+        "CASE CAST(doc_id % 4 AS INT)"
+        " WHEN 0 THEN ' caf\u00c3\u00a9'"
+        " WHEN 1 THEN ' it\u00e2\u20ac\u2122s'"
+        " WHEN 2 THEN ' bad\ufffd'"
+        " ELSE ' clean.' END"
+    )
+    mirror = f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   coalesce(text, '') || {sql_suffix} AS text
+            FROM documents
+        ), scored AS (
+            SELECT doc_id,
+                   length(coalesce(text, '')) AS n_chars,
+                   CAST(len(regexp_extract_all(coalesce(text, ''),
+                        '{MOJIBAKE_RE}')) AS INT) AS n_mojibake,
+                   contains(coalesce(text, ''), '\ufffd')
+                       AS has_replacement
+            FROM planted
+        )
+        SELECT doc_id, n_chars, n_mojibake,
+               CASE WHEN n_chars > 0
+                    THEN n_mojibake / n_chars::DOUBLE ELSE 0.0 END
+                   AS mojibake_frac,
+               has_replacement
+        FROM scored
+    """
+    assert_matches_oracle(got, duck.sql(mirror).df(), "mojibake_score")
+
+
+def test_mojibake_score_plan_zero_exchange(docs):
+    """Pure codegen map: zero exchanges, no Python, pipelines into the
+    scan at any corpus scale."""
+    from dfsql_spark.operators.text import mojibake_score
+    from dfsql_spark.plans.audit import plan_summary
+
+    s = plan_summary(mojibake_score(docs))
+    assert s.n_exchanges == 0, s.text
+    assert "Python" not in s.text, s.text
