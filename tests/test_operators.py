@@ -9661,3 +9661,60 @@ def test_mojibake_score_plan_zero_exchange(docs):
     s = plan_summary(mojibake_score(docs))
     assert s.n_exchanges == 0, s.text
     assert "Python" not in s.text, s.text
+
+
+def test_mojibake_score_fuzz_real_corruption(spark):
+    """Property fuzz against the REAL corruption process: take clean
+    text, corrupt it by the actual wrong-charset decode
+    (utf-8 bytes read as latin-1, and as cp1252), and assert the score
+    flags every corrupted string that contained a non-ASCII char —
+    while the CLEAN original (accented Latin letters, curly
+    punctuation) always scores zero.  The alphabet is chosen from
+    characters whose 2-/3-byte UTF-8 encodings land in the detector
+    families (Latin-1 supplement + the cp1252 punctuation set) — the
+    dominant real-world mojibake classes; rarer scripts degrade to
+    partial detection by design (documented in the docstring)."""
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dfsql_spark.operators.text import mojibake_score
+
+    clean_alphabet = (
+        "abc XYZ."
+        "\u00e9\u00e8\u00fc\u00f1\u00e7\u00f6\u00e5\u00f8\u00a9\u00bd"
+        "\u2018\u2019\u201c\u201d\u2013\u2014\u2026"
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(st.text(alphabet=clean_alphabet, max_size=20),
+                    min_size=1, max_size=6))
+    def inner(texts):
+        rows = []
+        for i, s in enumerate(texts):
+            rows.append((i * 3, "clean", s))
+            rows.append((i * 3 + 1, "latin1", s.encode("utf-8").decode("latin-1")))
+            rows.append(
+                (i * 3 + 2, "cp1252",
+                 s.encode("utf-8").decode("cp1252", errors="replace"))
+            )
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "kind", "text"]),
+            schema="doc_id long, kind string, text string",
+        )
+        got = {r.doc_id: r for r in mojibake_score(df).collect()}
+        for i, s in enumerate(texts):
+            has_non_ascii = any(ord(c) > 127 for c in s)
+            assert got[i * 3].n_mojibake == 0, (s, "clean text flagged")
+            for j in (1, 2):
+                if has_non_ascii:
+                    assert got[i * 3 + j].n_mojibake > 0, (
+                        s, j, "corruption missed")
+                else:
+                    assert got[i * 3 + j].n_mojibake == 0
+
+    inner()
