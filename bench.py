@@ -329,22 +329,35 @@ def main() -> None:
     # main) — a COMPACT line (<1.5 KB: headline min aggregate, the
     # full 3-dp per-query min map, median total, divergence count,
     # env) so the driver's tail capture holds the whole JSON object.
-    payload = json.dumps(
-        {
-            "metric": "headline_suite_seconds",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-            "reps": REPS,
-            "aggregate": "min",
-            "median_total": median_total,
-            "divergence_n": len(divergence),
-            "env": env,
-            "full": "bench_full_latest.json",
-        },
-        separators=(",", ":"),
-    )
+    # SIZE GUARD (round-14 review): the per-query map grows 1-2
+    # entries per round; if the line ever approaches the driver's
+    # 2000-char tail capture, degrade deterministically — 2-dp
+    # timings first, then drop the map entirely (it lives in the
+    # sidecar either way) — rather than head-truncate and reintroduce
+    # the never-parses failure this line exists to fix.
+    def gate_line(qmap) -> str:
+        return json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": qmap,
+                "sf": sf,
+                "reps": REPS,
+                "aggregate": "min",
+                "median_total": median_total,
+                "divergence_n": len(divergence),
+                "env": env,
+                "full": "bench_full_latest.json",
+            },
+            separators=(",", ":"),
+        )
+
+    payload = gate_line(timings)
+    if len(payload) > 1800:
+        payload = gate_line({n: round(t, 2) for n, t in timings.items()})
+    if len(payload) > 1800:
+        payload = gate_line({})
     with os.fdopen(json_fd, "w") as out:
         out.write(payload + "\n")
 

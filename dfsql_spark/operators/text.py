@@ -2319,6 +2319,17 @@ def mojibake_score(
     :func:`quality_score` / :func:`c4_filters` as one more per-row
     gate.
 
+    Division of labor vs :func:`encoding_signals` (the ingestion-time
+    decode-health gate): that operator owns the U+FFFD FRACTION, C0
+    controls, and null bytes; THIS operator owns the wrong-charset
+    fingerprint families (the A-tilde pairs, the cp1252 curly-quote
+    lead, C2/NBSP artifacts, C1 controls) that a SUCCESSFUL but wrong
+    decode leaves behind — no U+FFFD, nothing for encoding_signals to
+    see.  ``has_replacement`` repeats the single U+FFFD fact (boolean,
+    not a fraction) so this card alone can drive a mojibake gate; a
+    policy change to replacement-char handling belongs in
+    encoding_signals first.
+
     Detection only, by design: repair ("demojibake") needs an
     iterative re-encode/decode search (the ftfy algorithm) that can
     misfire on legitimately mixed text — flag here, route flagged docs
@@ -3136,7 +3147,11 @@ def encoding_signals(
     NULL / empty text scores 0 on both fractions and keeps (nothing
     to be broken; emptiness is :func:`c4_filters`' decision, not an
     encoding fault).  Complements :func:`script_fractions` (which
-    catches wrong-script text that decoded CLEANLY).
+    catches wrong-script text that decoded CLEANLY) and
+    :func:`mojibake_score` (which catches a WRONG-charset decode that
+    succeeded — Latin-1/cp1252 fingerprints this operator's U+FFFD/C0
+    signals never see; U+FFFD policy lives HERE, mojibake_score only
+    mirrors the boolean).
 
     Scale shape: pure per-row expressions inside whole-stage codegen —
     zero shuffle, zero Python, prunes to (id, text) at the scan.

@@ -234,7 +234,12 @@ def distribution_drift(
       old column puts every non-NULL value in bucket 0.
     * categorical (string) columns — the ``top_k`` most frequent old
       values (count desc, value asc tie-break), everything else
-      pooled to ``__other__``.
+      pooled to ``__other__``.  Explicitly-passed NON-string
+      categorical columns are compared and tie-broken AS STRINGS
+      (the batched head job casts once, and membership uses the same
+      cast) — for an integer category, a count tie at the ``top_k``
+      boundary breaks as ``'10' < '2'``, not ``2 < 10``; pass
+      pre-formatted strings if native ordering matters.
     * NULL is its own ``__null__`` bucket on both kinds — a null-rate
       shift IS distribution drift.
     * an EMPTY snapshot (either side) raises ``ValueError`` — PSI

@@ -37,12 +37,15 @@ TARGETS = [
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".benchdata/sf1"
+    warm_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir  # no small warm corpus on this box: warm in place
     spark = get_spark(app_name="sf1-smoke-r14")
     spark.sparkContext.setLogLevel("ERROR")
     qs = em.queries()
     # warm at the smoke scale so codegen/JIT cost stays out of the row
     for name in TARGETS:
-        qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+        qs[name](spark, warm_dir).write.format("noop").mode(
             "overwrite"
         ).save()
     results = {}

@@ -7884,6 +7884,30 @@ def test_distribution_drift_sentinel_collision_and_empty(spark):
         distribution_drift(so, empty, categorical_cols=["x"])
 
 
+def test_distribution_drift_int_categorical_string_tiebreak(spark):
+    """Documented semantics for NON-string categorical columns: heads
+    are selected and tie-broken on the STRING cast ('10' < '2'), and
+    bucket membership uses the same cast, so the head set and PSI are
+    deterministic — pinned so the behavior is a contract, not an
+    accident of the batched head job."""
+    import pandas as pd
+
+    from dfsql_spark.operators.versioning import distribution_drift
+
+    # counts: 2 x [1], 2 x [10], 1 x [3] -> tie between 1 and 10 at
+    # top_k=1 is broken on strings: '1' < '10', head = {1}
+    old = pd.DataFrame({"x": [1, 1, 10, 10, 3]})
+    new = pd.DataFrame({"x": [1, 10, 10, 10, 3]})
+    so, sn = spark.createDataFrame(old), spark.createDataFrame(new)
+    (r,) = distribution_drift(so, sn, categorical_cols=["x"], top_k=1).collect()
+    want = _psi_reference(
+        [str(v) for v in old["x"]], [str(v) for v in new["x"]], top_k=1
+    )
+    assert r.psi == pytest.approx(want, abs=1e-9)
+    # buckets: v:1 (head) + __other__ (10 and 3 pooled)
+    assert r.n_buckets == 2
+
+
 def test_distribution_drift_head_collection_is_one_job(spark):
     """Verdict r13 ask #4: the categorical reference heads are ONE
     Spark job regardless of how many string columns are profiled (the
