@@ -280,3 +280,162 @@ class TestEndToEndDialectFuzz:
                 "s": ["ab", "cD", "x", "", "yz", "Ab", "q", "zz"],
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# window functions through the FULL sql_query path vs DuckDB.  The
+# reference dialect (pandas eval) has no window surface at all; Spark
+# gives it to us natively, but the dfsql rewrites (LIKE anchoring,
+# ^ -> power) tokenize the query text, so OVER (...) clauses crossing
+# those rewrites need parity proof, not assumption.  Every ORDER BY
+# inside a window spec carries an `id` tiebreak making the order
+# TOTAL, so row_number/lag/frame sums are deterministic and
+# bit-comparable against DuckDB.
+# ---------------------------------------------------------------------------
+
+
+class TestWindowFunctionsParity:
+    _CASES = [
+        # (dfsql text, duck text) — identical unless a rewrite is in play
+        ("ROW_NUMBER() OVER (PARTITION BY g ORDER BY a, id)",) * 2,
+        ("RANK() OVER (ORDER BY a)",) * 2,
+        ("DENSE_RANK() OVER (ORDER BY a)",) * 2,
+        ("SUM(a) OVER (PARTITION BY g ORDER BY a, id"
+         " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",) * 2,
+        ("SUM(a) OVER (PARTITION BY g ORDER BY a, id"
+         " ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)",) * 2,
+        ("AVG(b) OVER (PARTITION BY g)",) * 2,
+        ("LAG(a, 1, -1) OVER (PARTITION BY g ORDER BY a, id)",) * 2,
+        ("LEAD(a, 1, -1) OVER (ORDER BY a, id)",) * 2,
+        ("MIN(b) OVER (ORDER BY a, id"
+         " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)",) * 2,
+        ("NTILE(3) OVER (ORDER BY a, id)",) * 2,
+        # ^ -> power rewrite INSIDE a window argument and frame order
+        ("SUM(a ^ 2) OVER (PARTITION BY g ORDER BY a, id)",
+         "SUM(power(a, 2)) OVER (PARTITION BY g ORDER BY a, id)"),
+    ]
+
+    @staticmethod
+    def _pdf():
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "id": range(10),
+                "g": ["x", "y", "x", "y", "x", "y", "x", "y", "x", "y"],
+                "a": [1, 2, 2, 3, 1, 1, 4, 2, 3, 3],
+                "b": [0.5, 1.25, 2.0, 3.5, 1.0, 2.75, 0.25, 4.0, 1.5, 0.75],
+                "s": ["ab", "cD", "ax", "", "yz", "Ab", "aq", "zz", "a", "b"],
+            }
+        )
+
+    @pytest.mark.parametrize("dfsql_expr,duck_expr", _CASES)
+    def test_window_expr_matches_duckdb(self, spark, dfsql_expr, duck_expr):
+        import duckdb
+
+        from dfsql_spark import sql_query
+
+        pdf = self._pdf()
+        got = sql_query(
+            f"SELECT id, {dfsql_expr} AS v FROM t", t=pdf,
+            reduce_output=False,
+        ).sort_values("id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("t", pdf)
+        want = (
+            con.sql(f"SELECT id, {duck_expr} AS v FROM t")
+            .df().sort_values("id").reset_index(drop=True)
+        )
+        con.close()
+        assert list(got["id"]) == list(want["id"])
+        for gv, wv in zip(got["v"], want["v"]):
+            assert float(gv) == pytest.approx(float(wv), rel=1e-12), dfsql_expr
+
+    def test_window_with_like_filter_and_qualify_shape(self, spark):
+        """A window expr COEXISTING with a LIKE rewrite in the same
+        query: the anchored-regex rewrite must not eat the OVER
+        clause, and filtering on the windowed value via a subquery
+        (Spark has no QUALIFY) must match DuckDB's QUALIFY.  The
+        dfsql side writes the F19 regex-LIKE ('a.*'), the DuckDB
+        side the ANSI wildcard LIKE ('a%') — same selected rows."""
+        import duckdb
+
+        from dfsql_spark import sql_query
+
+        pdf = self._pdf()
+        got = sql_query(
+            "SELECT id, r FROM (SELECT id,"
+            " ROW_NUMBER() OVER (PARTITION BY g ORDER BY a, id) AS r"
+            " FROM t WHERE s LIKE 'a.*') q WHERE r <= 2",
+            t=pdf, reduce_output=False,
+        ).sort_values("id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("t", pdf)
+        want = (
+            con.sql(
+                "SELECT id,"
+                " ROW_NUMBER() OVER (PARTITION BY g ORDER BY a, id) AS r"
+                " FROM t WHERE s LIKE 'a%'"
+                " QUALIFY r <= 2"
+            ).df().sort_values("id").reset_index(drop=True)
+        )
+        con.close()
+        assert list(got["id"]) == list(want["id"])
+        assert list(got["r"].astype(int)) == list(want["r"].astype(int))
+
+
+# generative window-spec fuzz: function x partition x frame sampled,
+# rendered once (the window surface is ANSI-identical on both
+# engines), evaluated through the full sql_query path vs DuckDB.
+@st.composite
+def _window_expr(draw):
+    fn = draw(st.sampled_from(
+        ["ROW_NUMBER()", "RANK()", "DENSE_RANK()", "SUM(a)", "AVG(a)",
+         "MIN(b)", "MAX(b)", "COUNT(*)", "LAG(a, 1, 0)", "LEAD(a, 1, 0)"]
+    ))
+    part = draw(st.sampled_from(["", "PARTITION BY g "]))
+    ranking = fn.endswith("()") or fn.startswith(("LAG", "LEAD"))
+    if ranking:
+        frame = ""
+        order = "ORDER BY a, id"
+    else:
+        frame = draw(st.sampled_from(
+            ["", " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+             " ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+             " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW"]
+        ))
+        # frameless aggregate + ORDER BY means the default RANGE frame
+        # (standard on both engines); keep it in the pool deliberately
+        order = draw(st.sampled_from(["", "ORDER BY a, id"]))
+        if not order:
+            frame = ""
+    spec = f"{part}{order}{frame}".strip()
+    return f"{fn} OVER ({spec})"
+
+
+class TestWindowFuzz:
+    from hypothesis import HealthCheck, given, settings
+
+    @settings(
+        max_examples=30, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(_window_expr(), _window_expr())
+    def test_window_fuzz_matches_duckdb(self, e1, e2):
+        import duckdb
+
+        from dfsql_spark import sql_query
+
+        pdf = TestWindowFunctionsParity._pdf()
+        sql = f"SELECT id, {e1} AS v, {e2} AS w FROM t"
+        got = (
+            sql_query(sql, t=pdf, reduce_output=False)
+            .sort_values("id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        want = con.sql(sql).df().sort_values("id").reset_index(drop=True)
+        con.close()
+        for c in ("v", "w"):
+            for gv, wv in zip(got[c], want[c]):
+                assert float(gv) == pytest.approx(float(wv), rel=1e-12), sql
