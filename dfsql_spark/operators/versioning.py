@@ -453,3 +453,162 @@ def distribution_drift(
             F.coalesce("_nfn", F.lit(0.0)).alias("null_frac_new"),
         )
     )
+
+
+def assign_stable_ids(
+    df: DataFrame,
+    cols: "list[str] | None" = None,
+    id_col: str = "stable_id",
+    algo: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic content-derived document ids — the identity layer
+    every snapshot/diff/dedup operator above keys on.  At 100 TB a
+    ``monotonically_increasing_id`` (or any assignment that depends on
+    partition layout) is NOT stable: re-running the same pipeline over
+    the same bytes yields different ids, so snapshot diffs report 100%
+    churn and incremental dedup re-processes the world.  Hashing the
+    content itself makes the id a pure function of the row: same
+    bytes, same id, on any cluster at any parallelism.
+
+    The id derives from ``cols`` (default: every column, in schema
+    order) via a canonical encoding that is injective per column —
+    NULL encodes as ``\\x00`` and value ``v`` as ``\\x01`` + v — with
+    the module's ``\\x1f`` separator between columns, so ``(NULL,)``
+    vs ``('',)`` and ``('ab','c')`` vs ``('a','bc')`` never collide at
+    the string layer (collisions can then only come from the hash
+    itself; audit with :func:`id_collision_report`).
+
+    ``algo``:
+
+    * ``'xxhash64'`` (default) — Spark's native 64-bit XXH64 over the
+      canonical string; BIGINT output, whole-stage-codegen, the
+      production path.
+    * ``'md5'`` — first 16 hex chars of the canonical string's MD5;
+      STRING output, bit-reproducible in DuckDB / any engine
+      (the cross-engine grading and interchange path).
+
+    Map-only: no shuffle, no Python.  Rows that are exact duplicates
+    on ``cols`` get the SAME id by design — run
+    :func:`~dfsql_spark.operators.dedup.exact_dedup` first (or key on
+    a provenance column) if distinct physical rows must keep distinct
+    ids.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("cols must name at least one column")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+    if id_col in df.columns:
+        raise ValueError(f"id column {id_col!r} already exists")
+    parts: "list[Column]" = []
+    for i, c in enumerate(cols):
+        if i:
+            parts.append(F.lit(_SEP))
+        parts.append(
+            F.when(F.col(c).isNull(), F.lit("\x00")).otherwise(
+                F.concat(F.lit("\x01"), F.col(c).cast("string"))
+            )
+        )
+    canonical = F.concat(*parts)
+    if algo == "xxhash64":
+        id_expr = F.xxhash64(canonical)
+    elif algo == "md5":
+        id_expr = F.substring(F.md5(canonical), 1, 16)
+    else:
+        raise ValueError(f"unknown algo {algo!r} (xxhash64 | md5)")
+    return df.withColumn(id_col, id_expr)
+
+
+def id_collision_report(
+    df: DataFrame,
+    cols: "list[str] | None" = None,
+    id_col: str = "stable_id",
+) -> DataFrame:
+    """Audit an id column against row content, in BOTH failure
+    directions:
+
+    * ``collision`` — one id value covering >1 distinct contents (a
+      hash collision, or a legacy id that was never unique): keyed
+      joins silently merge unrelated documents.
+    * ``fragmentation`` — one content appearing under >1 distinct id
+      (a non-deterministic assigner, or an upstream re-crawl that
+      re-keyed unchanged pages): dedup and snapshot diff over-count
+      churn.
+
+    ``cols`` (default: every column except ``id_col``) defines
+    "content" via the same injective NULL-safe canonical encoding as
+    :func:`assign_stable_ids`, fingerprinted with full 128-bit MD5 —
+    so the audit itself is collision-improbable far beyond corpus
+    scale even when the audited id is only 64-bit.
+
+    Output: one row per offender — ``(kind, key, n_peers, n_rows)``
+    where ``key`` is the id (as string) for collisions / the
+    fingerprint for fragmentation, ``n_peers`` the number of distinct
+    contents (resp. ids) sharing it, and ``n_rows`` the physical rows
+    involved.  Empty result == healthy ids.
+
+    Scale shape: one map-side-combined groupBy collapsing the corpus
+    to the distinct ``(id, fingerprint)`` pair relation (~40 bytes a
+    row, at most one per distinct id-content pairing), then two
+    pair-relation-sized aggregates.  The corpus itself shuffles only
+    the pair projection, never documents.
+    """
+    if id_col not in df.columns:
+        raise ValueError(f"id column {id_col!r} not in frame")
+    cols = (
+        list(cols)
+        if cols is not None
+        else [c for c in df.columns if c != id_col]
+    )
+    if not cols:
+        raise ValueError("no content columns besides the id")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+    parts: "list[Column]" = []
+    for i, c in enumerate(cols):
+        if i:
+            parts.append(F.lit(_SEP))
+        parts.append(
+            F.when(F.col(c).isNull(), F.lit("\x00")).otherwise(
+                F.concat(F.lit("\x01"), F.col(c).cast("string"))
+            )
+        )
+    pairs = (
+        df.select(
+            F.col(id_col).cast("string").alias("_id"),
+            F.md5(F.concat(*parts)).alias("_fp"),
+        )
+        .groupBy("_id", "_fp")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    collisions = (
+        pairs.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_peers"),
+            F.sum("_n").alias("n_rows"),
+        )
+        .filter(F.col("n_peers") > 1)
+        .select(
+            F.lit("collision").alias("kind"),
+            F.col("_id").alias("key"),
+            "n_peers",
+            "n_rows",
+        )
+    )
+    fragmentation = (
+        pairs.groupBy("_fp")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_peers"),
+            F.sum("_n").alias("n_rows"),
+        )
+        .filter(F.col("n_peers") > 1)
+        .select(
+            F.lit("fragmentation").alias("kind"),
+            F.col("_fp").alias("key"),
+            "n_peers",
+            "n_rows",
+        )
+    )
+    return collisions.unionByName(fragmentation)

@@ -9742,3 +9742,173 @@ def test_mojibake_score_fuzz_real_corruption(spark):
                     assert got[i * 3 + j].n_mojibake == 0
 
     inner()
+
+
+# ---------------------------------------------------------------------------
+# stable content-derived ids + the two-direction id audit
+# ---------------------------------------------------------------------------
+
+
+def test_assign_stable_ids_semantics(spark):
+    """Determinism across partition layouts, NULL vs '' injectivity,
+    column-boundary injectivity, both algos' dtypes, and every
+    validation path."""
+    import pandas as pd
+    import pytest as _pt
+
+    from dfsql_spark.operators.versioning import assign_stable_ids
+
+    pdf = pd.DataFrame(
+        {
+            "a": ["ab", "a", None, ""],
+            "b": ["c", "bc", "x", "x"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = assign_stable_ids(df, cols=["a", "b"]).collect()
+    ids = {(r.a, r.b): r.stable_id for r in out}
+    # ('ab','c') vs ('a','bc'): the \x1f separator keeps them apart
+    assert ids[("ab", "c")] != ids[("a", "bc")]
+    # NULL vs '': the \x00 / \x01 markers keep them apart
+    assert ids[(None, "x")] != ids[("", "x")]
+    # pure function of content: any partition layout, same ids
+    re_ids = {
+        (r.a, r.b): r.stable_id
+        for r in assign_stable_ids(
+            df.repartition(7, "b"), cols=["a", "b"]
+        ).collect()
+    }
+    assert re_ids == ids
+    # dtypes per algo
+    assert dict(assign_stable_ids(df).dtypes)["stable_id"] == "bigint"
+    md5_out = assign_stable_ids(df, algo="md5")
+    assert dict(md5_out.dtypes)["stable_id"] == "string"
+    assert all(len(r.stable_id) == 16 for r in md5_out.collect())
+    # validation
+    with _pt.raises(ValueError, match="at least one column"):
+        assign_stable_ids(df, cols=[])
+    with _pt.raises(ValueError, match="not in frame"):
+        assign_stable_ids(df, cols=["nope"])
+    with _pt.raises(ValueError, match="already exists"):
+        assign_stable_ids(df.withColumn("stable_id", df.a), cols=["a"])
+    with _pt.raises(ValueError, match="unknown algo"):
+        assign_stable_ids(df, algo="sha1")
+
+
+def test_assign_stable_ids_md5_matches_duckdb(spark, duck):
+    """The md5 algo is the cross-engine interchange path: DuckDB
+    reproduces every id bit-for-bit from the documented canonical
+    encoding (chr(1)+value / chr(0) for NULL, chr(31) between
+    columns)."""
+    from .conftest import SF_DIR, assert_matches_oracle
+    from dfsql_spark.operators.versioning import assign_stable_ids
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    got = assign_stable_ids(docs, cols=["doc_id", "text"], algo="md5")
+    want = duck.sql(
+        """
+        SELECT doc_id, text,
+               substring(md5(
+                   CASE WHEN doc_id IS NULL THEN chr(0)
+                        ELSE chr(1) || CAST(doc_id AS VARCHAR) END
+                   || chr(31) ||
+                   CASE WHEN text IS NULL THEN chr(0)
+                        ELSE chr(1) || text END
+               ), 1, 16) AS stable_id
+        FROM documents
+        """
+    ).df()
+    assert_matches_oracle(got, want, "assign_stable_ids_md5")
+
+
+def test_id_collision_report_hand_pinned(spark):
+    """One planted collision (id A covers two contents), one planted
+    fragmentation (content 'dup' under ids B and C), one healthy row —
+    exactly two report rows, each with the right peers/rows."""
+    import pandas as pd
+
+    from dfsql_spark.operators.versioning import id_collision_report
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "stable_id": ["A", "A", "A", "B", "C", "D"],
+                "text": ["c1", "c1", "c2", "dup", "dup", "ok"],
+            }
+        )
+    )
+    rows = {
+        (r.kind, r.key): (r.n_peers, r.n_rows)
+        for r in id_collision_report(df).collect()
+    }
+    assert len(rows) == 2
+    assert rows[("collision", "A")] == (2, 3)
+    frag = [k for k in rows if k[0] == "fragmentation"]
+    assert len(frag) == 1 and rows[frag[0]] == (2, 2)
+    # healthy ids -> empty report
+    healthy = spark.createDataFrame(
+        pd.DataFrame({"stable_id": ["x", "y"], "text": ["1", "2"]})
+    )
+    assert id_collision_report(healthy).count() == 0
+
+
+def test_id_collision_report_matches_duckdb(spark, duck):
+    """Exact mirror over documents with a deliberately colliding id
+    (doc_id % 97) and a low-cardinality content column (source) so
+    both directions fire: DuckDB rebuilds the pair relation and both
+    offender aggregates from the same canonical encoding."""
+    import pyspark.sql.functions as F
+
+    from .conftest import SF_DIR, assert_matches_oracle
+    from dfsql_spark.operators.versioning import id_collision_report
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select((F.col("doc_id") % 97).alias("bad_id"), "source")
+    )
+    got = id_collision_report(docs, cols=["source"], id_col="bad_id")
+    want = duck.sql(
+        """
+        WITH pairs AS (
+            SELECT CAST(doc_id % 97 AS VARCHAR) AS id,
+                   md5(CASE WHEN source IS NULL THEN chr(0)
+                            ELSE chr(1) || source END) AS fp,
+                   count(*) AS n
+            FROM documents GROUP BY 1, 2
+        ), c AS (
+            SELECT 'collision' AS kind, id AS key,
+                   count(*)::INT AS n_peers, sum(n)::BIGINT AS n_rows
+            FROM pairs GROUP BY id HAVING count(*) > 1
+        ), f AS (
+            SELECT 'fragmentation' AS kind, fp AS key,
+                   count(*)::INT AS n_peers, sum(n)::BIGINT AS n_rows
+            FROM pairs GROUP BY fp HAVING count(*) > 1
+        )
+        SELECT * FROM c UNION ALL SELECT * FROM f
+        """
+    ).df()
+    assert_matches_oracle(got, want, "id_collision_report")
+
+
+def test_assign_stable_ids_plan_map_only(docs):
+    """Id assignment is pure codegen map — zero exchanges, no Python —
+    so it pipelines into any downstream operator's scan; the audit
+    shuffles only the (id, fingerprint) pair projection, never
+    documents (no full-width columns below its first exchange)."""
+    from dfsql_spark.operators.versioning import (
+        assign_stable_ids,
+        id_collision_report,
+    )
+    from dfsql_spark.plans.audit import plan_summary
+
+    s = plan_summary(assign_stable_ids(docs, cols=["doc_id", "text"]))
+    assert s.n_exchanges == 0, s.text
+    assert "Python" not in s.text, s.text
+    r = plan_summary(id_collision_report(docs, cols=["text"], id_col="doc_id"))
+    assert "Python" not in r.text, r.text
+    # map-side partial aggregation collapses the corpus before the
+    # first exchange: the shuffled relation is the hashed pair, and
+    # the raw text column never crosses an exchange boundary
+    assert "partial" in r.text.lower(), r.text
