@@ -9912,3 +9912,153 @@ def test_assign_stable_ids_plan_map_only(docs):
     # first exchange: the shuffled relation is the hashed pair, and
     # the raw text column never crosses an exchange boundary
     assert "partial" in r.text.lower(), r.text
+
+
+# ---------------------------------------------------------------------------
+# temporal-join fuzz: asof_join vs pandas.merge_asof, range_join vs a
+# naive cross+filter — independent single-node oracles for the two
+# distributed formulations (union+window carry-forward; bin-exploded
+# equi-join)
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_fuzz_vs_pandas_merge_asof(spark):
+    """Random (key, ts) universes on both sides, both allow_equal
+    modes, against pandas.merge_asof (direction='backward') — a
+    completely different algorithm family (sorted merge scan vs the
+    union + last-non-null window carry).  Right (key, ts) pairs are
+    unique by construction: equal-ts right ties are documented as
+    nondeterministic in the window formulation, so a fuzz over them
+    would pin an ordering neither engine promises."""
+    import pandas as pd
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dfsql_spark.operators.joins import asof_join
+
+    left_rows = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # key
+            st.integers(min_value=0, max_value=25),  # ts (dups fine)
+        ),
+        min_size=1,
+        max_size=10,
+    )
+    right_rows = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # key (3 never in left)
+            st.integers(min_value=0, max_value=25),  # ts
+        ),
+        min_size=1,
+        max_size=10,
+        unique=True,  # (k, ts) unique -> deterministic tie-free oracle
+    )
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(left_rows, right_rows, st.booleans())
+    def inner(lrows, rrows, allow_equal):
+        lpdf = pd.DataFrame(
+            [(k, ts, i) for i, (k, ts) in enumerate(lrows)],
+            columns=["k", "ts", "tag"],
+        )
+        rpdf = pd.DataFrame(
+            [(k, ts, 10 * ts + k) for (k, ts) in rrows],
+            columns=["k", "ts", "v"],
+        )
+        want_df = pd.merge_asof(
+            lpdf.sort_values("ts", kind="stable"),
+            rpdf.sort_values("ts", kind="stable"),
+            on="ts",
+            by="k",
+            direction="backward",
+            allow_exact_matches=allow_equal,
+            suffixes=("", "_right"),
+        )
+        want = {
+            int(r.tag): None if pd.isna(r.v) else int(r.v)
+            for r in want_df.itertuples()
+        }
+        ldf = spark.createDataFrame(lpdf)
+        rdf = spark.createDataFrame(rpdf)
+        got_rows = asof_join(
+            ldf, rdf, on="k", right_cols=["v"], allow_equal=allow_equal
+        ).collect()
+        assert len(got_rows) == len(lrows)  # left-outer: no blowup/loss
+        got = {
+            r["tag"]: None if r["v_right"] is None else int(r["v_right"])
+            for r in got_rows
+        }
+        assert got == want, (lrows, rrows, allow_equal)
+        # matched ts must actually be the asof ts: <= (or <) left ts
+        for r in got_rows:
+            if r["ts_right"] is not None:
+                if allow_equal:
+                    assert r["ts_right"] <= r["ts"]
+                else:
+                    assert r["ts_right"] < r["ts"]
+
+    inner()
+
+
+def test_range_join_fuzz_vs_cross_filter(spark):
+    """Random points and intervals at several bin widths (including a
+    bin wider than the whole domain, where the formulation degenerates
+    to the naive cross+filter it must equal): every inclusive
+    containment pair, exactly once, regardless of how intervals split
+    across bins."""
+    import pandas as pd
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dfsql_spark.operators.joins import range_join
+
+    points = st.lists(
+        st.integers(min_value=0, max_value=40), min_size=1, max_size=10
+    )
+    intervals = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=12),  # length
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(points, intervals, st.sampled_from([1, 3, 7, 100]))
+    def inner(pts, ivs, bin_seconds):
+        ppdf = pd.DataFrame(
+            [(i, p) for i, p in enumerate(pts)], columns=["pid", "p"]
+        )
+        ipdf = pd.DataFrame(
+            [(j, s, s + ln) for j, (s, ln) in enumerate(ivs)],
+            columns=["iid", "s", "e"],
+        )
+        want = sorted(
+            (int(pr.pid), int(ir.iid))
+            for pr in ppdf.itertuples()
+            for ir in ipdf.itertuples()
+            if ir.s <= pr.p <= ir.e
+        )
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in range_join(
+                spark.createDataFrame(ppdf),
+                spark.createDataFrame(ipdf),
+                "p", "s", "e",
+                bin_seconds=bin_seconds,
+            ).collect()
+        )
+        assert got == want, (pts, ivs, bin_seconds)
+
+    inner()
