@@ -3011,7 +3011,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # holds ~178 public callables — never-graded operators with mirrors
 # ready: mojibake_score (NEW in r14: encoding-corruption score, exact
 # DuckDB mirror from the exported MOJIBAKE_RE + real-corruption fuzz
-# already in tests/test_operators.py), truncate_embeddings,
+# already in tests/test_operators.py), assign_stable_ids /
+# id_collision_report (NEW in r14: content-derived ids + two-direction
+# id audit, bit-exact DuckDB md5 mirror, flat sf0.1->sf1),
+# truncate_embeddings,
 # zipf_report, write_training_shards, normalize_nfc,
 # heavy_hitter_ngrams, cap_per_key, train_bpe/bpe_encode,
 # threshold_sweep, schema_drift_report, key_skew_report,
