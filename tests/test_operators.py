@@ -10062,3 +10062,122 @@ def test_range_join_fuzz_vs_cross_filter(spark):
         assert got == want, (pts, ivs, bin_seconds)
 
     inner()
+
+
+# ---------------------------------------------------------------------------
+# pagerank: crawl-graph authority ranking
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_hand_pinned(spark):
+    """Closed-form fixpoints: a 2-cycle and a complete K3 are regular
+    graphs whose uniform distribution is exact from round one; a
+    dangling sink's fixpoint is solvable by hand."""
+    import pytest as _pt
+
+    from dfsql_spark.operators.web import pagerank
+
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    got = {r.node: r.rank for r in pagerank(cyc, max_iter=3).collect()}
+    assert got["a"] == pytest.approx(0.5) and got["b"] == pytest.approx(0.5)
+
+    k3 = spark.createDataFrame(
+        [(a, b) for a in "xyz" for b in "xyz" if a != b],
+        "src string, dst string",
+    )
+    for r in pagerank(k3, max_iter=3).collect():
+        assert r.rank == pytest.approx(1.0 / 3.0)
+
+    # regular graph: uniform is the fixpoint, so the tol path
+    # converges on the FIRST delta measurement instead of raising
+    got = pagerank(cyc, max_iter=2, tol=1e-9).collect()
+    assert {r.node for r in got} == {"a", "b"}
+
+    # validation
+    with _pt.raises(ValueError, match="damping"):
+        pagerank(cyc, damping=1.0)
+    with _pt.raises(ValueError, match="max_iter"):
+        pagerank(cyc, max_iter=0)
+    with _pt.raises(ValueError, match="tol"):
+        pagerank(cyc, tol=0.0)
+    with _pt.raises(ValueError, match="materialize"):
+        pagerank(cyc, materialize="none")
+    with _pt.raises(ValueError, match="empty"):
+        pagerank(cyc.filter("src = 'missing'"))
+
+
+def test_pagerank_nonconvergence_raises(spark):
+    """tol set + not reachable within max_iter -> RuntimeError (the
+    connected_components silent-partial-result precedent), never a
+    quietly half-converged ranking."""
+    import pytest as _pt
+
+    from dfsql_spark.operators.web import pagerank
+
+    # a directed chain is far from its fixpoint after one round
+    chain = spark.createDataFrame(
+        [(str(i), str(i + 1)) for i in range(6)], "src string, dst string"
+    )
+    with _pt.raises(RuntimeError, match="did not converge"):
+        pagerank(chain, max_iter=1, tol=1e-12)
+
+
+def test_pagerank_fuzz_vs_numpy_power_iteration(spark):
+    """Random small multigraphs (parallel edges, self-loops, dangling
+    nodes all arise) against an independent dense NumPy power
+    iteration running the SAME number of rounds — agreement to 1e-9
+    pins the whole formula: multi-edge weighting, dangling
+    redistribution, teleport term.  Ranks must also sum to 1."""
+    import numpy as np
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dfsql_spark.operators.web import pagerank
+
+    edges_s = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=1,
+        max_size=18,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(edges_s, st.sampled_from([0.5, 0.85]))
+    def inner(pairs, d):
+        iters = 6
+        nodes = sorted({u for e in pairs for u in e})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        deg = np.zeros(n)
+        for s, _t in pairs:
+            deg[idx[s]] += 1
+        r = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            mass = np.zeros(n)
+            for s, t in pairs:
+                mass[idx[t]] += r[idx[s]] / deg[idx[s]]
+            dang = r[deg == 0].sum()
+            r = (1.0 - d) / n + d * (mass + dang / n)
+
+        df = spark.createDataFrame(
+            [(str(a), str(b)) for a, b in pairs], "src string, dst string"
+        )
+        got = {
+            int(row.node): row.rank
+            for row in pagerank(df, damping=d, max_iter=iters).collect()
+        }
+        assert set(got) == set(nodes)
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+        for v in nodes:
+            assert got[v] == pytest.approx(r[idx[v]], abs=1e-9), (pairs, d, v)
+
+    inner()
