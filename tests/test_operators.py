@@ -10181,3 +10181,85 @@ def test_pagerank_fuzz_vs_numpy_power_iteration(spark):
             assert got[v] == pytest.approx(r[idx[v]], abs=1e-9), (pairs, d, v)
 
     inner()
+
+
+def test_bm25_topk_fuzz_vs_python_reference(spark):
+    """Random small corpora and queries against an independent
+    plain-Python Lucene-BM25 (tf/df/avgdl/idf all recomputed from
+    scratch): per-query (doc -> score) maps must agree to 1e-9, and
+    the returned ranking must be non-increasing in score.  k exceeds
+    the corpus so float-tie rank order (doc_id tie-break at equal
+    scores summed in different orders) never truncates differently."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dfsql_spark.operators.text import bm25_topk
+
+    WORDS = ["aa", "bb", "cc", "dd", "ee"]
+    doc_s = st.lists(st.sampled_from(WORDS), min_size=1, max_size=8)
+    corpus_s = st.lists(doc_s, min_size=1, max_size=6)
+    query_s = st.lists(st.sampled_from(WORDS), min_size=1, max_size=3)
+    queries_s = st.lists(query_s, min_size=1, max_size=3)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(corpus_s, queries_s)
+    def inner(docs_tokens, qs_tokens):
+        k1, b = 1.2, 0.75
+        n = len(docs_tokens)
+        dls = [len(d) for d in docs_tokens]
+        avgdl = sum(dls) / n
+        dfreq: dict = {}
+        for d in docs_tokens:
+            for t in set(d):
+                dfreq[t] = dfreq.get(t, 0) + 1
+
+        def py_scores(qtoks):
+            out = {}
+            for i, d in enumerate(docs_tokens):
+                s, matched = 0.0, False
+                for t in set(qtoks):
+                    tf = d.count(t)
+                    if tf == 0:
+                        continue
+                    matched = True
+                    idf = math.log(
+                        1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+                    )
+                    s += idf * (tf * (k1 + 1)) / (
+                        tf + k1 * (1 - b + b * dls[i] / avgdl)
+                    )
+                if matched:
+                    out[i] = s
+            return out
+
+        ddf = spark.createDataFrame(
+            [(i, " ".join(d)) for i, d in enumerate(docs_tokens)],
+            "doc_id int, text string",
+        )
+        qdf = spark.createDataFrame(
+            [(j, " ".join(q)) for j, q in enumerate(qs_tokens)],
+            "query_id int, text string",
+        )
+        rows = bm25_topk(ddf, qdf, k=20).collect()
+        got: dict = {}
+        for r in rows:
+            got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+        for j, q in enumerate(qs_tokens):
+            want = py_scores(q)
+            mine = sorted(got.get(j, []))
+            assert {d for _, d, _ in mine} == set(want), (docs_tokens, q)
+            for rank, d, s in mine:
+                assert s == pytest.approx(want[d], abs=1e-9), (q, d)
+            scores = [s for _, _, s in mine]
+            assert all(
+                scores[i] >= scores[i + 1] - 1e-9
+                for i in range(len(scores) - 1)
+            )
+
+    inner()
