@@ -1,0 +1,139 @@
+"""WET/WARC source reader: byte-exact record framing, gzip-by-magic,
+type filtering, and the refuse-to-truncate contract."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+
+
+def _wet_bytes() -> bytes:
+    """A synthetic two-page WET member: warcinfo preamble + two
+    conversion records.  The second payload is multibyte UTF-8 whose
+    byte length (19) exceeds its character length (13) — framing by
+    characters instead of bytes would desynchronize on it."""
+
+    def rec(wtype, rid, payload: bytes, url=None, date=None):
+        h = [b"WARC/1.0"]
+        h.append(b"WARC-Type: " + wtype.encode())
+        h.append(b"WARC-Record-ID: <urn:uuid:" + rid.encode() + b">")
+        if url:
+            h.append(b"WARC-Target-URI: " + url.encode())
+        if date:
+            h.append(b"WARC-Date: " + date.encode())
+        h.append(b"Content-Length: " + str(len(payload)).encode())
+        return b"\r\n".join(h) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+    p1 = b"Hello crawl world.\nSecond line."
+    p2 = "café naïve 世界".encode()
+    assert len(p2) == 19 and len(p2.decode()) == 13
+    return (
+        rec("warcinfo", "info-1", b"software: synthetic-wet 1.0\r\n")
+        + rec(
+            "conversion",
+            "rec-a",
+            p1,
+            url="https://example.com/a",
+            date="2026-08-16T00:00:00Z",
+        )
+        + rec(
+            "conversion",
+            "rec-b",
+            p2,
+            url="https://example.com/b",
+            date="2026-08-16T00:00:01Z",
+        )
+    )
+
+
+def test_parse_warc_records_byte_exact_framing():
+    """Pure-parser unit: all three records, byte-exact payloads, and
+    LF-only header blocks parse identically to CRLF."""
+    from dfsql_spark.sources.warc import parse_warc_records
+
+    recs = list(parse_warc_records(_wet_bytes()))
+    assert [r["warc_type"] for r in recs] == [
+        "warcinfo",
+        "conversion",
+        "conversion",
+    ]
+    assert recs[1]["url"] == "https://example.com/a"
+    assert recs[2]["payload"].decode() == "café naïve 世界"
+    assert recs[2]["content_length"] == 19
+
+    lf = _wet_bytes().replace(b"\r\n", b"\n")
+    assert [r["url"] for r in parse_warc_records(lf)] == [
+        r["url"] for r in recs
+    ]
+
+
+def test_parse_warc_records_refuses_malformed():
+    """Truncated payloads, missing Content-Length, and non-WARC bytes
+    raise instead of silently dropping trailing records."""
+    from dfsql_spark.sources.warc import parse_warc_records
+
+    good = _wet_bytes()
+    # cut into the LAST record's payload (it ends with 19 payload
+    # bytes + 4 trailing CRLF bytes): a short read mid-payload
+    with pytest.raises(ValueError, match="truncated"):
+        list(parse_warc_records(good[:-10]))
+    with pytest.raises(ValueError, match="not a WARC member"):
+        list(parse_warc_records(b"plain text file"))
+    with pytest.raises(ValueError, match="Content-Length"):
+        list(
+            parse_warc_records(b"WARC/1.0\r\nWARC-Type: conversion\r\n\r\nx")
+        )
+
+
+def test_read_wet_plain_gzip_and_type_filter(spark, tmp_path):
+    """End-to-end over a directory mixing an uncompressed member and a
+    gzipped one (magic-byte detection — the .wet extension lies):
+    conversion-only default, exact texts/urls, per-member provenance,
+    and warc_types=None keeping the warcinfo rows."""
+    from dfsql_spark.sources.warc import read_wet
+
+    d = tmp_path / "wet"
+    d.mkdir()
+    (d / "m1.warc.wet").write_bytes(_wet_bytes())
+    # gzipped but WITHOUT a .gz extension: magic bytes must win
+    (d / "m2.warc.wet").write_bytes(gzip.compress(_wet_bytes()))
+
+    out = read_wet(spark, str(d)).collect()
+    assert len(out) == 4  # 2 conversion records x 2 members
+    by_member: dict = {}
+    for r in out:
+        by_member.setdefault(os.path.basename(r.source_file), []).append(r)
+    for member, rows in by_member.items():
+        urls = sorted(r.url for r in rows)
+        assert urls == ["https://example.com/a", "https://example.com/b"]
+        texts = {r.url: r.text for r in rows}
+        assert texts["https://example.com/a"].startswith("Hello crawl")
+        assert texts["https://example.com/b"] == "café naïve 世界"
+        assert all(r.warc_type == "conversion" for r in rows)
+    assert set(by_member) == {"m1.warc.wet", "m2.warc.wet"}
+
+    everything = read_wet(spark, str(d), warc_types=None).collect()
+    assert len(everything) == 6
+    assert sum(r.warc_type == "warcinfo" for r in everything) == 2
+
+
+def test_read_wet_composes_with_text_operators(spark, tmp_path):
+    """The documented downstream hand-off: WET rows feed url
+    canonicalization and a text signal without any adapter glue."""
+    from dfsql_spark.operators.text import token_count
+    from dfsql_spark.operators.web import canonicalize_url
+    from dfsql_spark.sources.warc import read_wet
+
+    f = tmp_path / "m.warc.wet.gz"
+    f.write_bytes(gzip.compress(_wet_bytes()))
+    docs = read_wet(spark, str(f))
+    out = (
+        canonicalize_url(docs, url_col="url")
+        .withColumn("n_tokens", token_count("text"))
+        .collect()
+    )
+    assert len(out) == 2
+    assert all(r.n_tokens > 0 for r in out)
+    assert all(r.canonical_url.startswith("https://example.com/") for r in out)
