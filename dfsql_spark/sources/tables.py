@@ -25,6 +25,9 @@ _FORMAT_BY_EXT = {
     ".jsonl": "json",
     ".ndjson": "json",
     ".orc": "orc",
+    # CommonCrawl WET text extracts (sources/warc.py); .warc.wet.gz
+    # resolves here after the compression strip below
+    ".wet": "wet",
 }
 
 # Compression suffixes Spark's text-based readers decompress
@@ -85,6 +88,10 @@ def read_file(spark: SparkSession, fpath: str, fmt: str | None = None, **options
         return reader.options(**options).parquet(fpath)
     if fmt == "json":
         return reader.options(**options).json(fpath)
+    if fmt == "wet":
+        from .warc import read_wet
+
+        return read_wet(spark, fpath, **options)
     return reader.format(fmt).options(**options).load(fpath)
 
 

@@ -137,3 +137,26 @@ def test_read_wet_composes_with_text_operators(spark, tmp_path):
     assert len(out) == 2
     assert all(r.n_tokens > 0 for r in out)
     assert all(r.canonical_url.startswith("https://example.com/") for r in out)
+
+
+def test_wet_through_create_table_sql_surface(spark, tmp_path):
+    """The catalog path end-to-end: CREATE TABLE over a .warc.wet.gz
+    file (format inferred through the compression strip), then plain
+    SQL over the resulting documents view."""
+    from dfsql_spark.datasource import DataSource
+    from dfsql_spark.sources.tables import infer_format
+
+    assert infer_format("m.warc.wet.gz") == "wet"
+    assert infer_format("m.wet") == "wet"
+
+    f = tmp_path / "m.warc.wet.gz"
+    f.write_bytes(gzip.compress(_wet_bytes()))
+    ds = DataSource(
+        spark=spark, metadata_dir=str(tmp_path / "meta"), cache=False
+    )
+    ds.query(f"CREATE TABLE crawl ('{f}')")
+    out = ds.query(
+        "SELECT url FROM crawl WHERE text LIKE 'Hello.*' "
+    )
+    vals = out.values.tolist() if hasattr(out, "values") else [[out]]
+    assert vals == [["https://example.com/a"]]
