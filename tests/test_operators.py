@@ -10263,3 +10263,93 @@ def test_bm25_topk_fuzz_vs_python_reference(spark):
             )
 
     inner()
+
+
+def test_canonicalize_url_fuzz_constructive_oracle(spark):
+    """Generation-based oracle: URLs are BUILT from known components
+    with randomized noise (scheme case, www., default ports, userinfo,
+    tracking params, param order, trailing slash, fragment), so the
+    canonical form is known by construction — no re-implementation of
+    the rules on the oracle side to share a bug with."""
+    import pandas as pd
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dfsql_spark.operators.web import canonicalize_url
+
+    params_pool = [
+        ("utm_source", "x", True),
+        ("utm_campaign", "y", True),
+        ("gclid", "1", True),
+        ("ref", "h", True),
+        ("q", "Z", False),
+        ("a", "1", False),
+        ("b", "2", False),
+    ]
+
+    @st.composite
+    def url_case(draw):
+        scheme = draw(st.sampled_from(["http", "https"]))
+        scheme_raw = draw(
+            st.sampled_from([scheme, scheme.upper(), scheme.capitalize()])
+        )
+        explicit_scheme = draw(st.booleans()) or scheme == "https"
+        host = draw(st.sampled_from(["example.com", "sub.domain.org", "a-b.net"]))
+        host_raw = draw(st.sampled_from([host, host.upper(), host.title()]))
+        if draw(st.booleans()):
+            host_raw = "www." + host_raw
+        userinfo = draw(st.sampled_from(["", "user@", "u:pw@"]))
+        port = draw(st.sampled_from([None, "default", 8080]))
+        default_port = 80 if scheme == "http" else 443
+        port_raw = (
+            "" if port is None
+            else f":{default_port}" if port == "default"
+            else f":{port}"
+        )
+        segs = draw(
+            st.lists(st.sampled_from(["a", "B2", "x-y"]), max_size=3)
+        )
+        trail = draw(st.booleans()) and segs
+        pchosen = draw(
+            st.lists(st.sampled_from(params_pool), max_size=4, unique=True)
+        )
+        frag = draw(st.sampled_from(["", "#frag", "#x=1"]))
+
+        path_raw = "/" + "/".join(segs) + ("/" if trail else "") if segs else (
+            "/" if draw(st.booleans()) else ""
+        )
+        q_raw = "&".join(f"{k}={v}" for k, v, _ in pchosen)
+        raw = (
+            (f"{scheme_raw}://" if explicit_scheme else "")
+            + userinfo + host_raw + port_raw + path_raw
+            + (f"?{q_raw}" if q_raw else "") + frag
+        )
+        # canonical form, by construction
+        kept = sorted(f"{k}={v}" for k, v, tracking in pchosen if not tracking)
+        want = (
+            f"{scheme}://{host}"
+            + ("" if port in (None, "default") else f":{port}")
+            + ("/" + "/".join(segs) if segs else "/")
+            + (f"?{'&'.join(kept)}" if kept else "")
+        )
+        return raw, want
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(url_case(), min_size=1, max_size=25))
+    def inner(cases):
+        pdf = pd.DataFrame(
+            {"i": range(len(cases)), "url": [c[0] for c in cases]}
+        )
+        got = {
+            r.i: r.canonical_url
+            for r in canonicalize_url(spark.createDataFrame(pdf)).collect()
+        }
+        for i, (raw, want) in enumerate(cases):
+            assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+
+    inner()
