@@ -2196,3 +2196,76 @@ def source_overlap_matrix(
             ),
         )
     )
+
+
+def lsh_plan(
+    threshold: float,
+    num_perm: int = 64,
+    fp_weight: float = 1.0,
+    fn_weight: float = 1.0,
+    grid: int = 2000,
+) -> "dict | list[dict]":
+    """Choose MinHash-LSH banding parameters for a target Jaccard
+    ``threshold`` — the knob-setting step BEFORE
+    :func:`minhash_lsh_pairs` runs at corpus scale, where a mis-tuned
+    band count either floods the verify stage with false candidates
+    (too many bands) or silently drops true near-dups (too few).
+
+    Standard S-curve analysis (Mining of Massive Datasets §3.4): with
+    ``b`` bands of ``r = num_perm // b`` rows, a pair with true
+    Jaccard ``s`` becomes a candidate with probability
+    ``P(s) = 1 − (1 − s^r)^b``.  For every ``b`` dividing ``num_perm``
+    the planner integrates the two error masses (midpoint rule over
+    ``grid`` steps)::
+
+        fp_area = ∫_0^t     P(s)      ds   (candidates that shouldn't be)
+        fn_area = ∫_t^1  (1 − P(s))   ds   (near-dups never paired)
+
+    and returns the plan minimizing
+    ``fp_weight·fp_area + fn_weight·fn_area`` (ties to fewer bands —
+    fewer bands = fewer shuffled band rows per document).  Weight
+    false negatives heavier (``fn_weight > fp_weight``) when the
+    verify stage re-checks candidates exactly anyway and missing a
+    dup is the real cost, e.g. decontamination.
+
+    Driver-side pure math over the PARAMETER space (a few divisors ×
+    ``grid`` floats) — no data touched.  Returns a dict::
+
+        {bands, rows, s50, fp_area, fn_area, cost}
+
+    where ``s50 = (1/b)^(1/r)`` is the similarity at which the
+    S-curve crosses 50% candidate probability (keep it near
+    ``threshold``).  Pass the result's ``bands`` straight to
+    :func:`minhash_lsh_pairs` / :func:`minhash_dedup`.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if num_perm < 2:
+        raise ValueError(f"num_perm must be >= 2, got {num_perm}")
+    if grid < 10:
+        raise ValueError(f"grid must be >= 10, got {grid}")
+    plans = []
+    for b in range(1, num_perm + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+        fp = fn = 0.0
+        step = 1.0 / grid
+        for i in range(grid):
+            s = (i + 0.5) * step
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < threshold:
+                fp += p * step
+            else:
+                fn += (1.0 - p) * step
+        plans.append(
+            {
+                "bands": b,
+                "rows": r,
+                "s50": (1.0 / b) ** (1.0 / r),
+                "fp_area": fp,
+                "fn_area": fn,
+                "cost": fp_weight * fp + fn_weight * fn,
+            }
+        )
+    return min(plans, key=lambda p: (p["cost"], p["bands"]))

@@ -10353,3 +10353,54 @@ def test_canonicalize_url_fuzz_constructive_oracle(spark):
             assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
 
     inner()
+
+
+def test_lsh_plan_matches_numpy_integration_and_properties():
+    """Driver-side planner: error areas match an independent NumPy
+    trapezoid integration of the MMDS S-curve to 1e-3, s50 is the
+    closed form (1/b)^(1/r), hand-pinned choices at 64 perms, and
+    weighting false negatives heavier never increases the chosen
+    plan's fn_area."""
+    import numpy as np
+    import pytest as _pt
+
+    from dfsql_spark.operators.dedup import lsh_plan
+
+    def np_areas(b, r, t):
+        s = np.linspace(0.0, 1.0, 20001)
+        p = 1.0 - (1.0 - s**r) ** b
+        below = s < t
+        fp = np.trapz(np.where(below, p, 0.0), s)
+        fn = np.trapz(np.where(~below, 1.0 - p, 0.0), s)
+        return fp, fn
+
+    for t in (0.3, 0.5, 0.7, 0.9):
+        best = lsh_plan(t, num_perm=64)
+        assert best["bands"] * best["rows"] == 64
+        assert best["s50"] == pytest.approx(
+            (1.0 / best["bands"]) ** (1.0 / best["rows"])
+        )
+        fp, fn = np_areas(best["bands"], best["rows"], t)
+        assert best["fp_area"] == pytest.approx(fp, abs=1e-3)
+        assert best["fn_area"] == pytest.approx(fn, abs=1e-3)
+        # the chosen plan must actually beat every other divisor pair
+        # under the independent integration too
+        for b in (1, 2, 4, 8, 16, 32, 64):
+            ofp, ofn = np_areas(b, 64 // b, t)
+            assert fp + fn <= ofp + ofn + 2e-3, (t, b)
+
+    # MMDS intuition pins: loose threshold -> many bands, tight -> few
+    assert lsh_plan(0.5, num_perm=64)["bands"] == 16
+    assert lsh_plan(0.8, num_perm=64)["bands"] <= 8
+
+    # recall-leaning weighting can only lower the chosen fn_area
+    base = lsh_plan(0.8, num_perm=64)
+    recall = lsh_plan(0.8, num_perm=64, fn_weight=10.0)
+    assert recall["fn_area"] <= base["fn_area"]
+
+    with _pt.raises(ValueError, match="threshold"):
+        lsh_plan(1.0)
+    with _pt.raises(ValueError, match="num_perm"):
+        lsh_plan(0.5, num_perm=1)
+    with _pt.raises(ValueError, match="grid"):
+        lsh_plan(0.5, grid=5)
