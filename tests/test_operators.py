@@ -10404,3 +10404,91 @@ def test_lsh_plan_matches_numpy_integration_and_properties():
         lsh_plan(0.5, num_perm=1)
     with _pt.raises(ValueError, match="grid"):
         lsh_plan(0.5, grid=5)
+
+
+def test_pagerank_releases_persists_and_weights_stay_put(spark):
+    """Two scale contracts: (1) pagerank leaves NO cached plans behind
+    — its static relations (nodes, weights, has_out) unpersist on
+    every exit path including the nonconvergence raise; (2) the
+    Spark behavior its no-edge-reshuffle claim rests on holds: a
+    PERSISTED repartition("k") survives into a sort-merge join
+    without a fresh Exchange on that side (a localCheckpoint of the
+    same relation forgets its partitioning and re-exchanges — the
+    round-14 plan-audit finding that moved the implementation from
+    checkpoint to persist for the static side)."""
+    import pyspark.sql.functions as F
+    import pytest as _pt
+
+    from dfsql_spark.operators.web import pagerank
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+
+    edges = spark.createDataFrame(
+        [(str(i), str(i + 1)) for i in range(8)], "src string, dst string"
+    )
+    pagerank(edges, max_iter=2).collect()
+    assert cm.isEmpty(), "pagerank left persisted plans behind"
+    with _pt.raises(RuntimeError):
+        pagerank(edges, max_iter=1, tol=1e-12)
+    assert cm.isEmpty(), "raise path leaked persisted plans"
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    old_aqe = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        e = spark.range(5000).select(
+            (F.col("id") % 97).cast("string").alias("src"),
+            ((F.col("id") * 31 + 7) % 97).cast("string").alias("dst"),
+        )
+        ranks = (
+            e.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("rank", F.col("node").cast("double") / 100.0)
+        )
+        persisted = e.repartition("src").persist()
+        try:
+            joined = (
+                persisted.join(ranks, persisted.src == ranks.node)
+                .groupBy("dst")
+                .agg(F.sum("rank").alias("m"))
+            )
+            joined.collect()  # finalize the AQE plan before reading it
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            lines = plan.splitlines()
+            # AQE's toString prints the join twice (Final + Initial
+            # plan sections); the FIRST occurrence is the executed one
+            smj = [i for i, l in enumerate(lines) if "SortMergeJoin" in l]
+            assert smj, plan  # the forced regime must plan an SMJ
+            # the persisted (weights) side is the join's LEFT leg
+            # (lines prefixed ':'): it must read straight from the
+            # in-memory relation with NO Exchange between the join
+            # and the cache scan (the Exchange INSIDE the
+            # InMemoryRelation is the one-time repartition)
+            leg = []
+            for l in lines[smj[0] + 1:]:
+                if not l.strip().startswith(":"):
+                    break
+                if "InMemoryTableScan" in l:
+                    leg_ok = True
+                    break
+                leg.append(l)
+            else:
+                leg_ok = False
+            assert leg_ok, plan
+            assert not any("Exchange" in l for l in leg), plan
+        finally:
+            persisted.unpersist()
+    finally:
+        if old_thresh is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        if old_aqe is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe
+            )
