@@ -1565,6 +1565,8 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b_lm_score": bench_lm_score,
         "b_winnow_fingerprints": bench_winnow_fingerprints,
         "b_distribution_drift": bench_distribution_drift,
+        "b_pagerank": bench_pagerank,
+        "b_stable_ids": bench_stable_ids,
         "b_column_profile": bench_column_profile,
         "b_source_overlap": bench_source_overlap,
     }
@@ -2340,6 +2342,45 @@ def bench_distribution_drift(spark, sf):
     return distribution_drift(
         docs, new, numeric_cols=["n_chars"],
         categorical_cols=["source", "lang"],
+    )
+
+
+def bench_pagerank(spark, sf):
+    """BENCH-ONLY (round-14 library addition): PageRank
+    (operators/web.py:pagerank) over a deterministic corpus-derived
+    edge list — each document contributes one edge between two of
+    1000 pseudo-hosts hashed from its id, so the edge relation is
+    corpus-sized while the rank table stays host-sized.  Times 5
+    fixed rounds: per round one ranks-side shuffle join against the
+    once-partitioned weights plus one dst-keyed aggregation."""
+    from dfsql_spark.operators.web import pagerank
+
+    docs = _t(spark, sf, "documents")
+    edges = docs.select(
+        F.pmod(F.xxhash64("doc_id"), F.lit(1000))
+        .cast("string").alias("src"),
+        F.pmod(F.xxhash64(F.col("doc_id") * 31 + 7), F.lit(1000))
+        .cast("string").alias("dst"),
+    )
+    return pagerank(edges, max_iter=5)
+
+
+def bench_stable_ids(spark, sf):
+    """BENCH-ONLY (round-14 library addition): content-derived id
+    assignment (operators/versioning.py:assign_stable_ids, xxhash64
+    production path) immediately audited by id_collision_report —
+    times the codegen canonical-encoding map plus the audit's
+    map-side-combined (id, fingerprint) pair collapse and the two
+    pair-relation aggregates."""
+    from dfsql_spark.operators.versioning import (
+        assign_stable_ids,
+        id_collision_report,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "source")
+    withids = assign_stable_ids(docs, cols=["text", "source"])
+    return id_collision_report(
+        withids, cols=["text", "source"], id_col="stable_id"
     )
 
 

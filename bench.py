@@ -123,6 +123,11 @@ HEADLINE = [
     # plan; the contract entry differs only in the mutation inputs).
     "t28_vocab_coverage",
     "t29_packing_report",
+    # round-14 session additions: the iterative link-graph ranking
+    # (5 fixed rounds over a corpus-sized edge list) and the
+    # content-id assign + collision/fragmentation audit
+    "b_pagerank",
+    "b_stable_ids",
 ]
 
 
