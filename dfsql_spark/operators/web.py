@@ -458,3 +458,177 @@ def _pagerank_loop(
                 f" ~x{damping} per round)"
             )
     return ranks
+
+
+def parse_robots(
+    df: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+    user_agent: str = "*",
+) -> DataFrame:
+    """Parse per-host ``robots.txt`` bodies into a flat rule table —
+    the compliance half of crawl curation: a corpus assembled from
+    raw captures must be able to DROP pages the site's current policy
+    disallows, and that check has to run distributed (one policy per
+    host, billions of URLs).
+
+    RFC 9309 semantics, the subset that decides keep/drop:
+
+    * lines are ``field: value`` with ``#`` comments stripped; fields
+      case-insensitive; unknown fields (crawl-delay, sitemap) ignored
+    * consecutive ``User-agent`` lines open a GROUP whose rules are
+      the following Allow/Disallow lines; the group chosen for
+      ``user_agent`` is the exact (case-insensitive) product-token
+      match if any group names it, else the ``*`` group; multiple
+      groups naming the same agent merge
+    * ``Allow`` / ``Disallow`` values are path prefixes with RFC 9309
+      wildcards: ``*`` matches any span, a trailing ``$`` anchors the
+      end; an EMPTY Disallow value is a no-op rule (allows all)
+    * rule specificity = the raw pattern's character length (the RFC's
+      longest-match octet count)
+
+    Output: ``(host, allow boolean, pattern, regex, specificity)`` —
+    one row per rule; ``regex`` is the pattern compiled to an anchored
+    Java/RE2-safe regex (escaped literal, ``*`` → ``.*``, trailing
+    ``$`` kept as the anchor) evaluated later by
+    :func:`robots_filter`.  Hosts whose body is NULL/empty produce no
+    rows (no rules = everything allowed).
+
+    Robots bodies are small (the RFC caps parsing at 500 KiB) and
+    per-host — a genuinely non-relational line-grouping parse, so this
+    runs as one ``mapInPandas`` pass (same class as
+    :func:`html_to_text`'s regex stage: map-only, zero shuffle).
+    """
+    import pandas as pd
+
+    ua = user_agent.lower()
+
+    def _regex(pat: str) -> str:
+        anchored_end = pat.endswith("$")
+        if anchored_end:
+            pat = pat[:-1]
+        out = []
+        for ch in pat:
+            if ch == "*":
+                out.append(".*")
+            elif ch in r"\.[]{}()^$?+|":
+                out.append("\\" + ch)
+            else:
+                out.append(ch)
+        return "^" + "".join(out) + ("$" if anchored_end else "")
+
+    def _parse_one(body: str) -> "list[tuple]":
+        groups: "list[tuple[list[str], list[tuple[bool, str]]]]" = []
+        agents: "list[str]" = []
+        rules: "list[tuple[bool, str]]" = []
+        in_agents = False
+        for raw in body.splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            field, _, value = line.partition(":")
+            field = field.strip().lower()
+            value = value.strip()
+            if field == "user-agent":
+                if not in_agents:
+                    if agents:
+                        groups.append((agents, rules))
+                    agents, rules = [], []
+                    in_agents = True
+                agents.append(value.lower())
+            elif field in ("allow", "disallow"):
+                in_agents = False
+                if value:
+                    rules.append((field == "allow", value))
+            else:
+                in_agents = False
+        if agents:
+            groups.append((agents, rules))
+        named = [g for g in groups if ua in g[0]]
+        if not named and ua != "*":
+            named = [g for g in groups if "*" in g[0]]
+        out = []
+        for _, rs in named:
+            for allow, pat in rs:
+                out.append((allow, pat, _regex(pat), len(pat)))
+        return out
+
+    def _parse(batches):
+        for pdf in batches:
+            rows = []
+            for host, body in zip(pdf[host_col], pdf[robots_col]):
+                if host is None or not isinstance(body, str) or not body:
+                    continue
+                for allow, pat, rx, spec in _parse_one(body):
+                    rows.append((host, allow, pat, rx, spec))
+            yield pd.DataFrame(
+                rows,
+                columns=["host", "allow", "pattern", "regex", "specificity"],
+            )
+
+    return df.select(host_col, robots_col).mapInPandas(
+        _parse,
+        "host string, allow boolean, pattern string, regex string,"
+        " specificity int",
+    )
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    default_allow: bool = True,
+) -> DataFrame:
+    """Keep only the ``urls`` rows the per-host robots ``rules``
+    (from :func:`parse_robots`) allow.  RFC 9309 decision: among the
+    rules whose pattern matches the URL's path, the LONGEST pattern
+    wins; on a specificity tie, Allow beats Disallow; no matching
+    rule (or no rules for the host) falls back to ``default_allow``
+    (True = the conventional "not disallowed is allowed").
+
+    Scale shape: rules collapse to ONE array row per host (the rule
+    table is #rules-sized — tiny next to the corpus) and join the
+    URLs on the :func:`url_host_expr` host key; with a real-world
+    rule table Catalyst broadcasts that side, so the corpus never
+    shuffles.  The longest-match decision evaluates INSIDE the row
+    via array higher-order functions (``filter`` with a runtime
+    ``rlike``, then a specificity argmax via ``array_max`` over
+    re-ordered structs) — no explode, no per-rule row blowup.
+    """
+    if default_allow not in (True, False):
+        raise ValueError("default_allow must be a bool")
+    per_host = rules.groupBy(F.col("host").alias("_rh")).agg(
+        F.collect_list(
+            F.struct("specificity", "allow", "regex")
+        ).alias("_rules")
+    )
+    host = url_host_expr(url_col)
+    # path for matching: strip scheme+authority, keep path?query;
+    # missing path means "/" (the form robots patterns are written
+    # against)
+    after_scheme = F.regexp_replace(
+        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://", ""
+    )
+    path = F.regexp_extract(after_scheme, r"^[^/]*(/.*)$", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    joined = urls.withColumn("_uh", host).join(
+        F.broadcast(per_host), F.col("_uh") == F.col("_rh"), "left"
+    )
+    matching = F.filter(
+        F.coalesce(F.col("_rules"), F.array()),
+        lambda r: F.regexp_like(path, r["regex"]),
+    )
+    # argmax by (specificity, allow): longest wins, allow breaks ties
+    best = F.array_max(
+        F.transform(
+            matching,
+            lambda r: F.struct(
+                r["specificity"].alias("specificity"),
+                r["allow"].alias("allow"),
+            ),
+        )
+    )
+    keep = F.when(F.size(matching) == 0, F.lit(bool(default_allow))).otherwise(
+        best["allow"]
+    )
+    return joined.filter(keep).drop("_uh", "_rh", "_rules")

@@ -10492,3 +10492,204 @@ def test_pagerank_releases_persists_and_weights_stay_put(spark):
             spark.conf.set(
                 "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe
             )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt: parse + RFC 9309 longest-match filtering
+# ---------------------------------------------------------------------------
+
+_ROBOTS_BODY = """
+# site policy
+User-agent: gptbot
+Disallow: /
+
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Disallow: /*.pdf$
+Disallow:
+Crawl-delay: 10
+
+User-agent: researchbot
+User-agent: otherbot
+Allow: /private
+Disallow: /tmp
+"""
+
+
+def test_parse_robots_hand_pinned(spark):
+    """Group selection (exact UA beats *, multi-UA groups merge),
+    comments and unknown fields ignored, empty Disallow is a no-op,
+    wildcard and $ compile to anchored regexes."""
+    import pandas as pd
+
+    from dfsql_spark.operators.web import parse_robots
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"host": ["ex.com"], "robots_txt": [_ROBOTS_BODY]})
+    )
+    star = {
+        (r.allow, r.pattern): (r.regex, r.specificity)
+        for r in parse_robots(df).collect()
+    }
+    assert set(star) == {
+        (False, "/private"),
+        (True, "/private/ok"),
+        (False, "/*.pdf$"),
+    }
+    assert star[(False, "/*.pdf$")][0] == r"^/.*\.pdf$"
+    assert star[(False, "/private")] == ("^/private", 8)
+
+    named = {
+        (r.allow, r.pattern)
+        for r in parse_robots(df, user_agent="ResearchBot").collect()
+    }
+    assert named == {(True, "/private"), (False, "/tmp")}
+    # gptbot gets its own total-disallow group, not the * group
+    gpt = parse_robots(df, user_agent="gptbot").collect()
+    assert [(r.allow, r.pattern) for r in gpt] == [(False, "/")]
+    # no body -> no rules
+    empty = spark.createDataFrame(
+        pd.DataFrame({"host": ["e.com"], "robots_txt": [None]})
+    )
+    assert parse_robots(empty).count() == 0
+
+
+def test_robots_filter_rfc_decisions(spark):
+    """RFC 9309 decision table over one host: longest match wins,
+    Allow beats Disallow on a specificity tie, unmatched paths and
+    rule-less hosts fall back to default_allow."""
+    import pandas as pd
+
+    from dfsql_spark.operators.web import parse_robots, robots_filter
+
+    rules = parse_robots(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "host": ["ex.com", "tie.com"],
+                    "robots_txt": [
+                        _ROBOTS_BODY,
+                        "User-agent: *\nAllow: /p\nDisallow: /p\n",
+                    ],
+                }
+            )
+        )
+    )
+    urls = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [
+                    "https://ex.com/",               # no match -> allow
+                    "https://ex.com/private",        # disallow
+                    "https://ex.com/private/ok",     # deeper allow wins
+                    "https://ex.com/private/no",     # /private wins
+                    "https://ex.com/docs/x.pdf",     # wildcard$ disallow
+                    "https://ex.com/docs/x.pdfx",    # $ anchor -> allowed
+                    "https://www.EX.com:443/private",  # host canon applies
+                    "https://tie.com/p",             # tie -> allow wins
+                    "https://norules.com/anything",  # rule-less host
+                ]
+            }
+        )
+    )
+    kept = {r.url for r in robots_filter(urls, rules).collect()}
+    assert kept == {
+        "https://ex.com/",
+        "https://ex.com/private/ok",
+        "https://ex.com/docs/x.pdfx",
+        "https://tie.com/p",
+        "https://norules.com/anything",
+    }
+    # default_allow=False keeps ONLY explicitly-allowed urls: x.pdfx
+    # matches no rule at all, so it falls to the default and drops
+    strict = {r.url for r in robots_filter(urls, rules, default_allow=False).collect()}
+    assert strict == {
+        "https://ex.com/private/ok",
+        "https://tie.com/p",
+    }
+
+
+def test_robots_filter_fuzz_vs_python_reference(spark):
+    """Random rule sets and paths against an independent plain-Python
+    longest-match evaluator (regexes recompiled from the raw patterns
+    with re, not the operator's compiler)."""
+    import re as _re
+
+    import pandas as pd
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dfsql_spark.operators.web import parse_robots, robots_filter
+
+    seg = st.sampled_from(["/a", "/b", "/ab", "/a/b", "/*", "/a*b"])
+    rule_s = st.tuples(st.booleans(), seg, st.booleans())  # (allow, pat, $)
+    rules_s = st.lists(rule_s, min_size=1, max_size=6)
+    path_s = st.sampled_from(
+        ["/", "/a", "/ab", "/abb", "/a/b", "/a/bb", "/b/a", "/axb"]
+    )
+    paths_s = st.lists(path_s, min_size=1, max_size=8)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rules_s, paths_s)
+    def inner(rule_specs, paths):
+        body = "User-agent: *\n" + "\n".join(
+            f"{'Allow' if a else 'Disallow'}: {p}{'$' if d else ''}"
+            for a, p, d in rule_specs
+        )
+
+        def py_keep(path):
+            best = None  # (spec, allow)
+            for a, p, d in rule_specs:
+                pat = p + ("$" if d else "")
+                rx = "^" + _re.escape(p).replace(r"\*", ".*") + ("$" if d else "")
+                if _re.match(rx, path):
+                    key = (len(pat), a)
+                    if best is None or key > best:
+                        best = key
+            return True if best is None else best[1]
+
+        rules = parse_robots(
+            spark.createDataFrame(
+                pd.DataFrame({"host": ["h.com"], "robots_txt": [body]})
+            )
+        )
+        urls = spark.createDataFrame(
+            pd.DataFrame(
+                {"url": [f"https://h.com{p}" for p in sorted(set(paths))]}
+            )
+        )
+        kept = {r.url for r in robots_filter(urls, rules).collect()}
+        want = {
+            f"https://h.com{p}" for p in sorted(set(paths)) if py_keep(p)
+        }
+        assert kept == want, (body, sorted(set(paths)))
+
+    inner()
+
+
+def test_robots_filter_plan_no_explode_and_broadcast(spark):
+    """The decision evaluates inside the row: no Generate (explode)
+    per rule, the per-host rule table broadcasts, no Python in the
+    URL-side plan (the parse is upstream, on the tiny robots table)."""
+    import pandas as pd
+
+    from dfsql_spark.operators.web import parse_robots, robots_filter
+    from dfsql_spark.plans.audit import plan_summary
+
+    rules = parse_robots(
+        spark.createDataFrame(
+            pd.DataFrame({"host": ["ex.com"], "robots_txt": [_ROBOTS_BODY]})
+        )
+    )
+    urls = spark.createDataFrame(
+        pd.DataFrame({"url": ["https://ex.com/a", "https://ex.com/b"]})
+    )
+    s = plan_summary(robots_filter(urls, rules))
+    assert "Generate" not in s.text, s.text
+    assert "BroadcastHashJoin" in s.text or "BroadcastExchange" in s.text, s.text
