@@ -10693,3 +10693,86 @@ def test_robots_filter_plan_no_explode_and_broadcast(spark):
     s = plan_summary(robots_filter(urls, rules))
     assert "Generate" not in s.text, s.text
     assert "BroadcastHashJoin" in s.text or "BroadcastExchange" in s.text, s.text
+
+
+def test_robots_filter_matches_duckdb_mirror(spark, duck):
+    """Exact DuckDB mirror of the full decision over the documents
+    table's synthetic urls: the rule table (parsed once by
+    parse_robots, collected — it is policy-sized, not corpus-sized)
+    registers as a DuckDB relation, and the mirror rebuilds host
+    extraction, per-rule regex matching, and the
+    (specificity, allow) argmax with ANSI SQL window functions."""
+    import pandas as pd
+
+    import pyspark.sql.functions as F
+
+    from .conftest import SF_DIR, assert_matches_oracle
+    from dfsql_spark.operators.web import parse_robots, robots_filter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com/"),
+            F.element_at(
+                F.array(F.lit("a"), F.lit("private"), F.lit("private/ok"),
+                        F.lit("docs"), F.lit("x.pdf")),
+                (F.col("doc_id") % 5 + 1).cast("int"),
+            ),
+        ).alias("url"),
+    )
+    bodies = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "host": [f"h{i}.com" for i in range(5)],  # h5/h6 rule-less
+                "robots_txt": [
+                    "User-agent: *\nDisallow: /private\nAllow: /private/ok\n",
+                    "User-agent: *\nDisallow: /*.pdf$\n",
+                    "User-agent: *\nDisallow: /\n",
+                    "User-agent: *\nAllow: /p\nDisallow: /p\n",
+                    "User-agent: *\nDisallow:\n",
+                ],
+            }
+        )
+    )
+    rules = parse_robots(bodies)
+    got = robots_filter(docs, rules).select("doc_id", "url")
+
+    duck.register("robots_rules", rules.toPandas())
+    want = duck.sql(
+        """
+        WITH urls AS (
+            SELECT doc_id,
+                   'https://h' || (doc_id % 7) || '.com/' ||
+                   CASE (doc_id % 5) WHEN 0 THEN 'a' WHEN 1 THEN 'private'
+                        WHEN 2 THEN 'private/ok' WHEN 3 THEN 'docs'
+                        ELSE 'x.pdf' END AS url,
+                   'h' || (doc_id % 7) || '.com' AS host,
+                   '/' || CASE (doc_id % 5) WHEN 0 THEN 'a'
+                        WHEN 1 THEN 'private' WHEN 2 THEN 'private/ok'
+                        WHEN 3 THEN 'docs' ELSE 'x.pdf' END AS path
+            FROM documents
+        ), matched AS (
+            SELECT u.doc_id, u.url, r.allow,
+                   row_number() OVER (
+                       PARTITION BY u.doc_id
+                       ORDER BY r.specificity DESC,
+                                CASE WHEN r.allow THEN 1 ELSE 0 END DESC
+                   ) AS rk
+            FROM urls u JOIN robots_rules r
+              ON u.host = r.host AND regexp_matches(u.path, r.regex)
+        ), decided AS (
+            SELECT doc_id, url FROM matched WHERE rk = 1 AND allow
+        )
+        SELECT doc_id, url FROM decided
+        UNION ALL
+        SELECT u.doc_id, u.url FROM urls u
+        WHERE NOT EXISTS (
+            SELECT 1 FROM robots_rules r
+            WHERE r.host = u.host AND regexp_matches(u.path, r.regex)
+        )
+        """
+    ).df()
+    duck.unregister("robots_rules")
+    assert_matches_oracle(got, want, "robots_filter")

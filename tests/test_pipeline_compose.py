@@ -292,3 +292,71 @@ def test_classifier_calibrates_via_threshold_sweep(spark, docs):
     assert sweep[0.1].recall >= sweep[0.5].recall >= sweep[0.9].recall
     # the learnable signal separates well: mid cutoff is near-perfect
     assert sweep[0.5].f1 is not None and sweep[0.5].f1 >= 0.9
+
+
+def test_wet_ingest_robots_dedup_composes(spark, tmp_path):
+    """The crawl ENTRY path end-to-end, from raw bytes to a curated
+    frame: WET members -> read_wet -> canonical urls -> robots
+    compliance filter -> url dedup -> stable content ids, exercising
+    the round-14 additions as one lazy DAG over real file input."""
+    import gzip
+
+    import pandas as pd
+
+    from dfsql_spark.operators.versioning import assign_stable_ids
+    from dfsql_spark.operators.web import (
+        canonicalize_url,
+        parse_robots,
+        robots_filter,
+        url_dedup,
+    )
+    from dfsql_spark.sources.warc import read_wet
+
+    def rec(url, payload: bytes):
+        head = (
+            b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            b"WARC-Target-URI: " + url.encode() + b"\r\n"
+            b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
+        )
+        return head + payload + b"\r\n\r\n"
+
+    member = (
+        rec("https://ok.com/a", b"alpha text body")
+        + rec("https://ok.com/a?utm_source=x", b"alpha text body dup")
+        + rec("https://ok.com/private/x", b"should be dropped by robots")
+        + rec("https://other.net/b", b"beta text body")
+    )
+    d = tmp_path / "wet"
+    d.mkdir()
+    (d / "m1.warc.wet.gz").write_bytes(gzip.compress(member))
+
+    robots = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "host": ["ok.com"],
+                "robots_txt": ["User-agent: *\nDisallow: /private\n"],
+            }
+        )
+    )
+
+    docs = read_wet(spark, str(d))
+    compliant = robots_filter(docs, parse_robots(robots), url_col="url")
+    canon = canonicalize_url(compliant, url_col="url")
+    survivors = url_dedup(
+        canon.withColumn("doc_id", F.xxhash64("url")),
+        url_col="url",
+    )
+    # 3 compliant pages, 2 distinct canonical urls (utm variant merges)
+    rows = survivors.collect()
+    assert len(rows) == 2
+    assert {r.canonical_url for r in rows} == {
+        "https://ok.com/a",
+        "https://other.net/b",
+    }
+    dup = {r.canonical_url: r.n_copies for r in rows}
+    assert dup["https://ok.com/a"] == 2
+
+    with_ids = assign_stable_ids(
+        canon.select("url", "text"), cols=["text"], algo="md5"
+    )
+    assert with_ids.select("stable_id").distinct().count() == 3
