@@ -3055,6 +3055,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # already in tests/test_operators.py), assign_stable_ids /
 # id_collision_report (NEW in r14: content-derived ids + two-direction
 # id audit, bit-exact DuckDB md5 mirror, flat sf0.1->sf1),
+# robots_filter (NEW in r14: RFC 9309 compliance filter — full DuckDB
+# decision mirror + independent-Python longest-match fuzz; benchable
+# over the documents synthetic urls), pagerank (NEW in r14: NumPy
+# power-iteration oracle, rows-only candidate; perf trend live as
+# b_pagerank), lsh_plan (driver-side, NumPy-integration oracle),
+# read_wet (source, rows-only: byte-exact parser fixture oracle),
 # truncate_embeddings,
 # zipf_report, write_training_shards, normalize_nfc,
 # heavy_hitter_ngrams, cap_per_key, train_bpe/bpe_encode,
