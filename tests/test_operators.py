@@ -10776,3 +10776,75 @@ def test_robots_filter_matches_duckdb_mirror(spark, duck):
     ).df()
     duck.unregister("robots_rules")
     assert_matches_oracle(got, want, "robots_filter")
+
+
+def test_cohort_retention_fuzz_vs_pandas_reference(spark):
+    """Random (user, day) activity sets at all three grains against an
+    independent plain-pandas computation (first-activity cohort +
+    bucket arithmetic done with datetime math, not Spark functions)."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dfsql_spark.operators.rollup import cohort_retention
+
+    events_s = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),    # user
+            st.integers(min_value=0, max_value=120),  # day offset
+        ),
+        min_size=1,
+        max_size=30,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(events_s, st.sampled_from(["day", "week", "month"]))
+    def inner(events, grain):
+        base = _dt.datetime(2026, 1, 1, 12, 0, 0)  # a Thursday, mid-day
+        rows = [
+            (u, base + _dt.timedelta(days=d)) for u, d in events
+        ]
+
+        def bucket(ts):
+            d = ts.date()
+            if grain == "day":
+                return d
+            if grain == "week":
+                return d - _dt.timedelta(days=d.weekday())
+            return d.replace(day=1)
+
+        def months_between(b, c):
+            return (b.year - c.year) * 12 + (b.month - c.month)
+
+        first = {}
+        for u, ts in rows:
+            b = bucket(ts)
+            if u not in first or b < first[u]:
+                first[u] = b
+        want: dict = {}
+        for u, ts in rows:
+            b, c = bucket(ts), first[u]
+            if grain == "month":
+                p = months_between(b, c)
+            else:
+                p = (b - c).days // (7 if grain == "week" else 1)
+            want.setdefault((c, p), set()).add(u)
+        want = {k: len(v) for k, v in want.items()}
+
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "ts"])
+        )
+        got = {
+            (r.cohort.date(), r.period): r.n_users
+            for r in cohort_retention(df, grain=grain).collect()
+        }
+        assert got == want, (events, grain)
+
+    inner()
