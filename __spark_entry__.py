@@ -1567,6 +1567,7 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b_distribution_drift": bench_distribution_drift,
         "b_pagerank": bench_pagerank,
         "b_stable_ids": bench_stable_ids,
+        "b_robots": bench_robots,
         "b_column_profile": bench_column_profile,
         "b_source_overlap": bench_source_overlap,
     }
@@ -2382,6 +2383,43 @@ def bench_stable_ids(spark, sf):
     return id_collision_report(
         withids, cols=["text", "source"], id_col="stable_id"
     )
+
+
+def bench_robots(spark, sf):
+    """BENCH-ONLY (round-14 library addition): RFC 9309 robots
+    compliance filter (operators/web.py:parse_robots + robots_filter)
+    over synthetic per-doc urls spread across 7 hosts, 5 of which
+    carry rule sets (disallow-prefix, wildcard-$, total-disallow,
+    tie, no-op).  Times the mapInPandas policy parse (tiny), the
+    broadcast host join, and the in-row HOF longest-match decision
+    over the corpus."""
+    from dfsql_spark.operators.web import parse_robots, robots_filter
+
+    docs = _t(spark, sf, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com/"),
+            F.element_at(
+                F.array(F.lit("a"), F.lit("private"), F.lit("private/ok"),
+                        F.lit("docs"), F.lit("x.pdf")),
+                (F.col("doc_id") % 5 + 1).cast("int"),
+            ),
+        ).alias("url"),
+    )
+    bodies = spark.createDataFrame(
+        [
+            ("h0.com", "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"),
+            ("h1.com", "User-agent: *\nDisallow: /*.pdf$\n"),
+            ("h2.com", "User-agent: *\nDisallow: /\n"),
+            ("h3.com", "User-agent: *\nAllow: /p\nDisallow: /p\n"),
+            ("h4.com", "User-agent: *\nDisallow:\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    return robots_filter(urls, parse_robots(bodies))
 
 
 def bench_winnow_fingerprints(spark, sf):

@@ -128,6 +128,7 @@ HEADLINE = [
     # content-id assign + collision/fragmentation audit
     "b_pagerank",
     "b_stable_ids",
+    "b_robots",
 ]
 
 
