@@ -10421,16 +10421,24 @@ def test_pagerank_releases_persists_and_weights_stay_put(spark):
 
     from dfsql_spark.operators.web import pagerank
 
+    # DELTA check, not global-empty: in full-suite order other tests
+    # legitimately hold module-scoped persists while this one runs.
+    # cacheManager counts persist() entries and ignores the
+    # localCheckpoint RDDs the returned ranks legitimately keep.
     cm = spark._jsparkSession.sharedState().cacheManager()
+
+    def n_persisted():
+        return cm.cachedData().size()
 
     edges = spark.createDataFrame(
         [(str(i), str(i + 1)) for i in range(8)], "src string, dst string"
     )
+    before = n_persisted()
     pagerank(edges, max_iter=2).collect()
-    assert cm.isEmpty(), "pagerank left persisted plans behind"
+    assert n_persisted() == before, "pagerank left persisted plans behind"
     with _pt.raises(RuntimeError):
         pagerank(edges, max_iter=1, tol=1e-12)
-    assert cm.isEmpty(), "raise path leaked persisted plans"
+    assert n_persisted() == before, "raise path leaked persisted plans"
 
     old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
     old_aqe = spark.conf.get(
