@@ -1103,6 +1103,17 @@ def connected_components(
     shuffle + one truncation job), independent of corpus size (the
     graph holds only dup-cluster members).
 
+    Evaluated and REJECTED (round 14): persisting the edge relation
+    hash-partitioned by ``dst`` so the per-round join re-shuffles only
+    labels — the trick that cut :func:`~dfsql_spark.operators.web.
+    pagerank` 25%.  Here it measured 2× SLOWER (9.7 s → 19 s warm on
+    the graph above): pagerank's static side outweighs its dynamic
+    side ~10:1, but a dup graph has |edges| ≈ |labels|, so the saved
+    exchange is roughly offset by re-sorting the in-memory relation
+    every round and the labels shuffle still dominates.  The
+    partition-preserving persist only pays when the static side is
+    much larger than the per-round side.
+
     ``materialize="local"`` (default) truncates via ``localCheckpoint``
     — right for local mode, but blocks live only on executors, so an
     executor loss kills the job.  Iterative persist can't substitute
