@@ -391,10 +391,17 @@ class TestWindowFunctionsParity:
 def _window_expr(draw):
     fn = draw(st.sampled_from(
         ["ROW_NUMBER()", "RANK()", "DENSE_RANK()", "SUM(a)", "AVG(a)",
-         "MIN(b)", "MAX(b)", "COUNT(*)", "LAG(a, 1, 0)", "LEAD(a, 1, 0)"]
+         "MIN(b)", "MAX(b)", "COUNT(*)", "LAG(a, 1, 0)", "LEAD(a, 1, 0)",
+         "PERCENT_RANK()", "CUME_DIST()", "NTILE(3)",
+         "FIRST_VALUE(b)", "LAST_VALUE(b)"]
     ))
     part = draw(st.sampled_from(["", "PARTITION BY g "]))
-    ranking = fn.endswith("()") or fn.startswith(("LAG", "LEAD"))
+    # FIRST/LAST_VALUE take a frame; with the id tiebreak the default
+    # RANGE frame is deterministic too, so they ride the agg branch
+    ranking = (
+        fn.endswith("()") and not fn.startswith(("FIRST_VALUE", "LAST_VALUE"))
+    ) or fn.startswith(("LAG", "LEAD", "NTILE"))
+    positional = fn.startswith(("FIRST_VALUE", "LAST_VALUE"))
     if ranking:
         frame = ""
         order = "ORDER BY a, id"
@@ -408,7 +415,13 @@ def _window_expr(draw):
         # (standard on both engines); keep it in the pool deliberately
         order = draw(st.sampled_from(["", "ORDER BY a, id"]))
         if not order:
-            frame = ""
+            # FIRST/LAST_VALUE read a POSITION, not a commutative
+            # aggregate: an unordered partition/frame is
+            # nondeterministic, so they always carry the total order
+            if positional:
+                order = "ORDER BY a, id"
+            else:
+                frame = ""
     spec = f"{part}{order}{frame}".strip()
     return f"{fn} OVER ({spec})"
 
