@@ -3099,6 +3099,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # power-iteration oracle, rows-only candidate; perf trend live as
 # b_pagerank), lsh_plan (driver-side, NumPy-integration oracle),
 # read_wet (source, rows-only: byte-exact parser fixture oracle),
+# a q32-style window-function SQL entry (ROW_NUMBER/RANK/frames via
+# sql_query — the surface is parity-pinned + fuzzed vs DuckDB in
+# tests/test_dialect.py this round; the oracle is the identical ANSI
+# text, so promotion is a pure contract add),
 # truncate_embeddings,
 # zipf_report, write_training_shards, normalize_nfc,
 # heavy_hitter_ngrams, cap_per_key, train_bpe/bpe_encode,
