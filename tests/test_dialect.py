@@ -452,3 +452,62 @@ class TestWindowFuzz:
         for c in ("v", "w"):
             for gv, wv in zip(got[c], want[c]):
                 assert float(gv) == pytest.approx(float(wv), rel=1e-12), sql
+
+
+# generative aggregation fuzz: random aggregate sets x grouping x
+# HAVING through the full sql_query path vs DuckDB — the GROUP BY
+# side of the surface the expression fuzz (SELECT/WHERE) doesn't
+# reach.  Aggregates and HAVING predicates render identically for
+# both engines; results compare keyed by group.
+@st.composite
+def _agg_expr(draw):
+    return draw(st.sampled_from(
+        ["SUM(a)", "COUNT(*)", "COUNT(DISTINCT a)", "AVG(b)",
+         "MIN(a + b)", "MAX(a * 2)", "SUM(a + a)", "MIN(b)", "MAX(b)"]
+    ))
+
+
+class TestGroupByFuzz:
+    from hypothesis import HealthCheck, given, settings
+
+    @settings(
+        max_examples=25, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        _agg_expr(), _agg_expr(),
+        st.sampled_from(["g", "g2", "g, g2"]),
+        st.sampled_from([None, "COUNT(*) >= 1", "COUNT(*) >= 2",
+                         "SUM(a) > 5", "MIN(b) < 2.0"]),
+    )
+    def test_groupby_having_matches_duckdb(self, e1, e2, keys, having):
+        import duckdb
+        import pandas as pd
+
+        from dfsql_spark import sql_query
+
+        pdf = pd.DataFrame(
+            {
+                "g": ["x", "y", "x", "z", "y", "x", "z", "y"],
+                "g2": ["p", "p", "q", "q", "p", "q", "p", "q"],
+                "a": [1, 2, 3, 4, 5, 2, 3, 1],
+                "b": [0.5, 1.25, 2.0, 3.5, 1.0, 2.75, 0.25, 4.0],
+            }
+        )
+        sql = f"SELECT {keys}, {e1} AS x, {e2} AS y FROM t GROUP BY {keys}"
+        if having:
+            sql += f" HAVING {having}"
+        got = sql_query(sql, t=pdf, reduce_output=False)
+        con = duckdb.connect()
+        con.register("t", pdf)
+        want = con.sql(sql).df()
+        con.close()
+        kcols = [k.strip() for k in keys.split(",")]
+        got = got.sort_values(kcols).reset_index(drop=True)
+        want = want.sort_values(kcols).reset_index(drop=True)
+        assert len(got) == len(want), sql
+        for k in kcols:
+            assert list(got[k]) == list(want[k]), sql
+        for c in ("x", "y"):
+            for gv, wv in zip(got[c], want[c]):
+                assert float(gv) == pytest.approx(float(wv), rel=1e-12), sql
