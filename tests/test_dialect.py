@@ -511,3 +511,94 @@ class TestGroupByFuzz:
         for c in ("x", "y"):
             for gv, wv in zip(got[c], want[c]):
                 assert float(gv) == pytest.approx(float(wv), rel=1e-12), sql
+
+
+class TestJoinAndSetOpFuzz:
+    from hypothesis import HealthCheck, given, settings
+
+    @staticmethod
+    def _frames():
+        import pandas as pd
+
+        # object dtype keeps NULL keys as real SQL NULLs through
+        # Arrow (float NaN keys would change join semantics)
+        l = pd.DataFrame(
+            {
+                "k": pd.array([1, 2, 2, None, 5, 3], dtype="Int64"),
+                "lv": [10, 20, 21, 30, 50, 33],
+            }
+        )
+        r = pd.DataFrame(
+            {
+                "k": pd.array([2, 3, 3, None, 7], dtype="Int64"),
+                "rv": [200, 300, 301, 400, 700],
+            }
+        )
+        return l, r
+
+    @settings(
+        max_examples=20, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.sampled_from(["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"]),
+        st.sampled_from([None, "l.lv > 15", "r.rv < 350", "l.lv + 0 > 15"]),
+    )
+    def test_join_fuzz_matches_duckdb(self, how, where):
+        """All four join kinds over keysets with duplicates and NULL
+        keys (which must never match), with and without post-join
+        filters — through the full sql_query path vs DuckDB."""
+        import duckdb
+
+        from dfsql_spark import sql_query
+
+        l, r = self._frames()
+        sql = (
+            f"SELECT l.lv AS lv, r.rv AS rv FROM l {how} r ON l.k = r.k"
+            + (f" WHERE {where}" if where else "")
+        )
+        got = sql_query(sql, l=l, r=r, reduce_output=False)
+        con = duckdb.connect()
+        con.register("l", l)
+        con.register("r", r)
+        want = con.sql(sql).df()
+        con.close()
+        norm = lambda df: sorted(
+            tuple((v != v, 0.0 if v != v else float(v)) for v in row)
+            for row in df[["lv", "rv"]].astype("float64").itertuples(index=False)
+        )
+        assert norm(got) == norm(want), sql
+
+    @settings(
+        max_examples=20, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.sampled_from(
+            ["UNION", "UNION ALL", "EXCEPT", "EXCEPT ALL",
+             "INTERSECT", "INTERSECT ALL"]
+        ),
+        st.sampled_from(["k", "k + 1", "k * 2"]),
+    )
+    def test_setop_fuzz_matches_duckdb(self, op, expr):
+        """Every set operation (incl. the ALL multiplicity variants)
+        over overlapping multisets with NULLs — NULL equality in set
+        ops (group semantics) differs from join equality, so this is
+        its own surface."""
+        import duckdb
+
+        from dfsql_spark import sql_query
+
+        l, r = self._frames()
+        sql = f"SELECT {expr} AS v FROM l {op} SELECT k AS v FROM r"
+        got = sql_query(sql, l=l, r=r, reduce_output=False)
+        con = duckdb.connect()
+        con.register("l", l)
+        con.register("r", r)
+        want = con.sql(sql).df()
+        con.close()
+        norm = lambda df: sorted(
+            ((None if v != v else float(v)) for v in df["v"]),
+            key=lambda x: (x is None, x),
+        )
+        assert norm(got) == norm(want), sql
