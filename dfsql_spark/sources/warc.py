@@ -183,3 +183,110 @@ def read_wet(
 
     members = spark.read.format("binaryFile").load(path)
     return members.select("path", "content").mapInPandas(_parse, _WET_SCHEMA)
+
+
+_WARC_SCHEMA = (
+    "source_file string, record_id string, url string, date string, "
+    "http_status int, content_type string, payload binary"
+)
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    warc_types: "tuple[str, ...] | None" = ("response",),
+) -> DataFrame:
+    """Read RAW WARC capture members — ``response`` records whose
+    payload is a full HTTP message — into
+    ``(source_file, record_id, url, date, http_status, content_type,
+    payload)``: the entry point for the MULTIMODAL side of a crawl
+    (images/audio/pdfs arrive as HTTP bodies in WARC, not in WET),
+    feeding :func:`~dfsql_spark.operators.multimodal.
+    sniff_media_format` / ``media_format_report`` directly — the
+    sniffer then exposes servers whose ``Content-Type`` header lies
+    about the bytes.
+
+    The HTTP envelope splits byte-exactly: status parsed from the
+    first line, ``Content-Type`` from the (latin-1-decoded, header
+    names case-insensitive) header block, ``payload`` = the bytes
+    after the first blank line, UNDECODED — binary bodies pass
+    through untouched.  Records whose payload carries no HTTP status
+    line (DNS captures, revisit records) yield NULL status/type and
+    the raw payload.  Chunked transfer encoding is NOT decoded
+    (documented limitation — CommonCrawl WARCs store bodies
+    de-chunked).
+
+    Same execution shape as :func:`read_wet`: one ``binaryFile`` row
+    per member, ``mapInPandas`` parse, gzip by magic bytes, one task
+    per member, zero shuffle, truncation raises.
+    """
+    import pandas as pd
+
+    kept = (
+        None
+        if warc_types is None
+        else {t.lower() for t in warc_types}
+    )
+
+    def _split_http(payload: bytes):
+        if not payload.startswith(b"HTTP/"):
+            return None, None, payload
+        crlf = payload.find(b"\r\n\r\n")
+        lf = payload.find(b"\n\n")
+        if lf != -1 and (crlf == -1 or lf < crlf):
+            head, body = payload[:lf], payload[lf + 2:]
+        elif crlf != -1:
+            head, body = payload[:crlf], payload[crlf + 4:]
+        else:
+            head, body = payload, b""
+        lines = head.decode("latin-1").splitlines()
+        status = None
+        parts = lines[0].split()
+        if len(parts) >= 2 and parts[1].isdigit():
+            status = int(parts[1])
+        ctype = None
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            if k.strip().lower() == "content-type":
+                ctype = v.strip()
+                break
+        return status, ctype, body
+
+    def _parse(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                data = bytes(blob)
+                if data[:2] == b"\x1f\x8b":
+                    data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+                rows = []
+                for rec in parse_warc_records(data):
+                    wtype = (rec["warc_type"] or "").lower()
+                    if kept is not None and wtype not in kept:
+                        continue
+                    status, ctype, body = _split_http(rec["payload"])
+                    rows.append(
+                        (
+                            fpath,
+                            rec["record_id"],
+                            rec["url"],
+                            rec["date"],
+                            status,
+                            ctype,
+                            body,
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "source_file",
+                        "record_id",
+                        "url",
+                        "date",
+                        "http_status",
+                        "content_type",
+                        "payload",
+                    ],
+                )
+
+    members = spark.read.format("binaryFile").load(path)
+    return members.select("path", "content").mapInPandas(_parse, _WARC_SCHEMA)

@@ -160,3 +160,60 @@ def test_wet_through_create_table_sql_surface(spark, tmp_path):
     )
     vals = out.values.tolist() if hasattr(out, "values") else [[out]]
     assert vals == [["https://example.com/a"]]
+
+
+def _warc_bytes() -> bytes:
+    """A raw WARC member: warcinfo + two response records (an HTML
+    page whose Content-Type lies about a PNG body, and a real text
+    page) + one metadata record with a non-HTTP payload."""
+
+    def rec(wtype, rid, payload: bytes, url=None):
+        h = [b"WARC/1.0", b"WARC-Type: " + wtype.encode(),
+             b"WARC-Record-ID: <urn:uuid:" + rid.encode() + b">"]
+        if url:
+            h.append(b"WARC-Target-URI: " + url.encode())
+        h.append(b"Content-Length: " + str(len(payload)).encode())
+        return b"\r\n".join(h) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 20
+    http1 = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+             b"Server: x\r\n\r\n" + png)
+    http2 = (b"HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\n"
+             b"not here")
+    return (
+        rec("warcinfo", "i", b"software: synth\r\n")
+        + rec("response", "r1", http1, url="https://m.com/img")
+        + rec("response", "r2", http2, url="https://m.com/miss")
+        + rec("metadata", "m1", b"fetch: ok", url="https://m.com/img")
+    )
+
+
+def test_read_warc_http_split_and_media_sniff(spark, tmp_path):
+    """read_warc splits the HTTP envelope byte-exactly (binary body
+    untouched), keeps response records only by default, and feeds
+    sniff_media_format — which exposes the lying Content-Type."""
+    import pyspark.sql.functions as F
+
+    from dfsql_spark.operators.multimodal import sniff_media_format
+    from dfsql_spark.sources.warc import read_warc
+
+    f = tmp_path / "m.warc.gz"
+    f.write_bytes(gzip.compress(_warc_bytes()))
+    out = sniff_media_format(
+        read_warc(spark, str(f)), bytes_col="payload", out_col="sniffed"
+    )
+    rows = {r.url: r for r in out.collect()}
+    assert set(rows) == {"https://m.com/img", "https://m.com/miss"}
+    img = rows["https://m.com/img"]
+    assert img.http_status == 200
+    assert img.content_type == "text/html; charset=utf-8"
+    assert bytes(img.payload)[:8] == b"\x89PNG\r\n\x1a\n"
+    assert img.sniffed == "png"  # the header lied; the bytes don't
+    miss = rows["https://m.com/miss"]
+    assert miss.http_status == 404 and bytes(miss.payload) == b"not here"
+
+    # warc_types=None keeps the non-HTTP records with NULL envelope
+    everything = {r.record_id: r for r in
+                  read_warc(spark, str(f), warc_types=None).collect()}
+    meta = everything["<urn:uuid:m1>"]
+    assert meta.http_status is None and bytes(meta.payload) == b"fetch: ok"
