@@ -602,3 +602,80 @@ class TestJoinAndSetOpFuzz:
             key=lambda x: (x is None, x),
         )
         assert norm(got) == norm(want), sql
+
+
+class TestSubqueryAndOrderFuzz:
+    from hypothesis import HealthCheck, given, settings
+
+    @staticmethod
+    def _frames():
+        import pandas as pd
+
+        # no NULL keys: NOT IN under NULL is the documented non-3VL
+        # divergence (COVERAGE.md §2.8), not a fuzz target
+        l = pd.DataFrame(
+            {"k": [1, 2, 2, 5, 3, 7], "lv": [10, 20, 21, 50, 33, 70]}
+        )
+        r = pd.DataFrame({"k": [2, 3, 3, 9], "rv": [200, 300, 301, 900]})
+        return l, r
+
+    @settings(
+        max_examples=20, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.sampled_from([
+            "k IN (SELECT k FROM r)",
+            "k NOT IN (SELECT k FROM r)",
+            "EXISTS (SELECT 1 FROM r WHERE r.k = l.k)",
+            "NOT EXISTS (SELECT 1 FROM r WHERE r.k = l.k)",
+            "k > (SELECT MIN(k) FROM r)",
+            "lv >= (SELECT AVG(rv) FROM r) / 10",
+        ]),
+        st.sampled_from([None, "lv > 15"]),
+    )
+    def test_subquery_fuzz_matches_duckdb(self, pred, extra):
+        """IN / NOT IN / correlated EXISTS / scalar subqueries under
+        WHERE, optionally conjoined with a plain predicate — the
+        q16/q17/q29 composition space, via the full sql_query path."""
+        import duckdb
+
+        from dfsql_spark import sql_query
+
+        l, r = self._frames()
+        sql = f"SELECT lv FROM l WHERE {pred}"
+        if extra:
+            sql += f" AND {extra}"
+        got = sql_query(sql, l=l, r=r, reduce_output=False)
+        con = duckdb.connect()
+        con.register("l", l)
+        con.register("r", r)
+        want = con.sql(sql).df()
+        con.close()
+        assert sorted(map(int, got["lv"])) == sorted(map(int, want["lv"])), sql
+
+    @settings(
+        max_examples=20, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.sampled_from(["lv", "lv DESC", "k, lv DESC", "k DESC, lv"]),
+        st.integers(min_value=1, max_value=7),
+        st.integers(min_value=0, max_value=3),
+    )
+    def test_order_limit_offset_fuzz_matches_duckdb(self, order, lim, off):
+        """ORDER BY (multi-key, mixed directions — made total by
+        construction: lv is unique) + LIMIT + OFFSET must return the
+        identical SEQUENCE, not just the same set."""
+        import duckdb
+
+        from dfsql_spark import sql_query
+
+        l, _ = self._frames()
+        sql = f"SELECT lv FROM l ORDER BY {order} LIMIT {lim} OFFSET {off}"
+        got = sql_query(sql, l=l, reduce_output=False)
+        con = duckdb.connect()
+        con.register("l", l)
+        want = con.sql(sql).df()
+        con.close()
+        assert list(map(int, got["lv"])) == list(map(int, want["lv"])), sql
