@@ -360,3 +360,50 @@ def test_wet_ingest_robots_dedup_composes(spark, tmp_path):
         canon.select("url", "text"), cols=["text"], algo="md5"
     )
     assert with_ids.select("stable_id").distinct().count() == 3
+
+
+def test_wat_links_feed_pagerank(spark, tmp_path):
+    """The authority arc end-to-end: WAT-style metadata records (JSON
+    payloads listing outgoing links, read with read_wet's type
+    filter), link edges extracted with from_json + explode, host
+    graph ranked with pagerank — raw crawl bytes to a quality prior
+    with no adapter glue."""
+    import gzip
+    import json
+
+    from dfsql_spark.operators.web import pagerank, url_host_expr
+    from dfsql_spark.sources.warc import read_wet
+
+    def rec(url, links):
+        payload = json.dumps({"url": url, "links": links}).encode()
+        head = (
+            b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+            b"WARC-Target-URI: " + url.encode() + b"\r\n"
+            b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
+        )
+        return head + payload + b"\r\n\r\n"
+
+    member = (
+        rec("https://a.com/1", ["https://b.com/x", "https://c.com/y"])
+        + rec("https://b.com/x", ["https://a.com/1"])
+        + rec("https://c.com/y", ["https://a.com/1", "https://a.com/2"])
+    )
+    f = tmp_path / "m.wat.gz"
+    f.write_bytes(gzip.compress(member))
+
+    wat = read_wet(spark, str(f), warc_types=("metadata",))
+    parsed = wat.select(
+        "url",
+        F.from_json(
+            F.col("text"), "struct<url string, links array<string>>"
+        ).alias("j"),
+    )
+    edges = parsed.select(
+        url_host_expr("url").alias("src"),
+        F.explode("j.links").alias("to_url"),
+    ).select("src", url_host_expr("to_url").alias("dst"))
+    pr = {r.node: r.rank for r in pagerank(edges, max_iter=15).collect()}
+    assert set(pr) == {"a.com", "b.com", "c.com"}
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-9)
+    # a.com receives links from both other hosts (3 of 4 edges): top rank
+    assert pr["a.com"] == max(pr.values())
