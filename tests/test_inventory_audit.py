@@ -43,6 +43,7 @@ OPERATOR_MODULES = [
     "dfsql_spark.operators.text",
     "dfsql_spark.operators.versioning",
     "dfsql_spark.operators.web",
+    "dfsql_spark.sources.warc",
     "dfsql_spark.streaming.events",
 ]
 
