@@ -632,3 +632,86 @@ def robots_filter(
         best["allow"]
     )
     return joined.filter(keep).drop("_uh", "_rh", "_rules")
+
+
+def link_graph_report(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """One-row structural data card for a link graph — the sanity
+    check BEFORE spending cluster time on :func:`pagerank` or
+    components: a crawl whose graph is 40% dangling nodes, one
+    mega-host, or near-zero reciprocity ranks very differently from a
+    healthy web sample, and those pathologies are visible in five
+    aggregates::
+
+        n_nodes, n_edges          distinct nodes / distinct directed edges
+        n_self_loops              src = dst edges
+        n_dangling                nodes with no out-edge (their PageRank
+                                  mass redistributes every round)
+        max_out_degree            the hot-spot bound for the per-round
+                                  (dst)-keyed aggregation
+        reciprocity               fraction of distinct non-loop edges
+                                  whose reverse edge also exists (web
+                                  graphs ~0.3-0.5; near 0 suggests a
+                                  one-way scrape artifact)
+
+    Scale shape: edges dedup once (one shuffle on the 2-string edge),
+    then node/degree aggregates over that relation plus ONE self-join
+    on the reversed edge for reciprocity (both sides are the same
+    hash-partitioned distinct relation).  Everything returned is one
+    row; nothing corpus-wide broadcasts.
+    """
+    e = edges.select(
+        F.col(src_col).cast("string").alias("src"),
+        F.col(dst_col).cast("string").alias("dst"),
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = e.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum((F.col("src") == F.col("dst")).cast("long")).alias(
+            "n_self_loops"
+        ),
+    )
+    n_dangling = (
+        nodes.join(outdeg, nodes.node == outdeg.src, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_dangling"))
+    )
+    max_out = outdeg.agg(F.max("d").alias("max_out_degree"))
+    non_loop = e.filter(F.col("src") != F.col("dst"))
+    recip = (
+        non_loop.alias("a")
+        .join(
+            non_loop.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            ).alias("b"),
+            ["src", "dst"],
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("_nr"))
+    )
+    total_non_loop = non_loop.agg(F.count(F.lit(1)).alias("_nt"))
+    return (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(n_dangling)
+        .crossJoin(max_out)
+        .crossJoin(recip)
+        .crossJoin(total_non_loop)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_self_loops",
+            "n_dangling",
+            "max_out_degree",
+            F.when(
+                F.col("_nt") > 0, F.col("_nr") / F.col("_nt")
+            ).otherwise(F.lit(0.0)).alias("reciprocity"),
+        )
+    )

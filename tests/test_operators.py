@@ -10856,3 +10856,70 @@ def test_cohort_retention_fuzz_vs_pandas_reference(spark):
         assert got == want, (events, grain)
 
     inner()
+
+
+def test_link_graph_report_hand_pinned_and_duckdb(spark, duck):
+    """Hand-pinned card over a small graph with every pathology
+    (self-loop, dangling node, duplicate edge, reciprocal pair), then
+    an exact DuckDB mirror over a documents-derived synthetic edge
+    list."""
+    import pandas as pd
+
+    import pyspark.sql.functions as F
+
+    from .conftest import SF_DIR, assert_matches_oracle
+    from dfsql_spark.operators.web import link_graph_report
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "src": ["a", "a", "b", "c", "c", "d"],
+                "dst": ["b", "b", "a", "c", "d", "e"],
+            }
+        )
+    )
+    row = link_graph_report(edges).collect()[0]
+    # distinct edges: a->b, b->a, c->c, c->d, d->e (dup a->b collapses)
+    assert row.n_nodes == 5 and row.n_edges == 5
+    assert row.n_self_loops == 1
+    assert row.n_dangling == 1  # e has no out-edge
+    assert row.max_out_degree == 2  # c: c->c, c->d
+    # non-loop edges: a->b, b->a, c->d, d->e; reciprocal: the a/b pair
+    assert row.reciprocity == pytest.approx(0.5)
+
+    docs_edges = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(
+            (F.col("doc_id") % 101).cast("string").alias("src"),
+            ((F.col("doc_id") * 7 + 3) % 101).cast("string").alias("dst"),
+        )
+    )
+    got = link_graph_report(docs_edges)
+    want = duck.sql(
+        """
+        WITH e AS (
+            SELECT DISTINCT CAST(doc_id % 101 AS VARCHAR) AS src,
+                   CAST((doc_id * 7 + 3) % 101 AS VARCHAR) AS dst
+            FROM documents
+        ), nodes AS (
+            SELECT src AS node FROM e UNION SELECT dst FROM e
+        ), outdeg AS (
+            SELECT src, count(*) AS d FROM e GROUP BY src
+        ), nl AS (
+            SELECT * FROM e WHERE src <> dst
+        )
+        SELECT (SELECT count(*) FROM nodes)::BIGINT AS n_nodes,
+               (SELECT count(*) FROM e)::BIGINT AS n_edges,
+               (SELECT count(*) FROM e WHERE src = dst)::BIGINT
+                   AS n_self_loops,
+               (SELECT count(*) FROM nodes
+                WHERE node NOT IN (SELECT src FROM outdeg))::BIGINT
+                   AS n_dangling,
+               (SELECT max(d) FROM outdeg)::BIGINT AS max_out_degree,
+               (SELECT count(*) FROM nl a
+                WHERE EXISTS (SELECT 1 FROM nl b
+                              WHERE b.src = a.dst AND b.dst = a.src))
+                   / (SELECT count(*) FROM nl)::DOUBLE AS reciprocity
+        """
+    ).df()
+    assert_matches_oracle(got, want, "link_graph_report")
