@@ -10923,3 +10923,52 @@ def test_link_graph_report_hand_pinned_and_duckdb(spark, duck):
         """
     ).df()
     assert_matches_oracle(got, want, "link_graph_report")
+
+
+def test_link_graph_report_fuzz_vs_python(spark):
+    """Random small multigraphs against a from-scratch Python
+    computation of all six card fields."""
+    import pandas as pd
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dfsql_spark.operators.web import link_graph_report
+
+    edges_s = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(edges_s)
+    def inner(pairs):
+        e = {(str(a), str(b)) for a, b in pairs}
+        nodes = {x for p in e for x in p}
+        out = {}
+        for s, _d in e:
+            out[s] = out.get(s, 0) + 1
+        nl = {(s, d) for s, d in e if s != d}
+        recip = sum(1 for s, d in nl if (d, s) in nl)
+        row = link_graph_report(
+            spark.createDataFrame(
+                pd.DataFrame(pairs, columns=["src", "dst"]).astype(str)
+            )
+        ).collect()[0]
+        assert row.n_nodes == len(nodes)
+        assert row.n_edges == len(e)
+        assert row.n_self_loops == sum(1 for s, d in e if s == d)
+        assert row.n_dangling == sum(1 for x in nodes if x not in out)
+        assert row.max_out_degree == max(out.values())
+        want_r = recip / len(nl) if nl else 0.0
+        assert row.reciprocity == pytest.approx(want_r)
+
+    inner()
