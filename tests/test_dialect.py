@@ -679,3 +679,130 @@ class TestSubqueryAndOrderFuzz:
         want = con.sql(sql).df()
         con.close()
         assert list(map(int, got["lv"])) == list(map(int, want["lv"])), sql
+
+
+# conditional + wider-string extension of the AST fuzz: CASE WHEN /
+# COALESCE / NULLIF (NULLs INTRODUCED deterministically by NULLIF and
+# consumed by CASE/COALESCE — the documented non-3VL AND/OR divergence
+# never enters because no NULL reaches a boolean connective) and the
+# substring/trim/replace/length string pool.
+def _render2(node):
+    kind = node[0]
+    if kind == "lit":
+        v = node[1]
+        return f"'{v}'" if isinstance(v, str) else str(v)
+    if kind == "col":
+        return node[1]
+    if kind == "bin":
+        _, op, l, r = node
+        return f"({_render2(l)} {op} {_render2(r)})"
+    if kind == "nullif":
+        _, l, r = node
+        return f"NULLIF({_render2(l)}, {_render2(r)})"
+    if kind == "coalesce":
+        _, l, r = node
+        return f"COALESCE({_render2(l)}, {_render2(r)})"
+    if kind == "case":
+        _, c, t, e = node
+        op, cl, cr = c
+        return (
+            f"(CASE WHEN {_render2(cl)} {op} {_render2(cr)}"
+            f" THEN {_render2(t)} ELSE {_render2(e)} END)"
+        )
+    if kind == "sfn":
+        _, name, arg = node
+        if name == "substr2":
+            return f"SUBSTRING({_render2(arg)}, 2)"
+        if name == "substr13":
+            return f"SUBSTRING({_render2(arg)}, 1, 3)"
+        if name == "replace":
+            return f"REPLACE({_render2(arg)}, 'a', 'z')"
+        if name == "trim":
+            return f"TRIM({_render2(arg)})"
+        return f"{name}({_render2(arg)})"
+    if kind == "slen":
+        return f"LENGTH({_render2(node[1])})"
+    raise AssertionError(node)
+
+
+@st.composite
+def _cond_num_node(draw, depth=0):
+    if depth >= 3 or draw(st.booleans()):
+        return draw(st.sampled_from(
+            [("col", "a"), ("col", "b"), ("lit", 2), ("lit", 3),
+             ("slen", ("col", "s"))]
+        ))
+    kind = draw(st.sampled_from(["bin", "nullif", "coalesce", "case"]))
+    if kind == "bin":
+        op = draw(st.sampled_from(["+", "-", "*"]))
+        return ("bin", op, draw(_cond_num_node(depth=depth + 1)),
+                draw(_cond_num_node(depth=depth + 1)))
+    if kind == "nullif":
+        return ("nullif", draw(_cond_num_node(depth=depth + 1)),
+                draw(st.sampled_from([("lit", 2), ("col", "a")])))
+    if kind == "coalesce":
+        return ("coalesce",
+                ("nullif", draw(_cond_num_node(depth=depth + 1)), ("lit", 3)),
+                draw(_cond_num_node(depth=depth + 1)))
+    cmp_op = draw(st.sampled_from(["<", "<=", ">", "="]))
+    return ("case",
+            (cmp_op, draw(_cond_num_node(depth=depth + 1)),
+             draw(_cond_num_node(depth=depth + 1))),
+            draw(_cond_num_node(depth=depth + 1)),
+            draw(_cond_num_node(depth=depth + 1)))
+
+
+@st.composite
+def _wide_str_node(draw, depth=0):
+    if depth >= 3 or draw(st.booleans()):
+        return draw(st.sampled_from(
+            [("col", "s"), ("lit", "abc"), ("lit", " aXa ")]
+        ))
+    name = draw(st.sampled_from(
+        ["lower", "upper", "substr2", "substr13", "replace", "trim"]
+    ))
+    return ("sfn", name, draw(_wide_str_node(depth=depth + 1)))
+
+
+class TestConditionalAndStringFuzz:
+    from hypothesis import HealthCheck, given, settings
+
+    @settings(
+        max_examples=30, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(_cond_num_node(), _wide_str_node())
+    def test_conditional_and_string_exprs_match_duckdb(self, num, sn):
+        import duckdb
+        import pandas as pd
+
+        from dfsql_spark import sql_query
+
+        pdf = pd.DataFrame(
+            {
+                "id": range(6),
+                "a": [1, 2, 3, 2, 5, 3],
+                "b": [2, 2, 4, 1, 3, 3],
+                "s": ["ab", " cD ", "xa", "", "aaa", "zb"],
+            }
+        )
+        sql = (
+            f"SELECT id, {_render2(num)} AS v, {_render2(sn)} AS w FROM t"
+        )
+        got = (
+            sql_query(sql, t=pdf, reduce_output=False)
+            .sort_values("id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", pdf)
+        want = con.sql(sql).df().sort_values("id").reset_index(drop=True)
+        con.close()
+        import math
+
+        for gv, wv in zip(got["v"], want["v"]):
+            g_null = gv is None or (isinstance(gv, float) and math.isnan(gv))
+            w_null = wv is None or (isinstance(wv, float) and math.isnan(wv))
+            assert g_null == w_null, sql
+            if not g_null:
+                assert float(gv) == pytest.approx(float(wv), rel=1e-12), sql
+        assert list(got["w"].astype(str)) == list(want["w"].astype(str)), sql
