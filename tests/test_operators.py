@@ -10972,3 +10972,64 @@ def test_link_graph_report_fuzz_vs_python(spark):
         assert row.reciprocity == pytest.approx(want_r)
 
     inner()
+
+
+def test_url_dedup_fuzz_constructed_variant_groups(spark):
+    """Generation-based: build groups of URL spelling variants whose
+    canonical form is known by construction, assign distinct doc ids,
+    and pin url_dedup's full contract — one row per canonical group,
+    min-id survivor, exact n_copies."""
+    import pandas as pd
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dfsql_spark.operators.web import url_dedup
+
+    @st.composite
+    def group(draw):
+        host = draw(st.sampled_from(["g1.com", "g2.org", "g3.net"]))
+        path = draw(st.sampled_from(["/x", "/y/z", "/"]))
+        canonical = f"https://{host}{path if path != '/' else ''}" + (
+            "/" if path == "/" else ""
+        )
+        n = draw(st.integers(min_value=1, max_value=4))
+        variants = []
+        for i in range(n):
+            h = draw(st.sampled_from([host, host.upper(), "www." + host]))
+            q = draw(st.sampled_from(["", "?utm_source=a", "?gclid=1"]))
+            frag = draw(st.sampled_from(["", "#f"]))
+            port = draw(st.sampled_from(["", ":443"]))
+            variants.append(f"https://{h}{port}{path}{q}{frag}")
+        return canonical, variants
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(group(), min_size=1, max_size=4))
+    def inner(groups):
+        # distinct canonical targets only (two draws may share one)
+        merged: dict = {}
+        for canon, variants in groups:
+            merged.setdefault(canon, []).extend(variants)
+        rows, want = [], {}
+        i = 0
+        for canon, variants in merged.items():
+            ids = []
+            for v in variants:
+                rows.append((i, v))
+                ids.append(i)
+                i += 1
+            want[canon] = (min(ids), len(ids))
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "url"])
+        )
+        got = {
+            r.canonical_url: (r.survivor_id, r.n_copies)
+            for r in url_dedup(df).collect()
+        }
+        assert got == want, rows
+
+    inner()
