@@ -515,3 +515,64 @@ def test_stateless_signal_ops_apply_to_streams(spark, tmp_path):
     got = {r.doc_id: (r.keep, r.has_null_byte) for r in streamed.collect()}
     want = {r.doc_id: (r.keep, r.has_null_byte) for r in batch.collect()}
     assert got == want and len(got) == 6
+
+
+def test_foreach_batch_drift_monitor_equals_batch(spark, batch_events):
+    """The monitoring leg as a STREAM: distribution_drift runs inside
+    a foreachBatch sink against a fixed reference snapshot, and the
+    accumulated per-batch results, re-aggregated over the union of
+    batch inputs, must equal the one-shot batch drift over the whole
+    stream — the stream-equals-batch invariant extended to the
+    round-13 PSI operator.  (Each micro-batch ALSO yields a valid
+    drift row per column — the per-batch monitor a production
+    pipeline would alert on.)"""
+    from dfsql_spark.operators.versioning import distribution_drift
+    from dfsql_spark.streaming.sinks import run_foreach_batch
+
+    reference = batch_events.select("event_type", "value").cache()
+    reference.count()
+
+    seen_parts = []
+    per_batch_rows = []
+
+    def monitor(batch_df, batch_id):
+        pdf = batch_df.select("event_type", "value").toPandas()
+        if not len(pdf):
+            return
+        seen_parts.append(pdf)
+        got = distribution_drift(
+            reference,
+            batch_df.sparkSession.createDataFrame(pdf),
+            numeric_cols=["value"],
+            categorical_cols=["event_type"],
+            bins=5,
+            top_k=3,
+        ).collect()
+        per_batch_rows.append({r.column: r.psi for r in got})
+
+    run_foreach_batch(_stream(spark), monitor, output_mode="append")
+
+    assert per_batch_rows, "stream produced no batches"
+    for rows in per_batch_rows:
+        assert set(rows) == {"value", "event_type"}
+        assert all(v is not None and v >= 0.0 for v in rows.values())
+
+    # union of everything the stream delivered == the batch corpus
+    import pandas as pd
+
+    union = pd.concat(seen_parts, ignore_index=True)
+    assert len(union) == batch_events.count()
+    whole = {
+        r.column: r.psi
+        for r in distribution_drift(
+            reference,
+            spark.createDataFrame(union),
+            numeric_cols=["value"],
+            categorical_cols=["event_type"],
+            bins=5,
+            top_k=3,
+        ).collect()
+    }
+    # self-drift of the full corpus against itself: PSI == 0 exactly
+    assert whole == {"value": 0.0, "event_type": 0.0}
+    reference.unpersist()
