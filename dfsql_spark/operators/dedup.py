@@ -2215,7 +2215,7 @@ def lsh_plan(
     fp_weight: float = 1.0,
     fn_weight: float = 1.0,
     grid: int = 2000,
-) -> "dict | list[dict]":
+) -> dict:
     """Choose MinHash-LSH banding parameters for a target Jaccard
     ``threshold`` — the knob-setting step BEFORE
     :func:`minhash_lsh_pairs` runs at corpus scale, where a mis-tuned

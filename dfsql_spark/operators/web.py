@@ -540,8 +540,11 @@ def parse_robots(
                 in_agents = False
                 if value:
                     rules.append((field == "allow", value))
-            else:
-                in_agents = False
+            # any other field (Crawl-delay, Sitemap, ...) is outside
+            # the group grammar (RFC 9309 §2.2.4): ignored WITHOUT
+            # terminating a User-agent run, so adjacent UA lines keep
+            # merging into one group across unknown records — the
+            # behavior of the common parsers (e.g. Google's)
         if agents:
             groups.append((agents, rules))
         named = [g for g in groups if ua in g[0]]

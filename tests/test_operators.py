@@ -10563,6 +10563,47 @@ def test_parse_robots_hand_pinned(spark):
     assert parse_robots(empty).count() == 0
 
 
+def test_parse_robots_unknown_field_keeps_ua_run_open(spark):
+    """RFC 9309 §2.2.4: records outside the group grammar
+    (Crawl-delay, Sitemap, ...) must not terminate a User-agent run —
+    'UA: a / Crawl-delay: 1 / UA: * / Disallow: /x' is ONE group
+    naming both agents, so agent 'a' keeps the Disallow (the common
+    parsers' merge behavior; the pre-fix parser split the group and
+    agent 'a' silently lost every rule)."""
+    import pandas as pd
+
+    from dfsql_spark.operators.web import parse_robots
+
+    body = (
+        "User-agent: a\n"
+        "Crawl-delay: 1\n"
+        "User-agent: *\n"
+        "Disallow: /x\n"
+        "Sitemap: https://ex.com/sitemap.xml\n"
+        "Allow: /x/ok\n"
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"host": ["ex.com"], "robots_txt": [body]})
+    )
+    for ua in ("a", "*"):
+        rules = {
+            (r.allow, r.pattern)
+            for r in parse_robots(df, user_agent=ua).collect()
+        }
+        assert rules == {(False, "/x"), (True, "/x/ok")}, ua
+    # a rule line still closes the run: a UA line after Disallow
+    # opens a NEW group
+    body2 = "User-agent: a\nDisallow: /y\nUser-agent: b\nDisallow: /z\n"
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"host": ["ex.com"], "robots_txt": [body2]})
+    )
+    only_b = {
+        (r.allow, r.pattern)
+        for r in parse_robots(df2, user_agent="b").collect()
+    }
+    assert only_b == {(False, "/z")}
+
+
 def test_robots_filter_rfc_decisions(spark):
     """RFC 9309 decision table over one host: longest match wins,
     Allow beats Disallow on a specificity tie, unmatched paths and
