@@ -28,6 +28,30 @@ from pyspark.sql import functions as F
 _SEP = "\x1f"
 
 
+def _injective_encode(cols: "list[str]") -> Column:
+    """Canonical encoding of a column tuple, injective for ARBITRARY
+    string values — control bytes included: NULL encodes as ``\\x00``;
+    a value ``v`` as ``char_length(v) ':' v`` (a value encoding always
+    starts with a digit, so it can never collide with the NULL
+    marker); columns joined with ``\\x1f``.  The length prefix makes
+    record boundaries parseable left-to-right no matter what bytes a
+    value contains — a bare marker+separator scheme is NOT injective
+    when values can themselves contain the separator (crawl text
+    legitimately carries ``\\x1f``: ``('x\\x1f\\x01y','z')`` and
+    ``('x','y\\x1f\\x01z')`` encode identically under it)."""
+    parts: "list[Column]" = []
+    for i, c in enumerate(cols):
+        if i:
+            parts.append(F.lit(_SEP))
+        v = F.col(c).cast("string")
+        parts.append(
+            F.when(F.col(c).isNull(), F.lit("\x00")).otherwise(
+                F.concat(F.length(v).cast("string"), F.lit(":"), v)
+            )
+        )
+    return F.concat(*parts)
+
+
 def _content_hash(cols: "list[str]") -> Column:
     parts: "list[Column]" = []
     for i, c in enumerate(cols):
@@ -471,12 +495,17 @@ def assign_stable_ids(
     bytes, same id, on any cluster at any parallelism.
 
     The id derives from ``cols`` (default: every column, in schema
-    order) via a canonical encoding that is injective per column —
-    NULL encodes as ``\\x00`` and value ``v`` as ``\\x01`` + v — with
-    the module's ``\\x1f`` separator between columns, so ``(NULL,)``
-    vs ``('',)`` and ``('ab','c')`` vs ``('a','bc')`` never collide at
-    the string layer (collisions can then only come from the hash
-    itself; audit with :func:`id_collision_report`).
+    order) via a canonical encoding that is injective for ARBITRARY
+    values — NULL encodes as ``\\x00``, value ``v`` as
+    ``char_length(v) ':' v`` — with the module's ``\\x1f`` separator
+    between columns.  The length prefix keeps boundaries parseable
+    even when a value itself contains the separator or marker bytes
+    (crawl text legitimately does), so ``(NULL,)`` vs ``('',)``,
+    ``('ab','c')`` vs ``('a','bc')`` AND ``('x\\x1f\\x01y','z')`` vs
+    ``('x','y\\x1f\\x01z')`` all get distinct encodings — collisions
+    can then only come from the hash itself; audit with
+    :func:`id_collision_report` (which fingerprints the SAME
+    encoding).
 
     ``algo``:
 
@@ -501,16 +530,7 @@ def assign_stable_ids(
         raise ValueError(f"columns not in frame: {missing}")
     if id_col in df.columns:
         raise ValueError(f"id column {id_col!r} already exists")
-    parts: "list[Column]" = []
-    for i, c in enumerate(cols):
-        if i:
-            parts.append(F.lit(_SEP))
-        parts.append(
-            F.when(F.col(c).isNull(), F.lit("\x00")).otherwise(
-                F.concat(F.lit("\x01"), F.col(c).cast("string"))
-            )
-        )
-    canonical = F.concat(*parts)
+    canonical = _injective_encode(cols)
     if algo == "xxhash64":
         id_expr = F.xxhash64(canonical)
     elif algo == "md5":
@@ -566,19 +586,10 @@ def id_collision_report(
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"columns not in frame: {missing}")
-    parts: "list[Column]" = []
-    for i, c in enumerate(cols):
-        if i:
-            parts.append(F.lit(_SEP))
-        parts.append(
-            F.when(F.col(c).isNull(), F.lit("\x00")).otherwise(
-                F.concat(F.lit("\x01"), F.col(c).cast("string"))
-            )
-        )
     pairs = (
         df.select(
             F.col(id_col).cast("string").alias("_id"),
-            F.md5(F.concat(*parts)).alias("_fp"),
+            F.md5(_injective_encode(cols)).alias("_fp"),
         )
         .groupBy("_id", "_fp")
         .agg(F.count(F.lit(1)).alias("_n"))

@@ -9769,7 +9769,7 @@ def test_assign_stable_ids_semantics(spark):
     ids = {(r.a, r.b): r.stable_id for r in out}
     # ('ab','c') vs ('a','bc'): the \x1f separator keeps them apart
     assert ids[("ab", "c")] != ids[("a", "bc")]
-    # NULL vs '': the \x00 / \x01 markers keep them apart
+    # NULL vs '': the \x00 marker vs the "0:" length prefix
     assert ids[(None, "x")] != ids[("", "x")]
     # pure function of content: any partition layout, same ids
     re_ids = {
@@ -9798,7 +9798,7 @@ def test_assign_stable_ids_semantics(spark):
 def test_assign_stable_ids_md5_matches_duckdb(spark, duck):
     """The md5 algo is the cross-engine interchange path: DuckDB
     reproduces every id bit-for-bit from the documented canonical
-    encoding (chr(1)+value / chr(0) for NULL, chr(31) between
+    encoding (length ':' value, chr(0) for NULL, chr(31) between
     columns)."""
     from .conftest import SF_DIR, assert_matches_oracle
     from dfsql_spark.operators.versioning import assign_stable_ids
@@ -9812,15 +9812,55 @@ def test_assign_stable_ids_md5_matches_duckdb(spark, duck):
         SELECT doc_id, text,
                substring(md5(
                    CASE WHEN doc_id IS NULL THEN chr(0)
-                        ELSE chr(1) || CAST(doc_id AS VARCHAR) END
+                        ELSE CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+                             || ':' || CAST(doc_id AS VARCHAR) END
                    || chr(31) ||
                    CASE WHEN text IS NULL THEN chr(0)
-                        ELSE chr(1) || text END
+                        ELSE CAST(length(text) AS VARCHAR) || ':' || text END
                ), 1, 16) AS stable_id
         FROM documents
         """
     ).df()
     assert_matches_oracle(got, want, "assign_stable_ids_md5")
+
+
+def test_assign_stable_ids_injective_for_separator_bytes(spark):
+    """The encoding must stay injective when VALUES contain the
+    \\x1f separator / \\x01 marker bytes (crawl text can): under a
+    bare marker+separator scheme ('x\\x1f\\x01y','z') and
+    ('x','y\\x1f\\x01z') encode identically and unrelated documents
+    silently merge; the length prefix keeps them apart — and the
+    audit, built on the SAME encoding, sees the two contents as
+    distinct."""
+    import pandas as pd
+
+    from dfsql_spark.operators.versioning import (
+        assign_stable_ids,
+        id_collision_report,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "a": ["x\x1f\x01y", "x", "1:a", "11:a"],
+            "b": ["z", "y\x1f\x01z", "\x1f", "\x00"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    for algo in ("xxhash64", "md5"):
+        ids = [
+            r.stable_id
+            for r in assign_stable_ids(df, cols=["a", "b"], algo=algo)
+            .collect()
+        ]
+        assert len(set(ids)) == 4, (algo, ids)
+    # the audit fingerprints the same injective encoding: give all
+    # four distinct contents ONE id and it must report that id as a
+    # 4-peer collision (the pre-fix encoding saw only 3 contents)
+    one_id = df.withColumn("stable_id", F.lit("same"))
+    rows = id_collision_report(one_id, cols=["a", "b"]).collect()
+    assert [(r.kind, r.n_peers, r.n_rows) for r in rows] == [
+        ("collision", 4, 4)
+    ]
 
 
 def test_id_collision_report_hand_pinned(spark):
@@ -9874,7 +9914,8 @@ def test_id_collision_report_matches_duckdb(spark, duck):
         WITH pairs AS (
             SELECT CAST(doc_id % 97 AS VARCHAR) AS id,
                    md5(CASE WHEN source IS NULL THEN chr(0)
-                            ELSE chr(1) || source END) AS fp,
+                            ELSE CAST(length(source) AS VARCHAR)
+                                 || ':' || source END) AS fp,
                    count(*) AS n
             FROM documents GROUP BY 1, 2
         ), c AS (
