@@ -1239,18 +1239,28 @@ def x06_column_profile(spark, sf):
     """Schema-wide column profile (operators/checks.py:378), promoted
     to the contract in round 12: the ingestion-time data card over
     lineitem — ONE groupless map-side-combined aggregation for all 11
-    columns (n_rows, nulls, NDV, min/max/mean for numerics, min/max
-    for strings and timestamps; complex types counts-only).  Graded in
-    ``ndv="exact"`` audit mode so every value is deterministic (the
-    100 TB default is HLL — fixed-size state — property-pinned in
-    tests); ``mean`` is rounded to 6 dp on both sides (double sums are
-    order-dependent), every other value is exact."""
+    columns (n_rows, nulls, NDV, min/max for numerics, strings and
+    timestamps; complex types counts-only).  Graded in ``ndv="exact"``
+    audit mode so every value is deterministic (the 100 TB default is
+    HLL — fixed-size state — property-pinned in tests).
+
+    Round-15 contract change (the r14 hash-fail lesson): the mean is
+    NOT graded as ``round(avg(double), 6)`` — lineitem's 2-dp
+    decimal-valued columns have true means that land EXACTLY on the
+    6-dp half-way boundary at sf0.01 (avg(l_discount) = 0.0499185,
+    avg(l_tax) = 0.0399315), so the last rounded digit flips with the
+    order of an IEEE double summation and no rounding rule both
+    engines share can pin it.  Instead the profile is graded on
+    ``sum_num`` — ``sum(CAST(col AS DECIMAL(27,2)))`` cast to double,
+    an EXACT order-independent decimal both engines reproduce
+    bit-for-bit (the q06 exact-DECIMAL money-sum precedent) — plus
+    the exact ``n_rows``/``n_null``, from which mean derives; the
+    operator's production double ``avg`` stays in the library but out
+    of the graded projection."""
     from dfsql_spark.operators.checks import column_profile
 
     li = _t(spark, sf, "lineitem")
-    return column_profile(li, ndv="exact").withColumn(
-        "mean", F.round("mean", 6)
-    )
+    return column_profile(li, ndv="exact", sum_scale=2).drop("mean")
 
 
 def s07_ann_recall(spark, sf):
@@ -3421,20 +3431,24 @@ _X06_LINEITEM_COLS = (
 
 def _x06_oracle() -> str:
     """DuckDB mirror of x06_column_profile: one UNION ALL branch per
-    lineitem column (the test_operators mirror with the counts cast to
-    BIGINT and mean rounded to 6 dp on both sides)."""
+    lineitem column (the test_operators mirror with the counts cast
+    to BIGINT).  The numeric grade is the exact decimal ``sum_num``
+    (DECIMAL(27,2) sums are bit-identical across engines; one cast to
+    double each side), NOT a rounded double mean — see the entry
+    docstring for the r14 boundary-flip lesson."""
     pieces = []
     for c, dt, numeric in _X06_LINEITEM_COLS:
         if numeric:
             mm = (
                 f"min({c})::DOUBLE AS min_num, max({c})::DOUBLE AS max_num,"
-                f" round(avg({c}::DOUBLE), 6) AS mean,"
+                f" CAST(sum(CAST({c} AS DECIMAL(27,2))) AS DOUBLE)"
+                "   AS sum_num,"
                 " NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str"
             )
         else:
             mm = (
                 "NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num,"
-                " NULL::DOUBLE AS mean,"
+                " NULL::DOUBLE AS sum_num,"
                 f" min({c})::VARCHAR AS min_str,"
                 f" max({c})::VARCHAR AS max_str"
             )

@@ -452,6 +452,7 @@ def column_profile(
     columns: "list[str] | None" = None,
     ndv: str = "approx",
     rsd: float = 0.05,
+    sum_scale: "int | None" = None,
 ) -> DataFrame:
     """Schema-wide column profile in ONE aggregation pass — the
     ingestion-time data card (pandas ``describe`` / deequ
@@ -487,9 +488,24 @@ def column_profile(
     NULL handling: ``n_distinct`` counts non-NULL values (both
     engines' COUNT(DISTINCT) contract); an all-NULL column profiles
     as ``n_distinct = 0`` with NULL min/max/mean.
+
+    ``sum_scale`` (default off) appends a ``sum_num`` column: for
+    numeric columns, ``sum(CAST(col AS DECIMAL(27, sum_scale)))``
+    cast to double (NULL otherwise).  The decimal sum is EXACT and
+    order-independent, so — unlike ``mean``, an order-dependent
+    double accumulation whose 6-dp rounding can flip between runs or
+    engines when the true mean lands on a half-way boundary (the
+    round-14 l_discount/l_tax lesson) — ``sum_num`` is bit-for-bit
+    reproducible on any engine; pair it with ``n_rows - n_null`` to
+    derive the mean exactly downstream.  Use it for columns KNOWN to
+    be fixed-point at ≤ ``sum_scale`` decimals (money, rates, ids);
+    wider fractions round at the cast.
     """
     if ndv not in ("approx", "exact"):
         raise ValueError(f"ndv must be 'approx' or 'exact', got {ndv!r}")
+    if sum_scale is not None and not 0 <= int(sum_scale) <= 18:
+        raise ValueError(f"sum_scale must be in [0, 18], got {sum_scale!r}")
+    sum_t = None if sum_scale is None else f"decimal(27,{int(sum_scale)})"
     fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     if columns is None:
         cols = list(fields)
@@ -532,6 +548,10 @@ def column_profile(
                         F.max(num).alias("_mx"),
                         F.avg(num).alias("_av"),
                     ]
+                    if sum_t is not None:
+                        aggs_c.append(
+                            F.sum(col.cast(sum_t)).cast("double").alias("_sm")
+                        )
                 else:
                     aggs_c += [
                         F.min(col).cast("string").alias("_smn"),
@@ -553,6 +573,15 @@ def column_profile(
                     (F.col("_mn") if numeric else null_d).alias("min_num"),
                     (F.col("_mx") if numeric else null_d).alias("max_num"),
                     (F.col("_av") if numeric else null_d).alias("mean"),
+                    *(
+                        []
+                        if sum_t is None
+                        else [
+                            (F.col("_sm") if numeric else null_d).alias(
+                                "sum_num"
+                            )
+                        ]
+                    ),
                     (
                         F.col("_smn") if atomic and not numeric else null_s
                     ).alias("min_str"),
@@ -583,6 +612,12 @@ def column_profile(
                     F.max(num).alias(f"_max_{i}"),
                     F.avg(num).alias(f"_avg_{i}"),
                 ]
+                if sum_t is not None:
+                    aggs.append(
+                        F.sum(col.cast(sum_t))
+                        .cast("double")
+                        .alias(f"_sum_{i}")
+                    )
             else:
                 # min/max on the NATIVE type (string collation, date
                 # order), cast to string only for the report column
@@ -615,6 +650,15 @@ def column_profile(
                 (F.col(f"_min_{i}") if numeric else null_d).alias("min_num"),
                 (F.col(f"_max_{i}") if numeric else null_d).alias("max_num"),
                 (F.col(f"_avg_{i}") if numeric else null_d).alias("mean"),
+                *(
+                    []
+                    if sum_t is None
+                    else [
+                        (
+                            F.col(f"_sum_{i}") if numeric else null_d
+                        ).alias("sum_num")
+                    ]
+                ),
                 (
                     F.col(f"_smin_{i}") if atomic and not numeric else null_s
                 ).alias("min_str"),

@@ -6750,6 +6750,41 @@ def test_column_profile_matches_duckdb_exact(spark, duck):
     )
 
 
+def test_column_profile_sum_scale(spark, duck):
+    """``sum_scale`` appends an exact-decimal ``sum_num`` (cast to
+    double) for numeric columns in BOTH plans — the order-independent
+    grading alternative to the double mean — NULL for non-numerics,
+    and validates its range."""
+    import pytest as _pt
+
+    from .conftest import SF_DIR
+    from dfsql_spark.operators.checks import column_profile
+
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    want = {
+        c: v
+        for c, v in duck.sql(
+            "SELECT 'l_discount', CAST(sum(CAST(l_discount AS"
+            " DECIMAL(27,2))) AS DOUBLE) FROM lineitem UNION ALL "
+            "SELECT 'l_orderkey', CAST(sum(CAST(l_orderkey AS"
+            " DECIMAL(27,2))) AS DOUBLE) FROM lineitem"
+        ).fetchall()
+    }
+    for mode in ("exact", "approx"):
+        rows = {
+            r.column: r
+            for r in column_profile(df, ndv=mode, sum_scale=2).collect()
+        }
+        # bit-for-bit vs DuckDB: exact decimal sum, one double cast
+        assert rows["l_discount"].sum_num == want["l_discount"], mode
+        assert rows["l_orderkey"].sum_num == want["l_orderkey"], mode
+        assert rows["l_returnflag"].sum_num is None, mode
+    # default: no sum_num column at all (schema unchanged)
+    assert "sum_num" not in column_profile(df).columns
+    with _pt.raises(ValueError, match="sum_scale"):
+        column_profile(df, sum_scale=19)
+
+
 def test_column_profile_edges_and_validation(spark):
     from dfsql_spark.operators.checks import column_profile
 
