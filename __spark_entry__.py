@@ -1578,6 +1578,11 @@ def bench_extras() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b_pagerank": bench_pagerank,
         "b_stable_ids": bench_stable_ids,
         "b_robots": bench_robots,
+        # round-15 contract retirees keeping their perf trends (the
+        # b_lm_score / b_winnow_fingerprints pattern): same callables,
+        # same plans, bench-only names
+        "b_dedup_survivors": d09_dedup_survivors,
+        "b_media_dedup": m03_media_dedup,
         "b_column_profile": bench_column_profile,
         "b_source_overlap": bench_source_overlap,
     }
@@ -1836,7 +1841,9 @@ def m02_media_decode(spark, sf):
 
 
 def m03_media_dedup(spark, sf):
-    """Content-hash media dedup.  The corpus has no exact duplicates,
+    """[RETIRED from the contract in round 15 — exact content-hash
+    dedup, the d01 shape; still timed as bench extra b_media_dedup
+    and pytest-pinned.]  Content-hash media dedup.  The corpus has no exact duplicates,
     so the input unions a deterministic replay of the first 50 docs
     (ids offset by 100000) — those groups must come back with
     n_copies=2 and the original id as survivor.  The payload bytes
@@ -1852,7 +1859,8 @@ def m03_media_dedup(spark, sf):
 
 
 def m04_media_sim(spark, sf):
-    """The full multimodal pipeline composed end-to-end: binary
+    """[RETIRED from the contract in round 15 — cosine top-k over
+    m02's decoded features, the s01 shape; pytest pins stay.]  The full multimodal pipeline composed end-to-end: binary
     payloads -> Arrow-batched decode/featurize (stub: SHA-256-derived
     8-dim features, the deterministic stand-in for a real encoder) ->
     exact cosine top-5 over the feature column.  Demonstrates that the
@@ -1969,7 +1977,10 @@ def d16_dedup_report(spark, sf):
 
 
 def d09_dedup_survivors(spark, sf):
-    """The deduplicated corpus itself — the artifact a pipeline
+    """[RETIRED from the contract in round 15 — its survivor shape is
+    graded via d06 (component labels) + d16 (survivor accounting) on
+    the SAME pair graph; still timed as bench extra b_dedup_survivors
+    and pytest-pinned.]  The deduplicated corpus itself — the artifact a pipeline
     actually ships: connected components over the exact-Jaccard pair
     graph, keep the min-id doc per cluster, anti-join the losers out.
     Chains a~b~c keep exactly one survivor (greedy pair-drops
@@ -2092,7 +2103,9 @@ def e02_sessionize(spark, sf):
 
 
 def e03_json_props(spark, sf):
-    """JSON property extraction from the props column + aggregate
+    """[RETIRED from the contract in round 15 — batch JSON-path
+    projection, the q01 shape over the same events JSON the streaming
+    entries grade; pytest pins stay.]  JSON property extraction from the props column + aggregate
     (uplift: reference has no JSON functions — SURVEY §2.6)."""
     from dfsql_spark.streaming.events import read_events_batch
 
@@ -2594,7 +2607,9 @@ def w01_url_dedup(spark, sf):
 
 
 def w02_url_host(spark, sf):
-    """Normalized-host extraction (operators/web.py:91) — promoted to
+    """[RETIRED from the contract in round 15 — host extraction is a
+    sub-expression of w01's graded normalization (same exported
+    URL_PARSE_RE); zero-exchange plan pin stays in test_plan_audit.]  Normalized-host extraction (operators/web.py:91) — promoted to
     the contract in round 13: THE group key the domain-level curation
     operators share (grouped_split's leakage-safe splits,
     group_keep_report's domain blocklisting, cap_per_key's per-domain
@@ -2790,6 +2805,216 @@ def t29_packing_report(spark, sf):
         "min_fill",
         "max_fill",
         F.round("waste_frac", 6).alias("waste_frac"),
+    )
+
+
+def q32_window_sql(spark, sf):
+    """Window functions through the FULL dfsql SQL surface —
+    DataSource catalog + dialect rewrite, not the bare DataFrame API
+    (the f01/f02 pattern): ROW_NUMBER over a TOTAL order (price desc,
+    key tiebreak), RANK with ties, and a running frame sum —
+    promoted to the contract in round 15 (the window surface was
+    dialect-fuzzed vs DuckDB since r14 but had no driver-graded
+    SQL-path entry; VERDICT r14 ask #6).  Determinism: row_number/
+    rank are integers over deterministic orders; the frame sum runs
+    in DECIMAL(18,2) — exact, and accumulated in the frame's ORDER BY
+    order on both engines — with ONE cast to double at the end.
+    Scale shape: one hash partition by o_custkey, in-partition sort,
+    all three windows share it (single Window exchange in the plan).
+    ``cache=False`` for the f01 session-cache-footprint reason."""
+    from dfsql_spark import DataSource
+
+    ds = DataSource(spark=spark, cache=False)
+    ds.add_table("ord_q32", _t(spark, sf, "orders"))
+    return ds.query_df(_Q32_SQL.format(table="ord_q32"))
+
+
+_Q32_SQL = (
+    "SELECT o_custkey, o_orderkey, "
+    "ROW_NUMBER() OVER (PARTITION BY o_custkey"
+    " ORDER BY o_totalprice DESC, o_orderkey) AS rn, "
+    "RANK() OVER (PARTITION BY o_custkey"
+    " ORDER BY o_orderpriority) AS prio_rank, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER ("
+    "PARTITION BY o_custkey ORDER BY o_orderkey"
+    " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)"
+    " AS run_price "
+    "FROM {table}"
+)
+
+
+def x09_stable_ids(spark, sf):
+    """Content-derived stable ids + the two-direction id audit in one
+    graded pass (operators/versioning.py:assign_stable_ids,
+    id_collision_report; promoted round 15, VERDICT r14 ask #4):
+    ids are deliberately assigned from the low-cardinality ``source``
+    column alone, so every source's id covers many distinct
+    (doc_id, text) contents and the audit must report each id as a
+    collision with exact peer/row counts — grading BOTH the id
+    derivation (md5 over the length-prefixed injective canonical
+    encoding; the interchange algo DuckDB reproduces bit-for-bit)
+    and the audit's pair-collapse aggregation on real corpus data.
+    Zero float risk: every output value is a hash string or an exact
+    count.  Scale shape: id assignment is pure codegen map; the audit
+    shuffles only the (id, 16-byte fingerprint) pair projection."""
+    from dfsql_spark.operators.versioning import (
+        assign_stable_ids,
+        id_collision_report,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "source")
+    ids = assign_stable_ids(docs, cols=["source"], algo="md5")
+    return id_collision_report(
+        ids, cols=["doc_id", "text"], id_col="stable_id"
+    )
+
+
+def w03_link_graph_report(spark, sf):
+    """Link-graph structural data card (operators/web.py:
+    link_graph_report; promoted round 15 after its r14 introduction —
+    the sanity gate BEFORE spending cluster rounds on pagerank):
+    n_nodes / n_edges / self-loops / dangling / max out-degree /
+    reciprocity over a deterministic corpus-derived graph — each
+    document contributes one edge between md5-bucketed pseudo-hosts
+    (md5, not xxhash, so DuckDB rebuilds the identical graph).  Every
+    value is an exact count except reciprocity, ONE IEEE division of
+    two exact longs — bit-identical across engines.  Scale shape:
+    one edge-dedup shuffle, then edge-relation-sized aggregates and
+    one reversed-edge semi-join; nothing corpus-wide broadcasts."""
+    from dfsql_spark.operators.web import link_graph_report
+
+    docs = _t(spark, sf, "documents")
+
+    def bucket(salt: str) -> "F.Column":
+        return F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+            1,
+            2,
+        )
+
+    edges = docs.select(
+        bucket("lgs:").alias("src"), bucket("lgd:").alias("dst")
+    )
+    return link_graph_report(edges)
+
+
+# w04's exact-replayable graph: chain 0->1->...->39 plus chords
+# i -> (i+7) % 39 from even i.  Every in-degree is <= 2 and node 39
+# is the ONLY dangling node, so every per-round aggregate the
+# operator computes is a sum of at most TWO doubles (IEEE addition is
+# commutative -> order-independent) or a single-row sum — which makes
+# 5 iterated rounds of damping arithmetic BIT-IDENTICAL between Spark
+# and the oracle's unrolled CTE replay (verified byte-for-byte in
+# tests).  The x06/r14 lesson applied to iterated doubles: grade
+# pagerank on a graph where summation order provably cannot matter,
+# not on rounded ranks near unknown boundaries.
+def _w04_edges() -> "list[tuple[str, str]]":
+    chain = [(str(i), str(i + 1)) for i in range(39)]
+    chords = [(str(i), str((i + 7) % 39)) for i in range(0, 39, 2)]
+    return chain + chords
+
+
+def w04_pagerank(spark, sf):
+    """PageRank (operators/web.py:pagerank; promoted round 15 with
+    the exact-replayable contract VERDICT r14 ask #4 prescribed):
+    5 fixed random-surfer rounds — damping 0.85, dangling-mass
+    redistribution, per-edge weights computed once and persisted —
+    over the in-degree-<=2 / single-dangling-node graph built by
+    ``_w04_edges`` (see the comment there for why every rank double
+    is bit-exact across engines; ranks sum to 1.0 exactly).  The
+    graded values are the FULL unrounded ranks.  The 100 TB shape is
+    the operator's (ranks-only per-round shuffle against persisted
+    partitioned weights, broadcast one-row dangling aggregate, zero
+    in-loop driver actions — bench_pagerank times it at corpus
+    scale); this entry grades the arithmetic."""
+    from dfsql_spark.operators.web import pagerank
+
+    edges = spark.createDataFrame(_w04_edges(), "src string, dst string")
+    return pagerank(edges, damping=0.85, max_iter=5)
+
+
+# w05's deterministic WET members: a warcinfo preamble plus
+# ``n_docs`` conversion records per member, CRLF headers, payloads
+# mixing ASCII and multibyte UTF-8 so Content-Length (BYTES) !=
+# char length — the framing property the parser must honor.  Built
+# by the same code the oracle serializes, so engine and oracle can
+# only agree if the byte-exact parse reproduces the constructed
+# records precisely.
+def _w05_records(member: int, n_docs: int = 12) -> "list[tuple]":
+    out = []
+    for i in range(n_docs):
+        k = member * n_docs + i
+        text = (
+            f"doc {k}: Hello crawl world numero {k}.\n"
+            + "café naïve 世界 " * (k % 3)
+            + f"line two of {k}"
+        )
+        out.append(
+            (
+                f"<urn:uuid:rec-{member}-{i}>",
+                f"https://example.com/m{member}/p{i}",
+                f"2026-08-{(k % 27) + 1:02d}T00:00:{i:02d}Z",
+                text,
+            )
+        )
+    return out
+
+
+def _w05_member_bytes(member: int) -> bytes:
+    def rec(headers: "list[bytes]", payload: bytes) -> bytes:
+        h = [b"WARC/1.0"] + headers + [
+            b"Content-Length: " + str(len(payload)).encode()
+        ]
+        return b"\r\n".join(h) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+    body = rec(
+        [b"WARC-Type: warcinfo", b"WARC-Record-ID: <urn:uuid:info>"],
+        b"software: synthetic-wet 1.0\r\n",
+    )
+    for rid, url, date, text in _w05_records(member):
+        body += rec(
+            [
+                b"WARC-Type: conversion",
+                b"WARC-Record-ID: " + rid.encode(),
+                b"WARC-Target-URI: " + url.encode(),
+                b"WARC-Date: " + date.encode(),
+            ],
+            text.encode("utf-8"),
+        )
+    return body
+
+
+def w05_wet_ingest(spark, sf):
+    """WET crawl ingestion end-to-end (sources/warc.py:read_wet;
+    promoted round 15 — the only major r14 surface with no
+    driver-visible row, VERDICT r14 ask #5): two gzip member files
+    (one with a lying extension — magic bytes must win) are written
+    to a fresh temp dir, read file-parallel through binaryFile +
+    mapInPandas, warcinfo preambles filtered, payloads sliced by
+    Content-Length BYTES and utf-8 decoded.  The oracle serializes
+    the SAME record constructor to VALUES, so any mis-framing (char
+    vs byte lengths, CRLF handling, member boundaries) diverges.
+    n_chars adds a downstream computed column over the decoded text.
+    Scale shape: one task per member — the production WARC unit of
+    parallelism — bytes never on the driver, zero shuffle."""
+    import gzip as _gzip
+    import tempfile
+
+    from dfsql_spark.sources.warc import read_wet
+
+    d = tempfile.mkdtemp(prefix="dfsql-w05-")
+    with open(f"{d}/m0.warc.wet.gz", "wb") as f:
+        f.write(_gzip.compress(_w05_member_bytes(0)))
+    with open(f"{d}/m1.warc.wet", "wb") as f:  # gzipped, extension lies
+        f.write(_gzip.compress(_w05_member_bytes(1)))
+    wet = read_wet(spark, d)
+    return wet.select(
+        "record_id",
+        "url",
+        "date",
+        "content_length",
+        "text",
+        F.length("text").cast("int").alias("n_chars"),
     )
 
 
@@ -3092,86 +3317,114 @@ def entry(spark: SparkSession) -> DataFrame:
 # Total stays at 100 (50 graded + 50 sitting out).  Oracle hashes
 # regenerated only for the contract add/remove; no sitting-out oracle
 # text changed.
-# ROUND-15 HANDOFF: the alternation continues (this round's graded
-# block sits out, the 50 below return).  No changed-operator
-# exceptions are pending: every r14 code change (connected_components
-# edge semantics, distribution_drift hardening) is graded in-window
-# this round.  The contract stays saturated at 100 while the library
-# holds ~178 public callables — never-graded operators with mirrors
-# ready: mojibake_score (NEW in r14: encoding-corruption score, exact
-# DuckDB mirror from the exported MOJIBAKE_RE + real-corruption fuzz
-# already in tests/test_operators.py), assign_stable_ids /
-# id_collision_report (NEW in r14: content-derived ids + two-direction
-# id audit, bit-exact DuckDB md5 mirror, flat sf0.1->sf1),
-# robots_filter (NEW in r14: RFC 9309 compliance filter — full DuckDB
-# decision mirror + independent-Python longest-match fuzz; benchable
-# over the documents synthetic urls), pagerank (NEW in r14: NumPy
-# power-iteration oracle, rows-only candidate; perf trend live as
-# b_pagerank), lsh_plan (driver-side, NumPy-integration oracle),
-# read_wet (source, rows-only: byte-exact parser fixture oracle),
-# a q32-style window-function SQL entry (ROW_NUMBER/RANK/frames via
-# sql_query — the surface is parity-pinned + fuzzed vs DuckDB in
-# tests/test_dialect.py this round; the oracle is the identical ANSI
-# text, so promotion is a pure contract add),
-# truncate_embeddings,
+# ROUND 15: the alternation continues — the 50 r14 sit-outs return to
+# the graded window and the r14 graded block sits out — with three
+# verdict-directed exceptions:
+#   * x06_column_profile stays GRADED (changed => graded: its mean
+#     contract moved to exact decimal sums after the r14 hash fail);
+#   * FIVE promotions enter the graded window in their first round
+#     (VERDICT r14 asks #4/#5/#6): x09_stable_ids (assign_stable_ids
+#     + id_collision_report in one pass, bit-exact md5 mirror),
+#     w03_link_graph_report (exact counts + one IEEE division),
+#     w04_pagerank (exact-replayable toy graph — every per-round
+#     aggregate sums <= 2 doubles, unrolled-CTE oracle, bit-exact),
+#     w05_wet_ingest (byte-exact WET member parse vs a serialized
+#     VALUES mirror), q32_window_sql (windows through the full
+#     dialect path; identical-ANSI oracle);
+#   * to make room, FIVE returning entries with shape-duplicate
+#     graded rows RETIRE from the contract (implementations, bench
+#     trends and exact pytest mirrors all stay — the r10/r12/r13/r14
+#     swap discipline):
+#       m03_media_dedup   (exact content-hash dedup — the d01 shape;
+#                          media plumbing stays graded via m01/m02;
+#                          still timed as bench extra b_media_dedup),
+#       m04_media_sim     (cosine top-k over m02's decoded features —
+#                          the s01 shape on the same decode m02
+#                          grades this round),
+#       w02_url_host      (host extraction is a sub-expression of
+#                          w01_url_dedup's graded normalization, same
+#                          exported URL_PARSE_RE; zero-exchange plan
+#                          pin stays in test_plan_audit),
+#       e03_json_props    (batch get_json_object projection — the q01
+#                          projection shape over the same events JSON
+#                          the streaming entries e01/e02 grade),
+#       d09_dedup_survivors (min-id survivors over the SAME exact-
+#                          Jaccard pair graph d06 grades labels on
+#                          and d16 grades survivor accounting on
+#                          [n_removed]; still timed as bench extra
+#                          b_dedup_survivors);
+#   * and ONE returning shape-duplicate swaps into the sit-out block
+#     to hold the graded window at exactly 50: q13_join_right (the
+#     mirror of q12_join_left — right join == left with sides
+#     swapped — while q11/q12/q14/q15 grade the whole join family
+#     this round; q13 returns to the graded window in r16).  This is
+#     the single sanctioned two-rounds-ungraded entry (VERDICT r14
+#     ask #3), documented here as the pick.
+# Invariants this round: graded ∩ sit-outs = ∅; graded ∪ sit-outs =
+# all 100; |graded| = |sit-outs| = 50; every returning graded entry
+# was green in r13; sit-outs = r14 graded − x06 + q13; oracle-hash
+# delta = the 5 retirements + 5 promotions + x06 (graded) exactly.
+# The contract stays saturated at 100 while the library holds ~178
+# public callables — the README "Driver contract note" grading-cap
+# ask (150 entries / 3-round rotation) stands; never-graded operators
+# with mirrors ready: mojibake_score, robots_filter (full DuckDB
+# decision mirror; benched as b_robots), lsh_plan (NumPy-integration
+# oracle), read_warc (response-record side), truncate_embeddings,
 # zipf_report, write_training_shards, normalize_nfc,
 # heavy_hitter_ngrams, cap_per_key, train_bpe/bpe_encode,
 # threshold_sweep, schema_drift_report, key_skew_report,
 # join_cardinality_report, media sniffing.
-# The shape-duplicate pool is nearly exhausted (18 slots swapped over
-# rounds 10/12/13/14); see the README "Driver contract note" for the
-# standing grading-cap ask with concrete driver-side options.
 _SIT_OUT_THIS_ROUND = (
-    "d03_dedup_minhash_lsh",
-    "d07_decontaminate",
-    "d08_semantic_dedup",
-    "d09_dedup_survivors",
-    "d10_winnow_overlap",
-    "d11_line_dedup",
-    "d16_dedup_report",
-    "e03_json_props",
-    "f01_custom_agg_sql",
-    "f02_custom_scalar_sql",
-    "m02_media_decode",
-    "m03_media_dedup",
-    "m04_media_sim",
-    "p01_curation_pipeline",
-    "q09_count_distinct",
-    "q10_having_alias",
-    "q11_join_inner",
-    "q12_join_left",
+    "a01_asof_join",
+    "a02_range_join",
+    "c01_code_filters",
+    "d01_dedup_exact",
+    "d02_dedup_ngram_jaccard",
+    "d04_dedup_simhash",
+    "d05_embedding_neardup",
+    "d06_dedup_connected",
+    "d12_incremental_dedup",
+    "d13_semantic_decontaminate",
+    "e01_windowed_counts",
+    "e02_sessionize",
+    "e06_stream_dedupe",
+    "e07_interval_join",
+    "e09_stream_upsert_sink",
+    "m01_media_stats",
+    "n01_html_to_text",
+    "q01_projection",
+    "q02_filter",
+    "q03_cast",
+    "q04_distinct",
+    "q05_orderby_limit_offset",
+    "q06_groupby_agg",
+    "q07_groupby_expr",
+    "q08_implicit_agg",
     "q13_join_right",
-    "q14_join_full",
-    "q15_self_join",
-    "q16_in_subquery",
-    "q17_scalar_subquery",
-    "q18_from_subquery",
-    "q19_like_regex",
-    "q20_string_funcs",
-    "q21_power",
-    "q23_case_when",
-    "q25_except_intersect",
-    "q26_anti_join",
-    "q28_rollup",
-    "q29_exists_correlated",
-    "q30_grouping_sets",
-    "q31_pivot",
-    "s04_sim_pq",
-    "s05_bm25",
-    "t06_deterministic_split",
-    "t07_vocab_topk",
-    "t08_pii_scrub",
-    "t09_pack_sequences",
-    "t10_stratified_sample",
-    "t11_repetition",
-    "t12_c4_filters",
-    "t13_mix_rebalance",
-    "t15_unigram_familiarity",
-    "t16_chunk_documents",
-    "t27_grouped_split",
-    "w02_url_host",
-    "x04_snapshot_diff",
-    "x07_group_keep_report",
+    "q22_flagship_revenue",
+    "q27_window_topk",
+    "s01_sim_topk",
+    "s03_sim_ivf",
+    "s06_mmr_rerank",
+    "s07_ann_recall",
+    "sk02_salted_join",
+    "t01_text_stats",
+    "t02_quality_score",
+    "t03_lang_id",
+    "t04_fingerprint",
+    "t05_token_count",
+    "t17_hashed_embeddings",
+    "t20_epoch_shuffle",
+    "t22_bpe_pair_counts",
+    "t24_gopher_filters",
+    "t25_dsir_weights",
+    "t26_tfidf_top_terms",
+    "t28_vocab_coverage",
+    "t29_packing_report",
+    "w01_url_dedup",
+    "x01_approx_distinct_pruned",
+    "x05_quality_checks",
+    "x08_distribution_drift",
 )
 
 # rows-only sketch queries (``no_oracle``); always last.  Empty since
@@ -3198,19 +3451,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d16_dedup_report": d16_dedup_report,
         "d07_decontaminate": d07_decontaminate,
         "d08_semantic_dedup": d08_semantic_dedup,
-        "d09_dedup_survivors": d09_dedup_survivors,
         "d10_winnow_overlap": d10_winnow_overlap,
         "d11_line_dedup": d11_line_dedup,
         "e01_windowed_counts": e01_windowed_counts,
         "e02_sessionize": e02_sessionize,
-        "e03_json_props": e03_json_props,
         "e06_stream_dedupe": e06_stream_dedupe,
         "e07_interval_join": e07_interval_join,
         "e09_stream_upsert_sink": e09_stream_upsert_sink,
         "f01_custom_agg_sql": f01_custom_agg_sql,
         "f02_custom_scalar_sql": f02_custom_scalar_sql,
         "m01_media_stats": m01_media_stats,
-        "m04_media_sim": m04_media_sim,
         "n01_html_to_text": n01_html_to_text,
         "p01_curation_pipeline": p01_curation_pipeline,
         "q01_projection": q01_projection,
@@ -3243,6 +3493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_exists_correlated": q29_exists_correlated,
         "q30_grouping_sets": q30_grouping_sets,
         "q31_pivot": q31_pivot,
+        "q32_window_sql": q32_window_sql,
         "s01_sim_topk": s01_sim_topk,
         "s04_sim_pq": s04_sim_pq,
         "s05_bm25": s05_bm25,
@@ -3270,16 +3521,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t28_vocab_coverage": t28_vocab_coverage,
         "t29_packing_report": t29_packing_report,
         "w01_url_dedup": w01_url_dedup,
-        "w02_url_host": w02_url_host,
+        "w03_link_graph_report": w03_link_graph_report,
+        "w04_pagerank": w04_pagerank,
+        "w05_wet_ingest": w05_wet_ingest,
         "x01_approx_distinct_pruned": x01_approx_distinct_pruned,
         "x07_group_keep_report": x07_group_keep_report,
         "x08_distribution_drift": x08_distribution_drift,
+        "x09_stable_ids": x09_stable_ids,
         "x04_snapshot_diff": x04_snapshot_diff,
         "d03_dedup_minhash_lsh": d03_dedup_minhash_lsh,
         "d04_dedup_simhash": d04_dedup_simhash,
         "s03_sim_ivf": s03_sim_ivf,
         "m02_media_decode": m02_media_decode,
-        "m03_media_dedup": m03_media_dedup,
         "d12_incremental_dedup": d12_incremental_dedup,
         "d13_semantic_decontaminate": d13_semantic_decontaminate,
         "s06_mmr_rerank": s06_mmr_rerank,
@@ -3520,12 +3773,146 @@ def _w02_oracle() -> str:
         """
 
 
+def _duck_enc(col: str) -> str:
+    """DuckDB spelling of versioning.py's injective canonical
+    encoding: NULL -> chr(0); value -> char_length ':' value."""
+    v = f"CAST({col} AS VARCHAR)"
+    return (
+        f"CASE WHEN {col} IS NULL THEN chr(0)"
+        f" ELSE CAST(length({v}) AS VARCHAR) || ':' || {v} END"
+    )
+
+
+def _x09_oracle() -> str:
+    """DuckDB mirror of x09_stable_ids: rebuild the md5 id from
+    source, the md5 fingerprint from (doc_id, text) — both over the
+    SAME length-prefixed canonical encoding — then the pair collapse
+    and the two offender aggregates."""
+    return f"""
+        WITH pairs AS (
+            SELECT substring(md5({_duck_enc("source")}), 1, 16) AS id,
+                   md5({_duck_enc("doc_id")} || chr(31)
+                       || {_duck_enc("text")}) AS fp,
+                   count(*) AS n
+            FROM documents GROUP BY 1, 2
+        ), c AS (
+            SELECT 'collision' AS kind, id AS key,
+                   count(*)::INT AS n_peers, sum(n)::BIGINT AS n_rows
+            FROM pairs GROUP BY id HAVING count(*) > 1
+        ), f AS (
+            SELECT 'fragmentation' AS kind, fp AS key,
+                   count(*)::INT AS n_peers, sum(n)::BIGINT AS n_rows
+            FROM pairs GROUP BY fp HAVING count(*) > 1
+        )
+        SELECT * FROM c UNION ALL SELECT * FROM f
+    """
+
+
+def _w03_oracle() -> str:
+    """DuckDB mirror of w03_link_graph_report: the identical
+    md5-bucket edge construction, then every report aggregate over
+    the distinct edge relation (reciprocity = one IEEE division of
+    two exact counts)."""
+    return """
+        WITH e AS (
+            SELECT DISTINCT
+                substring(md5('lgs:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                    AS src,
+                substring(md5('lgd:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                    AS dst
+            FROM documents
+        ), nodes AS (
+            SELECT src AS node FROM e UNION SELECT dst FROM e
+        ), outdeg AS (
+            SELECT src, count(*) AS d FROM e GROUP BY src
+        ), nl AS (SELECT * FROM e WHERE src <> dst)
+        SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+               (SELECT count(*) FROM e) AS n_edges,
+               (SELECT CAST(sum(CASE WHEN src = dst THEN 1 ELSE 0 END)
+                       AS BIGINT) FROM e) AS n_self_loops,
+               (SELECT count(*) FROM nodes
+                WHERE node NOT IN (SELECT src FROM e)) AS n_dangling,
+               (SELECT max(d) FROM outdeg) AS max_out_degree,
+               CASE WHEN (SELECT count(*) FROM nl) > 0
+                    THEN (SELECT count(*) FROM nl a
+                          WHERE EXISTS (SELECT 1 FROM nl b
+                                        WHERE b.src = a.dst
+                                          AND b.dst = a.src))
+                         / CAST((SELECT count(*) FROM nl) AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS reciprocity
+    """
+
+
+def _w04_oracle() -> str:
+    """DuckDB mirror of w04_pagerank: the SAME edge list serialized
+    to VALUES and 5 rounds unrolled as CTEs with the operator's exact
+    arithmetic shape — base + d*(coalesce(mass,0) + dm/n), weights
+    1.0/deg, initial rank 1/n.  Bit-identical because every aggregate
+    on this graph sums <= 2 doubles (see _w04_edges)."""
+    edges = _w04_edges()
+    n, d, iters = 40, 0.85, 5
+    base = (1.0 - d) / n
+    vals = ", ".join(f"('{s}','{t}')" for s, t in edges)
+    parts = [
+        f"WITH edges(src, dst) AS (VALUES {vals})",
+        ", nodes AS (SELECT DISTINCT src AS node FROM edges"
+        " UNION SELECT DISTINCT dst FROM edges)",
+        ", deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        ", w AS (SELECT e.src, e.dst, CAST(1.0 AS DOUBLE)/deg.deg AS w"
+        " FROM edges e JOIN deg ON e.src = deg.src)",
+        f", r0 AS (SELECT node, CAST(1.0 AS DOUBLE)/{n} AS rank"
+        " FROM nodes)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f", d{k} AS (SELECT COALESCE(sum(rank), CAST(0.0 AS DOUBLE))"
+            f" AS dm FROM r{k}"
+            " WHERE node NOT IN (SELECT src FROM edges))"
+            f", c{k} AS (SELECT w.dst AS node, sum(w.w * r.rank) AS mass"
+            f" FROM w JOIN r{k} r ON w.src = r.node GROUP BY w.dst)"
+            f", r{k + 1} AS (SELECT n.node,"
+            f" CAST({base!r} AS DOUBLE) + CAST({d!r} AS DOUBLE)"
+            f" * (COALESCE(c.mass, CAST(0.0 AS DOUBLE))"
+            f" + dd.dm / CAST({n} AS DOUBLE)) AS rank"
+            f" FROM nodes n LEFT JOIN c{k} c ON n.node = c.node"
+            f" CROSS JOIN d{k} dd)"
+        )
+    parts.append(f" SELECT node, rank FROM r{iters}")
+    return "".join(parts)
+
+
+def _w05_oracle() -> str:
+    """DuckDB mirror of w05_wet_ingest: the SAME record constructor
+    (_w05_records) serialized to VALUES — content_length as utf-8
+    BYTE length, n_chars as character length — so the byte-exact
+    parse is value-checked end to end."""
+    rows = []
+    for member in (0, 1):
+        for rid, url, date, text in _w05_records(member):
+            t = text.replace("'", "''")
+            rows.append(
+                f"('{rid}', '{url}', '{date}',"
+                f" {len(text.encode('utf-8'))}, '{t}', {len(text)})"
+            )
+    return (
+        "SELECT record_id, url, date,"
+        " CAST(content_length AS BIGINT) AS content_length, text,"
+        " CAST(n_chars AS INT) AS n_chars FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(record_id, url, date, content_length, text, n_chars)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "n01_html_to_text": _n01_oracle(),
         "c01_code_filters": _c01_oracle(),
         "x06_column_profile": _x06_oracle(),
-        "w02_url_host": _w02_oracle(),
+        "x09_stable_ids": _x09_oracle(),
+        "w03_link_graph_report": _w03_oracle(),
+        "w04_pagerank": _w04_oracle(),
+        "w05_wet_ingest": _w05_oracle(),
+        "q32_window_sql": _Q32_SQL.format(table="orders"),
         "t26_tfidf_top_terms": """
             WITH toks AS (
                 SELECT doc_id, unnest(list_filter(
@@ -4421,38 +4808,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT s AS id, least(s, min(d)) AS component
             FROM reach GROUP BY s
         """,
-        "d09_dedup_survivors": """
-            WITH sh AS (SELECT DISTINCT doc_id, s FROM (
-                SELECT doc_id,
-                       unnest([substr(t, i, 5)
-                               for i in range(1, greatest(length(t),5)-3)]) AS s
-                FROM (SELECT doc_id,
-                             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-                      FROM documents))),
-            sz AS (SELECT doc_id, count(*) c FROM sh GROUP BY doc_id),
-            p0 AS (SELECT a.doc_id ia, b.doc_id ib, count(*) n
-                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2),
-            pairs AS (SELECT ia id_a, ib id_b
-                      FROM p0 JOIN sz za ON za.doc_id = ia
-                              JOIN sz zb ON zb.doc_id = ib
-                      WHERE n * 1.0 / (za.c + zb.c - n) >= 0.6),
-            edges AS (SELECT id_a s, id_b d FROM pairs
-                      UNION SELECT id_b, id_a FROM pairs),
-            reach AS (
-                WITH RECURSIVE r(s, d) AS (
-                    SELECT s, d FROM edges
-                    UNION
-                    SELECT r.s, e.d FROM r JOIN edges e ON r.d = e.s
-                ) SELECT * FROM r
-            ),
-            losers AS (
-                SELECT s AS id FROM reach
-                GROUP BY s HAVING least(s, min(d)) < s
-            )
-            SELECT doc_id, source FROM documents
-            WHERE doc_id NOT IN (SELECT id FROM losers)
-        """,
         # d16: the same shingle -> exact-Jaccard pair relation as
         # d02/d06/d09, then the data-card aggregates over a
         # recursive-CTE transitive closure (cluster sizes are
@@ -4620,16 +4975,6 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 2) AS session_value
             FROM sess GROUP BY user_id, session_id
         """,
-        "e03_json_props": """
-            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_high,
-                   CAST(SUM(k) AS BIGINT) AS k_sum
-            FROM (
-                SELECT event_type,
-                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-                FROM events
-            ) t
-            WHERE k > 50 GROUP BY event_type
-        """,
         "e09_stream_upsert_sink": """
             SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
                    ROUND(SUM(value), 2) AS total_value
@@ -4743,32 +5088,6 @@ def oracle_sql() -> dict[str, str]:
         # m02: the stub decoder is SHA-256-derived (multimodal.py
         # _fake_decode), so DuckDB reproduces width/height exactly:
         # byte k of the digest is hex chars 2k+1..2k+2 of sha256().
-        "m04_media_sim": """
-            WITH f AS (
-                SELECT doc_id,
-                       [ round(CAST('0x' || substr(sha256(text),  5, 2) AS INT) / 255.0, 6),
-                         round(CAST('0x' || substr(sha256(text),  7, 2) AS INT) / 255.0, 6),
-                         round(CAST('0x' || substr(sha256(text),  9, 2) AS INT) / 255.0, 6),
-                         round(CAST('0x' || substr(sha256(text), 11, 2) AS INT) / 255.0, 6),
-                         round(CAST('0x' || substr(sha256(text), 13, 2) AS INT) / 255.0, 6),
-                         round(CAST('0x' || substr(sha256(text), 15, 2) AS INT) / 255.0, 6),
-                         round(CAST('0x' || substr(sha256(text), 17, 2) AS INT) / 255.0, 6),
-                         round(CAST('0x' || substr(sha256(text), 19, 2) AS INT) / 255.0, 6) ] AS feats
-                FROM documents
-            ),
-            q AS (SELECT doc_id AS query_id, feats FROM f WHERE doc_id < 3)
-            SELECT query_id, neighbor_id, rank FROM (
-                SELECT q.query_id, f.doc_id AS neighbor_id,
-                       CAST(ROW_NUMBER() OVER (
-                           PARTITION BY q.query_id
-                           ORDER BY list_cosine_similarity(
-                               CAST(f.feats AS DOUBLE[]),
-                               CAST(q.feats AS DOUBLE[])
-                           ) DESC, f.doc_id ASC
-                       ) AS INT) AS rank
-                FROM f CROSS JOIN q
-            ) t WHERE rank <= 5
-        """,
         "m02_media_decode": """
             SELECT doc_id,
                    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
@@ -4778,19 +5097,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(64 + CAST('0x' || substr(sha256(text), 1, 2) AS INT) % 192 AS INT) AS width,
                    CAST(64 + CAST('0x' || substr(sha256(text), 3, 2) AS INT) % 192 AS INT) AS height
             FROM documents
-        """,
-        "m03_media_dedup": """
-            WITH all_docs AS (
-                SELECT doc_id, text FROM documents
-                UNION ALL
-                SELECT doc_id + 100000 AS doc_id, text
-                FROM documents WHERE doc_id < 50
-            )
-            SELECT sha256(text) AS payload_sha256,
-                   MIN(doc_id) AS survivor_id,
-                   CAST(COUNT(*) AS BIGINT) AS n_copies
-            FROM all_docs
-            GROUP BY sha256(text)
         """,
         "f01_custom_agg_sql": """
             SELECT l_returnflag,

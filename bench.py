@@ -44,7 +44,11 @@ HEADLINE = [
     "d02_dedup_ngram_jaccard",
     "d03_dedup_minhash_lsh",
     "d07_decontaminate",
-    "d09_dedup_survivors",
+    # d09 left the contract in the round-15 swap; same plan, same
+    # trend, now timed as the bench extra b_dedup_survivors (trend
+    # readers: b_dedup_survivors in r15+ == d09_dedup_survivors in
+    # r1-r14)
+    "b_dedup_survivors",
     "d11_line_dedup",
     "s01_sim_topk",
     "s04_sim_pq",
@@ -61,7 +65,9 @@ HEADLINE = [
     # (trend readers: b_winnow_fingerprints in r13+ ==
     # t14_winnow_fingerprints in r6-r12)
     "b_winnow_fingerprints",
-    "m03_media_dedup",
+    # m03 left the contract in the round-15 swap; trend continues as
+    # the bench extra b_media_dedup (== m03_media_dedup in r1-r14)
+    "b_media_dedup",
     "p01_curation_pipeline",
     "e01_windowed_counts",
     "e02_sessionize",
@@ -129,6 +135,16 @@ HEADLINE = [
     "b_pagerank",
     "b_stable_ids",
     "b_robots",
+    # round-15 contract promotions with a corpus-scale perf trend:
+    # the md5 id-assign + collision audit (x09), the link-graph data
+    # card (one edge-dedup shuffle + reversed-edge semi-join), and
+    # the window-function SQL path (one Window exchange shared by
+    # three window specs).  w04 (toy-graph pagerank arithmetic) and
+    # w05 (fixture-sized WET parse) are correctness devices — their
+    # scale trends are b_pagerank and the WET throughput probes.
+    "x09_stable_ids",
+    "w03_link_graph_report",
+    "q32_window_sql",
 ]
 
 

@@ -88,7 +88,9 @@ def main() -> None:
     spark = get_spark(app_name="sf1-smoke")
     spark.sparkContext.setLogLevel("ERROR")
     extras = _scale_extras()
-    qs = {**em.queries(), **em.bench_extras(), **extras}
+    qs = {**em.queries(), **em.bench_extras(), **extras,
+          # round-15 contract retiree, still smoked
+          "w02_url_host": em.w02_url_host}
 
     def run(df):
         df.write.format("noop").mode("overwrite").save()

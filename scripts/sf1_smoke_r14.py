@@ -42,7 +42,9 @@ def main() -> None:
         warm_dir = sf_dir  # no small warm corpus on this box: warm in place
     spark = get_spark(app_name="sf1-smoke-r14")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = em.queries()
+    qs = dict(em.queries())
+    # d09 left the contract in round 15; keep the archived target runnable
+    qs.setdefault("d09_dedup_survivors", em.d09_dedup_survivors)
     # warm at the smoke scale so codegen/JIT cost stays out of the row
     for name in TARGETS:
         qs[name](spark, warm_dir).write.format("noop").mode(

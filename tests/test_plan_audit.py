@@ -231,10 +231,12 @@ def test_round13_contract_entry_plan_shapes(spark):
     shingling (fleet Python audit covers the allowlist)."""
     qs = em.queries()
 
-    for name in ("t27_grouped_split", "w02_url_host"):
-        s = plan_summary(qs[name](spark, SF))
-        assert s.n_exchanges == 0, (name, s.text)
-        assert "EvalPython" not in s.text, (name, s.text)
+    # w02 retired from the contract in round 15; its zero-exchange
+    # pin stays, on the entry function directly
+    for fn in (qs["t27_grouped_split"], em.w02_url_host):
+        s = plan_summary(fn(spark, SF))
+        assert s.n_exchanges == 0, s.text
+        assert "EvalPython" not in s.text, s.text
 
     x07 = plan_summary(qs["x07_group_keep_report"](spark, SF))
     assert x07.n_exchanges == 1, x07.text
@@ -572,7 +574,9 @@ _ALLOWED_PYTHON = {
     "f01_custom_agg_sql": "user-registered pandas UDAF (the feature)",
     "f02_custom_scalar_sql": "user-registered scalar UDF (the feature)",
     "m02_media_decode": "Arrow media decode map",
-    "m04_media_sim": "Arrow media decode + feature map",
+    "w05_wet_ingest": "file-parallel WET member parse via mapInPandas"
+    " (binaryFile rows -> byte-exact record framing; the production"
+    " WARC unit of parallelism)",
     "s01_sim_topk": "per-partition BLAS top-k map",
     "s03_sim_ivf": "probe-cell assignment + BLAS scoring",
     "s07_ann_recall": "exact + sign-quantized BLAS top-k maps (s01's path, twice)",
