@@ -310,6 +310,15 @@ class TestWindowFunctionsParity:
         ("MIN(b) OVER (ORDER BY a, id"
          " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)",) * 2,
         ("NTILE(3) OVER (ORDER BY a, id)",) * 2,
+        # RANGE frames: peers (ties on the sort key) enter together,
+        # so NO id tiebreak here — the tie-handling IS the semantics
+        # under parity test; integer sums keep values exact
+        ("SUM(a) OVER (PARTITION BY g ORDER BY a"
+         " RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",) * 2,
+        ("COUNT(*) OVER (ORDER BY a"
+         " RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)",) * 2,
+        ("MAX(a) OVER (PARTITION BY g ORDER BY a"
+         " RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)",) * 2,
         # ^ -> power rewrite INSIDE a window argument and frame order
         ("SUM(a ^ 2) OVER (PARTITION BY g ORDER BY a, id)",
          "SUM(power(a, 2)) OVER (PARTITION BY g ORDER BY a, id)"),

@@ -87,3 +87,28 @@ def test_query_matches_oracle(spark, duck, name):
 def test_query_without_oracle_runs(spark, name):
     df = QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0
+
+
+def test_w04_pagerank_ranks_bit_identical_to_oracle(spark, duck):
+    """The w04 contract's real strength is BIT-level: the toy graph's
+    in-degree<=2 / single-dangling-node construction makes every
+    per-round aggregate a <=2-term IEEE sum, so five damped rounds
+    produce the SAME doubles in Spark and DuckDB — not merely equal
+    after the mirror's 6-dp round.  Pin it at the byte level, plus
+    the exact mass-conservation invariant (ranks sum to 1.0 after a
+    left-to-right sorted-key summation both engines can replay)."""
+    import math
+    import struct
+
+    got = {
+        r.node: r.rank
+        for r in QUERIES["w04_pagerank"](spark, SF_DIR).collect()
+    }
+    want = dict(duck.sql(ORACLES["w04_pagerank"]).fetchall())
+    assert set(got) == set(want) and len(got) == 40
+    for node in got:
+        assert struct.pack("<d", got[node]) == struct.pack(
+            "<d", want[node]
+        ), (node, got[node].hex(), want[node].hex())
+    total = math.fsum(got.values())
+    assert abs(total - 1.0) < 1e-12, total
