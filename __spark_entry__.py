@@ -3374,6 +3374,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # heavy_hitter_ngrams, cap_per_key, train_bpe/bpe_encode,
 # threshold_sweep, schema_drift_report, key_skew_report,
 # join_cardinality_report, media sniffing.
+# Machine-checkable rotation accounting (round 15, enforced by
+# tests/test_rotation_invariants.py against the LATEST checked-in
+# CORRECTNESS_r*.json).  Update these three tuples in the SAME change
+# that rewrites _SIT_OUT_THIS_ROUND each round — the test fails
+# loudly otherwise, which is the point: the invariants the judge
+# verifies by hand ("sit-outs were graded green last round",
+# "graded entries rested last round unless new or changed") become
+# suite-enforced.
+#
+# Entries graded THIS round that were ALSO graded last round — only
+# legal under changed => graded (code or oracle edits land in the
+# graded window the same round).
+_ROTATION_REGRADED: tuple = ("x06_column_profile",)
+# Contract entries promoted this round (first driver grade): must be
+# in the graded window, cannot appear in last round's file.
+_ROTATION_NEW_THIS_ROUND: tuple = (
+    "q32_window_sql",
+    "w03_link_graph_report",
+    "w04_pagerank",
+    "w05_wet_ingest",
+    "x09_stable_ids",
+)
+# Sit-outs that did NOT come from last round's graded block — the
+# documented shape-duplicate swap picks accepting a second ungraded
+# round (VERDICT r14 ask #3 sanctioned exactly one this round).
+_ROTATION_SIT_OUT_EXTRA: tuple = ("q13_join_right",)
+
 _SIT_OUT_THIS_ROUND = (
     "a01_asof_join",
     "a02_range_join",
