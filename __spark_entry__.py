@@ -3374,6 +3374,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # heavy_hitter_ngrams, cap_per_key, train_bpe/bpe_encode,
 # threshold_sweep, schema_drift_report, key_skew_report,
 # join_cardinality_report, media sniffing.
+# ROUND-16 HANDOFF: the alternation continues — this round's graded
+# block rests, the 50 sit-outs below return (q13_join_right among
+# them, ending its sanctioned one-extra-round rest).  Queued
+# changed-operator exceptions: NONE — every r15 code/oracle change
+# (x06 exact-sum contract, the injective stable-id encoding behind
+# x09, the robots UA-run fix [bench extra only]) is graded in-window
+# this round.  When rewriting the rotation, update the three
+# _ROTATION_* tuples below in the same change —
+# tests/test_rotation_invariants.py enforces the accounting against
+# the latest CORRECTNESS file.  Promotion queue if cap relief or
+# further retirements materialize (the shape-duplicate pool is dry):
+# mojibake_score, robots_filter (b_robots trend live), lsh_plan,
+# read_warc, truncate_embeddings, zipf_report, write_training_shards,
+# normalize_nfc, heavy_hitter_ngrams, cap_per_key, train_bpe/
+# bpe_encode, threshold_sweep, schema_drift_report, key_skew_report,
+# join_cardinality_report, media sniffing.  The README "Driver
+# contract note" carries the standing 150-entry / 3-round-rotation
+# ask (8th round).
+#
 # Machine-checkable rotation accounting (round 15, enforced by
 # tests/test_rotation_invariants.py against the LATEST checked-in
 # CORRECTNESS_r*.json).  Update these three tuples in the SAME change
