@@ -2829,12 +2829,17 @@ def q32_window_sql(spark, sf):
     return ds.query_df(_Q32_SQL.format(table="ord_q32"))
 
 
+# rn/prio_rank carry an explicit BIGINT cast INSIDE the shared text:
+# Spark's row_number/rank return INT while DuckDB's return BIGINT,
+# and the driver's schema check compares dtypes (the q27 precedent
+# casts on the oracle side; here one cast serves both since the SQL
+# is shared verbatim)
 _Q32_SQL = (
     "SELECT o_custkey, o_orderkey, "
-    "ROW_NUMBER() OVER (PARTITION BY o_custkey"
-    " ORDER BY o_totalprice DESC, o_orderkey) AS rn, "
-    "RANK() OVER (PARTITION BY o_custkey"
-    " ORDER BY o_orderpriority) AS prio_rank, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey"
+    " ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn, "
+    "CAST(RANK() OVER (PARTITION BY o_custkey"
+    " ORDER BY o_orderpriority) AS BIGINT) AS prio_rank, "
     "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER ("
     "PARTITION BY o_custkey ORDER BY o_orderkey"
     " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)"
