@@ -3769,61 +3769,6 @@ def _x06_oracle() -> str:
     return " UNION ALL ".join(pieces)
 
 
-def _w02_oracle() -> str:
-    """DuckDB mirror of w02_url_host: the IDENTICAL messy-URL
-    construction in SQL, then the host-extraction chain re-spelled
-    from the SAME exported URL_PARSE_RE constant (the test_operators
-    mirror, parameterized over the synthetic URLs)."""
-    from dfsql_spark.operators.web import URL_PARSE_RE
-
-    return f"""
-            WITH u AS (
-                SELECT doc_id,
-                       'site' || CAST(doc_id % 25 AS VARCHAR) AS h,
-                       doc_id % 5 AS v
-                FROM documents
-            ), raw AS (
-                SELECT doc_id,
-                       CASE v
-                           WHEN 0 THEN 'HTTP://WWW.' || h
-                               || '.Example.COM:80/p/'
-                               || CAST(doc_id AS VARCHAR)
-                           WHEN 1 THEN 'https://user:pw@www.' || h
-                               || '.example.org:443/q'
-                           WHEN 2 THEN h || '.example.net/r'
-                           WHEN 3 THEN 'http://' || h || '.example.com:8080/s'
-                           ELSE '/relative/only'
-                       END AS url
-                FROM u
-            ), c AS (
-                SELECT doc_id,
-                       regexp_replace(url, '[ \\t\\n\\r\\f\\x0B]+', '', 'g') AS s
-                FROM raw
-            ), p AS (
-                SELECT doc_id,
-                       CASE WHEN lower(regexp_extract(s, '{URL_PARSE_RE}', 1)) = ''
-                            THEN 'http'
-                            ELSE lower(regexp_extract(s, '{URL_PARSE_RE}', 1))
-                       END AS scheme,
-                       lower(regexp_replace(
-                           regexp_extract(s, '{URL_PARSE_RE}', 2), '^.*@', ''))
-                           AS h0
-                FROM c
-            ), n AS (
-                SELECT doc_id,
-                       regexp_replace(
-                           CASE WHEN scheme = 'http'
-                                    THEN regexp_replace(h0, '(:80)+$', '')
-                                WHEN scheme = 'https'
-                                    THEN regexp_replace(h0, '(:443)+$', '')
-                                ELSE h0 END,
-                           '^(www\\.)+', '') AS h
-                FROM p
-            )
-            SELECT doc_id, nullif(h, '') AS host FROM n
-        """
-
-
 def _duck_enc(col: str) -> str:
     """DuckDB spelling of versioning.py's injective canonical
     encoding: NULL -> chr(0); value -> char_length ':' value."""
