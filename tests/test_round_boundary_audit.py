@@ -96,6 +96,34 @@ def test_r14_x06_root_cause_is_on_the_boundary(duck01):
             assert_off_round_boundary([float(mean)], 6)
 
 
+def test_every_rounded_entry_is_audited():
+    """Process pin: any CONTRACT entry whose engine side applies
+    ``F.round`` must appear in ROUNDED_ENTRIES above, so a future
+    rounded contract cannot dodge the sf0.01 driver-scale audit (the
+    gap that let r14's x06 ship a boundary-unstable mean).  Operator-
+    internal rounding (e.g. distribution_drift's round_to) is audited
+    through its entry's membership in the tuple, not this grep."""
+    import ast
+    import inspect
+
+    src = inspect.getsource(entry_mod)
+    tree = ast.parse(src)
+    contract = set(entry_mod.queries())
+    flagged = set()
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name in contract:
+            seg = ast.get_source_segment(src, node) or ""
+            if "F.round(" in seg:
+                flagged.add(node.name)
+    audited = set(ROUNDED_ENTRIES)
+    missing = flagged - audited
+    assert not missing, (
+        f"contract entries applying F.round but absent from "
+        f"ROUNDED_ENTRIES (add them so they re-run at sf0.01): "
+        f"{sorted(missing)}"
+    )
+
+
 def test_off_boundary_helper_semantics():
     """The audit helper itself: exact boundary rejected, near-boundary
     (<1e-9) rejected, clearly-off values / NULL / inf pass."""
