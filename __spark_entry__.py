@@ -1336,7 +1336,26 @@ def bench_crawl_frontend(spark, sf):
     5.0 s joined vs 4.1-4.7 s fused, the residual cost being the
     duplicate-fraction aggregation both forms share); then the C4
     line clean joined with the duplicate-fraction signals, whose
-    per-doc aggregation is the only required shuffle."""
+    per-doc aggregation is the only required shuffle.
+
+    GATE-PASS ACCOUNTING (optimization round 15, guide §2.4/§1.2):
+    feeding ``kept`` to BOTH join branches evaluated the regex-heavy
+    gate projection three times — once under the line clean, once
+    under the dup-fraction aggregation, and once more under
+    ``duplicate_text_fractions``'s internal id roster (Catalyst
+    cannot share subtrees across join branches).  The dup-fraction
+    signals are per-document, so computing them over the UNGATED
+    corpus and letting the inner join restrict to the kept ids is
+    row- and value-identical (verified: sorted collect of both forms
+    equal at sf0.1) while running the gates ONCE — the aggregation
+    branch now explodes 8-byte line/para hashes off a bare scan
+    instead of re-running ~12 full-text regex passes per doc, and
+    the roster is a doc_id-only pruned column scan.  Measured
+    (same-box interleaved reps, sf0.1): 8.1-11.3 s → 3.5-4.4 s.
+    At 100 TB the trade reads: dup-fraction aggregation over the
+    full corpus (hash-proxy shuffle, cheap) vs two extra full-corpus
+    regex gate passes (expensive) — right whenever the gates keep a
+    nontrivial fraction, as crawl front-ends do."""
     from pyspark.sql import functions as F
 
     from dfsql_spark.operators.text import (
@@ -1362,7 +1381,7 @@ def bench_crawl_frontend(spark, sf):
         & F.col("keep_gopher")
         & F.col("keep_blocklist")
     )
-    return c4_line_clean(kept).join(duplicate_text_fractions(kept), "doc_id")
+    return c4_line_clean(kept).join(duplicate_text_fractions(docs), "doc_id")
 
 
 def bench_dsir(spark, sf):

@@ -2725,10 +2725,27 @@ def dsir_log_weights(
         )
 
     raw_b = bucketed(df)
-    tgt_counts = bucketed(target).groupBy("_b").agg(
-        F.count(F.lit(1)).alias("_ct")
+    # Materialize both bucket-count tables (≤ ``buckets`` rows each —
+    # parameter-bounded, never data-sized).  Without this the RAW
+    # corpus is gram-exploded THREE times — once for the ``r_total``
+    # driver aggregate, once more when the weight table recomputes
+    # ``raw_counts``, and once for the scoring pass — and the target
+    # twice (optimization round 15, guide §1.2/§2.4: remove whole
+    # passes first).  localCheckpoint pins each model table after ONE
+    # explode+aggregate; the totals and the weight join then read the
+    # materialized rows, restoring the published two-pass structure
+    # (model pass + scoring pass) over the raw corpus and one pass
+    # over the target.  Blocks are GC-released; values are unchanged
+    # (same aggregates, read once instead of recomputed).
+    from .dedup import _materialize
+
+    tgt_counts = _materialize(
+        bucketed(target).groupBy("_b").agg(F.count(F.lit(1)).alias("_ct")),
+        "local",
     )
-    raw_counts = raw_b.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
+    raw_counts = _materialize(
+        raw_b.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr")), "local"
+    )
     t_total = tgt_counts.agg(F.sum("_ct")).first()[0] or 0
     r_total = raw_counts.agg(F.sum("_cr")).first()[0] or 0
     denom_t = float(t_total) + smoothing * buckets
