@@ -919,14 +919,21 @@ def _banded_lsh_pairs(
     # band where a hash build could not.
     sa = sigs.hint("shuffle_hash").select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.hint("shuffle_hash").select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    # est = fraction of equal components, written as num_perm codegen'd
-    # positional comparisons summed in one Project: stays inside
-    # whole-stage codegen, unlike a zip_with/aggregate lambda (higher-
-    # order functions evaluate interpreted — measured ~10 s over 180 k
-    # candidates vs milliseconds for this form).
-    matches = sum(
-        F.when(F.col("sig_a")[j] == F.col("sig_b")[j], 1).otherwise(0)
-        for j in range(num_perm)
+    # est = fraction of equal components.  Re-measured in optimization
+    # round 15 (Spark 4.1, 337k candidates at sf0.1): the old
+    # num_perm-term ``sum(when(sig_a[j]==sig_b[j],1))`` Project —
+    # chosen when an ``aggregate()`` lambda measured ~10 s over 180 k
+    # candidates — costs 1.7-2.7 s per pass (a 64-deep CaseWhen+Add
+    # expression tree generates a method the JIT handles badly), while
+    # ``size(filter(zip_with(...)))`` evaluates the same 64
+    # comparisons per row over SpecializedGetters in 0.67-1.07 s
+    # (2.5× faster, verified bit-identical: same 292 survivors at
+    # sf0.1).  The join shuffles are NOT the bottleneck (~0.6 s with
+    # the compare stripped), so the expression form is the whole win.
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
     )
     est = (
         pairs.join(sa, "id_a")
