@@ -1240,25 +1240,41 @@ def heavy_hitter_ngrams(
     grams = df.select(_word_ngrams_expr(text_col, n).alias("_grams"))
 
     def _mg_partition(batches):
-        counts: dict = {}
+        # Batched Misra–Gries (optimization round 15, guide §4.2): the
+        # old per-gram Python loop paid interpreter dispatch for every
+        # occurrence; this form counts each Arrow batch exactly with
+        # collections.Counter (C-speed update per row array) and then
+        # MERGES it into the capacity-bounded summary, trimming to
+        # ``k_capacity`` entries by subtracting the (k_capacity+1)-th
+        # largest count and dropping non-positives — the standard
+        # mergeable-summaries MG step (Agarwal et al., PODS'12): an
+        # exact batch counter is an MG summary with zero error, and a
+        # merge+trim adds ≤ N_batch/(k_capacity+1) decrement, so the
+        # per-stream bound stays ≤ N_p/k_capacity and every gram with
+        # global count > total/k_capacity still survives in at least
+        # one partition — the candidate-superset guarantee phase 2's
+        # exact recount needs.  The candidate SET may differ from the
+        # element-at-a-time loop's (both are supersets); the operator
+        # output is identical either way because the recount is exact.
+        # Memory: ≤ k_capacity + one batch's distinct grams (Arrow
+        # batches are row-capped), vs the old loop's strict k_capacity.
+        from collections import Counter
+
+        counts: Counter = Counter()
         total = 0
         for pdf in batches:
+            fresh: Counter = Counter()
             for arr in pdf["_grams"]:
                 if arr is None:
                     continue
-                for g in arr:
-                    total += 1
-                    if g in counts:
-                        counts[g] += 1
-                    elif len(counts) < k_capacity:
-                        counts[g] = 1
-                    else:
-                        dec = min(counts.values())
-                        counts = {
-                            k: v - dec for k, v in counts.items() if v > dec
-                        }
-                        if len(counts) < k_capacity:
-                            counts[g] = 1
+                total += len(arr)
+                fresh.update(arr)
+            counts.update(fresh)
+            if len(counts) > k_capacity:
+                dec = sorted(counts.values(), reverse=True)[k_capacity]
+                counts = Counter(
+                    {g: c - dec for g, c in counts.items() if c > dec}
+                )
         out = pd.DataFrame(
             {
                 "ngram": list(counts.keys()) + [None],

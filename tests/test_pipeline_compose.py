@@ -407,3 +407,43 @@ def test_wat_links_feed_pagerank(spark, tmp_path):
     assert sum(pr.values()) == pytest.approx(1.0, abs=1e-9)
     # a.com receives links from both other hosts (3 of 4 edges): top rank
     assert pr["a.com"] == max(pr.values())
+
+
+def test_crawl_frontend_ungated_dupe_branch_is_value_identical(spark, docs):
+    """Optimization-round-15 pin for the bench_crawl_frontend
+    restructure: the dup-fraction signals are per-document, so
+    computing them over the UNGATED corpus and letting the inner join
+    restrict to kept ids must be row- and value-identical to feeding
+    the gated subtree to both branches (which evaluates the
+    regex-heavy gates three times — the form this replaced)."""
+    from dfsql_spark.operators.text import (
+        blocklist_filter,
+        c4_line_clean,
+        duplicate_text_fractions,
+        gopher_filters,
+        script_fractions,
+    )
+
+    thin = docs.select("doc_id", "text")
+    kept = script_fractions(
+        gopher_filters(
+            blocklist_filter(thin, ["zzzz_never_in_corpus"], append=True),
+            min_words=10,
+            min_stopword_hits=0,
+            append=True,
+        ),
+        append=True,
+    ).filter(
+        (F.col("script") == "latin")
+        & F.col("keep_gopher")
+        & F.col("keep_blocklist")
+    )
+    old = c4_line_clean(kept).join(
+        duplicate_text_fractions(kept), "doc_id"
+    )
+    new = c4_line_clean(kept).join(
+        duplicate_text_fractions(thin), "doc_id"
+    )
+    a = sorted(old.collect(), key=lambda r: r.doc_id)
+    b = sorted(new.collect(), key=lambda r: r.doc_id)
+    assert len(a) > 0 and a == b
