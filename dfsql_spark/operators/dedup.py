@@ -776,18 +776,50 @@ def minhash_signatures(
 
     @pandas_udf("array<bigint>")
     def _sig(shs: pd.Series) -> pd.Series:
-        out = []
-        for lst in shs:
-            if lst is None or len(lst) == 0:
-                out.append(empty)  # unreachable post-filter; kept as guard
-                continue
-            hx = pd.util.hash_array(np.asarray(lst, dtype=object)) & np.uint64(
-                0xFFFFFFFF
-            )
-            m = ((hx[:, None] * a_vec[None, :] + b_vec[None, :]) % prime).min(
-                axis=0
-            )
-            out.append(m.astype(np.int64).tolist())
+        # Batch-vectorized (optimization round 15, guide §4.2): one
+        # hash_array call + one (N_total x num_perm) broadcast per
+        # CHUNK of documents instead of per doc — the per-doc form
+        # paid a hash_array dispatch and a small-matrix product per
+        # row.  Values are bit-identical: hash_array is elementwise
+        # with a fixed key, and the uint64 mul/add/mod and column-min
+        # see exactly the same operands per document (reduceat
+        # segments are the per-doc slices).  Chunks cap the flattened
+        # shingle count so peak temp memory stays ~CHUNK_SHINGLES x
+        # num_perm x 8B (~128 MB) regardless of batch width — the same
+        # bound the per-doc form had, amortized instead of per-row.
+        CHUNK_SHINGLES = 262_144
+        n = len(shs)
+        out: list = [empty] * n
+        lens = np.fromiter(
+            (0 if lst is None else len(lst) for lst in shs),
+            dtype=np.int64,
+            count=n,
+        )
+        idx_nonempty = np.flatnonzero(lens)
+        i = 0
+        while i < len(idx_nonempty):
+            j, tot = i, 0
+            while j < len(idx_nonempty) and (
+                tot == 0 or tot + lens[idx_nonempty[j]] <= CHUNK_SHINGLES
+            ):
+                tot += lens[idx_nonempty[j]]
+                j += 1
+            rows = idx_nonempty[i:j]
+            flat: list = []
+            for r in rows:
+                flat.extend(shs.iloc[r])
+            hx = pd.util.hash_array(
+                np.asarray(flat, dtype=object)
+            ) & np.uint64(0xFFFFFFFF)
+            prod = (hx[:, None] * a_vec[None, :] + b_vec[None, :]) % prime
+            offsets = np.concatenate(
+                ([0], np.cumsum(lens[rows])[:-1])
+            ).astype(np.int64)
+            mins = np.minimum.reduceat(prod, offsets, axis=0)
+            mins = mins.astype(np.int64)
+            for k, r in enumerate(rows):
+                out[r] = mins[k].tolist()
+            i = j
         return pd.Series(out)
 
     # docs with EMPTY shingle arrays emit no signature row — matching
