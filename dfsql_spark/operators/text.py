@@ -2519,10 +2519,19 @@ def gopher_filters(
         F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
     )
     alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    # distinct stop-set hits via array_intersect (optimization round
+    # 15, guide §1.2 per-task work): the old
+    # ``filter(stop_set, w -> array_contains(low, w))`` re-scanned the
+    # whole lowercased token array once PER stopword (8×), and the
+    # interpreted lambda re-evaluated its captured ``low`` transform
+    # per element — measured 1.0-1.2 s per corpus pass at sf0.1 vs
+    # 0.29-0.40 s for one intersect pass (values identical on the full
+    # corpus: the stop set is already distinct, so the intersect size
+    # IS the distinct-hit count; verified by collect equality and the
+    # t24 oracle mirror).
     stop_hits = F.size(
-        F.filter(
-            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
-            lambda w: F.array_contains(low, w),
+        F.array_intersect(
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]), low
         )
     )
 
