@@ -2497,9 +2497,36 @@ def gopher_filters(
     plus ``keep_gopher`` only — the zero-join fusion form.
     """
     raw = F.coalesce(F.col(text_col), F.lit(""))
-    toks = tokens(text_col)
-    low = F.transform(toks, F.lower)
-    n_words = F.size(toks)
+    # Optimization round 15 (guide §1.2 per-task work): every per-line
+    # and per-token signal below used an interpreted higher-order
+    # ``filter(..., rlike)`` lambda (plus a ``transform(toks, lower)``
+    # for the stop set) — no whole-stage codegen, one regex machine
+    # dispatch per ELEMENT.  Each is now a single codegen'd
+    # ``regexp_count`` over the raw text (or a split of the
+    # pre-lowered text), proven exactly line/token-equivalent to the
+    # old per-element form — 4,234-doc adversarial fuzz (\r, LS,
+    # NEL, "....", bullet-at-EOL, final-sigma, dotted-İ) plus full
+    # sf0.1 collect equality, both zero-mismatch.  Equivalence notes:
+    #
+    # * tokens(lower(raw)) == transform(tokens(raw), lower): Unicode
+    #   lowercasing never maps a char across the \s boundary, and the
+    #   final-sigma conditional context never crosses whitespace.
+    # * ``(?d)`` (UNIX_LINES) makes ``^``/``$`` recognise only \n —
+    #   exactly the boundaries ``split(raw, '\n')`` produced; without
+    #   it multiline ^ also fires after \r/LS/NEL mid-line.
+    # * bullet: ``ltrim`` strips spaces only, so the per-line anchor
+    #   is ``^ *``; the trailing class is \s MINUS \n ([^\S\n]) so a
+    #   bare "-" before a newline does not match (the old per-line
+    #   string had no following char there).
+    # * ellipsis: Java's default-mode ``$`` also matches before ONE
+    #   final line terminator, so a line "...\r" matched; the rewrite
+    #   encodes that as an optional [\r NEL LS PS] before the
+    #   rtrim-stripped spaces.
+    # * alpha: one non-overlapping ``\S*[A-Za-z]\S*`` match per
+    #   letter-bearing maximal \S+ run — greedy \S* cannot cross
+    #   whitespace, so match count == letter-bearing token count.
+    low_toks = ws_tokens(text_col, lower=True)
+    n_words = F.size(low_toks)
     mean_word_len = F.length(F.regexp_replace(raw, r"\s+", "")) / n_words
 
     # occurrences of '#' plus occurrences of '...' (each "…" analog
@@ -2510,15 +2537,15 @@ def gopher_filters(
     ) / 3
     symbol_ratio = (n_hash + n_ellipsis) / n_words
 
-    lines = F.split(raw, "\n")
-    n_lines = F.size(lines)
-    bullet_lines = F.size(
-        F.filter(lines, lambda l: F.ltrim(l).rlike(r"^([*•‣▪-]\s)"))
+    # split('\n', limit=-1) keeps trailing empties, so its size is
+    # exactly newline-count + 1 — no line array needed
+    n_lines = F.length(raw) - F.length(F.translate(raw, "\n", "")) + F.lit(1)
+    bullet_lines = F.regexp_count(raw, F.lit(r"(?dm)^ *[*•‣▪-][^\S\n]"))
+    ellipsis_lines = F.regexp_count(
+        raw,
+        F.lit("(?dm)(\\.\\.\\.|\u2026)[\r\u0085\u2028\u2029]? *$"),
     )
-    ellipsis_lines = F.size(
-        F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))
-    )
-    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_words = F.regexp_count(raw, F.lit(r"\S*[A-Za-z]\S*"))
     # distinct stop-set hits via array_intersect (optimization round
     # 15, guide §1.2 per-task work): the old
     # ``filter(stop_set, w -> array_contains(low, w))`` re-scanned the
@@ -2531,7 +2558,7 @@ def gopher_filters(
     # t24 oracle mirror).
     stop_hits = F.size(
         F.array_intersect(
-            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]), low
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]), low_toks
         )
     )
 

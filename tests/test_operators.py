@@ -4239,6 +4239,101 @@ def test_gopher_filters_is_zero_shuffle_python_free(docs):
     assert "EvalPython" not in s.text
 
 
+def test_gopher_line_token_signals_match_per_line_reference(spark):
+    """Optimization-round-15 pin: the codegen'd regexp_count forms of
+    the bullet/ellipsis/alpha/line-count signals must keep the exact
+    per-line semantics of the original ``split + filter(rlike)``
+    lambdas — including Java's default-mode ``$``-before-final-
+    terminator quirk and split's kept trailing empties — checked
+    against an independent pure-Python reference on an adversarial
+    corpus (\\r and NEL/LS/PS line separators, bullets at EOL,
+    "....", trailing-space/terminator permutations, \\x0b, unicode
+    case edges)."""
+    import itertools
+    import random
+    import re
+
+    from dfsql_spark.operators.text import GOPHER_STOPWORDS, gopher_filters
+
+    JAVA_WS = " \t\n\x0b\f\r"
+    DOLLAR_TERMS = "\r\x85\u2028\u2029"  # the no-newline final terminators
+    BULLETS = "*•‣▪-"
+
+    def ref(text):
+        t = text or ""
+        toks = [x for x in re.split("[" + JAVA_WS + "]+", t) if x]
+        lines = t.split("\n")
+
+        def bullet(line):
+            s = line.lstrip(" ")
+            return len(s) >= 2 and s[0] in BULLETS and s[1] in JAVA_WS
+
+        def ell(line):
+            s = line.rstrip(" ")
+            if s and s[-1] in DOLLAR_TERMS:
+                s = s[:-1]
+            return s.endswith("...") or s.endswith("…")
+
+        def alpha(tok):
+            return any("a" <= c <= "z" or "A" <= c <= "Z" for c in tok)
+
+        n_words, n_lines = len(toks), len(lines)
+        stops = len(set(GOPHER_STOPWORDS) & {w.lower() for w in toks})
+        return (
+            n_words,
+            (sum(map(bullet, lines)) / n_lines) if n_lines else None,
+            (sum(map(ell, lines)) / n_lines) if n_lines else None,
+            (sum(map(alpha, toks)) / n_words) if n_words else None,
+            stops,
+        )
+
+    random.seed(7)
+    pieces = [
+        "", " ", "\t", "\r", "\x0b", "\f", "-", "- ", "-\t", "-x",
+        "* item", "• uni", "‣ tri", "▪ sq", "*nospace",
+        "...", "....", ".....", "…", "… ", "...\r", "... \r",
+        "...\r ", "... ", "ab1c", "123", "The", "THE", "the", "be",
+        "WİTH", "İstanbul", "ΑΣ", "#", "a#b",
+        "   - x", "\t- x", "end...", "end… ", "tail",
+    ]
+    seps = ["\n", " ", "\r\n", "\n\n", " \n", "\t", "", "\x85", "\u2028"]
+    texts = [None, "", " ", "\n", "\r\n", "...", "…", "-", "- x"]
+    for _ in range(800):
+        texts.append(
+            "".join(
+                random.choice(pieces) + random.choice(seps)
+                for _ in range(random.randint(1, 10))
+            )
+        )
+    for a, b, c in itertools.product(
+        ["", " ", "\r", "-", "- ", "...", "… ", "...\r"],
+        ["", "\n", "\r\n", "\x85"],
+        ["", "-", "- x", "...", "...  ", "… \r", "the be"],
+    ):
+        texts.append(a + b + c)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (
+            r.n_words,
+            r.bullet_line_frac,
+            r.ellipsis_line_frac,
+            r.alpha_word_frac,
+            r.stopword_hits,
+        )
+        for r in gopher_filters(df).collect()
+    }
+    want = {i: ref(t) for i, t in enumerate(texts)}
+    # NULL text reports 0.0 bullet frac by contract (coalesce to "")
+    assert len(got) == len(want)
+    mismatches = {
+        i: (got[i], want[i]) for i in want if got[i] != want[i]
+    }
+    assert not mismatches, dict(itertools.islice(mismatches.items(), 5))
+
+
 def test_duplicate_text_fractions_hand_pinned(spark):
     import pandas as pd
 
