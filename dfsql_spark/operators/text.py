@@ -1497,10 +1497,22 @@ def bm25_topk(
     )
     # explicit sum/count, not F.avg: the integer sum is exact, so the
     # single double division is bit-identical across engines and
-    # partitionings (an incremental double mean would not be)
-    stats = docs.agg(
+    # partitionings (an incremental double mean would not be).
+    # Optimization round 15 (guide §1.2): this pass needs only token
+    # COUNTS, so it counts maximal \S+ runs directly instead of
+    # re-building the token array (split + array_remove + size) it
+    # immediately discards — ``regexp_count(text, '\S+')`` equals
+    # ``size(ws_tokens(...))`` exactly (a maximal non-whitespace run
+    # IS a token; case never changes \s-ness, so the un-lowered text
+    # gives the same count), proven by full-corpus collect equality.
+    # Bench delta is ~5% (the postings pass dominates); the point is
+    # the stats scan at real scale drops the per-row array build.
+    dl_count = F.regexp_count(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(r"\S+")
+    )
+    stats = df.agg(
         F.count(F.lit(1)).alias("_n"),
-        (F.sum("_dl") / F.count(F.lit(1))).alias("_avgdl"),
+        (F.sum(dl_count) / F.count(F.lit(1))).alias("_avgdl"),
     )
     idf = F.log(
         F.lit(1.0)

@@ -3376,6 +3376,39 @@ def test_repetition_ratio_struct_form_matches_gram_udf(spark):
         assert got == want
 
 
+def test_token_count_equals_nonws_run_count(spark):
+    """Optimization-round-15 pin (bm25_topk stats pass): counting
+    maximal ``\\S+`` runs with regexp_count must equal
+    ``size(ws_tokens(...))`` — lowered or not — on whitespace-edge and
+    fuzzed inputs, since the stats scan now skips the token-array
+    build entirely."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dfsql_spark.operators.text import ws_tokens
+
+    random.seed(11)
+    pieces = ["a", "bc", "\t", " ", "\n", "\x0b", "\f", "\r", "\xa0",
+              "İ", "Σ", "1", "#", ""]
+    texts = [None, "", " \t\n ", "a b c", "\x0ba b\x0b"]
+    texts += [
+        "".join(random.choice(pieces) for _ in range(random.randint(0, 30)))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = df.select(
+        F.size(ws_tokens("text")).alias("n_plain"),
+        F.size(ws_tokens("text", lower=True)).alias("n_low"),
+        F.regexp_count(
+            F.coalesce(F.col("text"), F.lit("")), F.lit(r"\S+")
+        ).alias("n_runs"),
+    ).collect()
+    assert all(r.n_plain == r.n_low == r.n_runs for r in rows)
+
+
 def test_ws_tokens_one_definition_across_mirrors(spark):
     """The shared whitespace-token definition (text.ws_tokens) must
     agree on EDGE inputs across all three implementations: the Spark
