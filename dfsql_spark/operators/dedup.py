@@ -901,6 +901,15 @@ def _banded_lsh_pairs(
     # ~0.5 candidate threshold admits far more candidates than
     # survivors, so candidate-stage bytes dominate the operator).
     extra = [flag_col] if flag_col else []
+    # Band hash = xxhash64 over the band index + the r signature longs
+    # DIRECTLY: xxhash64 streams each typed argument's bytes, so equal
+    # slices hash equal and the (fixed-arity, fixed-width) byte stream
+    # is injective up to 64-bit hash collisions — the same guarantee
+    # the original concat_ws(",", casts) string form gave, without
+    # paying num_perm long→string casts + bands string concats per doc
+    # (optimization round 15: 0.80-1.25 s → 0.44-0.59 s for the banded
+    # projection at sf0.1, candidate-pair set verified identical,
+    # 337,157 = 337,157).
     banded = sigs.select(
         "id",
         *extra,
@@ -909,10 +918,7 @@ def _banded_lsh_pairs(
                 *[
                     F.xxhash64(
                         F.lit(bi),
-                        F.concat_ws(
-                            ",",
-                            *[F.col("sig")[bi * r + j].cast("string") for j in range(r)],
-                        ),
+                        *[F.col("sig")[bi * r + j] for j in range(r)],
                     )
                     for bi in range(bands)
                 ]

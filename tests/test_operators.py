@@ -101,6 +101,44 @@ def test_minhash_recall_vs_exact_jaccard(docs):
     assert recall >= 0.9, f"minhash recall {recall} too low ({len(exact)} truth pairs)"
 
 
+def test_banded_lsh_candidate_semantics_on_handcrafted_sigs(spark):
+    """Pin the banded core's candidate rule on handcrafted signatures:
+    a pair agreeing on at least one FULL band slice (r consecutive
+    components) is a candidate, a pair with no fully-agreeing band is
+    not — even if it matches many components scattered across bands.
+    Guards the band-hash expression (equal slices MUST hash equal;
+    slice-level disagreement MUST separate) independent of corpus
+    statistics."""
+    from dfsql_spark.operators.dedup import _banded_lsh_pairs
+
+    num_perm, bands = 64, 16
+    r = num_perm // bands
+    base = list(range(num_perm))
+    # b agrees with a on exactly band 0 (components 0..3)
+    sig_b = base[:r] + [x + 1000 for x in base[r:]]
+    # c matches a on 3 of 4 components in EVERY band — never a full
+    # slice — plus scattered equality everywhere: must NOT pair
+    sig_c = [x if (i % r) != 0 else x + 2000 for i, x in enumerate(base)]
+    sigs = spark.createDataFrame(
+        [(1, base), (2, sig_b), (3, sig_c)], "id: long, sig: array<long>"
+    )
+    got = {
+        (p.id_a, p.id_b): p.est_jaccard
+        for p in _banded_lsh_pairs(sigs, num_perm, bands, None).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == pytest.approx(r / num_perm)
+    # identical signatures agree on every band and estimate 1.0
+    sigs2 = spark.createDataFrame(
+        [(1, base), (2, base)], "id: long, sig: array<long>"
+    )
+    got2 = {
+        (p.id_a, p.id_b): p.est_jaccard
+        for p in _banded_lsh_pairs(sigs2, num_perm, bands, None).collect()
+    }
+    assert got2 == {(1, 2): pytest.approx(1.0)}
+
+
 def test_minhash_dedup_removes_planted_dups(docs):
     from dfsql_spark.operators.dedup import minhash_dedup
 
