@@ -307,6 +307,12 @@ def main() -> None:
         "steal_pct": steal_pct,
         "load1_end": load1,
         "local_dir": os.environ.get("SPARK_GRAFT_LOCAL_DIR", "spark-default"),
+        # core-width self-certification (round-16, verdict r15 ask #2):
+        # the RESOLVED master string and the JVM's own parallelism, so a
+        # scaling-run reader can verify $SPARK_GRAFT_CPUS was honored
+        # from the output alone instead of auditing the session wiring.
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
     }
     full_payload = {
         "metric": "headline_suite_seconds",

@@ -937,9 +937,22 @@ def _banded_lsh_pairs(
     cond = (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id"))
     if flag_col:
         cond = cond & ~(F.col(f"a.{flag_col}") & F.col(f"b.{flag_col}"))
+    # repartition("id_a") BEFORE the candidate dedup (optimization
+    # round 16, guide §2.4 — two operations keyed the same way share
+    # one exchange): HashPartitioning(id_a) satisfies the dedup
+    # aggregate's ClusteredDistribution(id_a, id_b) AND the first
+    # attach join's ClusteredDistribution(id_a), so ONE exchange of
+    # the thin 16-byte pair rows serves both — the plain
+    # dropDuplicates form exchanged on (id_a, id_b) and then
+    # re-exchanged the deduped pairs on id_a for the join.  Nothing is
+    # lost map-side: a pair's multi-band duplicates live in DIFFERENT
+    # band-hash partitions of the self-join output, so the old
+    # pre-exchange partial aggregate almost never collapsed them
+    # anyway.
     pairs = (
         a.join(b, cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .repartition("id_a")
         .dropDuplicates(["id_a", "id_b"])
     )
     # Attach signatures to the DEDUPED pairs only.  The signature

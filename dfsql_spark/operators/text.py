@@ -1206,9 +1206,12 @@ def heavy_hitter_ngrams(
     survivors.  Two phases instead:
 
     1. **Misra–Gries candidate summaries**, one per input partition
-       (Arrow ``mapInPandas`` holding a ``k_capacity``-entry counter;
-       overflow subtracts the current minimum from all entries — a
-       batched run of MG decrements, same ``N_p/k`` error bound).
+       (Arrow ``mapInPandas``: each batch is counted exactly with a
+       ``Counter`` and merged into the running summary; when the merge
+       exceeds ``k_capacity`` entries, the (``k_capacity``+1)-th
+       largest count is subtracted from every entry and non-positives
+       are dropped — the mergeable-summaries MG trim of Agarwal et
+       al., PODS'12, same ``N_p/k`` error bound).
        Emitted rows per partition: ≤ ``k_capacity`` candidates plus
        one total-gram-count marker (``ngram NULL``).  If a gram's
        GLOBAL count exceeds ``total/k_capacity`` it must exceed the
@@ -1440,20 +1443,23 @@ def bm25_topk(
     over lowercase whitespace tokens (repeated query terms count
     once).
 
-    Scale shape: the corpus text is scanned exactly TWICE — once
-    full-width into the postings list ``(term, doc, tf, dl)`` (the one
-    corpus-sized shuffle, keyed by (doc, term)) and once text-only for
-    the 1-row corpus stats (N, avgdl), which need every document's
-    length including docs that match no query term.  At 100 TB you'd
-    materialize the postings once (``write_bucketed_table`` on term)
-    plus the stats row next to it, and serve every query batch from
-    them — the two-scan cost is the BUILD, paid once, not per query.
-    Everything query-side stays broadcast: postings are semi-joined
-    down to query terms FIRST, document frequency is a count-window
-    over that collision-sized subset (so df never aggregates the whole
-    vocabulary and never rescans the corpus), and the query expansion
-    and corpus stats broadcast onto it.  Final top-k is a per-query
-    window over candidate docs only.
+    Scale shape: the corpus text is scanned exactly TWICE — once into
+    the per-query-term postings ``(term, doc, tf, dl)`` and once
+    text-only for the 1-row corpus stats (N, avgdl), which need every
+    document's length including docs that match no query term.
+    NEITHER scan shuffles corpus-sized data: the exploded token stream
+    is semi-joined down to query terms map-side BEFORE the (doc, term)
+    aggregation, so the postings exchange carries only collision-sized
+    rows, and the stats pass is a map-side-combined global aggregate.
+    (At 100 TB with recurring query batches you'd instead materialize
+    the FULL postings once — ``write_bucketed_table`` on term — plus
+    the stats row, and serve batches from them; this operator is the
+    per-call form, where filtering before the aggregation wins.)
+    Everything query-side stays broadcast: document frequency is a
+    count-window over the collision-sized hits (so df never aggregates
+    the whole vocabulary and never rescans the corpus), and the query
+    expansion and corpus stats broadcast onto it.  Final top-k is a
+    per-query window over candidate docs only.
 
     ``quantize=d`` makes scoring ENGINE-REPRODUCIBLE: each term's idf
     is rounded to ``d`` decimals and each (term, doc) contribution is
@@ -1472,11 +1478,6 @@ def bm25_topk(
     docs = df.select(
         F.col(id_col).alias("_doc"), toks.alias("_toks")
     ).withColumn("_dl", F.size("_toks"))
-    postings = (
-        docs.select("_doc", "_dl", F.explode("_toks").alias("_term"))
-        .groupBy("_doc", "_term")
-        .agg(F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl"))
-    )
     qterms = (
         queries.select(
             F.col(query_id_col).alias("_qid"),
@@ -1484,8 +1485,24 @@ def bm25_topk(
         )
         .distinct()
     )
-    hits = postings.join(
-        F.broadcast(qterms.select("_term").distinct()), "_term"
+    # The query-term semi-join runs BELOW the (doc, term) aggregation
+    # (optimization round 16, guide §2.3/§2.4): the broadcast probe
+    # drops non-query tokens from the exploded stream map-side, so the
+    # postings shuffle carries only COLLISION-sized (doc, query-term)
+    # partials instead of the corpus-sized distinct (doc, term) set —
+    # the one corpus-sized exchange this operator had.  Catalyst never
+    # pushes a join through an aggregate itself.  Value-identical:
+    # ``_tf`` counts occurrences of the kept term only, ``_dl`` rides
+    # every exploded row of the doc, and the df count-window below
+    # sees exactly the same (doc, query-term) rows — pinned by
+    # tests/test_operators.py::test_bm25_hits_match_post_agg_semijoin
+    # plus full sf0.1 collect equality and the s05 oracle at
+    # sf0.001/0.01.
+    hits = (
+        docs.select("_doc", "_dl", F.explode("_toks").alias("_term"))
+        .join(F.broadcast(qterms.select("_term").distinct()), "_term")
+        .groupBy("_doc", "_term")
+        .agg(F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl"))
     )
     # document frequency as a window over the collision-sized hits —
     # (doc, term) is unique there, so count-over-term IS df.  A
@@ -2612,13 +2629,14 @@ def duplicate_text_fractions(
     occurrences (occurrences beyond the first count as duplicates).
     The n-gram analog lives in :func:`repetition_ratio`.
 
-    Scale shape: ONE corpus scan — both unit kinds explode from a
-    single tagged struct array (measured trade at sf0.1, interleaved
-    reps: ~10% slower warmed than the two-pass per-kind form — the
-    tagged transform is interpreted HOF work — but the two-pass form
-    reads the corpus TWICE, which dominates at real scale, so the
-    single-scan plan is pinned; repo rule: keep the plan that is
-    right at 100 TB) — then counts per
+    Scale shape: ONE corpus scan — both unit kinds posexplode from the
+    plain concat of the two split arrays, the kind derived from the
+    position and the non-blank filter applied post-explode, all
+    codegen (the round-15 form tagged each unit via interpreted
+    ``filter``/``transform`` higher-order lambdas; the two-pass
+    per-kind alternative reads the corpus TWICE, which dominates at
+    real scale, so the single-scan plan stays pinned; repo rule: keep
+    the plan that is right at 100 TB) — then counts per
     ``(doc, kind, xxhash64(unit))`` (the shuffle ships 8-byte unit
     hashes plus lengths, never the unit text), one map-side-combined
     per-doc aggregate with kind-conditional sums, and one roster left
@@ -2629,21 +2647,40 @@ def duplicate_text_fractions(
     """
     raw = F.coalesce(F.col(text_col), F.lit(""))
 
-    def tagged(kind: str, arr: Column) -> Column:
-        return F.transform(
-            F.filter(arr, lambda u: u.rlike(r"\S")),
-            lambda u: F.struct(F.lit(kind).alias("k"), u.alias("u")),
-        )
-
-    units = F.concat(
-        tagged("line", F.split(raw, "\n")),
-        tagged("para", F.split(raw, r"\n{2,}")),
+    # Codegen'd tagging (optimization round 16, guide §4.1 — built-ins
+    # over per-element lambdas): the old form ran TWO interpreted
+    # higher-order lambdas per unit kind — ``filter(arr, u ->
+    # u.rlike('\S'))`` plus a ``transform`` allocating a (kind, unit)
+    # struct per element — over the full corpus.  posexplode over the
+    # plain concat carries provenance as the POSITION instead (the
+    # first ``size(_lines)`` elements of the concat ARE the line
+    # units), and the non-blank filter runs as a codegen'd post-explode
+    # ``rlike``.  Same surviving units with the same kind tags —
+    # blank/NULL docs still emit no rows and report NULL fractions via
+    # the roster left join — pinned by
+    # tests/test_operators.py::test_duplicate_text_fractions_posexplode_matches_hof_reference.
+    # The two-step select keeps each split computed once
+    # (CollapseProject won't inline an alias referenced twice).
+    arrs = df.select(
+        F.col(id_col),
+        F.split(raw, "\n").alias("_lines"),
+        F.split(raw, r"\n{2,}").alias("_paras"),
     )
-    ex = df.select(F.col(id_col), F.explode(units).alias("s")).select(
-        id_col,
-        F.col("s.k").alias("_k"),
-        F.xxhash64("s.u").alias("_h"),
-        F.length("s.u").alias("_ln"),
+    ex = (
+        arrs.select(
+            id_col,
+            F.size("_lines").alias("_nl"),
+            F.posexplode(F.concat("_lines", "_paras")).alias("_p", "_u"),
+        )
+        .filter(F.col("_u").rlike(r"\S"))
+        .select(
+            id_col,
+            F.when(F.col("_p") < F.col("_nl"), F.lit("line"))
+            .otherwise(F.lit("para"))
+            .alias("_k"),
+            F.xxhash64("_u").alias("_h"),
+            F.length("_u").alias("_ln"),
+        )
     )
     per_unit = ex.groupBy(id_col, "_k", "_h").agg(
         F.count(F.lit(1)).alias("n"), F.first("_ln").alias("ln")
@@ -2744,6 +2781,7 @@ def dsir_log_weights(
     smoothing: float = 1.0,
     salt: str = "dsir",
     quantize: "int | None" = None,
+    materialize: str = "persist",
 ) -> DataFrame:
     """DSIR importance log-weights (Xie et al., NeurIPS 2023): score
     every raw-corpus document by ``log p_target(doc) − log p_raw(doc)``
@@ -2775,6 +2813,14 @@ def dsir_log_weights(
     is accumulation-order-dependent, which a driver value-hash can't
     tolerate); ``log_weight`` is then the exact integer total divided
     once by ``10^d``.  Default ``None`` keeps full-precision doubles.
+
+    ``materialize`` picks how the two bucket-count model tables are
+    pinned — see :func:`dfsql_spark.operators.dedup._materialize`.
+    Default ``"persist"``: the tables are parameter-bounded
+    (≤ ``buckets`` rows), so persist costs the same as a local
+    checkpoint while keeping lineage — on a cluster with dynamic
+    allocation / preemption an executor loss stays recoverable
+    (round-15 verdict item: ``"local"`` was local-mode-leaning).
     """
     from .dedup import _word_ngrams_expr
 
@@ -2795,20 +2841,20 @@ def dsir_log_weights(
     # driver aggregate, once more when the weight table recomputes
     # ``raw_counts``, and once for the scoring pass — and the target
     # twice (optimization round 15, guide §1.2/§2.4: remove whole
-    # passes first).  localCheckpoint pins each model table after ONE
+    # passes first).  Materializing pins each model table after ONE
     # explode+aggregate; the totals and the weight join then read the
     # materialized rows, restoring the published two-pass structure
     # (model pass + scoring pass) over the raw corpus and one pass
-    # over the target.  Blocks are GC-released; values are unchanged
-    # (same aggregates, read once instead of recomputed).
+    # over the target.  Values are unchanged (same aggregates, read
+    # once instead of recomputed).
     from .dedup import _materialize
 
     tgt_counts = _materialize(
         bucketed(target).groupBy("_b").agg(F.count(F.lit(1)).alias("_ct")),
-        "local",
+        materialize,
     )
     raw_counts = _materialize(
-        raw_b.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr")), "local"
+        raw_b.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr")), materialize
     )
     t_total = tgt_counts.agg(F.sum("_ct")).first()[0] or 0
     r_total = raw_counts.agg(F.sum("_cr")).first()[0] or 0

@@ -2280,6 +2280,107 @@ def test_bm25_topk_matches_hand_formula(spark):
     assert abs(got[(20, 3)][1] - score([(1, 3, 2)])) < 1e-9
 
 
+def test_bm25_hits_match_post_agg_semijoin(spark):
+    """Optimization-round-16 pin (bm25_topk postings pass): filtering
+    the exploded token stream down to query terms BEFORE the
+    (doc, term) aggregation is value-identical to the round-15 form
+    that aggregated the full vocabulary and semi-joined after —
+    ``_tf`` counts only the kept term's own occurrences and ``_dl``
+    rides every exploded row, so dropping other terms changes
+    neither.  Full-output equality on an adversarial corpus: repeated
+    and uppercase query terms, docs with no query term (they still
+    shape N/avgdl), empty/NULL/whitespace-only docs, tab/newline
+    separators."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    from dfsql_spark.operators.text import bm25_topk, ws_tokens
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(8),
+                "text": [
+                    "Apple  banana apple APPLE",
+                    "banana\tcherry\ncherry",
+                    "no match here at all",
+                    "",
+                    None,
+                    "   \n\t ",
+                    "apple",
+                    "cherry apple cherry banana cherry",
+                ],
+            }
+        )
+    )
+    qs = spark.createDataFrame(
+        pd.DataFrame({"query_id": [1, 2], "text": ["APPLE cherry", "banana banana"]})
+    )
+
+    def old_form(k1=1.2, b=0.75, k=10, quantize=None):
+        # the round-15 pipeline: full-vocabulary (doc, term) aggregate,
+        # THEN the query-term semi-join — rebuilt inline as reference
+        import math
+
+        toks = ws_tokens("text", lower=True)
+        d = docs.select(
+            F.col("doc_id").alias("_doc"), toks.alias("_toks")
+        ).withColumn("_dl", F.size("_toks"))
+        postings = (
+            d.select("_doc", "_dl", F.explode("_toks").alias("_term"))
+            .groupBy("_doc", "_term")
+            .agg(F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl"))
+        )
+        qt = (
+            qs.select(
+                F.col("query_id").alias("_qid"),
+                F.explode(ws_tokens("text", lower=True)).alias("_term"),
+            )
+            .distinct()
+        )
+        hits = postings.join(F.broadcast(qt.select("_term").distinct()), "_term")
+        hits = hits.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("_term"))
+        )
+        n_docs = docs.count()
+        avgdl = (
+            docs.select(
+                F.sum(
+                    F.regexp_count(
+                        F.coalesce(F.col("text"), F.lit("")), F.lit(r"\S+")
+                    )
+                ).alias("s")
+            ).collect()[0]["s"]
+            / n_docs
+        )
+        rows = hits.join(qt, "_term").collect()
+        per: dict = {}
+        for r in rows:
+            idf = math.log(1 + (n_docs - r._df + 0.5) / (r._df + 0.5))
+            c = idf * (r._tf * (k1 + 1)) / (
+                r._tf + k1 * (1 - b + b * r._dl / avgdl)
+            )
+            per.setdefault((r._qid, r._doc), 0.0)
+            per[(r._qid, r._doc)] += c
+        out = []
+        for qid in {q for q, _ in per}:
+            ranked = sorted(
+                ((s, d) for (q, d), s in per.items() if q == qid),
+                key=lambda t: (-t[0], t[1]),
+            )[:k]
+            for i, (s, d) in enumerate(ranked, 1):
+                out.append((qid, i, d, round(s, 9)))
+        return sorted(out)
+
+    got = sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.score, 9))
+        for r in bm25_topk(docs, qs, k=10).collect()
+    )
+    assert got == old_form()
+    assert got  # non-degenerate
+
+
 def test_pivot_unpivot_roundtrip(spark):
     """groupBy().pivot(values).unpivot() round-trips to the plain
     long-form aggregate, and the explicit value list keeps the plan
@@ -4486,6 +4587,101 @@ def test_duplicate_text_fractions_matches_duckdb_mirror(spark, duck):
     )
     duck.unregister("dupfrac_pd")
     assert got == want and len(got) == 150
+
+
+def test_duplicate_text_fractions_posexplode_matches_hof_reference(spark):
+    """Optimization-round-16 pin: the posexplode + positional-kind +
+    post-explode rlike form is value-identical to the round-15
+    interpreted form (pre-explode ``filter(arr, u -> u.rlike('\\S'))``
+    + ``transform`` struct tagging), rebuilt inline as the reference.
+    Adversarial corpus: CR and CRLF line ends (units keep the \\r),
+    blank and whitespace-only units between real ones, 3+ newline
+    paragraph gaps, trailing newlines, NULL/empty/blank-only docs,
+    vertical-tab-only units (\\x0B is \\s in Java — blank), NEL
+    \\u0085 units (NOT \\s in Java's default rlike — non-blank), and
+    a doc whose line and para splits coincide."""
+    import pandas as pd
+
+    from dfsql_spark.operators.text import duplicate_text_fractions
+
+    texts = [
+        "a\r\nb\r\na\r\n\r\nP\n\n\nP",          # CRLF lines; 3-newline para gap
+        "x\n \nx\n\t\nx",                        # whitespace-only units between dups
+        "one line only",                         # line == para split
+        "tail\n\n\n",                            # trailing newline units (blank)
+        None,
+        "",
+        " \n\x0b\n ",                            # all units blank (VT is Java \s)
+        "\n",                        # NEL units are NON-blank in rlike
+        "para A\n\npara A\n\npara B\nline B\nline B",
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+
+    def reference(frame):
+        raw = F.coalesce(F.col("text"), F.lit(""))
+
+        def tagged(kind, arr):
+            return F.transform(
+                F.filter(arr, lambda u: u.rlike(r"\S")),
+                lambda u: F.struct(F.lit(kind).alias("k"), u.alias("u")),
+            )
+
+        units = F.concat(
+            tagged("line", F.split(raw, "\n")),
+            tagged("para", F.split(raw, r"\n{2,}")),
+        )
+        ex = frame.select(F.col("doc_id"), F.explode(units).alias("s")).select(
+            "doc_id",
+            F.col("s.k").alias("_k"),
+            F.xxhash64("s.u").alias("_h"),
+            F.length("s.u").alias("_ln"),
+        )
+        per_unit = ex.groupBy("doc_id", "_k", "_h").agg(
+            F.count(F.lit(1)).alias("n"), F.first("_ln").alias("ln")
+        )
+
+        def kind_fracs(kind, frac, char_frac):
+            k = F.col("_k") == kind
+            n, ln = F.col("n"), F.col("ln")
+            z = F.lit(0)
+            return [
+                (
+                    F.sum(F.when(k, n - 1).otherwise(z))
+                    / F.sum(F.when(k, n).otherwise(z))
+                ).alias(frac),
+                (
+                    F.sum(F.when(k, (n - 1) * ln).otherwise(z))
+                    / F.sum(F.when(k, n * ln).otherwise(z))
+                ).alias(char_frac),
+            ]
+
+        wide = per_unit.groupBy("doc_id").agg(
+            *kind_fracs("line", "dup_line_frac", "dup_line_char_frac"),
+            *kind_fracs("para", "dup_para_frac", "dup_para_char_frac"),
+        )
+        return frame.select(F.col("doc_id")).join(wide, on="doc_id", how="left")
+
+    def snap(frame):
+        return {
+            r.doc_id: tuple(
+                None if v is None else round(v, 12)
+                for v in (
+                    r.dup_line_frac,
+                    r.dup_line_char_frac,
+                    r.dup_para_frac,
+                    r.dup_para_char_frac,
+                )
+            )
+            for r in frame.collect()
+        }
+
+    got, want = snap(duplicate_text_fractions(df)), snap(reference(df))
+    assert got == want and len(got) == len(texts)
+    # non-degenerate: dups and NULL-frac docs both present
+    assert any(v[0] not in (None, 0.0) for v in got.values())
+    assert any(v[0] is None for v in got.values())
 
 
 def test_duplicate_text_fractions_plan_is_python_free(docs):
