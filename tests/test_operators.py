@@ -4197,6 +4197,62 @@ def test_blocklist_filter_hand_pinned_and_mirror(spark, docs, duck):
     assert any(h > 0 for h, _ in got_docs.values())  # non-degenerate
 
 
+def test_blocklist_filter_regexp_edge_parity(spark):
+    """Optimization-round-16 pin: the single regexp_count form equals
+    the round-15 token form (ws_tokens -> strip punctuation ->
+    array_contains), rebuilt inline as the reference, on adversarial
+    rows — punctuation-wrapped and inner-punctuation tokens, tokens
+    that strip to empty, regex metacharacters in blocklist words,
+    whitespace-bearing words (can never hit), the empty word (hits
+    no-alphanumeric tokens), adjacent hits, tab/CR separators, and
+    non-ASCII wrappers (stripped like punctuation)."""
+    import pandas as pd
+
+    from dfsql_spark.operators.text import blocklist_filter, ws_tokens
+
+    texts = [
+        "Spam! totally ((SPAM)). spam",          # wrapped + adjacent hits
+        "spam.x s.pam xspam spamx",              # inner punct / affixes: no hits
+        "!!! ??? ..",                            # strip-to-empty tokens
+        "a+b a+ +a+",                            # metachar word 'a+' hits '+a+'? no: strips to 'a'
+        "w1\tw2\rw1\nw2",                        # tab/CR/newline separators
+        "éspamé éham",            # é wrappers strip away
+        None,
+        "",
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+
+    def reference(frame, words):
+        marker = F.array(*[F.lit(w.lower()) for w in sorted(set(words))])
+        norm = F.transform(
+            ws_tokens("text", lower=True),
+            lambda t: F.regexp_replace(t, "^[^a-z0-9]+|[^a-z0-9]+$", ""),
+        )
+        hits = F.size(F.filter(norm, lambda t: F.array_contains(marker, t)))
+        return frame.select(
+            F.col("doc_id"),
+            hits.alias("n_blocklist_hits"),
+            (hits <= 0).alias("keep_doc"),
+        )
+
+    for words in (
+        ["spam"],
+        ["a+", "w1"],
+        [""],                      # empty word: hits '!!!'-style tokens
+        ["two words", "spam"],     # whitespace-bearing word never hits
+        ["two words"],             # ALL words whitespace-bearing -> 0 hits
+        ["éspamé"],      # non-ASCII word strips to nothing matchable
+    ):
+        got = sorted(map(tuple, blocklist_filter(df, words).collect()))
+        want = sorted(map(tuple, reference(df, words).collect()))
+        assert got == want, (words, got, want)
+    # non-degenerate sanity on the first list
+    got1 = {r.doc_id: r.n_blocklist_hits for r in blocklist_filter(df, ["spam"]).collect()}
+    assert got1[0] == 3 and got1[1] == 0 and got1[5] == 1
+
+
 def test_blocklist_filter_is_zero_shuffle_python_free(docs):
     from dfsql_spark.operators.text import blocklist_filter
     from dfsql_spark.plans.audit import plan_summary
