@@ -2419,64 +2419,44 @@ def blocklist_filter(
     non-alphanumerics stripped per token, so ``Word.`` and ``(word)``
     hit ``word``; multi-word blocklist phrases are NOT supported
     (single tokens only — a documented simplification of the public
-    C4 recipe).  The blocklist ships inside the plan as ONE quoted
-    alternation regex (these lists are hundreds to a few thousand
-    words): the whole filter is a zero-shuffle codegen'd map at any
-    corpus scale.
+    C4 recipe).  The blocklist ships inside the plan as an array
+    literal (these lists are hundreds to a few thousand words): the
+    whole filter is a zero-shuffle per-row map at any corpus scale.
 
     Returns ``(id, n_blocklist_hits, keep_doc)``.
     """
     if not words:
         raise ValueError("words must be non-empty")
-    # ONE codegen'd regexp_count over the lowered text (optimization
-    # round 16, guide §4.1 — the round-15 form ran two interpreted
-    # higher-order lambdas per token: a ``transform`` stripping
-    # punctuation with a per-element regexp_replace, then a ``filter``
-    # scanning the blocklist array; measured 1.7-1.9× slower than the
-    # single pass at sf0.1, values identical on 1-word and 204-word
-    # lists).  A token hits word ``w`` exactly when it reads
-    # ``<non-alnum wrapper> w <non-alnum wrapper>`` between whitespace
-    # boundaries: the lookarounds pin the match to a whole \S+ token,
-    # the ``[^a-z0-9\s]*`` wrappers are precisely the characters the
-    # old strip removed (lowering never changes \s-ness or
-    # [a-z0-9]-ness), and a match consumes its whole token so
-    # non-overlapping counting counts each token at most once.
-    # Edge parity with the token form (pinned by
-    # test_blocklist_filter_regexp_edge_parity): a word containing
-    # whitespace, or one whose first/last character is NOT [a-z0-9],
-    # can never equal a stripped token (stripping leaves tokens
-    # alnum-edged or empty) — such words are excluded from the
-    # pattern, exactly matching the old form's silent no-hit.  Words
-    # with INNER punctuation ("a+b") stay matchable, so the wrapper/
-    # core split at the alnum edges is unique and the match is exact.
-    # The empty word matches tokens that strip to "" (no alnum at
-    # all) — encoded as its own ``[^a-z0-9\s]+`` branch because an
-    # empty alternative would also count zero-width matches.
-    import re as _re
-
-    clean = sorted({w.lower() for w in words})
-    token_words = [
-        w
-        for w in clean
-        if w
-        and not _re.search(r"\s", w)
-        and _re.match(r"[a-z0-9]", w[0])
-        and _re.match(r"[a-z0-9]", w[-1])
-    ]
-    branches = []
-    if token_words:
-        alts = "|".join(_re.escape(w) for w in token_words)
-        branches.append(rf"[^a-z0-9\s]*(?:{alts})[^a-z0-9\s]*")
-    if "" in clean:
-        branches.append(r"[^a-z0-9\s]+")
-    if branches:
-        pat = rf"(?:^|(?<=\s))(?:{'|'.join(branches)})(?:$|(?=\s))"
-        hits = F.regexp_count(
-            F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(pat)
-        )
-    else:
-        # no word can ever equal a stripped token -> zero hits always
-        hits = F.lit(0)
+    # DELIBERATELY the higher-order-function form (re-adjudicated in
+    # optimization round 16).  A single anchored-alternation
+    # ``regexp_count`` over the lowered text IS 1.7-1.9× faster on
+    # this expression in isolation (measured at sf0.1 on 1-word and
+    # 204-word lists, values identical — the rewrite exists in git
+    # history with its edge-parity pin,
+    # test_blocklist_filter_regexp_edge_parity, which still guards
+    # these token semantics).  But in the operator's PRIMARY
+    # composition — the fused crawl gate, where a downstream filter
+    # references ``keep_blocklist & keep_gopher & script`` — removing
+    # this last CodegenFallback lambda flips the gate's Filter into
+    # whole-stage codegen, and a codegen Filter evaluates each
+    # conjunct WITHOUT cross-conjunct subexpression elimination: the
+    # script/gopher signal subtrees (the token split, six
+    # regexp_replace length-diffs referenced ~8× each by the
+    # dominant-script CASE chain) are re-generated per conjunct and
+    # re-evaluated per row.  Measured on the full gate at sf0.1,
+    # interleaved: HOF form 1.73-1.98 s, regexp form 4.65-4.80 s
+    # (2.7× REGRESSION; per-conjunct bisect: +2.3 s on the gopher
+    # predicate, +3.1 s on the script predicate, the blocklist term
+    # itself cheap in both).  The interpreted fallback this lambda
+    # forces keeps the one-evaluation-with-CSE shape at every scale;
+    # revisit only together with a composition-level fix for
+    # filter-over-derived-signal pushdown.
+    marker = F.array(*[F.lit(w.lower()) for w in sorted(set(words))])
+    norm = F.transform(
+        ws_tokens(text_col, lower=True),
+        lambda t: F.regexp_replace(t, "^[^a-z0-9]+|[^a-z0-9]+$", ""),
+    )
+    hits = F.size(F.filter(norm, lambda t: F.array_contains(marker, t)))
     if append:
         return df.withColumns(
             {"n_blocklist_hits": hits, "keep_blocklist": hits <= max_hits}

@@ -4198,14 +4198,20 @@ def test_blocklist_filter_hand_pinned_and_mirror(spark, docs, duck):
 
 
 def test_blocklist_filter_regexp_edge_parity(spark):
-    """Optimization-round-16 pin: the single regexp_count form equals
-    the round-15 token form (ws_tokens -> strip punctuation ->
-    array_contains), rebuilt inline as the reference, on adversarial
-    rows — punctuation-wrapped and inner-punctuation tokens, tokens
-    that strip to empty, regex metacharacters in blocklist words,
-    whitespace-bearing words (can never hit), the empty word (hits
-    no-alphanumeric tokens), adjacent hits, tab/CR separators, and
-    non-ASCII wrappers (stripped like punctuation)."""
+    """Optimization-round-16 semantics pin: blocklist_filter's hit
+    counting equals the canonical token form (ws_tokens -> strip
+    punctuation -> array_contains), rebuilt inline as the reference,
+    on adversarial rows — punctuation-wrapped and inner-punctuation
+    tokens, tokens that strip to empty, regex metacharacters in
+    blocklist words, whitespace-bearing words (can never hit), the
+    empty word (hits no-alphanumeric tokens), adjacent hits, tab/CR
+    separators, and non-ASCII wrappers (stripped like punctuation).
+    History: a single anchored-alternation regexp_count rewrite passed
+    this pin but was REVERTED — it flipped the fused crawl gate's
+    Filter into whole-stage codegen, whose per-conjunct generation
+    lacks cross-conjunct subexpression elimination (2.7× gate
+    regression; see blocklist_filter's inline comment).  The pin
+    stays to guard the token semantics of any future rewrite."""
     import pandas as pd
 
     from dfsql_spark.operators.text import blocklist_filter, ws_tokens
